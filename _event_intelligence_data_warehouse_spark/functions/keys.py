@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
@@ -33,10 +35,15 @@ def price_avg_expr(pmin: Column | str, pmax: Column | str) -> Column:
     """Canonical price_avg (load_facts.sql:58-62): ROUND((min+max)/2, 2)
     when both present, else whichever side exists."""
     pmin, pmax = _col(pmin), _col(pmax)
+    # (min+max)*0.5 in the exact decimal domain (division would leave it and
+    # tie-break differently across engines), then HALF_UP to cents.
+    half = Decimal("0.5")
     return (
         F.when(
             pmin.isNotNull() & pmax.isNotNull(),
-            F.round((pmin + pmax) / 2, 2).cast(DecimalType(10, 2)),
+            F.round((pmin + pmax).cast(DecimalType(20, 2)) * F.lit(half), 2).cast(
+                DecimalType(10, 2)
+            ),
         )
         .otherwise(F.coalesce(pmin, pmax))
     )
