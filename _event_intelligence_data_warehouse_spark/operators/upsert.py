@@ -1,0 +1,104 @@
+"""Upsert operators: the Spark replacements for ``ON CONFLICT``
+(SURVEY.md §2.5 U3/U4).
+
+Spark has no in-place mutation, so:
+- *insert-if-absent* = left-anti join of the incoming batch against the
+  existing keys, then append;
+- *merge upsert* = matched rows take incoming mutable attrs (preserving
+  requested existing columns such as surrogate keys), unmatched existing
+  rows pass through, unmatched incoming rows insert — produced as one
+  logical plan, written back via atomic overwrite-swap.
+
+Scale notes: the incoming batch is typically ≪ the existing table, so the
+existing side streams and the batch broadcasts (AQE picks this up from
+size stats). The full-table rewrite in ``merge_upsert`` is the price of
+raw parquet — behind Delta/Iceberg the same plan becomes a MERGE with
+file-level pruning; the operator's interface doesn't change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_keys(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
+    """Top-1-per-group with a deterministic ordering (U2): the engine's
+    ``DISTINCT ON ... ORDER BY`` (load_facts.sql:12-17)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def insert_if_absent(existing: DataFrame, incoming: DataFrame,
+                     keys: list[str]) -> DataFrame:
+    """Rows of ``incoming`` whose key is not in ``existing`` (U3:
+    ON CONFLICT DO NOTHING, transform_events.sql:97,115,124,138)."""
+    return incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
+
+
+def merge_upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    *,
+    preserve: list[str] | None = None,
+) -> DataFrame:
+    """Full merged table image (U4: ON CONFLICT DO UPDATE,
+    load_facts.sql:92-98).
+
+    ``preserve`` columns keep the *existing* row's value on match
+    (surrogate keys, first-seen timestamps); all other columns take the
+    incoming value. Column sets must match.
+    """
+    preserve = preserve or []
+    inc = incoming
+    ex = existing
+
+    matched = (
+        inc.alias("i")
+        .join(ex.alias("e"), keys, "inner")
+        .select(
+            *[F.col(f"e.{k}").alias(k) for k in keys],
+            *[
+                (F.col(f"e.{c}") if c in preserve else F.col(f"i.{c}")).alias(c)
+                for c in inc.columns
+                if c not in keys
+            ],
+        )
+    )
+    unmatched_existing = ex.join(inc, keys, "left_anti")
+    unmatched_incoming = inc.join(ex, keys, "left_anti")
+    return (
+        matched.unionByName(unmatched_existing.select(matched.columns))
+        .unionByName(unmatched_incoming.select(matched.columns))
+    )
+
+
+def assign_surrogate_keys(
+    existing: DataFrame,
+    new_rows: DataFrame,
+    sk_col: str,
+    order_by: list[str],
+) -> DataFrame:
+    """Deterministic surrogate keys for new dimension rows (U6): continue
+    from max(existing sk) with row_number over the natural-key order.
+
+    The single-partition window only ever sees the *new distinct dimension
+    rows of one batch* (dimension cardinality, not fact cardinality), so
+    it is not a scale hazard; determinism is what makes results
+    reproducible across runs (SURVEY.md §7.3a).
+    """
+    base = existing.agg(
+        F.coalesce(F.max(sk_col), F.lit(0)).cast("long").alias("__base")
+    )
+    w = Window.orderBy(*order_by)
+    return (
+        new_rows.crossJoin(F.broadcast(base))
+        .withColumn(sk_col, (F.row_number().over(w) + F.col("__base")).cast("long"))
+        .drop("__base")
+    )

@@ -23,6 +23,7 @@ from _event_intelligence_data_warehouse_spark.storage import Warehouse
 
 RAW_TABLE = "raw_events"
 INGESTION_LOG = "ingestion_log"
+QUALITY_LOG_TABLE = "quality_log"
 
 # CSV-contract column -> raw landing column (csv_ingestor.py:96-117)
 _CSV_TO_RAW = {"event_id": "raw_event_id"}

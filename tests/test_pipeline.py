@@ -1,0 +1,97 @@
+"""End-to-end pipeline tests (SURVEY.md §5): double-run idempotency, dirty
+data through the quality gate, KPI view shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.plans import pipeline
+
+
+def _args(**kw):
+    argv = ["--source", "csv", "--generate-sample"]
+    a = pipeline.parse_args(argv)
+    for k, v in kw.items():
+        setattr(a, k, v)
+    return a
+
+
+def test_pipeline_end_to_end_and_idempotent(spark, tmp_path):
+    whdir = str(tmp_path / "wh")
+    r1 = pipeline.run_pipeline(spark, whdir, _args(sample_rows=200))
+    s1 = r1["summary"]
+    assert s1["raw_events"] == 200
+    assert s1["fact_events"] == 200
+    assert s1["dim_source"] == 1
+    assert s1["dim_venue"] == 6
+    assert s1["dim_category"] == 5
+    assert s1["quality_log"] == 5
+
+    # Second run with the same sample: bronze dedups everything, watermark
+    # means nothing new to load; fact/dim counts must not move.
+    r2 = pipeline.run_pipeline(spark, whdir, _args(sample_rows=200))
+    s2 = r2["summary"]
+    assert s2["fact_events"] == s1["fact_events"]
+    assert s2["dim_venue"] == s1["dim_venue"]
+    assert s2["dim_date"] == s1["dim_date"]
+    assert s2["raw_events"] == 200
+    assert r2["load"] == {"staged": 0}
+    # quality ran again -> 5 more log rows
+    assert s2["quality_log"] == 10
+
+
+def test_pipeline_quality_statuses_on_dirty_data(spark, tmp_path):
+    whdir = str(tmp_path / "whd")
+    pipeline.run_pipeline(spark, whdir, _args(sample_rows=500, dirty=True))
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(spark, whdir)
+    q = {r.check_name: r for r in wh.read("quality_log").collect()}
+    # FIXTURES.md dirty rates sit under the thresholds -> warnings.
+    assert q["null_event_names"].status == "warning"
+    assert q["invalid_event_dates"].status == "warning"
+    assert q["price_min_gt_max"].status == "warning"
+    assert q["duplicate_event_ids"].records_failed == 0  # bronze deduped them
+    assert q["orphan_fact_records"].status in ("passed", "warning")
+    for r in q.values():
+        assert r.pass_rate is not None and r.records_checked > 0
+
+
+def test_kpi_views_registered_and_aliased(spark, tmp_path):
+    whdir = str(tmp_path / "whk")
+    pipeline.run_pipeline(spark, whdir, _args(sample_rows=150))
+    cat = spark.table("kpi_events_by_category")
+    assert set(cat.columns) == {
+        "category_name", "subcategory", "total_events", "events_on_sale",
+        "avg_ticket_price_eur", "cheapest_ticket_eur", "most_expensive_ticket",
+    }
+    assert cat.agg(F.sum("total_events")).first()[0] == 150
+    city = spark.table("kpi_events_by_city")
+    assert city.agg(F.sum("total_events")).first()[0] == 150
+    wd = spark.table("kpi_weekend_vs_weekday").collect()
+    assert abs(sum(r.pct_of_total for r in wd) - 100.0) < 0.21
+    health = spark.table("kpi_pipeline_health").collect()
+    assert health and health[0].successful_runs >= 1
+    dq = spark.table("kpi_data_quality")
+    assert dq.count() == 5
+
+
+def test_incremental_second_batch_appends(spark, tmp_path):
+    whdir = str(tmp_path / "whi")
+    pipeline.run_pipeline(spark, whdir, _args(sample_rows=100))
+    # New batch with different ids (offset via different row count slice).
+    from _event_intelligence_data_warehouse_spark.sources.synthetic import (
+        generate_sample_events,
+    )
+    from _event_intelligence_data_warehouse_spark.sources import bronze
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(spark, whdir)
+    batch2 = generate_sample_events(spark, 150).filter(
+        F.col("event_id") >= "MOCK_00100"
+    )
+    bronze.land_batch(wh, batch2, source="csv")
+    r = pipeline.run_pipeline(spark, whdir, _args(skip_ingest=True))
+    assert r["load"]["staged"] == 50
+    assert r["summary"]["fact_events"] == 150
+    assert r["summary"]["raw_events"] == 150

@@ -1,0 +1,117 @@
+"""Source-layer tests: TM JSON flatten, bronze dedup-on-write, synthetic
+generator contract (SURVEY.md §2.1 S4-S7)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.sources.api_source import (
+    flatten_tm_payloads,
+)
+from _event_intelligence_data_warehouse_spark.sources.synthetic import (
+    generate_sample_events,
+)
+from _event_intelligence_data_warehouse_spark.sources import bronze
+
+
+TM_EVENT = {
+    "id": "tm123",
+    "name": "Rock Night",
+    "url": "https://tm/e/tm123",
+    "dates": {
+        "start": {"localDate": "2026-06-05", "localTime": "20:00:00"},
+        "status": {"code": "onsale"},
+    },
+    "classifications": [
+        {"segment": {"name": "Music"}, "genre": {"name": "Rock"}}
+    ],
+    "priceRanges": [{"min": 30.0, "max": 90.0, "currency": "EUR"}],
+    "_embedded": {
+        "venues": [
+            {
+                "name": "Arena",
+                "city": {"name": "Berlin"},
+                "country": {"name": "Germany", "countryCode": "DE"},
+                "location": {"latitude": "52.52", "longitude": "13.405"},
+            }
+        ]
+    },
+}
+
+
+def test_flatten_tm_payload_paths(spark):
+    payloads = spark.createDataFrame(
+        [(json.dumps(TM_EVENT),)], "raw_payload string"
+    )
+    row = flatten_tm_payloads(payloads).collect()[0]
+    assert row.event_id == "tm123"
+    assert row.event_name == "Rock Night"
+    assert row.event_date == "2026-06-05"
+    assert row.event_time == "20:00:00"
+    assert row.venue_name == "Arena"
+    assert row.venue_city == "Berlin"
+    assert row.venue_country == "Germany"
+    assert row.venue_lat == "52.52"
+    assert row.category == "Music"
+    assert row.subcategory == "Rock"
+    assert row.price_min == "30.0"
+    assert row.currency == "EUR"
+    assert row.status == "onsale"
+
+
+def test_flatten_is_null_safe_on_missing_paths(spark):
+    minimal = {"id": "x1", "name": "Bare"}
+    payloads = spark.createDataFrame(
+        [(json.dumps(minimal),)], "raw_payload string"
+    )
+    row = flatten_tm_payloads(payloads).collect()[0]
+    assert row.event_id == "x1"
+    assert row.venue_name is None
+    assert row.price_min is None
+    assert row.status is None
+
+
+def test_synthetic_generator_contract(spark):
+    df = generate_sample_events(spark, 100)
+    assert df.count() == 100
+    assert len(df.columns) == 16
+    ids = [r.event_id for r in df.select("event_id").collect()]
+    assert len(set(ids)) == 100 and ids[0].startswith("MOCK_")
+    # deterministic: same seed -> same data
+    again = generate_sample_events(spark, 100)
+    assert df.exceptAll(again).count() == 0
+    # prices parse and min <= max by construction
+    bad = df.filter(
+        F.col("price_min").cast("double") > F.col("price_max").cast("double")
+    )
+    assert bad.count() == 0
+
+
+def test_dirty_generator_injects_defects(spark):
+    df = generate_sample_events(spark, 500, dirty=True).cache()
+    n = df.count()
+    nulls = df.filter(F.col("event_name").isNull()).count()
+    bad_dates = df.filter(
+        ~F.col("event_date").rlike(r"^\d{4}-\d{2}-\d{2}$")
+    ).count()
+    dup_ids = n - df.select("event_id").distinct().count()
+    assert 0 < nulls < 0.05 * n          # under the 5% warning threshold
+    assert 0 < bad_dates < 0.10 * n      # under the 10% threshold
+    assert dup_ids > 0
+    df.unpersist()
+
+
+def test_bronze_dedup_on_write(spark, warehouse):
+    batch = generate_sample_events(spark, 50)
+    r1 = bronze.land_batch(warehouse, batch, source="csv")
+    assert r1["records_loaded"] == 50
+    # Same batch again: all duplicates, nothing lands.
+    r2 = bronze.land_batch(warehouse, batch, source="csv")
+    assert r2["records_loaded"] == 0
+    assert warehouse.read(bronze.RAW_TABLE).count() == 50
+    # Run log carries both runs' final states.
+    runs = bronze.current_runs(warehouse).collect()
+    assert len(runs) == 2
+    assert all(r.status == "success" for r in runs)

@@ -1,0 +1,119 @@
+"""Upsert and SCD2 operator semantics (SURVEY.md §2.5 U2-U6)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.operators.scd2 import scd2_apply
+from _event_intelligence_data_warehouse_spark.operators.upsert import (
+    assign_surrogate_keys,
+    dedup_keys,
+    insert_if_absent,
+    merge_upsert,
+)
+
+
+def test_dedup_latest_wins(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 2, "new"), ("b", 1, "only")],
+        "k string, v int, tag string",
+    )
+    out = dedup_keys(df, ["k"], [F.desc("v")]).orderBy("k").collect()
+    assert [(r.k, r.tag) for r in out] == [("a", "new"), ("b", "only")]
+
+
+def test_insert_if_absent(spark):
+    existing = spark.createDataFrame([("a", 1)], "k string, v int")
+    incoming = spark.createDataFrame([("a", 9), ("b", 2)], "k string, v int")
+    out = insert_if_absent(existing, incoming, ["k"]).collect()
+    assert [(r.k, r.v) for r in out] == [("b", 2)]
+
+
+def test_merge_upsert_preserves_requested_columns(spark):
+    existing = spark.createDataFrame(
+        [("a", "olds", 100), ("b", "keep", 200)], "k string, status string, first_seen int"
+    )
+    incoming = spark.createDataFrame(
+        [("a", "news", 999), ("c", "ins", 300)], "k string, status string, first_seen int"
+    )
+    out = {
+        r.k: (r.status, r.first_seen)
+        for r in merge_upsert(existing, incoming, ["k"], preserve=["first_seen"]).collect()
+    }
+    assert out == {
+        "a": ("news", 100),   # updated attr, preserved first_seen
+        "b": ("keep", 200),   # untouched existing
+        "c": ("ins", 300),    # inserted
+    }
+
+
+def test_assign_surrogate_keys_deterministic_continuation(spark):
+    existing = spark.createDataFrame([(5, "x")], "sk long, nk string")
+    new = spark.createDataFrame([("b",), ("a",)], "nk string")
+    out = {r.nk: r.sk for r in assign_surrogate_keys(existing, new, "sk", ["nk"]).collect()}
+    assert out == {"a": 6, "b": 7}
+
+
+def _ts(d):
+    return datetime.datetime(2026, 1, d)
+
+
+def test_scd2_insert_change_close(spark):
+    cur = spark.createDataFrame(
+        [
+            (1, "nk1", "Arena", "Berlin", _ts(1), None, True, _ts(1)),
+            (2, "nk2", "Halle", "Munich", _ts(1), None, True, _ts(1)),
+        ],
+        "sk long, nk string, name string, city string, "
+        "valid_from timestamp, valid_to timestamp, is_current boolean, "
+        "created_at timestamp",
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("nk1", "Arena", "Berlin"),     # unchanged
+            ("nk2", "Halle Neu", "Munich"), # changed -> close + version
+            ("nk3", "Dom", "Cologne"),      # new
+        ],
+        "nk string, name string, city string",
+    )
+    out = scd2_apply(
+        cur,
+        incoming,
+        nk="nk",
+        attrs=["name", "city"],
+        sk_col="sk",
+        effective_ts=F.lit(_ts(5)).cast("timestamp"),
+        defaults={"created_at": F.lit(_ts(5)).cast("timestamp")},
+    )
+    rows = {(r.nk, r.is_current): r for r in out.collect()}
+    assert len(rows) == 4
+    # unchanged row untouched
+    assert rows[("nk1", True)].sk == 1
+    # changed: old version closed at effective ts
+    closed = rows[("nk2", False)]
+    assert closed.sk == 2 and closed.valid_to == _ts(5)
+    new_v = rows[("nk2", True)]
+    assert new_v.name == "Halle Neu" and new_v.valid_from == _ts(5)
+    # surrogate keys continue deterministically: nk2-v2 and nk3 get 3/4
+    # ordered by nk
+    assert {rows[("nk2", True)].sk, rows[("nk3", True)].sk} == {3, 4}
+
+
+def test_scd2_idempotent_reapply(spark):
+    cur = spark.createDataFrame(
+        [(1, "nk1", "Arena", "Berlin", _ts(1), None, True, _ts(1))],
+        "sk long, nk string, name string, city string, "
+        "valid_from timestamp, valid_to timestamp, is_current boolean, "
+        "created_at timestamp",
+    )
+    incoming = spark.createDataFrame(
+        [("nk1", "Arena", "Berlin")], "nk string, name string, city string"
+    )
+    out = scd2_apply(
+        cur, incoming, nk="nk", attrs=["name", "city"], sk_col="sk",
+        effective_ts=F.lit(_ts(9)).cast("timestamp"),
+    )
+    assert out.count() == 1
+    assert out.filter(F.col("is_current")).count() == 1
