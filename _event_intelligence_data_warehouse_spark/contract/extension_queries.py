@@ -1,0 +1,528 @@
+"""LLM-data-pipeline extension queries (BASELINE.json north star): dedup
+families, similarity search, text analysis, windowed event analytics —
+each with a full DuckDB oracle (including the MinHash/SimHash bit math,
+reproduced hash-for-hash via md5-derived token hashes).
+
+The documents table has no natural duplicates, so dedup queries run over a
+deterministically augmented corpus: exact copies (ids +100000) for exact
+dedup, one-token-appended copies for near-dup detection — mirrored
+verbatim in the oracle CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.contract import load, query
+from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+from _event_intelligence_data_warehouse_spark.operators import text as tx
+from _event_intelligence_data_warehouse_spark.streaming import windows as win
+
+# ---------------------------------------------------------------------------
+# Shared corpus CTEs (SQL) + Spark builders
+# ---------------------------------------------------------------------------
+
+_DOCS_EXACT_CTE = """
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+_DOCS_NEAR_CTE = """
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' zzextra' AS text
+    FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+# Tokenization in DuckDB mirroring operators.text.tokens.
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "x -> x != '')"
+)
+# md5-derived 32-bit token hash mirroring operators.text.token_hash.
+_TH = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+
+
+def _docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+def _docs_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+    )
+    return d.unionByName(dup)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    _DOCS_EXACT_CTE
+    + """
+    , fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM docs2
+    ), canon AS (
+        SELECT fingerprint, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS group_size
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.fingerprint, c.canonical_id, c.group_size
+    FROM fp f JOIN canon c USING (fingerprint)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text md5; only the
+    digest shuffles, never the text."""
+    return dd.exact_dedup(_docs_exact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _minhash_sql_aggs() -> str:
+    parts = []
+    for j, (a, b) in enumerate(dd.minhash_coeffs()):
+        parts.append(
+            f"MIN(({a} * (th % {dd.MINHASH_P}) + {b}) % {dd.MINHASH_P}) AS mh{j}"
+        )
+    return ",\n               ".join(parts)
+
+
+_TOKEN_HASH_CTE = f"""
+, tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM docs2
+), th AS (
+    SELECT DISTINCT doc_id, {_TH} AS th FROM tok
+)
+"""
+
+_SIGS_CTE = f"""
+, sigs AS (
+    SELECT doc_id,
+           {_minhash_sql_aggs()}
+    FROM th GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "dedup_minhash_signatures",
+    _DOCS_NEAR_CTE + _TOKEN_HASH_CTE + _SIGS_CTE + "SELECT * FROM sigs",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=16 minhash values per document — the signature stage of
+    MinHash+LSH, hash-for-hash reproducible (md5-derived token hashes,
+    fixed universal-hash constants)."""
+    docs = _docs_near(spark, sf_dir)
+    return dd.minhash_signatures(dd.doc_token_hashes(docs))
+
+
+def _bands_sql() -> str:
+    rows_per_band = dd.MINHASH_K // dd.MINHASH_BANDS
+    selects = []
+    for b in range(dd.MINHASH_BANDS):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(concat_ws(',', " + ", ".join(
+            f"CAST({c} AS VARCHAR)" for c in cols
+        ) + "))"
+        selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs"
+        )
+    return "\n    UNION ALL\n    ".join(selects)
+
+
+_LSH_PAIRS_SQL = (
+    _DOCS_NEAR_CTE
+    + _TOKEN_HASH_CTE
+    + _SIGS_CTE
+    + f"""
+, buckets AS (
+    {_bands_sql()}
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM th GROUP BY doc_id
+), inter AS (
+    SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS inter
+    FROM th ta JOIN th tb ON ta.th = tb.th AND ta.doc_id < tb.doc_id
+    JOIN cands c ON c.doc_a = ta.doc_id AND c.doc_b = tb.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE)
+           / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE)
+      / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8
+"""
+)
+
+
+@query("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band-bucket
+    join -> exact-Jaccard verify (>= 0.8). Candidate generation is
+    O(bucket collisions), never O(n²)."""
+    return dd.minhash_dedup(_docs_near(spark, sf_dir), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# SimHash buckets
+# ---------------------------------------------------------------------------
+
+def _simhash_sql() -> str:
+    bit_aggs = ",\n           ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+, perbit AS (
+    SELECT doc_id,
+           {bit_aggs}
+    FROM th GROUP BY doc_id
+), sh AS (
+    SELECT doc_id, {assemble} AS simhash FROM perbit
+), groups AS (
+    SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+    FROM sh GROUP BY simhash
+)
+SELECT s.doc_id, s.simhash, g.canonical_id, g.group_size
+FROM sh s JOIN groups g USING (simhash)
+"""
+
+
+@query(
+    "dedup_simhash",
+    _DOCS_NEAR_CTE + _TOKEN_HASH_CTE + _simhash_sql(),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash buckets: sign-aggregated token-hash bits; identical
+    hashes = near-dup group (one-token edits usually collide)."""
+    return dd.simhash_dedup(_docs_near(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    _DOCS_NEAR_CTE
+    + """
+    , norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM docs2
+    ), grams AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(generate_series(1, length(nt) - 2),
+                           i -> substr(nt, CAST(i AS INT), 3)))) AS gram
+        FROM norm WHERE length(nt) >= 3
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM grams a JOIN grams b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter AS DOUBLE)
+               / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.inter AS DOUBLE)
+          / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard near-dup pairs (>= 0.6) via inverted index."""
+    return dd.ngram_jaccard_pairs(_docs_near(spark, sf_dir), n=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@query(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 20
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id, {_COS} AS sim
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (ids < 20): broadcast queries,
+    stream the corpus, rank with a deterministic tie-break. The contract
+    is (query, neighbor, rank) — ranks, not raw floats."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+def _planes_sql() -> str:
+    rows = []
+    for p, signs in enumerate(sim.hyperplane_signs(8, 64)):
+        arr = "[" + ", ".join(f"{float(s)}" for s in signs) + "]"
+        rows.append(
+            f"(CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(rows)
+
+
+@query(
+    "similarity_lsh_topk",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id, {_planes_sql()} AS bucket FROM vecs
+    ), c AS (
+        SELECT s.bucket, v.vec_id AS neighbor_id, v.v AS cv
+        FROM vecs v JOIN sig s USING (vec_id)
+    ), q AS (
+        SELECT s.bucket, v.vec_id AS query_id, v.v AS qv
+        FROM vecs v JOIN sig s USING (vec_id) WHERE v.vec_id < 50
+    ), scored AS (
+        SELECT query_id, neighbor_id, {_COS} AS sim
+        FROM c JOIN q USING (bucket)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path: 8-bit random-hyperplane LSH buckets -> exact cosine
+    re-rank inside the bucket. Candidate count per query drops from n to
+    ~n/256 per table; recall tunes with planes/tables."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+
+
+@query(
+    "embedding_near_duplicates",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id, {_planes_sql()} AS bucket FROM vecs
+    ), a AS (
+        SELECT s.bucket, v.vec_id, v.v FROM vecs v JOIN sig s USING (vec_id)
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))) AS sim
+    FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v))
+             * sqrt(list_dot_product(y.v, y.v))) >= 0.3
+    """,
+)
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (threshold 0.3 — this
+    corpus has no tighter natural dups; the operator exposes the knob)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.embedding_near_duplicates(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _stoplist_sql(code: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS[code]) + "]"
+
+
+_LANG_VOTE_SQL = f"""
+, toks AS (
+    SELECT doc_id, list_distinct({_TOKS}) AS tl FROM docs2
+), votes AS (
+    SELECT doc_id,
+           len(list_intersect(tl, {_stoplist_sql('de')})) AS v_de,
+           len(list_intersect(tl, {_stoplist_sql('en')})) AS v_en,
+           len(list_intersect(tl, {_stoplist_sql('es')})) AS v_es,
+           len(list_intersect(tl, {_stoplist_sql('fr')})) AS v_fr
+    FROM toks
+)
+"""
+
+
+@query(
+    "text_metrics",
+    """
+WITH docs2 AS (SELECT doc_id, text, lang FROM documents)
+"""
+    + _LANG_VOTE_SQL
+    + f"""
+, metrics AS (
+    SELECT d.doc_id, d.lang,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(regexp_split_to_array(lower(trim(d.text)),
+                '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(d.text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CASE WHEN length(d.text) > 0 THEN
+                CAST(length(d.text) - length(regexp_replace(d.text,
+                     '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                / CAST(length(d.text) AS DOUBLE)
+           ELSE 0.0 END AS punct_ratio,
+           CASE WHEN length(d.text) > 0 THEN
+                CAST(length(regexp_replace(d.text, '[^一-鿿]', '', 'g'))
+                     AS DOUBLE) / CAST(length(d.text) AS DOUBLE)
+           ELSE 0.0 END AS cjk_ratio,
+           md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+           v.v_de, v.v_en, v.v_es, v.v_fr,
+           greatest(v.v_de, v.v_en, v.v_es, v.v_fr) AS best
+    FROM docs2 d JOIN votes v USING (doc_id)
+)
+SELECT doc_id, lang, n_chars, n_tokens, n_bpe_tokens, punct_ratio,
+       fingerprint,
+       CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+            WHEN best <= 0 THEN 'und'
+            WHEN v_de = best THEN 'de'
+            WHEN v_en = best THEN 'en'
+            WHEN v_es = best THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM metrics
+""",
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text battery: char/token/BPE-ish counts, punctuation
+    ratio, md5 fingerprint, and n-gram/stopword language ID — all native
+    column algebra inside whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length(t).cast("long").alias("n_chars"),
+        tx.token_count(t).cast("long").alias("n_tokens"),
+        tx.bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        tx.punct_ratio(t).alias("punct_ratio"),
+        tx.fingerprint(t).alias("fingerprint"),
+        tx.lang_id(t).alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed event analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_tumbling_hourly",
+    """
+    SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                          * 3600000000) AS window_start,
+           make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                          * 3600000000 + 3600000000) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — the same
+    F.window primitive Structured Streaming compiles (streaming.jobs runs
+    it under a watermark with Trigger.AvailableNow)."""
+    e = load(spark, sf_dir, "events")
+    return win.tumbling_counts(e, "1 hour", extra_keys=["event_type"])
+
+
+@query(
+    "window_sessionize",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+               CAST(ts AS TIMESTAMP) AS ts, value,
+               lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_sec
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN sec - prev_sec > 1800 THEN 1 ELSE 0 END
+                      AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                      AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           (epoch_us(MAX(ts)) // 1000000) - (epoch_us(MIN(ts)) // 1000000)
+               AS duration_seconds
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle): lag + running sum, one
+    shuffle on the user key (streaming analog: session_window)."""
+    e = load(spark, sf_dir, "events")
+    return win.sessionize(e, gap_minutes=30)

@@ -1,0 +1,267 @@
+"""Deduplication operators for LLM-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard — all native DataFrame programs.
+
+Scale design (the point of each algorithm):
+- *exact*: one hash-aggregate on the fingerprint; shuffles only the
+  16-byte digest + id, never the text.
+- *minhash_lsh*: shingle -> K minhashes -> B bands; candidate pairs come
+  from an equi-join on (band, band-signature) buckets, so comparisons are
+  O(collisions), not O(n²). The verify step re-joins token sets only for
+  candidates.
+- *simhash*: 32-bit locality hash; near-dups collide in the same bucket
+  (optionally rotated bands for 1-2 bit tolerance).
+- *ngram_jaccard*: inverted index on character n-grams; pair scores via
+  |A∩B| counted by the index join, sizes joined back in.
+
+Determinism: token/shingle hashes derive from md5 (engine-portable), and
+the minhash permutation constants are fixed module constants, so every
+operator here is reproducible and DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.operators.text import (
+    fingerprint,
+    normalized_text,
+    token_hash,
+    tokens,
+)
+
+# Mersenne prime 2^31-1: token hashes are 32-bit, reduced mod P before the
+# universal-hash multiply so a*t+b stays far from int64 overflow.
+MINHASH_P = 2_147_483_647
+MINHASH_K = 16          # signature length
+MINHASH_BANDS = 4       # 4 bands x 4 rows: catches J>=~0.6 pairs reliably
+
+
+def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Fixed pseudo-random (a, b) pairs for h_j(t) = (a*t + b) mod P.
+    Derived from the golden-ratio multiplier; a is forced odd/nonzero."""
+    coeffs = []
+    for j in range(k):
+        a = ((j + 1) * 2654435761) % MINHASH_P | 1
+        b = ((j + 1) * 40503) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: every row
+    mapped to its canonical (minimum-id) representative."""
+    fp = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    canon = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return fp.join(canon, "fingerprint").select(
+        id_col, "fingerprint", "canonical_id", "group_size"
+    )
+
+
+def doc_token_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, distinct token-hash) pairs — the shared input of minhash and
+    jaccard verification."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    return toks.select("doc_id", token_hash("tok").alias("th")).distinct()
+
+
+def minhash_signatures(
+    token_hashes: DataFrame, k: int = MINHASH_K
+) -> DataFrame:
+    """doc_id -> k minhash values, one shuffle (the group-by)."""
+    t = F.col("th") % MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * t + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(k))
+    ]
+    return token_hashes.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing at least one band bucket."""
+    rows_per_band = k // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        band_frames.append(
+            signatures.select(
+                F.col("doc_id"), F.lit(b).alias("band"), key.alias("bkey")
+            )
+        )
+    buckets = band_frames[0]
+    for fr in band_frames[1:]:
+        buckets = buckets.unionByName(fr)
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    token_hashes: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via the inverted-index join."""
+    sizes = token_hashes.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = token_hashes.alias("ta")
+    b = token_hashes.alias("tb")
+    inter = (
+        a.join(b, (F.col("ta.th") == F.col("tb.th"))
+               & (F.col("ta.doc_id") < F.col("tb.doc_id")))
+        .select(
+            F.col("ta.doc_id").alias("doc_a"),
+            F.col("tb.doc_id").alias("doc_b"),
+        )
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs with exact-verified Jaccard >= threshold."""
+    th = doc_token_hashes(df, text_col, id_col)
+    sigs = minhash_signatures(th)
+    cands = minhash_lsh_candidates(sigs)
+    return jaccard_pairs(th, cands).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(token_hashes: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """doc_id -> simhash: sign-aggregate each bit of the 32-bit token hash.
+    One group-by; the 32 conditional sums stay in codegen."""
+    t = F.col("th")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(t, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_bit = token_hashes.groupBy("doc_id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        sh = sh + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return per_bit.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents grouped by identical simhash (near-dup buckets)."""
+    th = doc_token_hashes(df, text_col, id_col)
+    sh = simhash(th)
+    groups = sh.groupBy("simhash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return sh.join(groups, "simhash").select(
+        F.col("doc_id"), "simhash", "canonical_id", "group_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def char_ngrams(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, distinct character n-gram) pairs over normalized text."""
+    norm = normalized_text(F.col(text_col))
+    gram_expr = F.expr(
+        f"array_distinct(transform(sequence(1, length(nt) - {n - 1}), "
+        f"i -> substring(nt, i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
+        .filter(F.length("nt") >= n)
+        .select("doc_id", F.explode(gram_expr).alias("gram"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= threshold via the inverted index.
+    At scale, prefix filtering (only index the rarest grams per doc) cuts
+    the index join; here the full index keeps the oracle simple."""
+    grams = char_ngrams(df, n, text_col, id_col)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    inter = (
+        a.join(b, (F.col("ga.gram") == F.col("gb.gram"))
+               & (F.col("ga.doc_id") < F.col("gb.doc_id")))
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"),
+            F.col("gb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

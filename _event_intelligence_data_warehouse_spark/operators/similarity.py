@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the 100 TB design point:
+- *brute-force cosine top-k*: exact baseline. The query side is small
+  (selected ids) and broadcast; the corpus side streams, so the cost is
+  one pass over the corpus per batch of queries — no shuffle of the
+  corpus. Dot products are native higher-order functions (zip_with +
+  aggregate), evaluated JVM-side.
+- *random-hyperplane LSH buckets*: the scale path. Each vector gets a
+  B-bit signature from fixed ±1 hyperplanes; candidates share a bucket,
+  exact cosine re-ranks candidates only. Recall tunes with bits/tables.
+
+Determinism: hyperplane signs derive from the same md5-based token hash
+used across the engine, so signatures are reproducible everywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _vec_double(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (self excluded).
+
+    Output: (query_id, neighbor_id, rank) with rank 1..k, ties broken on
+    neighbor id — rank, not raw similarity, is the contract (float
+    arithmetic is engine-specific in the last ulp)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _vec_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _vec_double(vec_col).alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplane_signs(
+    n_planes: int, dim: int, offset: int = 0
+) -> list[list[int]]:
+    """Fixed ±1 hyperplanes: sign = parity of the first md5 nibble of
+    'p{plane}:{dim}'. Deterministic everywhere, no RNG state. ``offset``
+    selects a disjoint plane range — table t of a multi-table LSH uses
+    offset t*n_planes."""
+    planes = []
+    for p in range(offset, offset + n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"p{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    df: DataFrame,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """vec_id -> (table, bucket). Multiple tables use disjoint plane sets;
+    a candidate pair only needs to collide in *one* table, which is the
+    standard recall lever (P_hit = 1-(1-p^planes)^tables)."""
+    v = _vec_double(vec_col)
+    out = None
+    for t in range(n_tables):
+        bits = []
+        planes = hyperplane_signs(n_planes, dim, offset=t * n_planes)
+        for p, signs in enumerate(planes):
+            sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+            proj = dot(v, sign_arr)
+            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(0))
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        tbl = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(t).alias("table"),
+            bucket.cast("long").alias("bucket"),
+        )
+        out = tbl if out is None else out.unionByName(tbl)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket in any
+    table, exact cosine re-ranks. At scale the bucket join replaces the
+    cross join — expected candidates per query ≈ tables * n / 2^planes."""
+    csig = lsh_signatures(corpus, n_planes=n_planes, dim=dim,
+                          n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    qsig = lsh_signatures(queries, n_planes=n_planes, dim=dim,
+                          n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    cand = (
+        csig.withColumnRenamed("vec_id", "neighbor_id")
+        .join(
+            F.broadcast(qsig.withColumnRenamed("vec_id", "query_id")),
+            ["table", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _vec_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _vec_double(vec_col).alias("qv"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold),
+    LSH-bucketed so the pair space never goes O(n²); pairs colliding in
+    several tables are deduped before scoring."""
+    sig = lsh_signatures(df, n_planes=n_planes, dim=dim, n_tables=n_tables,
+                         id_col=id_col, vec_col=vec_col)
+    cand = (
+        sig.alias("sa")
+        .join(sig.alias("sb"),
+              (F.col("sa.table") == F.col("sb.table"))
+              & (F.col("sa.bucket") == F.col("sb.bucket"))
+              & (F.col("sa.vec_id") < F.col("sb.vec_id")))
+        .select(F.col("sa.vec_id").alias("id_a"),
+                F.col("sb.vec_id").alias("id_b"))
+        .distinct()
+    )
+    v = df.select(F.col(id_col).alias("vid"), _vec_double(vec_col).alias("v"))
+    return (
+        cand.join(v.withColumnRenamed("vid", "id_a")
+                  .withColumnRenamed("v", "v_a"), "id_a")
+        .join(v.withColumnRenamed("vid", "id_b")
+              .withColumnRenamed("v", "v_b"), "id_b")
+        .select("id_a", "id_b",
+                cosine(F.col("v_a"), F.col("v_b")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

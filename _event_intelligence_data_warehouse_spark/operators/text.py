@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json north
+star): tokenization, language ID, quality scoring, fingerprinting.
+
+Everything is native column algebra — no Python UDFs — so the hot path
+stays inside whole-stage codegen and scales linearly with executors. The
+token hash used across dedup/minhash is the first 8 hex chars of md5
+(``conv(substr(md5(t),1,8),16,10)``): md5 is bit-identical across engines,
+which keeps every derived operator oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny, deliberately-curated stopword sets: enough signal for a coarse
+# n-gram/stopword language vote, small enough to live in the plan as
+# literals (broadcast implicitly with the task binary).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "be", "at", "by", "not", "this", "are"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "auf", "für", "des", "im", "dem", "sich", "auch",
+           "als", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "un", "une", "du",
+           "que", "qui", "dans", "pour", "pas", "sur", "avec", "au", "il",
+           "ne"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "en", "un", "una",
+           "es", "por", "con", "no", "para", "del", "se", "su", "al", "lo"],
+}
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+# Word-ish tokens for the BPE-style count: runs of letters, runs of digits,
+# or single punctuation — a cheap proxy for subword tokenizers.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    t = F.split(F.lower(F.trim(_col(text))), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish tokens (letter runs / digit runs / punct chars)."""
+    return F.regexp_count(_col(text), F.lit(BPE_ISH_RE)).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    t = _col(text)
+    n = F.length(t)
+    punct = n - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length sweet-spot, moderate
+    punctuation, presence of function words — the classic cheap pre-filter
+    before expensive model-based scoring."""
+    t = _col(text)
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / 20.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 4.0)
+    sw = stopword_ratio(t)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    return F.round(
+        (len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3).cast(
+            "decimal(10,6)"
+        ),
+        4,
+    ).cast("double")
+
+
+def cjk_ratio(text: Column | str) -> Column:
+    t = _col(text)
+    n = F.length(t)
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    return F.when(n > 0, cjk.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Coarse language ID: CJK character ratio decides 'zh'; otherwise a
+    stopword vote among {en, de, fr, es} with a deterministic tie-break
+    (alphabetical on ties, 'und' = undetermined when nothing matches)."""
+    toks = F.array_distinct(tokens(text))
+
+    def _vote(code: str) -> Column:
+        # NB: closure factory, not a default-arg lambda — F.filter treats a
+        # two-parameter lambda as (element, index).
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+
+    votes = {code: _vote(code) for code in ("de", "en", "es", "fr")}
+    best = F.greatest(*votes.values())
+    vote_pick = (
+        F.when(best <= 0, F.lit("und"))
+        # alphabetical preference on ties: de, en, es, fr
+        .when(votes["de"] == best, "de")
+        .when(votes["en"] == best, "en")
+        .when(votes["es"] == best, "es")
+        .otherwise("fr")
+    )
+    return F.when(cjk_ratio(text) > 0.2, F.lit("zh")).otherwise(vote_pick)
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (The rolling-hash/shingle variant lives in operators.dedup as minhash.)"""
+    return F.md5(normalized_text(text))
+
+
+def token_hash(tok: Column | str) -> Column:
+    """32-bit token hash from the md5 prefix — engine-portable (see module
+    docstring)."""
+    return F.conv(F.substring(F.md5(_col(tok)), 1, 8), 16, 10).cast("long")
+
+
+def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with the standard metric battery."""
+    t = F.col(text_col)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio_en"),
+        quality_score(t).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,75 @@
+"""Structured Streaming wirings (SURVEY.md §7 stretch goal, now core).
+
+``Trigger.AvailableNow`` turns these into incremental batch jobs with a
+checkpoint — the Spark-native replacement for the reference's
+``is_processed`` polling loop (scheduler.py:54-57): each invocation
+processes exactly the files that arrived since the last checkpoint, then
+exits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+
+def windowed_counts_stream(events: DataFrame, *, duration: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts with a watermark bounding state: late rows
+    beyond the watermark are dropped, state for closed windows is freed —
+    the knob that keeps unbounded streams at bounded memory."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    events_stream: DataFrame,
+    transformed: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain everything currently available through the query and stop.
+    Append mode: only watermark-closed windows emit, exactly once."""
+    q = (
+        transformed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

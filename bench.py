@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute through the `noop` sink so the full plan runs (column
+pruning can cheat a bare count) without driver-side materialization cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # warehouse path
+    "kpi_events_by_category",
+    "staging_cleanse",
+    "fact_build_star",
+    # relational core
+    "agg_orders_by_priority",
+    "join_star_revenue",
+    "dedup_latest_per_key",
+    "upsert_merge_latest_state",
+    "window_pct_of_total",
+    "dim_date_attributes",
+    # scale extensions
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "similarity_topk_bruteforce",
+    "text_metrics",
+    "window_tumbling_hourly",
+    "window_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+    from _event_intelligence_data_warehouse_spark.session import get_spark
+
+    spark = get_spark("eidw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so timings measure the plans.
+    QUERIES["agg_orders_by_priority"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

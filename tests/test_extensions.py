@@ -1,0 +1,187 @@
+"""Extension-operator tests: dedup recall, ANN vs exact, language-ID
+accuracy, multimodal plumbing, structured-streaming incremental run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "the quick brown fox jumps over the lazy dog in the park"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog in the yard"),  # near dup
+        (4, "completely different text about database systems and spark"),
+        (5, "der schnelle braune fuchs springt über den faulen hund"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    from _event_intelligence_data_warehouse_spark.operators.dedup import exact_dedup
+
+    out = {r.doc_id: r for r in exact_dedup(_docs(spark)).collect()}
+    assert out[1].canonical_id == 1 and out[2].canonical_id == 1
+    assert out[1].group_size == 2
+    assert out[3].group_size == 1
+
+
+def test_minhash_finds_near_dup_not_distinct(spark):
+    from _event_intelligence_data_warehouse_spark.operators.dedup import minhash_dedup
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_dedup(_docs(spark), threshold=0.7).collect()}
+    assert (1, 2) in pairs          # exact dup: jaccard 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs   # one-word edit
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_collides_near_dups(spark):
+    from _event_intelligence_data_warehouse_spark.operators.dedup import simhash_dedup
+
+    out = {r.doc_id: r.simhash for r in simhash_dedup(_docs(spark)).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+
+
+def _planted_vectors(spark, n_base=60, dim=16):
+    """Base vectors + a tiny-noise twin for each — twins are the true
+    nearest neighbors (cosine ~0.999…), which is what LSH must find."""
+    import math
+    import hashlib
+
+    rows = []
+    for i in range(n_base):
+        base = [
+            (int(hashlib.md5(f"v{i}:{d}".encode()).hexdigest()[:4], 16) / 65535.0)
+            - 0.5
+            for d in range(dim)
+        ]
+        nrm = math.sqrt(sum(x * x for x in base)) or 1.0
+        base = [x / nrm for x in base]
+        twin = [x + 0.001 * ((d % 3) - 1) for d, x in enumerate(base)]
+        rows.append((i, base))
+        rows.append((i + 1000, twin))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+
+    vecs = _planted_vectors(spark)
+    pairs = sim.embedding_near_duplicates(
+        vecs, threshold=0.99, n_planes=8, dim=16, n_tables=4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(i, i + 1000) for i in range(60)}
+    recall = len(found & planted) / len(planted)
+    assert recall > 0.9, f"LSH missed planted twins: recall={recall}"
+    # and no spurious high-sim pairs between unrelated vectors
+    assert all(b - a == 1000 for a, b in found)
+
+
+def test_lsh_topk_agrees_with_bruteforce_on_twins(spark):
+    from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+
+    vecs = _planted_vectors(spark, n_base=40)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(vecs, queries, k=1, vec_col="embedding")
+    approx = sim.lsh_topk(
+        vecs, queries, k=1, n_planes=8, dim=16, n_tables=4
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # The rank-1 neighbor (the twin) must survive the LSH pruning.
+    recall = len(e & a) / len(e)
+    assert recall > 0.9, f"twin lost through LSH: {recall}"
+
+
+def test_lang_id_on_real_language_samples(spark):
+    # NB: the driver documents table's `lang` column is a synthetic label —
+    # its text is English DB jargon for every label — so accuracy is
+    # measured on genuine samples here.
+    from _event_intelligence_data_warehouse_spark.operators.text import lang_id
+
+    samples = [
+        ("en", "the cat sat on the mat and it was happy to be at home"),
+        ("de", "der hund und die katze sind mit dem kind auf der wiese"),
+        ("fr", "le chien et le chat sont dans la maison avec une souris"),
+        ("es", "el perro y el gato están en la casa con un ratón pequeño"),
+        ("zh", "数据库系统使用分布式查询引擎处理大规模数据集合并进行优化"),
+        ("und", "xyzzy plugh 12345"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    out = {r.lang: r.pred for r in df.select(
+        "lang", lang_id(F.col("text")).alias("pred")
+    ).collect()}
+    assert out == {k: k for k in out}
+
+    # And on the driver corpus it must at least be deterministic and only
+    # emit known codes.
+    from _event_intelligence_data_warehouse_spark.contract import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    preds = docs.select(lang_id(F.col("text")).alias("p")).distinct().collect()
+    assert {r.p for r in preds} <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_multimodal_decode_plumbing(spark):
+    from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 32)
+    out = mm.decode_images(media, fake=True).collect()
+    assert len(out) == 32
+    r = out[0]
+    assert len(r.features) == mm.FEATURE_DIM
+    assert abs(sum(r.features) - 1.0) < 1e-5       # normalized histogram
+    assert r.n_bytes > 0
+    # determinism: same input -> same features
+    again = mm.decode_images(media, fake=True).collect()
+    assert [x.features for x in out] == [x.features for x in again]
+
+
+def test_multimodal_real_decode_fails_fast(spark):
+    import pytest
+
+    from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 2)
+    with pytest.raises(NotImplementedError):
+        mm.decode_images(media, fake=False)
+
+
+def test_multimodal_features_feed_similarity(spark):
+    from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
+    from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+
+    feats = mm.media_features(mm.synthetic_media(spark, 24))
+    topk = sim.brute_force_topk(
+        feats, feats.filter(F.col("vec_id") < 3), k=3
+    ).collect()
+    assert len(topk) == 9
+
+
+def test_streaming_available_now(spark, tmp_path):
+    from _event_intelligence_data_warehouse_spark.contract import load
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    events.write.parquet(src)
+
+    stream = jobs.read_event_stream(spark, src)
+    assert stream.isStreaming
+    transformed = jobs.windowed_counts_stream(stream, duration="1 hour",
+                                              watermark="0 seconds")
+    jobs.run_available_now(stream, transformed, out, ckpt)
+    got = spark.read.parquet(out)
+    # Append mode emits only watermark-closed windows: all but the last.
+    batch_windows = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+    )
+    assert 0 < got.count() <= batch_windows
+    # Incremental: re-running with no new files adds nothing.
+    before = got.count()
+    jobs.run_available_now(stream, transformed, out, ckpt)
+    assert spark.read.parquet(out).count() == before
