@@ -33,8 +33,12 @@ from _event_intelligence_data_warehouse_spark.operators.text import (
 # Mersenne prime 2^31-1: token hashes are 32-bit, reduced mod P before the
 # universal-hash multiply so a*t+b stays far from int64 overflow.
 MINHASH_P = 2_147_483_647
-MINHASH_K = 16          # signature length
-MINHASH_BANDS = 4       # 4 bands x 4 rows: catches J>=~0.6 pairs reliably
+MINHASH_K = 32          # signature length
+# 4 bands x 8 rows: S-curve threshold (1/b)^(1/r) ~= 0.84, matched to the
+# 0.8 dedup threshold. Wider rows-per-band matter on homogeneous corpora:
+# at r=4 a corpus whose typical pair sits at J~0.5-0.7 floods the candidate
+# join with nearly all n^2 pairs; at r=8 those pairs collide at <2%.
+MINHASH_BANDS = 4
 
 
 def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
@@ -125,32 +129,32 @@ def minhash_lsh_candidates(
 def jaccard_pairs(
     token_hashes: DataFrame, candidates: DataFrame
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via the inverted-index join."""
-    sizes = token_hashes.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = token_hashes.alias("ta")
-    b = token_hashes.alias("tb")
-    inter = (
-        a.join(b, (F.col("ta.th") == F.col("tb.th"))
-               & (F.col("ta.doc_id") < F.col("tb.doc_id")))
-        .select(
-            F.col("ta.doc_id").alias("doc_a"),
-            F.col("tb.doc_id").alias("doc_b"),
-        )
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    """Exact Jaccard for candidate pairs: per-doc token sets collected once
+    (one group-by over the inverted index), then two equi-joins attach the
+    sets to each candidate pair and `array_intersect` scores them inside
+    whole-stage codegen. Unlike an inverted-index self-join, cost is
+    O(|candidates| * set_size) — immune to hot-token pair blow-up."""
+    sets_ = token_hashes.groupBy("doc_id").agg(
+        F.collect_set("th").alias("ths")
     )
+    inter = F.size(F.array_intersect("ths_a", "ths_b"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        candidates.join(
+            sets_.select(F.col("doc_id").alias("doc_a"),
+                         F.col("ths").alias("ths_a")),
+            "doc_a",
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("doc_b"),
+                         F.col("ths").alias("ths_b")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+                inter.cast("double")
+                / (F.size("ths_a") + F.size("ths_b") - inter).cast("double")
             ).alias("jaccard"),
         )
     )
