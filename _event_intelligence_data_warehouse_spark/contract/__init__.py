@@ -65,6 +65,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Registration happens at import: each submodule decorates its queries.
 from _event_intelligence_data_warehouse_spark.contract import (  # noqa: E402,F401
     extension_queries,
+    governance_queries,
     relational_queries,
     warehouse_queries,
 )

@@ -138,9 +138,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bands_sql() -> str:
-    rows_per_band = dd.MINHASH_K // dd.MINHASH_BANDS
+    n_bands = dd.bands_for_threshold(0.8)
+    rows_per_band = dd.MINHASH_K // n_bands
     selects = []
-    for b in range(dd.MINHASH_BANDS):
+    for b in range(n_bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         key = "md5(concat_ws(',', " + ", ".join(
             f"CAST({c} AS VARCHAR)" for c in cols
@@ -459,6 +460,219 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.punct_ratio(t).alias("punct_ratio"),
         tx.fingerprint(t).alias("fingerprint"),
         tx.lang_id(t).alias("lang_pred"),
+    )
+
+
+_STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"]) + "]"
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS tl
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(tl) AS DOUBLE) AS n_tok,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - length(regexp_replace(text,
+                         '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS punct,
+               CASE WHEN len(tl) > 0 THEN
+                    CAST(len(list_filter(tl,
+                         x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE)
+                    / CAST(len(tl) AS DOUBLE)
+               ELSE 0.0 END AS sw
+        FROM toks
+    )
+    SELECT doc_id,
+           sw AS stopword_ratio_en,
+           CAST(ROUND(CAST(
+               least(n_tok / 20.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+               + least(sw * 5.0, 1.0) * 0.3
+               AS DECIMAL(10,6)), 4) AS DOUBLE) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score (length sweet-spot, punctuation
+    penalty, function-word presence) — the cheap pre-filter stage of a
+    training-data pipeline, all in codegen."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.stopword_ratio(t).alias("stopword_ratio_en"),
+        tx.quality_score(t).alias("quality_score"),
+    )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(nt) - 4),
+                   i -> CAST(('0x' || substr(md5(substr(nt, CAST(i AS INT), 5)),
+                              1, 8)) AS BIGINT)) AS gh
+        FROM norm WHERE length(nt) >= 5
+    ), sel AS (
+        SELECT doc_id,
+               CASE WHEN len(gh) >= 4 THEN
+                    list_distinct(list_transform(
+                        generate_series(1, len(gh) - 3),
+                        j -> list_min(gh[CAST(j AS INT):CAST(j + 3 AS INT)])))
+               ELSE [list_min(gh)] END AS fps
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM sel
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: min-hash of each 4-window of
+    char-5-gram hashes — plagiarism/near-dup fingerprints at ~2/(w+1)
+    storage, hash-for-hash reproducible."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.winnowing_fingerprints(docs, k=5, w=4)
+
+
+# ---------------------------------------------------------------------------
+# IVF similarity (second ANN path)
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS_CTE = """
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+    SELECT vec_id AS cell, v AS centroid FROM vecs WHERE vec_id % 50 = 0
+), cell_scores AS (
+    SELECT x.vec_id, c.cell,
+           list_dot_product(x.v, c.centroid)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(c.centroid, c.centroid))) AS cs,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_dot_product(x.v, c.centroid)
+                                    / (sqrt(list_dot_product(x.v, x.v))
+                                       * sqrt(list_dot_product(c.centroid,
+                                              c.centroid))) DESC,
+                              c.cell) AS cell_rank
+    FROM vecs x CROSS JOIN cents c
+)
+"""
+
+
+@query(
+    "similarity_ivf_topk",
+    _IVF_CELLS_CTE
+    + f"""
+, assign AS (
+    SELECT vec_id AS neighbor_id, cell FROM cell_scores WHERE cell_rank = 1
+), probes AS (
+    SELECT vec_id AS query_id, cell FROM cell_scores
+    WHERE cell_rank <= 2 AND vec_id < 50
+), cand AS (
+    SELECT DISTINCT p.query_id, a.neighbor_id
+    FROM assign a JOIN probes p USING (cell)
+    WHERE p.query_id <> a.neighbor_id
+), scored AS (
+    SELECT c.query_id, c.neighbor_id, {_COS} AS sim
+    FROM cand c
+    JOIN (SELECT vec_id, v AS cv FROM vecs) nv ON nv.vec_id = c.neighbor_id
+    JOIN (SELECT vec_id, v AS qv FROM vecs) qv ON qv.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path: corpus partitioned into centroid cells, queries probe
+    their 2 nearest cells, exact cosine re-ranks cell members only —
+    per-query work ~nprobe/n_cells of brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 50), k=5, cell_stride=50, nprobe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + stateful streaming (no SQL-expressible oracle: the first is
+# a mapInPandas codec pipeline, the second arbitrary-state streaming — the
+# driver records rows-only checks for these)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_media_features")
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media -> decoded metadata + fixed-width feature vectors via
+    Arrow-batched mapInPandas (deterministic fake codec; swap one inner
+    function for PIL/ffmpeg in production). Returns per-media feature
+    summary plus its exact top-1 feature neighbor, proving the features
+    feed the similarity operators unchanged."""
+    from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 64)
+    decoded = mm.decode_images(media, fake=True)
+    feats = decoded.select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    top1 = sim.brute_force_topk(feats, feats, k=1).select(
+        F.col("query_id").alias("media_id"),
+        F.col("neighbor_id").alias("nearest_media_id"),
+    )
+    return (
+        decoded.join(top1, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            "n_bytes",
+            F.round(F.aggregate(
+                F.transform("features", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).cast("decimal(10,6)"), 4).cast("double").alias("feature_sum"),
+            "nearest_media_id",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query("streaming_stateful_sessions")
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization as a *stateful streaming* operator
+    (applyInPandasWithState + event-time timeout), drained with
+    Trigger.AvailableNow over the events table staged as a file stream.
+    Watermark semantics: only sessions closed by a gap or by the final
+    watermark emit — inherently more conservative than the batch
+    sessionizer (window_sessionize), which is its oracle-checked twin."""
+    import tempfile
+
+    from _event_intelligence_data_warehouse_spark.streaming import stateful
+
+    tmp = tempfile.mkdtemp(prefix="eidw_stateful_")
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stateful.run_stateful_sessionize(spark, src, out, ckpt, gap_minutes=30)
+    sessions = spark.read.parquet(out)
+    return sessions.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        "close_reason",
     )
 
 

@@ -1,0 +1,416 @@
+"""Governance-layer queries: the reference's five data-quality checks and
+the two log-driven KPI views (pipeline health, data-quality rollup) —
+completing the 6/6 KPI surface (dashboard/kpi_queries.sql:89-118) and the
+full data_quality.sql check battery under the DuckDB oracle.
+
+The reference's log tables (raw.ingestion_log / raw.quality_log) are
+populated by pipeline runs, so for oracle-checkability each query derives
+a deterministic stand-in log from the driver's testdata (mirrored verbatim
+in the oracle CTE) and then applies the *real* view/check logic to it.
+Quality checks additionally run over a deliberately dirtied copy of the
+adapter's raw events so every status tier (passed / warning / failed) is
+exercised, not just the happy path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.contract import load, query
+from _event_intelligence_data_warehouse_spark.contract.warehouse_queries import (
+    _FACT_CTE,
+    _STG_CTE,
+)
+from _event_intelligence_data_warehouse_spark.plans import quality as qc
+from _event_intelligence_data_warehouse_spark.plans.kpis import (
+    kpi_data_quality,
+    kpi_pipeline_health,
+)
+from _event_intelligence_data_warehouse_spark.plans.staging import stage_events
+from _event_intelligence_data_warehouse_spark.sources.events_adapter import (
+    events_as_raw,
+)
+
+_RUN_ID = "contract-run"
+
+# ---------------------------------------------------------------------------
+# The five quality checks over dirtied raw events
+# ---------------------------------------------------------------------------
+
+# Deterministic dirt: blank names at 1/15 (~6.7% -> 'failed', over the 5%
+# tier), unparseable dates at 1/23 (~4.3% -> 'warning', under 10%), swapped
+# price bounds at 1/31 ('warning'), duplicated rows at 1/97 ('warning').
+
+
+def _dirty_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_as_raw(load(spark, sf_dir, "events"))
+    i = F.col("ingest_id")
+    swapped = i % 31 == 0
+    raw = raw.select(
+        *[c for c in raw.columns
+          if c not in ("event_name", "event_date", "price_min", "price_max")],
+        F.when(i % 15 == 0, "").otherwise(F.col("event_name")).alias("event_name"),
+        F.when(i % 23 == 0, "13/01/2026").otherwise(F.col("event_date")).alias(
+            "event_date"
+        ),
+        F.when(swapped, F.col("price_max")).otherwise(F.col("price_min")).alias(
+            "price_min"
+        ),
+        F.when(swapped, F.col("price_min")).otherwise(F.col("price_max")).alias(
+            "price_max"
+        ),
+    )
+    return raw.unionByName(raw.filter(i % 97 == 0))
+
+
+_DIRTY_CTE = (
+    _STG_CTE
+    + """
+, dirty0 AS (
+    SELECT ingest_id, source, raw_event_id,
+           CASE WHEN ingest_id % 15 = 0 THEN '' ELSE event_name END
+               AS event_name,
+           CASE WHEN ingest_id % 23 = 0 THEN '13/01/2026' ELSE event_date END
+               AS event_date,
+           CASE WHEN ingest_id % 31 = 0 THEN price_max ELSE price_min END
+               AS price_min,
+           CASE WHEN ingest_id % 31 = 0 THEN price_min ELSE price_max END
+               AS price_max
+    FROM raw
+), dirty AS (
+    SELECT * FROM dirty0
+    UNION ALL
+    SELECT * FROM dirty0 WHERE ingest_id % 97 = 0
+), dirty_stg AS (
+    SELECT CASE WHEN regexp_matches(trim(price_min), '^\\d+(\\.\\d+)?$')
+                THEN CAST(trim(price_min) AS DECIMAL(10,2)) END AS price_min,
+           CASE WHEN regexp_matches(trim(price_max), '^\\d+(\\.\\d+)?$')
+                THEN CAST(trim(price_max) AS DECIMAL(10,2)) END AS price_max
+    FROM dirty
+)
+"""
+)
+
+_CHECK_COLS = """
+    records_checked, records_failed,
+    100.0 * (records_checked - records_failed) / records_checked AS pass_rate,
+    status
+"""
+
+_FIVE_CHECKS_SQL = (
+    _DIRTY_CTE
+    + f"""
+, c1 AS (
+    SELECT 'null_event_names' AS check_name, 'raw_events' AS table_name,
+           COUNT(*) AS records_checked,
+           COUNT(*) FILTER (WHERE event_name IS NULL
+                            OR trim(event_name) = '') AS records_failed
+    FROM dirty
+), c2 AS (
+    SELECT 'invalid_event_dates' AS check_name, 'raw_events' AS table_name,
+           COUNT(*) AS records_checked,
+           COUNT(*) FILTER (WHERE NOT coalesce(
+               regexp_matches(trim(event_date), '^\\d{{4}}-\\d{{2}}-\\d{{2}}$'),
+               FALSE)) AS records_failed
+    FROM dirty
+), c3 AS (
+    SELECT 'price_min_gt_max' AS check_name, 'stg_events' AS table_name,
+           COUNT(*) AS records_checked,
+           COUNT(*) FILTER (WHERE price_min IS NOT NULL
+                            AND price_max IS NOT NULL
+                            AND price_min > price_max) AS records_failed
+    FROM dirty_stg
+), c4 AS (
+    SELECT 'duplicate_event_ids' AS check_name, 'raw_events' AS table_name,
+           (SELECT COUNT(*) FROM dirty) AS records_checked,
+           coalesce((SELECT SUM(cnt - 1)
+                     FROM (SELECT COUNT(*) AS cnt FROM dirty
+                           GROUP BY source, raw_event_id)
+                     WHERE cnt > 1), 0) AS records_failed
+), fact AS (
+    SELECT dd.date_id,
+           CASE WHEN dv.venue_sk % 5 = 0 THEN NULL
+                ELSE dv.venue_sk END AS venue_sk,
+           dc.category_sk, ds.source_sk
+    FROM dedup d
+    LEFT JOIN dim_date dd ON d.event_date = dd.full_date
+    LEFT JOIN dim_venue dv
+        ON md5(coalesce(d.venue_name, '') || coalesce(d.venue_city, ''))
+           = dv.venue_nk
+    LEFT JOIN dim_category dc
+        ON d.category = dc.category AND d.subcategory = dc.subcategory
+    LEFT JOIN dim_source ds ON d.source = ds.source
+), c5 AS (
+    SELECT 'orphan_fact_records' AS check_name, 'fact_events' AS table_name,
+           COUNT(*) AS records_checked,
+           COUNT(*) FILTER (WHERE date_id IS NULL OR venue_sk IS NULL
+                            OR category_sk IS NULL OR source_sk IS NULL)
+               AS records_failed
+    FROM fact
+), tiered AS (
+    SELECT check_name, table_name, records_checked, records_failed,
+           CASE WHEN records_failed = 0 THEN 'passed'
+                WHEN records_failed < CAST(0.05 AS DOUBLE) * records_checked THEN 'warning'
+                ELSE 'failed' END AS status
+    FROM c1
+    UNION ALL
+    SELECT check_name, table_name, records_checked, records_failed,
+           CASE WHEN records_failed = 0 THEN 'passed'
+                WHEN records_failed < CAST(0.10 AS DOUBLE) * records_checked THEN 'warning'
+                ELSE 'failed' END AS status
+    FROM c2
+    UNION ALL
+    SELECT check_name, table_name, records_checked, records_failed,
+           CASE WHEN records_failed = 0 THEN 'passed'
+                ELSE 'warning' END AS status
+    FROM c3
+    UNION ALL
+    SELECT check_name, table_name, records_checked, records_failed,
+           CASE WHEN records_failed = 0 THEN 'passed'
+                ELSE 'warning' END AS status
+    FROM c4
+    UNION ALL
+    SELECT check_name, table_name, records_checked, records_failed,
+           CASE WHEN records_failed = 0 THEN 'passed'
+                ELSE 'warning' END AS status
+    FROM c5
+)
+SELECT check_name, table_name, {_CHECK_COLS}
+FROM tiered
+"""
+)
+
+# _FIVE_CHECKS_SQL reuses _FACT_CTE's dedup/dim CTEs for check 5; splice
+# the dirty CTEs after the stg CTE from _FACT_CTE instead of _STG_CTE.
+_FIVE_CHECKS_SQL = _FACT_CTE + _FIVE_CHECKS_SQL[len(_STG_CTE):]
+
+
+@query("quality_five_checks", _FIVE_CHECKS_SQL)
+def quality_five_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five reference quality checks (data_quality.sql:10-113) as one
+    plan: checks 1-4 over a deterministically dirtied raw landing (every
+    status tier exercised), check 5 over the star build with a planted
+    dangling-FK gap (venue_sk % 5 nulled)."""
+    from _event_intelligence_data_warehouse_spark.contract.warehouse_queries import (
+        fact_build_star,
+    )
+
+    dirty = _dirty_raw(spark, sf_dir)
+    fact = fact_build_star(spark, sf_dir).withColumn(
+        "venue_sk",
+        F.when(F.col("venue_sk") % 5 == 0, None).otherwise(F.col("venue_sk")),
+    )
+    dims = {
+        "dim_date": fact.select("date_id").filter(F.col("date_id").isNotNull()),
+        "dim_venue": fact.select("venue_sk").filter(F.col("venue_sk").isNotNull()),
+        "dim_category": fact.select("category_sk").filter(
+            F.col("category_sk").isNotNull()
+        ),
+        "dim_source": fact.select("source_sk").filter(
+            F.col("source_sk").isNotNull()
+        ),
+    }
+    checks = [
+        qc.check_null_event_names(dirty, _RUN_ID),
+        qc.check_invalid_event_dates(dirty, _RUN_ID),
+        qc.check_price_min_gt_max(stage_events(dirty), _RUN_ID),
+        qc.check_duplicate_event_ids(dirty, _RUN_ID),
+        qc.check_orphan_fact_records(
+            fact,
+            dims["dim_date"],
+            dims["dim_venue"],
+            dims["dim_category"],
+            dims["dim_source"],
+            _RUN_ID,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    checked = F.col("records_checked").cast("long")
+    failed = F.col("records_failed").cast("long")
+    return out.select(
+        "check_name",
+        "table_name",
+        checked.alias("records_checked"),
+        failed.alias("records_failed"),
+        (F.lit(100.0) * (checked - failed) / checked).alias("pass_rate"),
+        "status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# kpi_pipeline_health over a synthesized ingestion log
+# ---------------------------------------------------------------------------
+
+# One "run" per (hour, event_type): started/finished bracket the hour's
+# events, loaded = row count, failed when the count divides by 7.
+_RUNS_CTE = """
+WITH runs AS (
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS run_hour,
+           event_type AS source,
+           MIN(CAST(ts AS TIMESTAMP)) AS started_at,
+           MAX(CAST(ts AS TIMESTAMP)) AS finished_at,
+           COUNT(*) AS records_loaded,
+           CASE WHEN COUNT(*) % 7 = 0 THEN 'failed' ELSE 'success' END
+               AS status
+    FROM events
+    GROUP BY 1, 2
+)
+"""
+
+
+def _synth_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("run_hour"),
+            F.col("event_type").alias("source"),
+        )
+        .agg(
+            F.min("ts").alias("started_at"),
+            F.max("ts").alias("finished_at"),
+            F.count("*").alias("records_loaded"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("records_loaded") % 7 == 0, "failed").otherwise(
+                "success"
+            ),
+        )
+    )
+
+
+@query(
+    "kpi_pipeline_health",
+    _RUNS_CTE
+    + """
+    SELECT CAST(started_at AS DATE) AS run_date,
+           source,
+           COUNT(*) AS total_runs,
+           COUNT(*) FILTER (WHERE status = 'success') AS successful_runs,
+           COUNT(*) FILTER (WHERE status = 'failed') AS failed_runs,
+           SUM(records_loaded) AS total_records_loaded,
+           CAST(SUM(epoch_us(finished_at) // 1000000
+                    - epoch_us(started_at) // 1000000) AS DOUBLE)
+               / COUNT(*) AS avg_duration_seconds
+    FROM runs
+    GROUP BY 1, 2
+    """,
+)
+def kpi_pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kpi_queries.sql:89-102 applied to a deterministic run log derived
+    from the events table (one run per hour x source; D7/D8 date-trunc and
+    epoch-difference semantics)."""
+    runs = _synth_runs(spark, sf_dir)
+    dur = F.unix_timestamp("finished_at") - F.unix_timestamp("started_at")
+    return (
+        runs.groupBy(
+            F.to_date("started_at").alias("run_date"), F.col("source")
+        )
+        .agg(
+            F.count("*").alias("total_runs"),
+            F.count_if(F.col("status") == "success").alias("successful_runs"),
+            F.count_if(F.col("status") == "failed").alias("failed_runs"),
+            F.sum("records_loaded").alias("total_records_loaded"),
+            (F.sum(dur).cast("double") / F.count("*")).alias(
+                "avg_duration_seconds"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kpi_data_quality over a synthesized quality log
+# ---------------------------------------------------------------------------
+
+# One check-row per (lang, doc_id % 7 bucket): short docs fail a length
+# check; checked_at is a fixed base instant offset by the bucket (epoch-us
+# arithmetic — the engine-portable timestamp construction).
+_QLOG_BASE_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
+
+_QLOG_CTE = f"""
+WITH qsrc AS (
+    SELECT lang, doc_id % 7 AS bucket, length(text) AS n FROM documents
+), qlog AS (
+    SELECT 'min_length_' || lang AS check_name,
+           'documents' AS table_name,
+           COUNT(*) AS records_checked,
+           COUNT(*) FILTER (WHERE n < 120) AS records_failed,
+           100.0 * (COUNT(*) - COUNT(*) FILTER (WHERE n < 120))
+               / COUNT(*) AS pass_rate,
+           make_timestamp({_QLOG_BASE_US} + bucket * 3600000000)
+               AS checked_at,
+           CASE WHEN COUNT(*) FILTER (WHERE n < 120) = 0
+                THEN 'passed'
+                WHEN COUNT(*) FILTER (WHERE n < 120)
+                     < 0.5 * COUNT(*) THEN 'warning'
+                ELSE 'failed' END AS status
+    FROM qsrc
+    GROUP BY lang, bucket
+)
+"""
+
+
+def _synth_qlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    failed = F.count_if(F.length("text") < 120)
+    checked = F.count("*")
+    return (
+        d.groupBy(F.col("lang"), (F.col("doc_id") % 7).alias("bucket"))
+        .agg(
+            checked.alias("records_checked"),
+            failed.alias("records_failed"),
+            (F.lit(100.0) * (checked - failed) / checked).alias("pass_rate"),
+        )
+        .select(
+            F.concat(F.lit("min_length_"), F.col("lang")).alias("check_name"),
+            F.lit("documents").alias("table_name"),
+            "records_checked",
+            "records_failed",
+            "pass_rate",
+            F.timestamp_micros(
+                F.lit(_QLOG_BASE_US)
+                + F.col("bucket").cast("long") * F.lit(3_600_000_000)
+            ).alias("checked_at"),
+            F.when(F.col("records_failed") == 0, "passed")
+            .when(
+                F.col("records_failed") < 0.5 * F.col("records_checked"),
+                "warning",
+            )
+            .otherwise("failed")
+            .alias("status"),
+        )
+    )
+
+
+@query(
+    "kpi_data_quality",
+    _QLOG_CTE
+    + """
+    SELECT check_name, table_name,
+           CAST(SUM(CAST(pass_rate AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_pass_rate,
+           COUNT(*) FILTER (WHERE status = 'failed') AS times_failed,
+           COUNT(*) FILTER (WHERE status = 'warning') AS times_warned,
+           MAX(checked_at) AS last_checked
+    FROM qlog
+    GROUP BY 1, 2
+    """,
+)
+def kpi_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kpi_queries.sql:108-118 applied to a deterministic quality log
+    derived from the documents table."""
+    qlog = _synth_qlog(spark, sf_dir)
+    # Sum in the decimal domain: double accumulation order is
+    # partition-dependent, decimal sums are exact and order-free.
+    return qlog.groupBy("check_name", "table_name").agg(
+        (
+            F.sum(F.col("pass_rate").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_pass_rate"),
+        F.count_if(F.col("status") == "failed").alias("times_failed"),
+        F.count_if(F.col("status") == "warning").alias("times_warned"),
+        F.max("checked_at").alias("last_checked"),
+    )

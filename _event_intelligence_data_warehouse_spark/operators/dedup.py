@@ -41,6 +41,22 @@ MINHASH_K = 32          # signature length
 MINHASH_BANDS = 4
 
 
+def bands_for_threshold(threshold: float, k: int = MINHASH_K) -> int:
+    """Pick the band count whose LSH S-curve midpoint (1/b)^(b/k) sits
+    nearest the verify threshold — the standard r/b tuning rule. Fewer
+    rows per band raises recall but floods candidates on homogeneous
+    corpora; more rows starves recall below the curve."""
+    best_b, best_gap = MINHASH_BANDS, float("inf")
+    for b in (2, 4, 8, 16):
+        if k % b:
+            continue
+        midpoint = (1.0 / b) ** (b / k)
+        gap = abs(midpoint - threshold)
+        if gap < best_gap:
+            best_b, best_gap = b, gap
+    return best_b
+
+
 def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
     """Fixed pseudo-random (a, b) pairs for h_j(t) = (a*t + b) mod P.
     Derived from the golden-ratio multiplier; a is forced odd/nonzero."""
@@ -165,11 +181,15 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs with exact-verified Jaccard >= threshold."""
+    """Near-duplicate pairs with exact-verified Jaccard >= threshold.
+    Banding auto-tunes to the threshold unless pinned via ``bands``."""
     th = doc_token_hashes(df, text_col, id_col)
     sigs = minhash_signatures(th)
-    cands = minhash_lsh_candidates(sigs)
+    cands = minhash_lsh_candidates(
+        sigs, bands=bands or bands_for_threshold(threshold)
+    )
     return jaccard_pairs(th, cands).filter(F.col("jaccard") >= threshold)
 
 

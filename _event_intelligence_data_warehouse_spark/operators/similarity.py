@@ -182,6 +182,95 @@ def lsh_topk(
     )
 
 
+def ivf_cells(
+    df: DataFrame,
+    *,
+    cell_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, ranked cell scores per vector).
+
+    Centroids are the deterministic subset ``vec_id % cell_stride == 0`` —
+    a stand-in for trained k-means centroids that keeps the operator
+    oracle-checkable; the assignment/probe machinery is identical either
+    way (swap the centroid frame for a trained one in production). The
+    centroid set is tiny (n/stride) and broadcast, so assignment is one
+    pass over the corpus with no shuffle."""
+    v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    centroids = v.filter(F.col("vec_id") % cell_stride == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("centroid")
+    )
+    return centroids, rank_cells(v, centroids)
+
+
+def rank_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell, cell_rank) — every vector scored against every
+    centroid (centroids broadcast), ranked by cosine with a deterministic
+    tie-break."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cell",
+        cosine(F.col("v"), F.col("centroid")).alias("cell_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    return scored.withColumn("cell_rank", F.row_number().over(w))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    cell_stride: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each corpus vector lives in its nearest
+    centroid's cell; each query probes its ``nprobe`` nearest cells and
+    exact cosine re-ranks only those cells' members. Per-query work drops
+    from n to ~nprobe*n/n_cells; the cell equi-join replaces the cross
+    join, which is the property that survives a 100× scale-up."""
+    centroids, corpus_cells = ivf_cells(
+        corpus, cell_stride=cell_stride, id_col=id_col, vec_col=vec_col
+    )
+    assign = corpus_cells.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    # Queries probe the CORPUS centroids (the cells that exist), never a
+    # quantizer re-derived from the query subset.
+    qv = queries.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
+    probes = rank_cells(qv, centroids).filter(
+        F.col("cell_rank") <= nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _vec_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _vec_double(vec_col).alias("qv"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -132,6 +132,44 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    '03): hash every character k-gram of the normalized text, then keep the
+    minimum hash of each window of ``w`` consecutive k-grams. Guarantees a
+    shared fingerprint for any match of length >= k + w - 1 while storing
+    ~2/(w+1) of the gram hashes.
+
+    Output: (doc_id, fingerprint) — distinct selected hashes per document.
+    Pure column algebra (array higher-order functions); docs shorter than
+    one window contribute their single minimum gram hash."""
+    nt = normalized_text(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, length(nt) - {k - 1}), "
+        f"i -> cast(conv(substr(md5(substring(nt, i, {k})), 1, 8), 16, 10) "
+        f"as bigint))"
+    )
+    selected = F.expr(
+        f"case when size(gh) >= {w} then "
+        f"array_distinct(transform(sequence(1, size(gh) - {w - 1}), "
+        f"j -> array_min(slice(gh, j, {w})))) "
+        f"else array(array_min(gh)) end"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), nt.alias("nt"))
+        .filter(F.length("nt") >= k)
+        .select("doc_id", grams.alias("gh"))
+        .select("doc_id", F.explode(selected).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def token_hash(tok: Column | str) -> Column:
     """32-bit token hash from the md5 prefix — engine-portable (see module
     docstring)."""

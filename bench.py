@@ -32,7 +32,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "similarity_topk_bruteforce",
+    "similarity_ivf_topk",
     "text_metrics",
+    "text_winnowing_fingerprints",
+    "quality_five_checks",
     "window_tumbling_hourly",
     "window_sessionize",
 ]

@@ -185,3 +185,77 @@ def test_streaming_available_now(spark, tmp_path):
     before = got.count()
     jobs.run_available_now(stream, transformed, out, ckpt)
     assert spark.read.parquet(out).count() == before
+
+
+def test_ivf_topk_matches_bruteforce_on_twins(spark):
+    from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+
+    vecs = _planted_vectors(spark, n_base=40)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(vecs, queries, k=1)
+    # stride 8 over ids 0..39/1000..1039 -> ~10 cells, probe 3
+    approx = sim.ivf_topk(vecs, queries, k=1, cell_stride=8, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.8, f"twin lost through IVF pruning: {recall}"
+
+
+def test_winnowing_shares_fingerprints_on_overlap(spark):
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "yesterday the quick brown fox jumps over the lazy dog"),
+        (3, "completely unrelated words about spark physical plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints(df, k=5, w=4)
+    sets = {
+        r.doc_id: r.fps
+        for r in fp.groupBy("doc_id").agg(
+            F.collect_set("fingerprint").alias("fps")
+        ).collect()
+    }
+    overlap_12 = len(set(sets[1]) & set(sets[2]))
+    overlap_13 = len(set(sets[1]) & set(sets[3]))
+    assert overlap_12 >= 5          # long shared substring -> shared prints
+    assert overlap_13 == 0          # disjoint text -> disjoint prints
+    # winnowing guarantee: ~2/(w+1) density, never empty for len >= k
+    assert all(len(v) > 0 for v in sets.values())
+
+
+def test_stateful_sessionize_agrees_with_batch(spark, tmp_path):
+    from _event_intelligence_data_warehouse_spark.contract import load
+    from _event_intelligence_data_warehouse_spark.streaming import stateful, windows
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events.write.parquet(src)
+
+    stateful.run_stateful_sessionize(spark, src, out, ckpt, gap_minutes=30)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    batch = windows.sessionize(events, gap_minutes=30)
+    batch_keys = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch.collect()
+    }
+    # Every emitted streaming session must exist identically in the batch
+    # result (streaming emits a watermark-bounded subset).
+    emitted = {
+        (r.user_id, r.session_start, r.n_events) for r in got.collect()
+    }
+    assert emitted, "stateful sessionizer emitted nothing"
+    missing = emitted - batch_keys
+    assert not missing, f"streaming emitted sessions batch never saw: {list(missing)[:3]}"
+
+    # Incremental: a second AvailableNow run with no new files adds nothing.
+    before = got.count()
+    stateful.run_stateful_sessionize(spark, src, out, ckpt, gap_minutes=30)
+    assert spark.read.parquet(out).count() == before
