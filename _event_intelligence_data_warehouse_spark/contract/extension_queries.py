@@ -134,7 +134,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash+LSH, hash-for-hash reproducible (md5-derived token hashes,
     fixed universal-hash constants)."""
     docs = _docs_near(spark, sf_dir)
-    return dd.minhash_signatures(dd.doc_token_hashes(docs))
+    return dd.minhash_signatures(dd.doc_token_sets(docs))
 
 
 def _bands_sql() -> str:

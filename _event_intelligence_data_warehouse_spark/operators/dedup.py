@@ -85,47 +85,67 @@ def exact_dedup(
     )
 
 
+def doc_token_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, ths: array<long>) — distinct token hashes per document,
+    computed entirely with array higher-order functions. No explode and no
+    shuffle: the whole tokenize+hash step is a stateless projection that
+    scales with executors and leaves signature/band derivation shuffle-free
+    too. Empty documents are dropped (they have no signature)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    ths = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.array_distinct(ths).alias("ths")
+    ).filter(F.size("ths") > 0)
+
+
 def doc_token_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, distinct token-hash) pairs — the shared input of minhash and
-    jaccard verification."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    """(id, distinct token-hash) pairs — exploded form, for operators that
+    aggregate per token (simhash)."""
+    return doc_token_sets(df, text_col, id_col).select(
+        "doc_id", F.explode("ths").alias("th")
     )
-    return toks.select("doc_id", token_hash("tok").alias("th")).distinct()
 
 
 def minhash_signatures(
-    token_hashes: DataFrame, k: int = MINHASH_K
+    token_sets: DataFrame, k: int = MINHASH_K
 ) -> DataFrame:
-    """doc_id -> k minhash values, one shuffle (the group-by)."""
-    t = F.col("th") % MINHASH_P
+    """doc_id -> k minhash values straight from the token-hash array:
+    k array_min/transform passes per row, zero shuffles (the groupBy
+    formulation costs an exchange per use of the exploded lineage)."""
     aggs = [
-        F.min((F.lit(a) * t + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+        F.array_min(
+            F.transform(
+                "ths",
+                lambda t: (F.lit(a) * (t % MINHASH_P) + F.lit(b)) % MINHASH_P,
+            )
+        ).alias(f"mh{j}")
         for j, (a, b) in enumerate(minhash_coeffs(k))
     ]
-    return token_hashes.groupBy("doc_id").agg(*aggs)
+    return token_sets.select("doc_id", *aggs)
 
 
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
-    """Candidate pairs (doc_a < doc_b) sharing at least one band bucket."""
+    """Candidate pairs (doc_a < doc_b) sharing at least one band bucket.
+    Bands explode from ONE pass over the signatures (a union of per-band
+    selects would recompute the whole tokenize+minhash lineage per band)."""
     rows_per_band = k // bands
-    band_frames = []
+    band_structs = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        band_frames.append(
-            signatures.select(
-                F.col("doc_id"), F.lit(b).alias("band"), key.alias("bkey")
-            )
-        )
-    buckets = band_frames[0]
-    for fr in band_frames[1:]:
-        buckets = buckets.unionByName(fr)
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (
@@ -143,16 +163,13 @@ def minhash_lsh_candidates(
 
 
 def jaccard_pairs(
-    token_hashes: DataFrame, candidates: DataFrame
+    token_sets: DataFrame, candidates: DataFrame
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs: per-doc token sets collected once
-    (one group-by over the inverted index), then two equi-joins attach the
-    sets to each candidate pair and `array_intersect` scores them inside
+    """Exact Jaccard for candidate pairs: two equi-joins attach each side's
+    token-hash array and `array_intersect` scores the pair inside
     whole-stage codegen. Unlike an inverted-index self-join, cost is
     O(|candidates| * set_size) — immune to hot-token pair blow-up."""
-    sets_ = token_hashes.groupBy("doc_id").agg(
-        F.collect_set("th").alias("ths")
-    )
+    sets_ = token_sets
     inter = F.size(F.array_intersect("ths_a", "ths_b"))
     return (
         candidates.join(
@@ -185,12 +202,12 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs with exact-verified Jaccard >= threshold.
     Banding auto-tunes to the threshold unless pinned via ``bands``."""
-    th = doc_token_hashes(df, text_col, id_col)
-    sigs = minhash_signatures(th)
+    sets_ = doc_token_sets(df, text_col, id_col)
+    sigs = minhash_signatures(sets_)
     cands = minhash_lsh_candidates(
         sigs, bands=bands or bands_for_threshold(threshold)
     )
-    return jaccard_pairs(th, cands).filter(F.col("jaccard") >= threshold)
+    return jaccard_pairs(sets_, cands).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -115,7 +115,7 @@ def lsh_signatures(
     a candidate pair only needs to collide in *one* table, which is the
     standard recall lever (P_hit = 1-(1-p^planes)^tables)."""
     v = _vec_double(vec_col)
-    out = None
+    table_structs = []
     for t in range(n_tables):
         bits = []
         planes = hyperplane_signs(n_planes, dim, offset=t * n_planes)
@@ -126,13 +126,16 @@ def lsh_signatures(
         bucket = bits[0]
         for b in bits[1:]:
             bucket = bucket + b
-        tbl = df.select(
-            F.col(id_col).alias("vec_id"),
-            F.lit(t).alias("table"),
-            bucket.cast("long").alias("bucket"),
+        table_structs.append(
+            F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket"))
         )
-        out = tbl if out is None else out.unionByName(tbl)
-    return out
+    # One pass: all tables' buckets explode from a single projection (a
+    # per-table union would recompute the scan/lineage n_tables times).
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.array(*table_structs)).alias("tb"),
+    ).select("vec_id", F.col("tb.table").alias("table"),
+             F.col("tb.bucket").alias("bucket"))
 
 
 def lsh_topk(
