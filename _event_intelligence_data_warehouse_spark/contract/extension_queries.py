@@ -677,6 +677,55 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-safe aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_salted_skew_safe",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the low-cardinality (therefore
+    hot-keyed) event_type: phase 1 fans each key over 32 salted reduce
+    tasks, phase 2 re-aggregates the partials. The oracle is the plain
+    GROUP BY — the salting must be *exactly* invisible in the result."""
+    from _event_intelligence_data_warehouse_spark.operators import skew
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    out = skew.salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("*", "count"),
+            "sum_value": ("v", "sum"),
+            "min_value": ("v", "min"),
+            "max_value": ("v", "max"),
+        },
+        salt_src="event_id",
+        n_salt=32,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Windowed event analytics
 # ---------------------------------------------------------------------------
 

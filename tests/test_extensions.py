@@ -259,3 +259,66 @@ def test_stateful_sessionize_agrees_with_batch(spark, tmp_path):
     before = got.count()
     stateful.run_stateful_sessionize(spark, src, out, ckpt, gap_minutes=30)
     assert spark.read.parquet(out).count() == before
+
+
+def _skewed(spark, n=20000):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 1000).cast("decimal(18,2)").alias("v"),
+    )
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from _event_intelligence_data_warehouse_spark.operators import skew
+
+    df = _skewed(spark)
+    plain = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in skew.salted_agg(
+            df, ["k"],
+            {"n": ("*", "count"), "s": ("v", "sum"),
+             "mn": ("v", "min"), "mx": ("v", "max")},
+            salt_src="id", n_salt=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain_join(spark):
+    from _event_intelligence_data_warehouse_spark.operators import skew
+
+    probe = _skewed(spark, 5000)
+    build = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"cold_{i}", float(i)) for i in range(50)],
+        "k string, w double",
+    )
+    plain = probe.join(build, "k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")
+    ).collect()[0]
+    salted = skew.salted_join(probe, build, ["k"], salt_src="id", n_salt=8).agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")
+    ).collect()[0]
+    assert (salted.n, salted.s) == (plain.n, plain.s)
+
+
+def test_salted_agg_rejects_non_reaggregatable(spark):
+    import pytest
+
+    from _event_intelligence_data_warehouse_spark.operators import skew
+
+    with pytest.raises(ValueError):
+        skew.salted_agg(
+            _skewed(spark), ["k"], {"a": ("v", "avg")}, salt_src="id"
+        )
