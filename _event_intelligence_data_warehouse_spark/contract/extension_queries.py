@@ -152,9 +152,8 @@ def _bands_sql() -> str:
     return "\n    UNION ALL\n    ".join(selects)
 
 
-_LSH_PAIRS_SQL = (
-    _DOCS_NEAR_CTE
-    + _TOKEN_HASH_CTE
+_LSH_PAIR_CTES = (
+    _TOKEN_HASH_CTE
     + _SIGS_CTE
     + f"""
 , buckets AS (
@@ -171,6 +170,10 @@ _LSH_PAIRS_SQL = (
     JOIN cands c ON c.doc_a = ta.doc_id AND c.doc_b = tb.doc_id
     GROUP BY 1, 2
 )
+"""
+)
+
+_LSH_PAIR_SELECT = """
 SELECT i.doc_a, i.doc_b,
        CAST(i.inter AS DOUBLE)
            / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
@@ -180,7 +183,8 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.inter AS DOUBLE)
       / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.8
 """
-)
+
+_LSH_PAIRS_SQL = _DOCS_NEAR_CTE + _LSH_PAIR_CTES + _LSH_PAIR_SELECT
 
 
 @query("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
@@ -189,6 +193,40 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join -> exact-Jaccard verify (>= 0.8). Candidate generation is
     O(bucket collisions), never O(n²)."""
     return dd.minhash_dedup(_docs_near(spark, sf_dir), threshold=0.8)
+
+
+_CC_SQL = (
+    _DOCS_NEAR_CTE.replace("WITH docs2", "WITH RECURSIVE docs2")
+    + _LSH_PAIR_CTES
+    + f"""
+, pairs AS (
+    {_LSH_PAIR_SELECT}
+), sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+    SELECT doc_id AS src, doc_id AS node FROM docs2
+    UNION
+    SELECT r.src, s.b AS node FROM reach r JOIN sym s ON r.node = s.a
+)
+SELECT src AS doc_id, MIN(node) AS component_id
+FROM reach GROUP BY src
+"""
+)
+
+
+@query("dedup_connected_components", _CC_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical dedup groups: min-label propagation over the verified
+    MinHash near-dup pair graph (iterative DataFrame fixpoint; the oracle
+    computes the same components with a recursive reachability CTE).
+    Output is linear in corpus size where pair emission is quadratic in
+    cluster size — the group-output variant a 100 TB dedup actually
+    materializes."""
+    docs = _docs_near(spark, sf_dir)
+    pairs = dd.minhash_dedup(docs, threshold=0.8)
+    return dd.connected_components(docs.select("doc_id"), pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -210,6 +210,62 @@ def minhash_dedup(
     return jaccard_pairs(sets_, cands).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Canonical duplicate-group mapping: (doc_id, component_id) where
+    component_id = min id reachable through the near-dup pair graph —
+    the group-output complement of the pair-emitting dedup operators
+    (pairs are quadratic in cluster size; this is linear).
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum of its own and its neighbors' labels — one join + one groupBy
+    per round, converging in O(graph diameter) rounds (dup clusters are
+    near-cliques, so typically 2-3). Lineage is truncated per round with
+    localCheckpoint, and the exact fixpoint is detected via the
+    monotonically decreasing label sum (an O(1)-row action)."""
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = vertices.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("component_id")
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), "component_id"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("component_id").alias("neigh_comp"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        labels = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component_id"),
+                F.coalesce(F.col("neigh_comp"), F.col("component_id")),
+            ).alias("component_id"),
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("component_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

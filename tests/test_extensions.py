@@ -322,3 +322,18 @@ def test_salted_agg_rejects_non_reaggregatable(spark):
         skew.salted_agg(
             _skewed(spark), ["k"], {"a": ("v", "avg")}, salt_src="id"
         )
+
+
+def test_connected_components_chain_and_isolate(spark):
+    from _event_intelligence_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration), pair 5-6, isolate 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.component_id
+           for r in connected_components(verts, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
