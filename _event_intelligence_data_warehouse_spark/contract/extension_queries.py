@@ -790,6 +790,33 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_sliding_hourly",
+    """
+    WITH expanded AS (
+        SELECT unnest([
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000)
+                       * 1800000000,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000)
+                       * 1800000000 - 1800000000
+               ]) AS ws
+        FROM events
+    )
+    SELECT make_timestamp(ws) AS window_start,
+           make_timestamp(ws + 3600000000) AS window_end,
+           COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in
+    duration/slide = 2 windows (the oracle expands the two aligned starts
+    explicitly — exactly what F.window's Expand node generates)."""
+    e = load(spark, sf_dir, "events")
+    return win.sliding_counts(e, "1 hour", "30 minutes")
+
+
+@query(
     "window_sessionize",
     """
     WITH ordered AS (

@@ -127,6 +127,109 @@ def decode_images(df: DataFrame, *, fake: bool = False,
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, *, width: int = 16, height: int = 16, fake: bool = False,
+    rows_per_batch: int = 256,
+) -> DataFrame:
+    """Resize media payloads to width x height via mapInPandas. The fake
+    codec treats the payload as a flat byte raster and area-samples it to
+    w*h bytes — deterministic, shape-correct plumbing; a real
+    implementation swaps in PIL's ``Image.resize`` in ``_fake_resize``."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resizing needs PIL, which is not installed here; "
+            "pass fake=True for the deterministic stub"
+        )
+
+    def _fake_resize(payload: bytes) -> bytes:
+        import numpy as np
+
+        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+        n = width * height
+        idx = (np.arange(n) * max(len(arr) // n, 1)) % max(len(arr), 1)
+        return arr[idx].tobytes()
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), rows_per_batch):
+                b = pdf.iloc[start:start + rows_per_batch]
+                if len(b) == 0:
+                    continue
+                resized = b["payload"].map(_fake_resize)
+                yield pd.DataFrame(
+                    {
+                        "media_id": b["media_id"],
+                        "kind": b["kind"],
+                        "target_w": width,
+                        "target_h": height,
+                        "payload": resized,
+                        "n_bytes": resized.map(len),
+                    }
+                )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, *, every_ms: int = 250, frame_bytes: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame-sample video/audio payloads: one output row per sampled
+    frame — a row-expanding mapInPandas (the Pandas-UDF analog of
+    explode). The fake codec slices the payload at byte offsets
+    proportional to the timestamp; a real one seeks with ffmpeg. Duration
+    comes from meta.duration_ms, so the expansion factor is data-driven."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg, which is not installed "
+            "here; pass fake=True for the deterministic stub"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame_ms": [], "payload": []}
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                duration = (meta["duration_ms"] if meta is not None else None) or 1000
+                payload = bytes(row["payload"])
+                for no, ms in enumerate(range(0, duration, every_ms)):
+                    off = (ms * max(len(payload) - frame_bytes, 1)) // max(duration, 1)
+                    out["media_id"].append(row["media_id"])
+                    out["frame_no"].append(no)
+                    out["frame_ms"].append(ms)
+                    out["payload"].append(payload[off:off + frame_bytes])
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """media_id -> fixed-width float feature vector, ready for the
     similarity operators (operators.similarity)."""

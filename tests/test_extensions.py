@@ -337,3 +337,42 @@ def test_connected_components_chain_and_isolate(spark):
     out = {r.doc_id: r.component_id
            for r in connected_components(verts, edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_multimodal_resize_shapes(spark):
+    from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 12)
+    out = mm.resize_images(media, width=8, height=8, fake=True).collect()
+    assert len(out) == 12
+    assert all(r.n_bytes == 64 and len(r.payload) == 64 for r in out)
+    # deterministic
+    again = mm.resize_images(media, width=8, height=8, fake=True).collect()
+    assert [bytes(r.payload) for r in out] == [bytes(r.payload) for r in again]
+
+
+def test_multimodal_frame_sampling_expands_rows(spark):
+    from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 6, kind="video")
+    frames = mm.sample_frames(media, every_ms=250, fake=True)
+    got = frames.collect()
+    # duration 1000+i ms -> 4 or 5 frames each
+    per = {}
+    for r in got:
+        per.setdefault(r.media_id, []).append(r)
+    assert set(per) == set(range(6))
+    for mid, rows in per.items():
+        assert len(rows) >= 4
+        assert [r.frame_no for r in sorted(rows, key=lambda x: x.frame_no)] == list(range(len(rows)))
+
+
+def test_multimodal_resize_real_fails_fast(spark):
+    import pytest
+
+    from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(mm.synthetic_media(spark, 2), fake=False)
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(mm.synthetic_media(spark, 2), fake=False)
