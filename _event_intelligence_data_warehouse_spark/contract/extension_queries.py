@@ -281,9 +281,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
         FROM docs2
     ), grams AS (
+        -- grams hashed to 32-bit md5-prefix ints, mirroring the engine
+        -- (collisions fold identically on both sides)
         SELECT doc_id, unnest(list_distinct(
             list_transform(generate_series(1, length(nt) - 2),
-                           i -> substr(nt, CAST(i AS INT), 3)))) AS gram
+                i -> CAST(('0x' || substr(md5(substr(nt, CAST(i AS INT), 3)),
+                           1, 8)) AS BIGINT)))) AS gram
         FROM norm WHERE length(nt) >= 3
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id

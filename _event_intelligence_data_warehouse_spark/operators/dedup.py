@@ -308,19 +308,40 @@ def simhash_dedup(
 # Character n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-def char_ngrams(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+def char_ngram_sets(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    *, hashed: bool = False,
 ) -> DataFrame:
-    """(id, distinct character n-gram) pairs over normalized text."""
+    """(doc_id, grams: array) — distinct character n-grams of the
+    normalized text, array-native (no explode, no shuffle). With
+    ``hashed`` the grams become 32-bit md5-prefix ints: long arrays
+    shuffle/compare ~10× cheaper than n-char strings, and the hash is
+    engine-portable so oracles fold collisions identically."""
     norm = normalized_text(F.col(text_col))
-    gram_expr = F.expr(
-        f"array_distinct(transform(sequence(1, length(nt) - {n - 1}), "
-        f"i -> substring(nt, i, {n})))"
-    )
+    if hashed:
+        gram_expr = F.expr(
+            f"array_distinct(transform(sequence(1, length(nt) - {n - 1}), "
+            f"i -> cast(conv(substr(md5(substring(nt, i, {n})), 1, 8), 16, 10)"
+            f" as bigint)))"
+        )
+    else:
+        gram_expr = F.expr(
+            f"array_distinct(transform(sequence(1, length(nt) - {n - 1}), "
+            f"i -> substring(nt, i, {n})))"
+        )
     return (
         df.select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
         .filter(F.length("nt") >= n)
-        .select("doc_id", F.explode(gram_expr).alias("gram"))
+        .select("doc_id", gram_expr.alias("grams"))
+    )
+
+
+def char_ngrams(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, distinct character n-gram) exploded pairs."""
+    return char_ngram_sets(df, n, text_col, id_col).select(
+        "doc_id", F.explode("grams").alias("gram")
     )
 
 
@@ -331,33 +352,76 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All pairs with n-gram Jaccard >= threshold via the inverted index.
-    At scale, prefix filtering (only index the rarest grams per doc) cuts
-    the index join; here the full index keeps the oracle simple."""
-    grams = char_ngrams(df, n, text_col, id_col)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = grams.alias("ga")
-    b = grams.alias("gb")
-    inter = (
-        a.join(b, (F.col("ga.gram") == F.col("gb.gram"))
-               & (F.col("ga.doc_id") < F.col("gb.doc_id")))
-        .groupBy(
-            F.col("ga.doc_id").alias("doc_a"),
-            F.col("gb.doc_id").alias("doc_b"),
+    """All pairs with n-gram Jaccard >= threshold, via PREFIX-FILTERED
+    candidate generation (Bayardo/Chaudhuri): order each doc's grams by
+    ascending global document frequency (canonical order: df, then gram),
+    index only the first |A| - ceil(t*|A|) + 1 grams, and join index to
+    index. Exactness: any pair with J >= t must share a prefix gram under
+    a common global ordering, so candidates are a superset of true pairs
+    while hot grams ('the', ' a ') stop generating O(n_docs²) join rows —
+    they only land in prefixes of docs where nothing rarer exists.
+    Verification is exact Jaccard over the full gram arrays
+    (array_intersect), so results are identical to the brute-force plan.
+    A length-ratio prefilter (t·|A| <= |B|, exact for Jaccard) drops
+    size-incompatible candidates before the array join."""
+    gsets = char_ngram_sets(df, n, text_col, id_col, hashed=True)
+    ex = gsets.select("doc_id", F.explode("grams").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    prefix_len = (
+        F.size("ordered") - F.ceil(F.lit(threshold) * F.size("ordered")) + 1
+    ).cast("int")
+    prefixes = (
+        ex.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("gram_df", "gram"))
+            ).alias("ordered")
         )
-        .agg(F.count("*").alias("inter"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.slice("ordered", F.lit(1), prefix_len), lambda s: s["gram"]
+            ).alias("prefix"),
+        )
+        .select("doc_id", F.explode("prefix").alias("gram"))
+    )
+    cands = (
+        prefixes.alias("pa")
+        .join(
+            prefixes.alias("pb"),
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    sz_ok = (
+        (F.lit(threshold) * F.size("g_a") <= F.size("g_b"))
+        & (F.lit(threshold) * F.size("g_b") <= F.size("g_a"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        cands.join(
+            gsets.select(F.col("doc_id").alias("doc_a"),
+                         F.col("grams").alias("g_a")),
+            "doc_a",
+        )
+        .join(
+            gsets.select(F.col("doc_id").alias("doc_b"),
+                         F.col("grams").alias("g_b")),
+            "doc_b",
+        )
+        .filter(sz_ok)
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+                inter.cast("double")
+                / (F.size("g_a") + F.size("g_b") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
