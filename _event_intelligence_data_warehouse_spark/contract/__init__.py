@@ -64,6 +64,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # Registration happens at import: each submodule decorates its queries.
 from _event_intelligence_data_warehouse_spark.contract import (  # noqa: E402,F401
+    analytics_queries,
     extension_queries,
     governance_queries,
     relational_queries,

@@ -1,0 +1,218 @@
+"""Analytical-surface queries beyond the reference's inventory: rollup /
+grouping sets, pivot, as-of join, exact percentiles — the OLAP operators a
+warehouse user reaches for next, each with a full DuckDB oracle.
+
+House rules from contract/__init__ apply: decimal-domain aggregation,
+BIGINT casts for integer-ish outputs, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from _event_intelligence_data_warehouse_spark.contract import load, query
+
+_DEC = "decimal(18,2)"
+
+
+@query(
+    "agg_rollup_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (status, priority) -> status subtotals ->
+    grand total in one pass (Spark Expand node, single shuffle). NULL
+    grouping slots are normalized to 'ALL' so the oracle comparison is
+    unambiguous (testdata columns are non-null)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "agg_cube_type_weekday",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT), -1)
+               AS weekday,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CUBE (event_type, dayofweek(CAST(ts AS TIMESTAMP)))
+    """,
+)
+def agg_cube_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all four grouping-set combinations
+    in one Expand pass. DuckDB dayofweek is 0=Sunday; Spark dayofweek is
+    1=Sunday, so the engine subtracts 1 (the same Postgres-ism as the
+    dim_date build, SURVEY.md D2)."""
+    e = load(spark, sf_dir, "events")
+    wd = (F.dayofweek("ts") - 1).cast("long")
+    return (
+        e.cube(F.col("event_type"), wd.alias("wd"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("wd", F.lit(-1)).alias("weekday"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): one output column per order status. Spark's
+    .pivot() with explicit values compiles to the same single-pass
+    conditional aggregation as the oracle's FILTER clauses — explicit
+    values avoid the extra distinct-collect pass a valueless pivot runs."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("total"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_orders"),
+        F.col("O_n").alias("o_orders"),
+        F.col("P_n").alias("p_orders"),
+        F.col("F_total").cast("double").alias("f_total"),
+    )
+
+
+@query(
+    "join_asof_event_run",
+    """
+    WITH runs AS (
+        SELECT event_type AS source,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS run_started
+        FROM events
+        GROUP BY 1, 2
+    ), ev AS (
+        SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_id % 100 = 0
+    )
+    SELECT e.event_id,
+           e.event_type,
+           r.run_started AS active_run_started
+    FROM ev e
+    ASOF LEFT JOIN runs r
+      ON e.event_type = r.source AND e.ts >= r.run_started
+    """,
+)
+def join_asof_event_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each sampled event matched to the latest run of its
+    source that started at-or-before the event. Spark lacks a native ASOF
+    join; the engine expresses it as union + last-non-null window — one
+    shuffle on (key, time), linear state, no range-join blowup. The
+    oracle uses DuckDB's native ASOF JOIN."""
+    from _event_intelligence_data_warehouse_spark.operators.asof import (
+        asof_join,
+    )
+
+    e = load(spark, sf_dir, "events")
+    runs = e.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", "ts").alias("run_started"),
+    ).agg(F.count("*").alias("_n")).select("source", "run_started")
+    ev = e.filter(F.col("event_id") % 100 == 0).select(
+        "event_id", "event_type", "ts"
+    )
+    out = asof_join(
+        ev,
+        runs,
+        left_on="ts",
+        right_on="run_started",
+        left_by="event_type",
+        right_by="source",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("run_started").alias("active_run_started"),
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    """
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(value AS DECIMAL(18,2)),
+                                           event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                         THEN v END) AS DOUBLE) AS p50,
+           CAST(MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                         THEN v END) AS DOUBLE) AS p95
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group: the element at sorted rank
+    floor(p*(n-1))+1 — selection, not interpolation, because continuous
+    quantile interpolation arithmetic is engine-specific while rank
+    selection is pure integer logic. (The deterministic tie-break on
+    event_id makes the picked element unique even among equal values.)"""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast(_DEC)
+    w = Window.partitionBy("event_type").orderBy(v, "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        v.alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        target = F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+        return F.max(F.when(F.col("rn") == target, F.col("v")))
+
+    return ranked.groupBy("event_type").agg(
+        pick(0.5).cast("double").alias("p50"),
+        pick(0.95).cast("double").alias("p95"),
+    )

@@ -376,3 +376,25 @@ def test_multimodal_resize_real_fails_fast(spark):
         mm.resize_images(mm.synthetic_media(spark, 2), fake=False)
     with pytest.raises(NotImplementedError):
         mm.sample_frames(mm.synthetic_media(spark, 2), fake=False)
+
+
+def test_asof_join_semantics(spark):
+    from _event_intelligence_data_warehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 99), (4, "b", 500), (5, "c", 10)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, "r1"), ("a", 200, "r2"), ("b", 400, "r3")],
+        "rk string, rt long, tag string",
+    )
+    out = {
+        r.id: r.tag
+        for r in asof_join(
+            left, right, left_on="t", right_on="rt", left_by="k", right_by="rk"
+        ).collect()
+    }
+    # exact-time tie matches (id 1), latest-before wins (id 2), nothing
+    # before -> NULL (id 3), per-key isolation (id 4), unseen key (id 5)
+    assert out == {1: "r1", 2: "r2", 3: None, 4: "r3", 5: None}
