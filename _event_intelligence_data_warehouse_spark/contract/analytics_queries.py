@@ -171,6 +171,50 @@ def join_asof_event_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_price_band",
+    """
+    WITH bands AS (
+        SELECT band_id, CAST(band_id * 25 AS DOUBLE) AS lo,
+               CAST((band_id + 1) * 25 + 5 AS DOUBLE) AS hi
+        FROM (SELECT unnest(generate_series(0, 19)) AS band_id)
+    )
+    SELECT b.band_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.event_type) AS n_types
+    FROM events e
+    JOIN bands b
+      ON b.lo <= CAST(e.value AS DOUBLE) AND CAST(e.value AS DOUBLE) < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bin bucketing: 20 overlapping value bands (width 30,
+    stride 25 — overlaps prove multi-match semantics) joined to events on
+    containment. The bin equi-key turns Spark's would-be
+    BroadcastNestedLoopJoin into a hash join + residual; the DuckDB
+    oracle uses its native range join."""
+    from _event_intelligence_data_warehouse_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    bands = spark.range(20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 25 + 5).cast("double").alias("hi"),
+    )
+    joined = range_join(
+        e, bands, point_col="v", lo_col="lo", hi_col="hi", bin_width=25.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
     "agg_exact_percentiles",
     """
     WITH ranked AS (

@@ -398,3 +398,21 @@ def test_asof_join_semantics(spark):
     # exact-time tie matches (id 1), latest-before wins (id 2), nothing
     # before -> NULL (id 3), per-key isolation (id 4), unseen key (id 5)
     assert out == {1: "r1", 2: "r2", 3: None, 4: "r3", 5: None}
+
+
+def test_range_join_matches_naive(spark):
+    from _event_intelligence_data_warehouse_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    pts = spark.range(500).select((F.col("id") % 97 * 1.37).alias("v"), "id")
+    iv = spark.createDataFrame(
+        [(i, i * 10.0, i * 10.0 + 25.0) for i in range(12)],
+        "iv_id long, lo double, hi double",
+    )
+    fast = range_join(pts, iv, point_col="v", lo_col="lo", hi_col="hi",
+                      bin_width=10.0)
+    naive = pts.join(iv, (F.col("lo") <= F.col("v")) & (F.col("v") < F.col("hi")))
+    f = {(r.id, r.iv_id) for r in fast.collect()}
+    n = {(r.id, r.iv_id) for r in naive.collect()}
+    assert f == n and len(n) > 500  # overlapping bands -> multi-match
