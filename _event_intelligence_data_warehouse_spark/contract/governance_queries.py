@@ -27,7 +27,6 @@ from _event_intelligence_data_warehouse_spark.plans.kpis import (
     kpi_data_quality,
     kpi_pipeline_health,
 )
-from _event_intelligence_data_warehouse_spark.plans.staging import stage_events
 from _event_intelligence_data_warehouse_spark.sources.events_adapter import (
     events_as_raw,
 )
@@ -197,9 +196,17 @@ def quality_five_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dirty = _dirty_raw(spark, sf_dir)
-    fact = fact_build_star(spark, sf_dir).withColumn(
-        "venue_sk",
-        F.when(F.col("venue_sk") % 5 == 0, None).otherwise(F.col("venue_sk")),
+    # The four dim probes below all derive from this same fact plan;
+    # persist so the star build executes once, not once per probe.
+    fact = (
+        fact_build_star(spark, sf_dir)
+        .withColumn(
+            "venue_sk",
+            F.when(F.col("venue_sk") % 5 == 0, None).otherwise(
+                F.col("venue_sk")
+            ),
+        )
+        .persist()
     )
     dims = {
         "dim_date": fact.select("date_id").filter(F.col("date_id").isNotNull()),
@@ -212,10 +219,9 @@ def quality_five_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     checks = [
-        qc.check_null_event_names(dirty, _RUN_ID),
-        qc.check_invalid_event_dates(dirty, _RUN_ID),
-        qc.check_price_min_gt_max(stage_events(dirty), _RUN_ID),
-        qc.check_duplicate_event_ids(dirty, _RUN_ID),
+        # Checks 1-4 are one scan of the dirtied landing (scale path);
+        # the per-check functions in plans/quality.py are the unit API.
+        qc.run_raw_checks_one_pass(dirty, _RUN_ID),
         qc.check_orphan_fact_records(
             fact,
             dims["dim_date"],

@@ -20,7 +20,7 @@ operator here is reproducible and DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from _event_intelligence_data_warehouse_spark.operators.text import (
@@ -202,8 +202,14 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs with exact-verified Jaccard >= threshold.
     Banding auto-tunes to the threshold unless pinned via ``bands``."""
+    # Persist the SIGNATURES (doc_id + k longs — tiny) so the tokenize +
+    # k-pass minhash lineage runs once instead of once per side of the
+    # band-bucket self-join. Persisting the token SETS instead measures
+    # slower: the per-doc hash arrays are large enough that cache
+    # (de)serialization costs more than recomputing the tokenize
+    # projection inside codegen for the verify join.
     sets_ = doc_token_sets(df, text_col, id_col)
-    sigs = minhash_signatures(sets_)
+    sigs = minhash_signatures(sets_).persist()
     cands = minhash_lsh_candidates(
         sigs, bands=bands or bands_for_threshold(threshold)
     )
@@ -345,6 +351,91 @@ def char_ngrams(
     )
 
 
+# Universe size below which the bitmap all-pairs path beats the prefix
+# filter: with every gram hot, prefix candidate generation degenerates to
+# ~all pairs *via a join that emits one row per shared prefix gram* (orders
+# of magnitude more rows than pairs), while ceil(U/64) longs per document
+# verify a pair with a handful of AND+popcounts.
+DENSE_UNIVERSE_MAX = 4096
+
+
+def _bitmap_jaccard_pairs(
+    gsets: DataFrame, universe: int, threshold: float
+) -> DataFrame:
+    """All-pairs n-gram Jaccard for DENSE gram universes (≤ 4096 distinct
+    grams): map grams to dense bit positions via a broadcast dictionary,
+    pack each document's gram set into ceil(U/64) longs, and score pairs
+    with bit_count(AND) inside codegen. Exact — same results as the
+    prefix-filtered plan. On corpora where the vocabulary saturates, the
+    candidate set is inherently ~quadratic (most pairs really do share
+    grams), so the win is a near-optimal constant factor per pair, plus a
+    size-ratio prune evaluated before the popcount. The small side is
+    broadcast; for corpora too large for that, block the build side into
+    broadcastable chunks (same plan per block)."""
+    words = (universe + 63) // 64
+    dict_df = (
+        gsets.select(F.explode("grams").alias("gram"))
+        .distinct()
+        .select(
+            "gram",
+            (
+                F.row_number().over(Window.orderBy("gram")) - 1
+            ).alias("idx"),
+        )
+    )
+    # One scalar LONG column per 64-bit word (not an array): the pair
+    # scorer below then compiles to straight-line bit_count arithmetic in
+    # whole-stage codegen instead of per-row higher-order-function eval.
+    word_cols = [
+        F.expr(
+            f"aggregate(filter(idxs, i -> i div 64 = {w}), "
+            f"cast(0 as bigint), "
+            f"(acc, i) -> acc | shiftleft(cast(1 as bigint), "
+            f"cast(i % 64 as int)))"
+        ).alias(f"w{w}")
+        for w in range(words)
+    ]
+    bitmaps = (
+        gsets.select("doc_id", F.size("grams").alias("sz"),
+                     F.explode("grams").alias("gram"))
+        .join(F.broadcast(dict_df), "gram")
+        .groupBy("doc_id", "sz")
+        .agg(F.collect_list("idx").alias("idxs"))
+        .select("doc_id", "sz", *word_cols)
+    )
+    a = bitmaps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(words)],
+    )
+    b = bitmaps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(words)],
+    )
+    t = F.lit(threshold)
+    inter = F.expr(
+        " + ".join(f"bit_count(a{w} & b{w})" for w in range(words))
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("doc_a") < F.col("doc_b"))
+            & (t * F.col("sz_a") <= F.col("sz_b"))
+            & (t * F.col("sz_b") <= F.col("sz_a")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -364,7 +455,20 @@ def ngram_jaccard_pairs(
     (array_intersect), so results are identical to the brute-force plan.
     A length-ratio prefilter (t·|A| <= |B|, exact for Jaccard) drops
     size-incompatible candidates before the array join."""
-    gsets = char_ngram_sets(df, n, text_col, id_col, hashed=True)
+    # gram sets feed the inverted index, the df-ordering, and both verify
+    # joins — persist the one expensive projection instead of recomputing
+    # the n-gram hashing four times.
+    gsets = char_ngram_sets(df, n, text_col, id_col, hashed=True).persist()
+    # Adaptive physical strategy: probe the gram-universe size (one cheap
+    # distinct-count on the persisted sets). A small universe means every
+    # gram is hot, the prefix filter cannot discriminate, and candidate
+    # generation degenerates to a blow-up join — switch to the bitmap
+    # all-pairs plan, which is exact and near-constant-cost per pair.
+    universe = (
+        gsets.select(F.explode("grams").alias("gram")).distinct().count()
+    )
+    if universe <= DENSE_UNIVERSE_MAX:
+        return _bitmap_jaccard_pairs(gsets, universe, threshold)
     ex = gsets.select("doc_id", F.explode("grams").alias("gram"))
     freq = ex.groupBy("gram").agg(F.count("*").alias("gram_df"))
     prefix_len = (

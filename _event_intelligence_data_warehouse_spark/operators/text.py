@@ -161,12 +161,15 @@ def winnowing_fingerprints(
         f"j -> array_min(slice(gh, j, {w})))) "
         f"else array(array_min(gh)) end"
     )
+    # No row-level distinct needed: ``selected`` is already array_distinct
+    # per document, so (doc_id, fingerprint) rows are unique by
+    # construction — a trailing .distinct() would add a full shuffle of
+    # every fingerprint for nothing.
     return (
         df.select(F.col(id_col).alias("doc_id"), nt.alias("nt"))
         .filter(F.length("nt") >= k)
         .select("doc_id", grams.alias("gh"))
         .select("doc_id", F.explode(selected).alias("fingerprint"))
-        .distinct()
     )
 
 

@@ -95,3 +95,38 @@ def test_incremental_second_batch_appends(spark, tmp_path):
     assert r["load"]["staged"] == 50
     assert r["summary"]["fact_events"] == 150
     assert r["summary"]["raw_events"] == 150
+
+
+def test_one_pass_checks_match_per_check_functions(spark):
+    """run_raw_checks_one_pass must agree field-for-field with the four
+    individual check functions on data exercising every status tier."""
+    from _event_intelligence_data_warehouse_spark.contract.governance_queries import (
+        _dirty_raw,
+    )
+    from _event_intelligence_data_warehouse_spark.plans import quality as qc
+    from _event_intelligence_data_warehouse_spark.plans.staging import stage_events
+
+    raw = _dirty_raw(spark, "/root/testdata/sf0.001")
+
+    singles = [
+        qc.check_null_event_names(raw, "t"),
+        qc.check_invalid_event_dates(raw, "t"),
+        qc.check_price_min_gt_max(stage_events(raw), "t"),
+        qc.check_duplicate_event_ids(raw, "t"),
+    ]
+    want = {}
+    for df in singles:
+        r = df.collect()[0]
+        want[r.check_name] = (
+            r.table_name, r.records_checked, r.records_failed,
+            r.pass_rate, r.status,
+        )
+    got = {}
+    for r in qc.run_raw_checks_one_pass(raw, "t").collect():
+        got[r.check_name] = (
+            r.table_name, r.records_checked, r.records_failed,
+            r.pass_rate, r.status,
+        )
+    assert got == want
+    # at least one non-passed tier exercised
+    assert any(v[4] != "passed" for v in want.values())
