@@ -357,6 +357,10 @@ def fact_build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source", "raw_event_id").orderBy(
         F.desc("ingested_at"), F.desc("ingest_id")
     )
+    # No persist here: the five consumers (four dim derivations + the fact
+    # side) all hang off the same (source, raw_event_id) window exchange,
+    # which AQE de-duplicates via ReusedExchange — measured faster than
+    # caching the staged batch.
     dedup = stg.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
     )
