@@ -21,6 +21,7 @@ HEADLINE = [
     "kpi_events_by_category",
     "staging_cleanse",
     "fact_build_star",
+    "quality_five_checks",
     # relational core
     "agg_orders_by_priority",
     "join_star_revenue",
@@ -29,13 +30,19 @@ HEADLINE = [
     "window_pct_of_total",
     "dim_date_attributes",
     # scale extensions
+    # OLAP / join widening
+    "join_asof_event_run",
+    "join_range_price_band",
+    "agg_rollup_status_priority",
+    "pivot_status_by_priority",
+    # scale extensions
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
     "text_metrics",
     "text_winnowing_fingerprints",
-    "quality_five_checks",
     "window_tumbling_hourly",
     "window_sessionize",
 ]
@@ -49,10 +56,17 @@ def main() -> None:
     spark = get_spark("eidw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so timings measure the plans.
-    QUERIES["agg_orders_by_priority"](spark, sf_dir).write.mode(
-        "overwrite"
-    ).format("noop").save()
+    # Warm the JVM, codegen, and parquet footers once per table family so
+    # timings measure the plans, not first-touch costs.
+    for warm in (
+        "agg_orders_by_priority",   # orders/lineitem
+        "daily_event_stats",        # events
+        "dedup_exact",              # documents
+        "similarity_topk_bruteforce",  # embeddings
+    ):
+        QUERIES[warm](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
