@@ -163,12 +163,21 @@ def minhash_lsh_candidates(
 
 
 def jaccard_pairs(
-    token_sets: DataFrame, candidates: DataFrame
+    token_sets: DataFrame, candidates: DataFrame, *, universe: int | None = None
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs: two equi-joins attach each side's
     token-hash array and `array_intersect` scores the pair inside
     whole-stage codegen. Unlike an inverted-index self-join, cost is
-    O(|candidates| * set_size) — immune to hot-token pair blow-up."""
+    O(|candidates| * set_size) — immune to hot-token pair blow-up.
+
+    ``universe`` (when the caller has probed it) enables the dense-universe
+    specialization: sets packed into unrolled 64-bit words, pairs scored
+    by bit_count(AND). Off by default — for short token sets the packing
+    shuffle measured slower than array_intersect; it wins when sets are
+    long (hundreds of elements) and candidates numerous."""
+    if universe is not None and universe <= DENSE_UNIVERSE_MAX:
+        packed, words = _bitmap_sets(token_sets, set_col="ths")
+        return _bitmap_scored_candidates(packed, words, candidates)
     sets_ = token_sets
     inter = F.size(F.array_intersect("ths_a", "ths_b"))
     return (
@@ -213,6 +222,10 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         sigs, bands=bands or bands_for_threshold(threshold)
     )
+    # Verify stays array-native: measured against a bit-packed variant
+    # (pack sets into longs, popcount per pair) the arrays win here —
+    # token sets are short (~tens of elements) and the packing groupBy
+    # costs a shuffle the array_intersect path doesn't have.
     return jaccard_pairs(sets_, cands).filter(F.col("jaccard") >= threshold)
 
 
@@ -359,6 +372,91 @@ def char_ngrams(
 DENSE_UNIVERSE_MAX = 4096
 
 
+def _probe_universe(sets_df: DataFrame, set_col: str) -> int:
+    """Approximate distinct-element count across all sets (HLL — no exact
+    distinct shuffle); used only to PICK a physical strategy, so ±2% error
+    at the DENSE_UNIVERSE_MAX boundary is immaterial."""
+    return (
+        sets_df.select(F.explode(set_col).alias("h"))
+        .agg(F.approx_count_distinct("h").alias("u"))
+        .first()["u"]
+    )
+
+
+def _bitmap_sets(
+    sets_df: DataFrame, *, set_col: str, id_col: str = "doc_id"
+) -> tuple[DataFrame, int]:
+    """Pack each row's element set into unrolled 64-bit LONG columns
+    (w0..wN) via a broadcast element→bit-position dictionary. Returns the
+    packed frame (id, sz, w*) and the word count. Scalar columns — not an
+    array — so downstream popcount arithmetic stays in whole-stage
+    codegen."""
+    dict_df = (
+        sets_df.select(F.explode(set_col).alias("h"))
+        .distinct()
+        .select(
+            "h",
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("idx"),
+        )
+    )
+    universe = dict_df.count()
+    words = (universe + 63) // 64
+    word_cols = [
+        F.expr(
+            f"aggregate(filter(idxs, i -> i div 64 = {w}), "
+            f"cast(0 as bigint), "
+            f"(acc, i) -> acc | shiftleft(cast(1 as bigint), "
+            f"cast(i % 64 as int)))"
+        ).alias(f"w{w}")
+        for w in range(words)
+    ]
+    packed = (
+        sets_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(set_col).alias("sz"),
+            F.explode(set_col).alias("h"),
+        )
+        .join(F.broadcast(dict_df), "h")
+        .groupBy("doc_id", "sz")
+        .agg(F.collect_list("idx").alias("idxs"))
+        .select("doc_id", "sz", *word_cols)
+    )
+    return packed, words
+
+
+def _bitmap_scored_candidates(
+    packed: DataFrame, words: int, candidates: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for given candidate pairs over bit-packed sets: two
+    narrow equi-joins (id + sz + words longs — ~10× less join payload than
+    hash arrays) and straight-line bit_count arithmetic per pair."""
+    a = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(words)],
+    )
+    b = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(words)],
+    )
+    inter = F.expr(
+        " + ".join(f"bit_count(a{w} & b{w})" for w in range(words))
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def _bitmap_jaccard_pairs(
     gsets: DataFrame, universe: int, threshold: float
 ) -> DataFrame:
@@ -372,37 +470,7 @@ def _bitmap_jaccard_pairs(
     size-ratio prune evaluated before the popcount. The small side is
     broadcast; for corpora too large for that, block the build side into
     broadcastable chunks (same plan per block)."""
-    words = (universe + 63) // 64
-    dict_df = (
-        gsets.select(F.explode("grams").alias("gram"))
-        .distinct()
-        .select(
-            "gram",
-            (
-                F.row_number().over(Window.orderBy("gram")) - 1
-            ).alias("idx"),
-        )
-    )
-    # One scalar LONG column per 64-bit word (not an array): the pair
-    # scorer below then compiles to straight-line bit_count arithmetic in
-    # whole-stage codegen instead of per-row higher-order-function eval.
-    word_cols = [
-        F.expr(
-            f"aggregate(filter(idxs, i -> i div 64 = {w}), "
-            f"cast(0 as bigint), "
-            f"(acc, i) -> acc | shiftleft(cast(1 as bigint), "
-            f"cast(i % 64 as int)))"
-        ).alias(f"w{w}")
-        for w in range(words)
-    ]
-    bitmaps = (
-        gsets.select("doc_id", F.size("grams").alias("sz"),
-                     F.explode("grams").alias("gram"))
-        .join(F.broadcast(dict_df), "gram")
-        .groupBy("doc_id", "sz")
-        .agg(F.collect_list("idx").alias("idxs"))
-        .select("doc_id", "sz", *word_cols)
-    )
+    bitmaps, words = _bitmap_sets(gsets, set_col="grams")
     a = bitmaps.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
@@ -459,14 +527,12 @@ def ngram_jaccard_pairs(
     # joins — persist the one expensive projection instead of recomputing
     # the n-gram hashing four times.
     gsets = char_ngram_sets(df, n, text_col, id_col, hashed=True).persist()
-    # Adaptive physical strategy: probe the gram-universe size (one cheap
-    # distinct-count on the persisted sets). A small universe means every
-    # gram is hot, the prefix filter cannot discriminate, and candidate
-    # generation degenerates to a blow-up join — switch to the bitmap
-    # all-pairs plan, which is exact and near-constant-cost per pair.
-    universe = (
-        gsets.select(F.explode("grams").alias("gram")).distinct().count()
-    )
+    # Adaptive physical strategy: probe the gram-universe size (HLL — no
+    # distinct shuffle). A small universe means every gram is hot, the
+    # prefix filter cannot discriminate, and candidate generation
+    # degenerates to a blow-up join — switch to the bitmap all-pairs
+    # plan, which is exact and near-constant-cost per pair.
+    universe = _probe_universe(gsets, "grams")
     if universe <= DENSE_UNIVERSE_MAX:
         return _bitmap_jaccard_pairs(gsets, universe, threshold)
     ex = gsets.select("doc_id", F.explode("grams").alias("gram"))
