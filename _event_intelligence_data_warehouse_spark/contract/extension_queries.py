@@ -857,3 +857,89 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the user key (streaming analog: session_window)."""
     e = load(spark, sf_dir, "events")
     return win.sessionize(e, gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits / per-group selection
+# (operators/sampling.py — training-data curation surface)
+# ---------------------------------------------------------------------------
+
+# md5-derived bucket, mirrored exactly in DuckDB.
+_BUCKET = "CAST(('0x' || substr(md5({v}), 1, 8)) AS BIGINT) % 100"
+
+
+@query(
+    "sample_stratified_hash",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_BUCKET.format(v="lang || '|' || CAST(doc_id AS VARCHAR)")} < 20
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% deterministic sample of every language stratum — a stateless
+    hash filter (stable across runs, cluster sizes, and appends), vs the
+    nondeterminism of rand()-based sampleBy."""
+    from _event_intelligence_data_warehouse_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_hash_sample(d, "lang", "doc_id", 20).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "split_train_holdout",
+    f"""
+    WITH labeled AS (
+        SELECT lang,
+               CASE WHEN {_BUCKET.format(v="CAST(doc_id AS VARCHAR)")} < 10
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM labeled
+    GROUP BY lang, split
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 train/holdout split as a pure function of doc_id (no row can
+    migrate between sides across runs), summarized per language."""
+    from _event_intelligence_data_warehouse_spark.operators.sampling import (
+        train_holdout_split,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        train_holdout_split(d, "doc_id", 10)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "topk_docs_per_source",
+    """
+    SELECT source, doc_id, n_chars, rank FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC)
+                   AS rank
+        FROM documents
+    )
+    WHERE rank <= 5
+    """,
+)
+def topk_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 longest documents per source (curation-style per-group top-k):
+    one window on the group key, deterministic doc_id tiebreak."""
+    from _event_intelligence_data_warehouse_spark.operators.sampling import (
+        topk_per_group,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return topk_per_group(
+        d, ["source"], "n_chars", 5, tiebreak_col="doc_id"
+    ).select("source", "doc_id", "n_chars", "rank")
