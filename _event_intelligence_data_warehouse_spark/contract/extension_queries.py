@@ -943,3 +943,38 @@ def topk_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         d, ["source"], "n_chars", 5, tiebreak_col="doc_id"
     ).select("source", "doc_id", "n_chars", "rank")
+
+
+@query(
+    "embedding_label_centroids",
+    """
+    SELECT label, i - 1 AS dim,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
+                AS DOUBLE) / COUNT(*) AS avg_val
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space in long form
+    (label, dim, avg_val) — the element-wise group aggregate every
+    IVF/clustering pipeline needs. posexplode + hash aggregate: one
+    shuffle on (label, dim), partial aggregation map-side. Element sums
+    run in the decimal domain (exact, order-free) because double
+    accumulation order is partition-dependent."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                # float -> double -> decimal: the double hop pins the
+                # engine-portable decimal rendering of float32 values.
+                F.sum(F.col("v").cast("double").cast("decimal(18,9)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("avg_val")
+        )
+        .select(F.col("label").cast("long").alias("label"),
+                F.col("dim").cast("long").alias("dim"), "avg_val")
+    )

@@ -675,3 +675,61 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "setop_customer_cohorts",
+    """
+    WITH with_open AS (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_orderstatus = 'O'
+    ), with_filled AS (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_orderstatus = 'F'
+    ), never_ordered AS (
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders
+    )
+    SELECT 'open_and_filled' AS cohort, COUNT(*) AS n FROM (
+        SELECT custkey FROM with_open INTERSECT SELECT custkey FROM with_filled
+    )
+    UNION ALL
+    SELECT 'open_only' AS cohort, COUNT(*) AS n FROM (
+        SELECT custkey FROM with_open EXCEPT SELECT custkey FROM with_filled
+    )
+    UNION ALL
+    SELECT 'never_ordered' AS cohort, COUNT(*) AS n FROM never_ordered
+    """,
+)
+def setop_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT / UNION ALL — absent from the
+    reference, SURVEY.md §2.9) as customer cohort analysis. Spark rewrites
+    intersect/except to left-semi/left-anti hash joins on the distinct
+    key sets; the three 1-row aggregates union for one output."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    with_open = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    with_filled = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    never = customer.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    ).distinct()
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("cohort"), F.count("*").alias("n")
+        )
+
+    return (
+        one("open_and_filled", with_open.intersect(with_filled))
+        .unionByName(one("open_only", with_open.exceptAll(with_filled)))
+        .unionByName(one("never_ordered", never))
+    )

@@ -74,3 +74,59 @@ def test_topk_compiles_to_take_ordered(spark):
         "ORDER BY + LIMIT should compile to TakeOrderedAndProject, "
         "not a global sort"
     )
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing both sides of a big-big equi-join on the join key makes
+    the join shuffle-free (SCALE.md: pre-partitioning/co-location is the
+    lever when neither side broadcasts). Asserted on the executed plan:
+    no Exchange feeds the SortMergeJoin."""
+    from _event_intelligence_data_warehouse_spark.contract import load
+
+    orders = load(spark, SF, "orders")
+    lineitem = load(spark, SF, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").format("parquet").saveAsTable("b_orders"))
+    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").format("parquet").saveAsTable("b_lineitem"))
+    # Disable broadcast for the test: at sf0.01 AQE would broadcast the
+    # small side; the point here is the big-big co-located join shape.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        joined.collect()
+        # Keep only the AQE final plan — the "Initial Plan" section repeats
+        # the tree and would false-positive the Exchange scan below.
+        plan = _plan(joined).split("== Initial Plan ==")[0]
+        assert "SelectedBucketsCount" in plan, "scan ignored bucketing"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # No shuffle may occur below the join: the only allowed Exchange
+        # is the one for the groupBy ABOVE it.
+        below_join = plan[plan.index("Join"):]
+        assert "Exchange hashpartitioning" not in below_join, (
+            "bucketed join still shuffled its inputs"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
