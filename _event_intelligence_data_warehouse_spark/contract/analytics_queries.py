@@ -260,3 +260,76 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5).cast("double").alias("p50"),
         pick(0.95).cast("double").alias("p95"),
     )
+
+
+@query(
+    "window_moving_avg_7d",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+        FROM events
+        GROUP BY 1
+    )
+    SELECT day, n_events,
+           CAST(AVG(n_events) OVER w AS DOUBLE) AS avg_events_7d,
+           CAST(SUM(day_value) OVER w AS DOUBLE) AS sum_value_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving aggregates over the daily event series —
+    explicit ROWS frame (rowsBetween), the window-frame surface SURVEY
+    §2.8 notes as available-when-needed. The frame runs over the
+    AGGREGATED daily frame (≤ days rows), never the raw events; framed
+    sums stay in the decimal domain until the final double cast."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).alias("day_value"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_events",
+        F.avg("n_events").over(w).cast("double").alias("avg_events_7d"),
+        F.sum("day_value").over(w).cast("double").alias("sum_value_7d"),
+    )
+
+
+@query(
+    "window_day_over_day_delta",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    )
+    SELECT day, n_events,
+           n_events - lag(n_events) OVER (ORDER BY day) AS delta_prev_day,
+           lead(n_events) OVER (ORDER BY day) - n_events AS delta_next_day
+    FROM daily
+    """,
+)
+def window_day_over_day_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag day-over-day deltas on the daily series (§2.8 ranking/
+    offset functions). Single window ordered by day over the pre-
+    aggregated frame."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w)).alias(
+            "delta_prev_day"
+        ),
+        (F.lead("n_events").over(w) - F.col("n_events")).alias(
+            "delta_next_day"
+        ),
+    )
