@@ -978,3 +978,95 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("long").alias("label"),
                 F.col("dim").cast("long").alias("dim"), "avg_val")
     )
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS tl
+        FROM documents
+    ), m AS (
+        SELECT doc_id, lang, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint,
+               CAST(len(tl) AS DOUBLE) AS n_tok,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - length(regexp_replace(text,
+                         '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS punct,
+               CASE WHEN len(tl) > 0 THEN
+                    CAST(len(list_filter(tl,
+                         x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE)
+                    / CAST(len(tl) AS DOUBLE)
+               ELSE 0.0 END AS sw
+        FROM toks
+    ), scored AS (
+        SELECT doc_id, lang, source, fingerprint,
+               CAST(ROUND(CAST(
+                   least(n_tok / 20.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+                   + least(sw * 5.0, 1.0) * 0.3
+                   AS DECIMAL(10,6)), 4) AS DOUBLE) AS quality_score
+        FROM m
+    ), canon AS (
+        SELECT fingerprint, MIN(doc_id) AS canonical_id
+        FROM scored GROUP BY fingerprint
+    ), kept AS (
+        SELECT s.* FROM scored s
+        JOIN canon c ON s.fingerprint = c.fingerprint
+                    AND s.doc_id = c.canonical_id
+        WHERE s.quality_score >= 0.72
+    ), sampled AS (
+        SELECT * FROM kept
+        WHERE CAST(('0x' || substr(md5(lang || '|'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality_score AS DECIMAL(10,4))) AS DOUBLE)
+               / COUNT(*) AS avg_quality
+    FROM sampled
+    GROUP BY lang, source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE composed plan: quality
+    scoring -> threshold filter -> exact-dedup canonical representatives
+    -> deterministic 50% stratified sample -> per-(lang, source) summary.
+    Every stage is an operator already oracle-checked in isolation
+    (text_quality_score, dedup_exact, sample_stratified_hash); this query
+    checks their COMPOSITION. Shuffles: the fingerprint groupBy and the
+    final aggregate — scoring, filtering, and sampling are stateless and
+    fuse into the scan."""
+    from _event_intelligence_data_warehouse_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        tx.fingerprint(t).alias("fingerprint"),
+        tx.quality_score(t).alias("quality_score"),
+    )
+    canon = scored.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    kept = (
+        scored.join(canon, "fingerprint")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .filter(F.col("quality_score") >= 0.72)
+    )
+    sampled = stratified_hash_sample(kept, "lang", "doc_id", 50)
+    return sampled.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(10,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_quality"),
+    )

@@ -43,6 +43,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_metrics",
     "text_winnowing_fingerprints",
+    "curation_pipeline",
     "window_tumbling_hourly",
     "window_sessionize",
 ]
