@@ -197,9 +197,13 @@ def quality_five_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dirty = _dirty_raw(spark, sf_dir)
     # The four dim probes below all derive from this same fact plan;
-    # persist so the star build executes once, not once per probe.
+    # persist so the star build executes once, not once per probe. Project
+    # to the FK columns FIRST — persisting the full fact would cache 15
+    # columns where the orphan check reads 4 (persist is a pruning
+    # barrier).
     fact = (
         fact_build_star(spark, sf_dir)
+        .select("date_id", "venue_sk", "category_sk", "source_sk")
         .withColumn(
             "venue_sk",
             F.when(F.col("venue_sk") % 5 == 0, None).otherwise(
