@@ -276,21 +276,24 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(AVG(n_events) OVER w AS DOUBLE) AS avg_events_7d,
            CAST(SUM(day_value) OVER w AS DOUBLE) AS sum_value_7d
     FROM daily
-    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (ORDER BY day - DATE '1970-01-01'
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 7-day moving aggregates over the daily event series —
-    explicit ROWS frame (rowsBetween), the window-frame surface SURVEY
-    §2.8 notes as available-when-needed. The frame runs over the
-    AGGREGATED daily frame (≤ days rows), never the raw events; framed
-    sums stay in the decimal domain until the final double cast."""
+    """Trailing 7-CALENDAR-day moving aggregates over the daily event
+    series — a RANGE frame over the integer day number, so gap days
+    shrink the window instead of silently stretching it (a ROWS frame
+    would span >7 days across gaps). The frame runs over the AGGREGATED
+    daily frame (≤ days rows), never the raw events; framed sums stay in
+    the decimal domain until the final double cast."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast(_DEC)).alias("day_value"),
     )
-    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    day_num = F.datediff("day", F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_num).rangeBetween(-6, Window.currentRow)
     return daily.select(
         "day",
         "n_events",

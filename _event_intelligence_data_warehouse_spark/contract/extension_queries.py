@@ -873,7 +873,9 @@ _BUCKET = "CAST(('0x' || substr(md5({v}), 1, 8)) AS BIGINT) % 100"
     f"""
     SELECT doc_id, lang
     FROM documents
-    WHERE {_BUCKET.format(v="lang || '|' || CAST(doc_id AS VARCHAR)")} < 20
+    WHERE {_BUCKET.format(
+        v="coalesce(lang, '') || '|' || CAST(doc_id AS VARCHAR)"
+    )} < 20
     """,
 )
 def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,11 +950,19 @@ def topk_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_label_centroids",
     """
-    SELECT label, i - 1 AS dim,
-           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
+    WITH ex AS (
+        -- zipped unnests: position and element stay aligned; reads the
+        -- true array length instead of hardcoding the dimension
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) - 1 AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))
                 AS DOUBLE) / COUNT(*) AS avg_val
-    FROM embeddings, generate_series(1, 64) AS t(i)
-    GROUP BY label, i
+    FROM ex
+    GROUP BY label, dim
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,7 +1032,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.quality_score >= 0.72
     ), sampled AS (
         SELECT * FROM kept
-        WHERE CAST(('0x' || substr(md5(lang || '|'
+        WHERE CAST(('0x' || substr(md5(coalesce(lang, '') || '|'
                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
     )
     SELECT lang, source, COUNT(*) AS n_docs,

@@ -719,9 +719,12 @@ def setop_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
-    never = customer.select(F.col("c_custkey").alias("custkey")).exceptAll(
+    # subtract = EXCEPT DISTINCT -> left-anti hash join on the key sets;
+    # exceptAll would compile to the signed-count replicate/aggregate plan
+    # over all of orders, far heavier for identical results here.
+    never = customer.select(F.col("c_custkey").alias("custkey")).subtract(
         orders.select(F.col("o_custkey").alias("custkey"))
-    ).distinct()
+    )
 
     def one(name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -730,6 +733,6 @@ def setop_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         one("open_and_filled", with_open.intersect(with_filled))
-        .unionByName(one("open_only", with_open.exceptAll(with_filled)))
+        .unionByName(one("open_only", with_open.subtract(with_filled)))
         .unionByName(one("never_ordered", never))
     )

@@ -400,7 +400,10 @@ def _bitmap_sets(
         )
     )
     universe = dict_df.count()
-    words = (universe + 63) // 64
+    # words >= 1 even for an empty corpus: the packed frame is then empty
+    # but the w0 column (and the scoring expression built from it) still
+    # exists, so downstream plans parse and return zero rows.
+    words = max(1, (universe + 63) // 64)
     word_cols = [
         F.expr(
             f"aggregate(filter(idxs, i -> i div 64 = {w}), "
@@ -424,12 +427,11 @@ def _bitmap_sets(
     return packed, words
 
 
-def _bitmap_scored_candidates(
-    packed: DataFrame, words: int, candidates: DataFrame
-) -> DataFrame:
-    """Exact Jaccard for given candidate pairs over bit-packed sets: two
-    narrow equi-joins (id + sz + words longs — ~10× less join payload than
-    hash arrays) and straight-line bit_count arithmetic per pair."""
+def _packed_sides(
+    packed: DataFrame, words: int
+) -> tuple[DataFrame, DataFrame]:
+    """The (doc_a, sz_a, a0..aN) / (doc_b, sz_b, b0..bN) projections of a
+    bit-packed set frame, for pair scoring."""
     a = packed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
@@ -440,26 +442,36 @@ def _bitmap_scored_candidates(
         F.col("sz").alias("sz_b"),
         *[F.col(f"w{w}").alias(f"b{w}") for w in range(words)],
     )
+    return a, b
+
+
+def _packed_jaccard(words: int) -> Column:
+    """Straight-line |A∩B| via bit_count(AND) per word, folded into the
+    Jaccard ratio — pure codegen arithmetic over the a*/b* columns."""
     inter = F.expr(
         " + ".join(f"bit_count(a{w} & b{w})" for w in range(words))
     )
     return (
+        inter.cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+    ).alias("jaccard")
+
+
+def _bitmap_scored_candidates(
+    packed: DataFrame, words: int, candidates: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for given candidate pairs over bit-packed sets: two
+    narrow equi-joins (id + sz + words longs — ~10× less join payload than
+    hash arrays) and straight-line bit_count arithmetic per pair."""
+    a, b = _packed_sides(packed, words)
+    return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                inter.cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
-            ).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", _packed_jaccard(words))
     )
 
 
-def _bitmap_jaccard_pairs(
-    gsets: DataFrame, universe: int, threshold: float
-) -> DataFrame:
+def _bitmap_jaccard_pairs(gsets: DataFrame, threshold: float) -> DataFrame:
     """All-pairs n-gram Jaccard for DENSE gram universes (≤ 4096 distinct
     grams): map grams to dense bit positions via a broadcast dictionary,
     pack each document's gram set into ceil(U/64) longs, and score pairs
@@ -471,20 +483,8 @@ def _bitmap_jaccard_pairs(
     broadcast; for corpora too large for that, block the build side into
     broadcastable chunks (same plan per block)."""
     bitmaps, words = _bitmap_sets(gsets, set_col="grams")
-    a = bitmaps.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sz").alias("sz_a"),
-        *[F.col(f"w{w}").alias(f"a{w}") for w in range(words)],
-    )
-    b = bitmaps.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sz").alias("sz_b"),
-        *[F.col(f"w{w}").alias(f"b{w}") for w in range(words)],
-    )
+    a, b = _packed_sides(bitmaps, words)
     t = F.lit(threshold)
-    inter = F.expr(
-        " + ".join(f"bit_count(a{w} & b{w})" for w in range(words))
-    )
     return (
         a.join(
             F.broadcast(b),
@@ -492,14 +492,7 @@ def _bitmap_jaccard_pairs(
             & (t * F.col("sz_a") <= F.col("sz_b"))
             & (t * F.col("sz_b") <= F.col("sz_a")),
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                inter.cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
-            ).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", _packed_jaccard(words))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -534,7 +527,7 @@ def ngram_jaccard_pairs(
     # plan, which is exact and near-constant-cost per pair.
     universe = _probe_universe(gsets, "grams")
     if universe <= DENSE_UNIVERSE_MAX:
-        return _bitmap_jaccard_pairs(gsets, universe, threshold)
+        return _bitmap_jaccard_pairs(gsets, threshold)
     ex = gsets.select("doc_id", F.explode("grams").alias("gram"))
     freq = ex.groupBy("gram").agg(F.count("*").alias("gram_df"))
     prefix_len = (

@@ -23,10 +23,15 @@ HASH_BUCKETS = 100
 def hash_bucket(c: Column | str, buckets: int = HASH_BUCKETS) -> Column:
     """Deterministic bucket in [0, buckets): first 8 hex chars of
     md5(value) as an int, mod buckets. Portable across engines (DuckDB:
-    ``CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) % buckets``)."""
+    ``CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) % buckets``).
+    Reuses the single portability-critical md5-prefix hash definition
+    (operators.text.token_hash) rather than restating it."""
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_hash,
+    )
+
     col = F.col(c) if isinstance(c, str) else c
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-    return (h.cast("long") % buckets).alias("bucket")
+    return (token_hash(col.cast("string")) % buckets).alias("bucket")
 
 
 def hash_sample(
@@ -45,9 +50,15 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """~pct% of EACH stratum: bucket on (stratum, id) jointly so small
     strata are sampled at the same rate as large ones. Still a stateless
-    filter — stratification costs nothing (no per-stratum pass)."""
-    key = F.concat_ws("|", F.col(strata_col).cast("string"),
-                      F.col(id_col).cast("string"))
+    filter — stratification costs nothing (no per-stratum pass). NULL
+    strata coalesce to '' so they form one sampled stratum (SQL mirror:
+    ``coalesce(s, '') || '|' || id`` — plain ``||`` would NULL-propagate
+    and silently drop every NULL-stratum row)."""
+    key = F.concat(
+        F.coalesce(F.col(strata_col).cast("string"), F.lit("")),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
     return df.filter(hash_bucket(key, buckets) < pct)
 
 

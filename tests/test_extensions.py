@@ -416,3 +416,15 @@ def test_range_join_matches_naive(spark):
     f = {(r.id, r.iv_id) for r in fast.collect()}
     n = {(r.id, r.iv_id) for r in naive.collect()}
     assert f == n and len(n) > 500  # overlapping bands -> multi-match
+
+
+def test_ngram_jaccard_empty_and_short_corpus(spark):
+    """Dense-universe bitmap path must handle a universe of 0 (all docs
+    shorter than n) by returning an empty pair set, not crashing on a
+    degenerate scoring expression."""
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    empty = spark.createDataFrame(
+        [(1, "ab"), (2, "x")], "doc_id long, text string"
+    )
+    assert dd.ngram_jaccard_pairs(empty, n=3, threshold=0.6).count() == 0

@@ -76,7 +76,7 @@ def test_topk_compiles_to_take_ordered(spark):
     )
 
 
-def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+def test_bucketed_tables_join_without_shuffle(spark):
     """Bucketing both sides of a big-big equi-join on the join key makes
     the join shuffle-free (SCALE.md: pre-partitioning/co-location is the
     lever when neither side broadcasts). Asserted on the executed plan:
