@@ -1,0 +1,154 @@
+"""Property-based invariants (hypothesis) for the cleanse casts and the
+upsert/SCD2 algebra — small random inputs, engine-level guarantees:
+guarded casts never throw and match a reference implementation; merge
+upsert is idempotent and key-unique; SCD2 keeps exactly one current
+version per key."""
+
+from __future__ import annotations
+
+import datetime
+import re
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# Strings that hit the interesting regions of the cast regexes.
+_casty = st.one_of(
+    st.text(max_size=12),
+    st.from_regex(r"\d{2,4}-\d{1,2}-\d{1,2}", fullmatch=True),
+    st.from_regex(r"\d{1,6}(\.\d{1,4})?", fullmatch=True),
+    st.just(""),
+    st.none(),
+)
+
+
+def _ref_date(s):
+    # re.ASCII: Java/Spark regex \\d is ASCII-only, Python's is Unicode
+    if s is None or not re.fullmatch(r"\d{4}-\d{2}-\d{2}", s, re.ASCII):
+        return None
+    try:
+        return datetime.date.fromisoformat(s)
+    except ValueError:
+        return None
+
+
+def _ref_decimal(s):
+    if s is None or not re.fullmatch(r"\d+(\.\d+)?", s, re.ASCII):
+        return None
+    d = Decimal(s).quantize(Decimal("0.01"))
+    # DecimalType(10,2): overflow -> NULL (Spark non-ANSI)
+    return None if d >= Decimal("100000000") else d
+
+
+@PROP
+@given(vals=st.lists(_casty, min_size=1, max_size=12))
+def test_guarded_casts_total_and_match_reference(spark, vals):
+    from _event_intelligence_data_warehouse_spark.functions.cleanse import (
+        guarded_date,
+        guarded_decimal,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s",
+        guarded_date("s").alias("d"),
+        guarded_decimal("s").alias("m"),
+    ).collect()
+    for r in rows:
+        assert r.d == _ref_date(r.s), (r.s, r.d)
+        assert r.m == _ref_decimal(r.s), (r.s, r.m)
+
+
+_key = st.integers(min_value=0, max_value=5)
+_val = st.integers(min_value=0, max_value=99)
+
+
+@PROP
+@given(
+    existing=st.dictionaries(_key, _val, max_size=6),
+    incoming=st.dictionaries(_key, _val, max_size=6),
+)
+def test_merge_upsert_idempotent_and_key_unique(spark, existing, incoming):
+    from _event_intelligence_data_warehouse_spark.operators.upsert import (
+        merge_upsert,
+    )
+
+    schema = "k long, v long, sk long"
+    ex = spark.createDataFrame(
+        [(k, v, 1000 + k) for k, v in existing.items()], schema
+    )
+    inc = spark.createDataFrame(
+        [(k, v, -1) for k, v in incoming.items()], schema
+    )
+    once = merge_upsert(ex, inc, ["k"], preserve=["sk"])
+    twice = merge_upsert(once, inc, ["k"], preserve=["sk"])
+
+    def img(df):
+        return sorted((r.k, r.v, r.sk) for r in df.collect())
+
+    assert img(once) == img(twice)  # idempotent
+    keys = [r.k for r in once.select("k").collect()]
+    assert len(keys) == len(set(keys))  # key-unique
+    # matched rows keep the existing surrogate key
+    for k, v, sk in img(once):
+        if k in existing:
+            assert sk == 1000 + k
+        else:
+            assert sk == -1
+        assert v == (incoming[k] if k in incoming else existing[k])
+
+
+@PROP
+@given(
+    batches=st.lists(
+        st.dictionaries(_key, st.sampled_from(["a", "b", "c"]), max_size=4),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_single_current_version_per_key(spark, batches):
+    from _event_intelligence_data_warehouse_spark.operators.scd2 import (
+        scd2_apply,
+    )
+
+    schema = (
+        "venue_sk long, nk string, attr string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean"
+    )
+    table = spark.createDataFrame([], schema)
+    for i, batch in enumerate(batches):
+        inc = spark.createDataFrame(
+            [(str(k), v) for k, v in batch.items()], "nk string, attr string"
+        )
+        ts = F.lit(f"2026-01-{i + 1:02d} 00:00:00").cast("timestamp")
+        table = scd2_apply(
+            table,
+            inc,
+            nk="nk",
+            attrs=["attr"],
+            sk_col="venue_sk",
+            effective_ts=ts,
+        ).localCheckpoint()
+
+    rows = table.collect()
+    seen_keys = {str(k) for b in batches for k in b}
+    current = [r for r in rows if r.is_current]
+    # exactly one current version per ever-seen key
+    assert sorted(r.nk for r in current) == sorted(seen_keys)
+    # closed versions all carry a close timestamp; current ones never do
+    for r in rows:
+        assert (r.valid_to is None) == bool(r.is_current)
+    # the current attr equals the last batch value that mentioned the key
+    last = {}
+    for b in batches:
+        for k, v in b.items():
+            last[str(k)] = v
+    assert {r.nk: r.attr for r in current} == last
