@@ -260,10 +260,17 @@ def connected_components(
     ).localCheckpoint()
     prev_sum = None
     for _ in range(max_iter):
+        # labels is vertex-sized (≪ edges); broadcasting it keeps the
+        # edge table from shuffling every round — the per-iteration cost
+        # drops to one scan of sym + a map-side join. For vertex sets too
+        # large to broadcast, drop the hint and pre-partition sym by dst
+        # once so the per-round shuffle hits only the label side.
         neigh = (
             sym.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"), "component_id"
+                F.broadcast(
+                    labels.select(
+                        F.col("doc_id").alias("dst"), "component_id"
+                    )
                 ),
                 "dst",
             )
