@@ -11,7 +11,7 @@ verbatim in the oracle CTEs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _event_intelligence_data_warehouse_spark.contract import load, query
@@ -1079,4 +1079,86 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("quality_score").cast("decimal(10,4)")).cast("double")
             / F.count("*")
         ).alias("avg_quality"),
+    )
+
+
+@query(
+    "knn_label_prediction",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               label AS true_label
+        FROM embeddings WHERE vec_id % 40 = 0
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+               label
+        FROM embeddings
+    ), topk AS (
+        SELECT query_id, true_label, label, neighbor_id FROM (
+            SELECT query_id, true_label, c.label, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY {_COS} DESC, neighbor_id)
+                       AS rank
+            FROM c CROSS JOIN q
+            WHERE query_id <> neighbor_id
+        ) WHERE rank <= 5
+    ), votes AS (
+        SELECT query_id, true_label, label,
+               COUNT(*) AS n_votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY COUNT(*) DESC, label)
+                   AS vote_rank
+        FROM topk
+        GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(label AS BIGINT) AS predicted_label,
+           n_votes
+    FROM votes WHERE vote_rank = 1
+    """,
+)
+def knn_label_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification by retrieval: majority label of the exact top-5
+    cosine neighbors per sampled query vector (deterministic tie-break:
+    most votes, then smallest label). Composes the ANN operator with a
+    vote aggregate — the standard kNN eval/labeling pass of an embedding
+    pipeline. Output is ids/labels/counts only (no floats)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 40 == 0)
+    topk = sim.brute_force_topk(emb, queries_df, k=5)
+    labeled = (
+        topk.join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries_df.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("true_label"),
+                )
+            ),
+            "query_id",
+        )
+    )
+    votes = labeled.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vote_rank", F.row_number().over(w))
+        .filter(F.col("vote_rank") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("predicted_label"),
+            "n_votes",
+        )
     )
