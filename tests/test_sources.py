@@ -115,3 +115,39 @@ def test_bronze_dedup_on_write(spark, warehouse):
     runs = bronze.current_runs(warehouse).collect()
     assert len(runs) == 2
     assert all(r.status == "success" for r in runs)
+
+
+def test_bronze_lands_batches_with_schema_drift(spark, warehouse):
+    """Landing tolerates source schema drift: missing columns land as
+    NULL, unknown extra columns are dropped, and the bronze schema stays
+    fixed — the contract that keeps a long-lived 100 TB landing table
+    stable while upstream feeds evolve."""
+    from _event_intelligence_data_warehouse_spark.sources import bronze
+    from _event_intelligence_data_warehouse_spark import schemas
+
+    # minimal batch: only ids and names (everything else missing)
+    small = spark.createDataFrame(
+        [("D1", "Concert A"), ("D2", "Concert B")],
+        "event_id string, event_name string",
+    )
+    r1 = bronze.land_batch(warehouse, small, source="drifty")
+    assert r1["records_loaded"] == 2
+
+    # wider batch: adds an unknown column and overlaps one id
+    wide = spark.createDataFrame(
+        [("D2", "Concert B", "junk"), ("D3", "Concert C", "junk")],
+        "event_id string, event_name string, not_a_raw_column string",
+    )
+    r2 = bronze.land_batch(warehouse, wide, source="drifty")
+    assert r2["records_loaded"] == 1  # D2 deduped on write
+
+    landed = warehouse.read(bronze.RAW_TABLE, schemas.RAW_EVENTS)
+    rows = {r.raw_event_id: r for r in landed.collect()}
+    assert set(rows) == {"D1", "D2", "D3"}
+    assert "not_a_raw_column" not in landed.columns
+    assert [f.name for f in landed.schema.fields] == [
+        f.name for f in schemas.RAW_EVENTS.fields
+    ]
+    # missing columns landed as NULLs, present ones kept
+    assert rows["D1"].event_name == "Concert A"
+    assert rows["D1"].venue_city is None and rows["D1"].price_min is None
