@@ -376,3 +376,74 @@ def agg_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+               MIN(CASE WHEN event_type = 'click'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+        FROM events
+        GROUP BY user_id
+    ), staged AS (
+        SELECT user_id,
+               first_view IS NOT NULL AS s1,
+               first_view IS NOT NULL AND first_click > first_view AS s2,
+               first_view IS NOT NULL AND first_click > first_view
+                   AND first_purchase > first_click AS s3
+        FROM firsts
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(*) FILTER (WHERE s1) AS viewed,
+           COUNT(*) FILTER (WHERE s2) AS viewed_then_clicked,
+           COUNT(*) FILTER (WHERE s3) AS full_funnel,
+           CAST(ROUND(CAST(100.0 * COUNT(*) FILTER (WHERE s3)
+                AS DECIMAL(18,4))
+                / nullif(COUNT(*) FILTER (WHERE s1), 0), 2) AS DOUBLE)
+               AS conversion_pct
+    FROM staged
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase) per user: one
+    conditional-MIN aggregate per stage (a single groupBy over events —
+    no self-joins, no window over raw events), then a one-row summary
+    with the strict event-order predicate. The standard event-analytics
+    conversion query, linear in events at any scale."""
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    s1 = F.col("first_view").isNotNull()
+    s2 = s1 & (F.col("first_click") > F.col("first_view"))
+    s3 = s2 & (F.col("first_purchase") > F.col("first_click"))
+    staged = firsts.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    full = F.count_if(F.col("s3"))
+    viewed = F.count_if(F.col("s1"))
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        viewed.alias("viewed"),
+        F.count_if(F.col("s2")).alias("viewed_then_clicked"),
+        full.alias("full_funnel"),
+        F.round(
+            (F.lit(100.0) * full).cast("decimal(18,4)")
+            / F.nullif(viewed, F.lit(0)),
+            2,
+        )
+        .cast("double")
+        .alias("conversion_pct"),
+    )
