@@ -1162,3 +1162,40 @@ def knn_label_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+@query(
+    "streaming_purchase_attribution",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND v.view_ts < p.purchase_ts
+     AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (purchase -> preceding views within
+    1 h, per user) drained with Trigger.AvailableNow. Watermarks + the
+    time-range condition bound the join state; the wide watermark means
+    nothing evicts early, so the streamed result must equal the batch
+    interval join — which is what the DuckDB oracle computes."""
+    import tempfile
+
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="eidw_ssj_")
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = jobs.read_event_stream(spark, src)
+    joined = jobs.purchase_attribution_stream(stream)
+    jobs.run_available_now(stream, joined, out, ckpt)
+    return spark.read.parquet(out)

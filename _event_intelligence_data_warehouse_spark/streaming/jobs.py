@@ -73,3 +73,48 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_attribution_stream(
+    events: DataFrame, *, horizon: str = "1 hour", watermark: str = "30 days"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the same
+    user's views in the preceding ``horizon``. Both sides carry
+    watermarks plus the time-range join condition, which is what lets the
+    engine BOUND the join state (view state older than horizon + slack is
+    evicted) — the property a naive unbounded stream join lacks. The
+    generous default watermark makes the drained AvailableNow result
+    equal to the batch interval join (nothing evicted early), which is
+    exactly what the oracle checks."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(
+            f"INTERVAL {horizon}"
+        ))
+    )
+    return views.join(purchases, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+    )
