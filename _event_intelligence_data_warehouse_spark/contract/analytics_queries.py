@@ -447,3 +447,45 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("conversion_pct"),
     )
+
+
+@query(
+    "window_rank_family",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, event_type, n_events,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY n_events DESC, day)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (rank / dense_rank / ntile /
+    percent_rank — SURVEY §2.8 'built-in when needed') over the daily
+    per-type event counts. One window per partition key; percent_rank's
+    (r-1)/(n-1) division of ints is bit-identical across engines."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("day")
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+    )
