@@ -51,6 +51,29 @@ _NS_TS_COLS = {
 }
 
 
+def staging_dir(name: str, sf_dir: str) -> str:
+    """Fixed per-(query, sf) scratch dir for streaming contract queries.
+
+    Wiped on entry and (best-effort) at interpreter exit, so repeated
+    bench/oracle/sweep runs reuse one path instead of leaking a fresh
+    mkdtemp per invocation (round-1 ADVICE)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "eidw_staging")
+    base = os.path.join(
+        root, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    if not getattr(staging_dir, "_atexit_registered", False):
+        staging_dir._atexit_registered = True
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return base
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")

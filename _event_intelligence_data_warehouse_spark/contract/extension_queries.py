@@ -649,18 +649,73 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal + stateful streaming (no SQL-expressible oracle: the first is
-# a mapInPandas codec pipeline, the second arbitrary-state streaming — the
-# driver records rows-only checks for these)
+# Multimodal + stateful streaming. Both are oracle-checked despite being
+# Pandas-UDF / arbitrary-state operators: the fake codec is deterministic
+# md5-byte arithmetic (payload = md5 digest repeated, so the 16-bucket
+# histogram features are exact dyadic rationals count/16 — bit-identical
+# across engines), and the stateful sessionizer drains a single sorted
+# batch whose gap/timeout semantics are pure SQL over the batch sessions.
 # ---------------------------------------------------------------------------
 
-@query("multimodal_media_features")
+@query(
+    "multimodal_media_features",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+    d AS (
+        SELECT i, md5('media' || CAST(i AS VARCHAR)) AS h,
+               CAST(512 + (i % 7) * 64 AS BIGINT) AS n_bytes
+        FROM ids
+    ),
+    bytes AS (
+        SELECT d.i,
+               CAST(('0x' || substr(d.h, 2 * js.j + 1, 2)) AS INTEGER) AS byte
+        FROM d CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+    ),
+    feat AS (
+        SELECT i, byte // 16 AS bucket, CAST(COUNT(*) AS DOUBLE) / 16 AS f
+        FROM bytes GROUP BY 1, 2
+    ),
+    norms AS (SELECT i, sqrt(SUM(f * f)) AS nrm FROM feat GROUP BY i),
+    sims AS (
+        SELECT a.i AS qi, b.i AS ni,
+               SUM(a.f * b.f) / (MAX(na.nrm) * MAX(nb.nrm)) AS sim
+        FROM feat a
+        JOIN feat b ON a.bucket = b.bucket AND a.i != b.i
+        JOIN norms na ON na.i = a.i
+        JOIN norms nb ON nb.i = b.i
+        GROUP BY a.i, b.i
+    ),
+    top1 AS (
+        SELECT qi, ni,
+               row_number() OVER (PARTITION BY qi ORDER BY sim DESC, ni)
+                   AS rk
+        FROM sims
+    )
+    SELECT d.i AS media_id,
+           'image' AS kind,
+           CAST(32 + d.i % 16 AS BIGINT) AS width,
+           CAST(24 + d.i % 9 AS BIGINT) AS height,
+           d.n_bytes,
+           CAST(ROUND(CAST(fs.s AS DECIMAL(10,6)), 4) AS DOUBLE)
+               AS feature_sum,
+           t.ni AS nearest_media_id
+    FROM d
+    JOIN (SELECT i, SUM(f) AS s FROM feat GROUP BY i) fs ON fs.i = d.i
+    JOIN top1 t ON t.qi = d.i AND t.rk = 1
+    ORDER BY media_id
+    """,
+)
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media -> decoded metadata + fixed-width feature vectors via
     Arrow-batched mapInPandas (deterministic fake codec; swap one inner
     function for PIL/ffmpeg in production). Returns per-media feature
     summary plus its exact top-1 feature neighbor, proving the features
-    feed the similarity operators unchanged."""
+    feed the similarity operators unchanged.
+
+    Oracle-checkable because the fake decoder is closed-form: the payload
+    is the 16-byte md5 digest of ``media{i}`` repeated N/16 times, so the
+    byte histogram reduces to digest_bucket_count/16 — exact in float32
+    and double, hence the cosine top-1 is engine-independent."""
     from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
 
     media = mm.synthetic_media(spark, 64)
@@ -677,8 +732,8 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "media_id",
             "kind",
-            "width",
-            "height",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
             "n_bytes",
             F.round(F.aggregate(
                 F.transform("features", lambda x: x.cast("double")),
@@ -691,21 +746,74 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_stateful_sessions")
+@query(
+    "streaming_stateful_sessions",
+    """
+    WITH ordered AS (
+        SELECT user_id,
+               CAST(ts AS TIMESTAMP) AS tts,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN us - prev_us > 1800000000 THEN 1 ELSE 0 END
+                      AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                         ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, seq,
+               MIN(tts) AS session_start,
+               MAX(tts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(us) AS last_us
+        FROM sessions GROUP BY user_id, seq
+    ), wm AS (
+        SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) - 1800000
+                   AS wm_ms
+        FROM events
+    ), labeled AS (
+        SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+               CASE WHEN seq < MAX(seq) OVER (PARTITION BY s.user_id)
+                        THEN 'gap'
+                    WHEN last_us // 1000 + 1800000 < (SELECT wm_ms FROM wm)
+                        THEN 'timeout'
+               END AS close_reason
+        FROM sess s
+    )
+    SELECT user_id, session_start, session_end, n_events, close_reason
+    FROM labeled WHERE close_reason IS NOT NULL
+    """,
+)
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-sessionization as a *stateful streaming* operator
     (applyInPandasWithState + event-time timeout), drained with
     Trigger.AvailableNow over the events table staged as a file stream.
-    Watermark semantics: only sessions closed by a gap or by the final
-    watermark emit — inherently more conservative than the batch
-    sessionizer (window_sessionize), which is its oracle-checked twin."""
-    import tempfile
 
+    Oracle-checked: the input is staged as ONE ts-sorted file so exactly
+    one data batch runs (watermark 0 — nothing late-dropped), then the
+    follow-up batch fires event-time timeouts at the final watermark
+    (max ts - 30 min). That makes the emitted set pure SQL over the batch
+    sessions: every non-trailing session closes with 'gap'; a user's
+    trailing session emits 'timeout' iff last_ms + gap < watermark_ms
+    (strict <, Spark's timeout predicate). The gap test is microsecond-
+    exact, matching the operator (the batch twin window_sessionize
+    compares second-truncated — a deliberately different contract)."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
     from _event_intelligence_data_warehouse_spark.streaming import stateful
 
-    tmp = tempfile.mkdtemp(prefix="eidw_stateful_")
+    tmp = staging_dir("stateful_sessions", sf_dir)
     src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    (
+        load(spark, sf_dir, "events")
+        .repartition(1)
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
     stateful.run_stateful_sessionize(spark, src, out, ckpt, gap_minutes=30)
     sessions = spark.read.parquet(out)
     return sessions.select(
@@ -841,7 +949,7 @@ def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS session_seq
         FROM flagged
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
@@ -1188,11 +1296,10 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     time-range condition bound the join state; the wide watermark means
     nothing evicts early, so the streamed result must equal the batch
     interval join — which is what the DuckDB oracle computes."""
-    import tempfile
-
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
     from _event_intelligence_data_warehouse_spark.streaming import jobs
 
-    tmp = tempfile.mkdtemp(prefix="eidw_ssj_")
+    tmp = staging_dir("purchase_attribution", sf_dir)
     src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
     load(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     stream = jobs.read_event_stream(spark, src)

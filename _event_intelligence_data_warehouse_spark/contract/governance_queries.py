@@ -123,10 +123,10 @@ _FIVE_CHECKS_SQL = (
 ), c4 AS (
     SELECT 'duplicate_event_ids' AS check_name, 'raw_events' AS table_name,
            (SELECT COUNT(*) FROM dirty) AS records_checked,
-           coalesce((SELECT SUM(cnt - 1)
-                     FROM (SELECT COUNT(*) AS cnt FROM dirty
-                           GROUP BY source, raw_event_id)
-                     WHERE cnt > 1), 0) AS records_failed
+           CAST(coalesce((SELECT SUM(cnt - 1)
+                          FROM (SELECT COUNT(*) AS cnt FROM dirty
+                                GROUP BY source, raw_event_id)
+                          WHERE cnt > 1), 0) AS BIGINT) AS records_failed
 ), fact AS (
     SELECT dd.date_id,
            CASE WHEN dv.venue_sk % 5 = 0 THEN NULL
@@ -301,7 +301,7 @@ def _synth_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS total_runs,
            COUNT(*) FILTER (WHERE status = 'success') AS successful_runs,
            COUNT(*) FILTER (WHERE status = 'failed') AS failed_runs,
-           SUM(records_loaded) AS total_records_loaded,
+           CAST(SUM(records_loaded) AS BIGINT) AS total_records_loaded,
            CAST(SUM(epoch_us(finished_at) // 1000000
                     - epoch_us(started_at) // 1000000) AS DOUBLE)
                / COUNT(*) AS avg_duration_seconds

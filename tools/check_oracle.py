@@ -36,7 +36,10 @@ def canon(v) -> str:
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        # Render natively (scale-preserving). Collapsing to float here hid
+        # exactly the decimal-vs-double drift the driver's hash is sensitive
+        # to (round-1 driver-red on 3 queries that were locally green).
+        return "dec:" + str(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -96,9 +99,37 @@ def main() -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            otypes = {
+                r[0]: r[1]
+                for r in con.execute("DESCRIBE " + oracles[name]).fetchall()
+            }
         except Exception as exc:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+
+        # Type-parity audit. The driver's comparator goes through pandas,
+        # where DuckDB HUGEINT (bare SUM of integers) lands as float64 while
+        # Spark's bigint stays int64 -> value-hash mismatch the raw fetchall
+        # path cannot see (round-1 driver-red trio). DECIMAL-vs-double is the
+        # same trap via scale-preserving rendering.
+        sdtypes = dict(sdf.dtypes)
+        drift = []
+        for c in scols:
+            ot, st = otypes.get(c, ""), sdtypes.get(c, "")
+            if ot in ("HUGEINT", "INT128", "UHUGEINT") and st != "double":
+                drift.append(f"{c}: oracle {ot} vs spark {st} (CAST the SQL to BIGINT)")
+            elif ot.startswith("DECIMAL") and not st.startswith("decimal"):
+                drift.append(f"{c}: oracle {ot} vs spark {st} (CAST one side)")
+            elif st.startswith("decimal") and not ot.startswith("DECIMAL"):
+                drift.append(f"{c}: oracle {ot} vs spark {st} (CAST one side)")
+            elif ot in ("FLOAT", "REAL") and st == "double":
+                drift.append(f"{c}: oracle {ot} vs spark {st} (CAST to DOUBLE)")
+        if drift:
+            failures.append(name)
+            print(f"FAIL {name}: type drift (driver-pandas-visible):")
+            for d in drift:
+                print(f"   {d}")
             continue
 
         if sorted(scols) != sorted(ocols):
