@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from _event_intelligence_data_warehouse_spark import cache
 from _event_intelligence_data_warehouse_spark.contract import load, query
 from _event_intelligence_data_warehouse_spark.contract.warehouse_queries import (
     _FACT_CTE,
@@ -201,7 +202,7 @@ def quality_five_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the FK columns FIRST — persisting the full fact would cache 15
     # columns where the orphan check reads 4 (persist is a pruning
     # barrier).
-    fact = (
+    fact = cache.persist(
         fact_build_star(spark, sf_dir)
         .select("date_id", "venue_sk", "category_sk", "source_sk")
         .withColumn(
@@ -210,7 +211,6 @@ def quality_five_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("venue_sk")
             ),
         )
-        .persist()
     )
     dims = {
         "dim_date": fact.select("date_id").filter(F.col("date_id").isNotNull()),

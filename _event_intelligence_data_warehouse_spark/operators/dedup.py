@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from _event_intelligence_data_warehouse_spark import cache
 from _event_intelligence_data_warehouse_spark.operators.text import (
     fingerprint,
     normalized_text,
@@ -218,7 +219,7 @@ def minhash_dedup(
     # (de)serialization costs more than recomputing the tokenize
     # projection inside codegen for the verify join.
     sets_ = doc_token_sets(df, text_col, id_col)
-    sigs = minhash_signatures(sets_).persist()
+    sigs = cache.persist(minhash_signatures(sets_))
     cands = minhash_lsh_candidates(
         sigs, bands=bands or bands_for_threshold(threshold)
     )
@@ -237,6 +238,8 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    broadcast_labels: bool | None = None,
+    broadcast_max_vertices: int = 5_000_000,
 ) -> DataFrame:
     """Canonical duplicate-group mapping: (doc_id, component_id) where
     component_id = min id reachable through the near-dup pair graph —
@@ -248,32 +251,50 @@ def connected_components(
     per round, converging in O(graph diameter) rounds (dup clusters are
     near-cliques, so typically 2-3). Lineage is truncated per round with
     localCheckpoint, and the exact fixpoint is detected via the
-    monotonically decreasing label sum (an O(1)-row action)."""
+    monotonically decreasing label sum (an O(1)-row action).
+
+    Two physical strategies for the per-round edge-label join:
+
+    - ``broadcast_labels=True`` — broadcast the vertex-sized label frame
+      so the (much larger) edge table never shuffles; per-round cost is
+      one edge scan + map-side join. Measured 24 s -> ~15 s at sf0.1.
+    - ``broadcast_labels=False`` — the 100x-scale path: hash-partition
+      the symmetrized edges by dst ONCE (preserved through
+      localCheckpoint), so each round shuffles only the label side into
+      that partitioning. No executor ever holds the full label set.
+
+    ``None`` (default) auto-selects: broadcast only while the vertex
+    count is at most ``broadcast_max_vertices`` (5M labels x 16 B/row
+    ~ 80 MB serialized — comfortably inside executor memory; beyond
+    that an unconditional hint would OOM where the shuffle path works).
+    """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    )
     labels = vertices.select(
         F.col(id_col).alias("doc_id"), F.col(id_col).alias("component_id")
     ).localCheckpoint()
+    if broadcast_labels is None:
+        broadcast_labels = labels.count() <= broadcast_max_vertices
+    if broadcast_labels:
+        sym = sym.localCheckpoint()
+    else:
+        # One-time co-location: every round's join then reuses this
+        # partitioning (localCheckpoint preserves outputPartitioning),
+        # so only the vertex-sized label frame moves per iteration.
+        sym = sym.repartition(F.col("dst")).localCheckpoint()
     prev_sum = None
     for _ in range(max_iter):
-        # labels is vertex-sized (≪ edges); broadcasting it keeps the
-        # edge table from shuffling every round — the per-iteration cost
-        # drops to one scan of sym + a map-side join. For vertex sets too
-        # large to broadcast, drop the hint and pre-partition sym by dst
-        # once so the per-round shuffle hits only the label side.
+        lbl_by_dst = labels.select(
+            F.col("doc_id").alias("dst"), "component_id"
+        )
+        if broadcast_labels:
+            lbl_by_dst = F.broadcast(lbl_by_dst)
         neigh = (
-            sym.join(
-                F.broadcast(
-                    labels.select(
-                        F.col("doc_id").alias("dst"), "component_id"
-                    )
-                ),
-                "dst",
-            )
+            sym.join(lbl_by_dst, "dst")
             .groupBy("src")
             .agg(F.min("component_id").alias("neigh_comp"))
             .withColumnRenamed("src", "doc_id")
@@ -478,7 +499,20 @@ def _bitmap_scored_candidates(
     )
 
 
-def _bitmap_jaccard_pairs(gsets: DataFrame, threshold: float) -> DataFrame:
+# Broadcasting the packed corpus is only safe while it is genuinely
+# small: 200k docs x ~(8*words + 24) B ≈ 110 MB at the 4096-gram maximum
+# (words=64) — inside executor memory and far under Spark's 8 GB
+# broadcast ceiling. Bigger corpora take the blocked shuffle path.
+BITMAP_BROADCAST_MAX_DOCS = 200_000
+
+
+def _bitmap_jaccard_pairs(
+    gsets: DataFrame,
+    threshold: float,
+    *,
+    broadcast_max_docs: int = BITMAP_BROADCAST_MAX_DOCS,
+    n_blocks: int | None = None,
+) -> DataFrame:
     """All-pairs n-gram Jaccard for DENSE gram universes (≤ 4096 distinct
     grams): map grams to dense bit positions via a broadcast dictionary,
     pack each document's gram set into ceil(U/64) longs, and score pairs
@@ -486,21 +520,77 @@ def _bitmap_jaccard_pairs(gsets: DataFrame, threshold: float) -> DataFrame:
     prefix-filtered plan. On corpora where the vocabulary saturates, the
     candidate set is inherently ~quadratic (most pairs really do share
     grams), so the win is a near-optimal constant factor per pair, plus a
-    size-ratio prune evaluated before the popcount. The small side is
-    broadcast; for corpora too large for that, block the build side into
-    broadcastable chunks (same plan per block)."""
+    size-ratio prune evaluated before the popcount.
+
+    Physical strategy by corpus size (counted on the packed frame):
+
+    - ``n <= broadcast_max_docs``: broadcast the build side — one pass
+      over the probe side, zero shuffle.
+    - larger: BLOCKED self-join, no broadcast anywhere. Docs hash into
+      ``n_blocks`` blocks; side A replicates each row to block pairs
+      (i, j>=i), side B to (i<=j, j), and an equi-join on the block-pair
+      key yields each unordered pair exactly once (diagonal pairs also
+      require doc_a < doc_b). Replication costs ~n_blocks/2 copies per
+      row — asymptotically dominated by the ~n²/2 pair outputs this
+      regime produces anyway — and per-task state is one block pair
+      (~n/n_blocks rows per side), so no executor ever materializes the
+      corpus. Output pairs are normalized to doc_a < doc_b (Jaccard is
+      symmetric), keeping results identical to the broadcast plan.
+    """
     bitmaps, words = _bitmap_sets(gsets, set_col="grams")
     a, b = _packed_sides(bitmaps, words)
     t = F.lit(threshold)
-    return (
-        a.join(
-            F.broadcast(b),
-            (F.col("doc_a") < F.col("doc_b"))
-            & (t * F.col("sz_a") <= F.col("sz_b"))
-            & (t * F.col("sz_b") <= F.col("sz_a")),
+    size_ok = (t * F.col("sz_a") <= F.col("sz_b")) & (
+        t * F.col("sz_b") <= F.col("sz_a")
+    )
+    n_docs = bitmaps.count()
+    if n_docs <= broadcast_max_docs:
+        return (
+            a.join(
+                F.broadcast(b),
+                (F.col("doc_a") < F.col("doc_b")) & size_ok,
+            )
+            .select("doc_a", "doc_b", _packed_jaccard(words))
+            .filter(F.col("jaccard") >= threshold)
         )
-        .select("doc_a", "doc_b", _packed_jaccard(words))
-        .filter(F.col("jaccard") >= threshold)
+
+    nb = n_blocks or max(2, (n_docs + broadcast_max_docs // 2 - 1)
+                         // (broadcast_max_docs // 2))
+    # pmod, not abs(hash) % nb: abs(Integer.MIN_VALUE) overflows negative.
+    a2 = a.withColumn("blk_a", F.pmod(F.hash("doc_a"), F.lit(nb))).withColumn(
+        "pk",
+        F.explode(
+            F.expr(f"transform(sequence(blk_a, {nb - 1}),"
+                   f" j -> blk_a * {nb} + j)")
+        ),
+    )
+    b2 = b.withColumn("blk_b", F.pmod(F.hash("doc_b"), F.lit(nb))).withColumn(
+        "pk",
+        F.explode(
+            F.expr(f"transform(sequence(0, blk_b),"
+                   f" i -> i * {nb} + blk_b)")
+        ),
+    )
+    pairs = a2.join(b2, "pk").filter(
+        (
+            (F.col("blk_a") < F.col("blk_b"))
+            | ((F.col("blk_a") == F.col("blk_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        )
+        & size_ok
+    )
+    scored = pairs.select(
+        F.least("doc_a", "doc_b").alias("doc_a_n"),
+        F.greatest("doc_a", "doc_b").alias("doc_b_n"),
+        _packed_jaccard(words),
+    )
+    return (
+        scored.filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a_n").alias("doc_a"),
+            F.col("doc_b_n").alias("doc_b"),
+            "jaccard",
+        )
     )
 
 
@@ -526,7 +616,7 @@ def ngram_jaccard_pairs(
     # gram sets feed the inverted index, the df-ordering, and both verify
     # joins — persist the one expensive projection instead of recomputing
     # the n-gram hashing four times.
-    gsets = char_ngram_sets(df, n, text_col, id_col, hashed=True).persist()
+    gsets = cache.persist(char_ngram_sets(df, n, text_col, id_col, hashed=True))
     # Adaptive physical strategy: probe the gram-universe size (HLL — no
     # distinct shuffle). A small universe means every gram is hot, the
     # prefix filter cannot discriminate, and candidate generation

@@ -69,6 +69,8 @@ def main() -> None:
             "noop"
         ).save()
 
+    from _event_intelligence_data_warehouse_spark import cache
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -76,6 +78,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = round(time.time() - t0, 3)
+        # Free operator-owned caches so one query's persisted
+        # intermediates can't pressure (or warm) the next one's timing.
+        cache.release_all()
         timings[name] = dt
         total += dt
 

@@ -1,0 +1,118 @@
+"""Scale-fallback regression tests: the non-broadcast paths that round 1
+documented but did not implement must (a) exist, (b) produce results
+identical to their broadcast twins, and (c) actually avoid broadcasting
+corpus-sized frames (asserted on the executed plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.operators import dedup
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _dense_docs(spark, n: int = 40):
+    """Docs over a 3-letter alphabet: <= 27 distinct 3-grams, far under
+    DENSE_UNIVERSE_MAX, so ngram_jaccard auto-routes to the bitmap path."""
+    alphabet = "abc"
+    rows = []
+    for i in range(n):
+        # deterministic pseudo-text with overlapping gram sets
+        s = "".join(alphabet[(i * 7 + j * j) % 3] for j in range(12 + i % 5))
+        rows.append((i, s))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bitmap_jaccard_blocked_matches_broadcast(spark):
+    docs = _dense_docs(spark)
+    gsets = dedup.char_ngram_sets(docs, 3, "text", "doc_id", hashed=True)
+
+    bcast = dedup._bitmap_jaccard_pairs(gsets, 0.3)
+    blocked = dedup._bitmap_jaccard_pairs(
+        gsets, 0.3, broadcast_max_docs=10
+    )
+
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    b_rows = sorted(bcast.collect(), key=key)
+    s_rows = sorted(blocked.collect(), key=key)
+    assert b_rows == s_rows, "blocked plan changed the pair results"
+    assert len(b_rows) > 0, "test corpus produced no pairs — not probative"
+
+    # The blocked plan must join via the block-pair shuffle key, and the
+    # only broadcast allowed is the tiny gram-position dictionary (its
+    # build side carries the dictionary's idx column, never packed words).
+    plan = _plan(blocked)
+    assert "hashpartitioning(pk" in plan, (
+        "blocked path did not shuffle on the block-pair key"
+    )
+    for section in plan.split("BroadcastExchange")[1:]:
+        head = section.splitlines()[0]
+        assert "w0" not in head and "sz" not in head, (
+            "a packed corpus frame is still broadcast in the blocked plan"
+        )
+
+
+def test_bitmap_jaccard_self_and_duplicate_pairs_excluded(spark):
+    docs = _dense_docs(spark, 25)
+    gsets = dedup.char_ngram_sets(docs, 3, "text", "doc_id", hashed=True)
+    rows = dedup._bitmap_jaccard_pairs(
+        gsets, 0.3, broadcast_max_docs=5
+    ).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"], "pair not normalized to a < b"
+        pair = (r["doc_a"], r["doc_b"])
+        assert pair not in seen, f"duplicate pair {pair}"
+        seen.add(pair)
+
+
+def _toy_graph(spark):
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    # components: {0,1,2,3} (chain), {4,5,6} (triangle), {7}, {8,9}, {10,11}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (8, 9), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    return vertices, edges
+
+
+def test_connected_components_shuffle_path_matches_broadcast(spark):
+    vertices, edges = _toy_graph(spark)
+    by_id = lambda r: r["doc_id"]
+    bcast = sorted(
+        dedup.connected_components(
+            vertices, edges, broadcast_labels=True
+        ).collect(),
+        key=by_id,
+    )
+    shuffled = sorted(
+        dedup.connected_components(
+            vertices, edges, broadcast_labels=False
+        ).collect(),
+        key=by_id,
+    )
+    assert bcast == shuffled, "non-broadcast CC diverged from broadcast CC"
+    comp = {r["doc_id"]: r["component_id"] for r in bcast}
+    assert comp[3] == 0 and comp[6] == 4 and comp[7] == 7
+    assert comp[9] == 8 and comp[11] == 10
+
+
+def test_connected_components_auto_threshold_disables_broadcast(spark):
+    vertices, edges = _toy_graph(spark)
+    # With the threshold below the vertex count, auto mode must take the
+    # shuffle path and still converge to the same labels.
+    out = sorted(
+        dedup.connected_components(
+            vertices, edges, broadcast_max_vertices=4
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    comp = {r["doc_id"]: r["component_id"] for r in out}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7,
+                    8: 8, 9: 8, 10: 10, 11: 10}

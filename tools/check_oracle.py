@@ -91,6 +91,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        finally:
+            from _event_intelligence_data_warehouse_spark import cache
+
+            cache.release_all()
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
