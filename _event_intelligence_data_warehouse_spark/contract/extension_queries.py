@@ -590,12 +590,73 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF similarity (second ANN path)
 # ---------------------------------------------------------------------------
 
-_IVF_CELLS_CTE = """
+# Two unrolled Lloyd rounds over integer-snapped vectors (mirrors
+# operators.similarity.kmeans_centroids exactly): assignment = argmax
+# cosine with (sim DESC, cell) tie-break; new centroid = component-wise
+# BIGINT sum of members (exact, order-free; cosine is scale-invariant so
+# the un-divided sum ranks like the mean); empty cells carry forward.
+_IVF_TRAIN_CTE = """
 WITH vecs AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ivecs AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x * 1000000 + 0.5)
+                                       AS BIGINT)) AS iv
+    FROM vecs
+), ix AS (
+    SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE)) AS xd
+    FROM ivecs
+), iexp AS (
+    SELECT vec_id, unnest(iv) AS val,
+           unnest(generate_series(1, len(iv))) AS pos
+    FROM ivecs
+), seed AS (
+    SELECT vec_id AS cell, xd AS cw FROM ix WHERE vec_id % 50 = 0
+), a1 AS (
+    SELECT vec_id, cell FROM (
+        SELECT x.vec_id, c.cell,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                   list_dot_product(x.xd, c.cw)
+                       / (sqrt(list_dot_product(x.xd, x.xd))
+                          * sqrt(list_dot_product(c.cw, c.cw))) DESC,
+                   c.cell) AS rk
+        FROM ix x CROSS JOIN seed c
+    ) WHERE rk = 1
+), s1 AS (
+    SELECT a1.cell, iexp.pos, SUM(iexp.val) AS sx
+    FROM a1 JOIN iexp USING (vec_id)
+    GROUP BY a1.cell, iexp.pos
+), cent1 AS (
+    SELECT s.cell, coalesce(l.cw2, s.cw) AS cw
+    FROM seed s LEFT JOIN (
+        SELECT cell, list(CAST(sx AS DOUBLE) ORDER BY pos) AS cw2
+        FROM s1 GROUP BY cell
+    ) l USING (cell)
+), a2 AS (
+    SELECT vec_id, cell FROM (
+        SELECT x.vec_id, c.cell,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                   list_dot_product(x.xd, c.cw)
+                       / (sqrt(list_dot_product(x.xd, x.xd))
+                          * sqrt(list_dot_product(c.cw, c.cw))) DESC,
+                   c.cell) AS rk
+        FROM ix x CROSS JOIN cent1 c
+    ) WHERE rk = 1
+), s2 AS (
+    SELECT a2.cell, iexp.pos, SUM(iexp.val) AS sx
+    FROM a2 JOIN iexp USING (vec_id)
+    GROUP BY a2.cell, iexp.pos
 ), cents AS (
-    SELECT vec_id AS cell, v AS centroid FROM vecs WHERE vec_id % 50 = 0
-), cell_scores AS (
+    SELECT s.cell, coalesce(l.cw2, s.cw) AS centroid
+    FROM cent1 s LEFT JOIN (
+        SELECT cell, list(CAST(sx AS DOUBLE) ORDER BY pos) AS cw2
+        FROM s2 GROUP BY cell
+    ) l USING (cell)
+)
+"""
+
+_IVF_CELLS_CTE = _IVF_TRAIN_CTE + """
+, cell_scores AS (
     SELECT x.vec_id, c.cell,
            list_dot_product(x.v, c.centroid)
                / (sqrt(list_dot_product(x.v, x.v))

@@ -185,24 +185,112 @@ def lsh_topk(
     )
 
 
+QUANT_SCALE = 1_000_000
+
+
+def _int_vec(c: Column | str, scale: int = QUANT_SCALE) -> Column:
+    """Snap each component to an integer: floor(x*scale + 0.5) over the
+    float->double widening. Pure IEEE double ops, so the snapped values
+    are bit-identical on every engine — the property that lets k-means
+    TRAINING be cross-checked by the DuckDB oracle (decimal casts would
+    hit engine-specific midpoint rounding instead)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(
+        c,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("bigint"),
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    cell_stride: int = 50,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seeded, fixed-iteration Lloyd k-means -> (cell, centroid) with
+    ``centroid: array<double>``.
+
+    Deterministic and oracle-checkable by construction:
+
+    - seeds are the ``vec_id % cell_stride == 0`` sample (cell keeps the
+      seed's id), so K and the init need no RNG state;
+    - vectors are integer-snapped (:func:`_int_vec`) and each round's
+      centroid is the *component-wise BIGINT SUM* of its members — exact
+      and accumulation-order-free, unlike a double mean. Cosine is
+      scale-invariant, so the un-divided sum vector ranks identically to
+      the mean and no division (hence no rounding) ever happens;
+    - assignment is argmax cosine with a (sim DESC, cell) tie-break;
+      empty cells carry the previous round's centroid.
+
+    ``iters=0`` degenerates to the seed vectors themselves (the round-1
+    stand-in quantizer). Scale: per round, one broadcast of the K
+    centroids + one corpus pass for assignment and one shuffle of
+    (cell, pos) partial sums — never a corpus-sized broadcast."""
+    v = df.select(
+        F.col(id_col).alias("vec_id"), _int_vec(vec_col).alias("iv")
+    )
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))
+    cent = v.filter(F.col("vec_id") % cell_stride == 0).select(
+        F.col("vec_id").alias("cell"), F.col("iv").alias("civ")
+    )
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "cell",
+            cosine(as_double("iv"), as_double("civ")).alias("s"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cell")
+        )
+        sums = (
+            assign.join(v, "vec_id")
+            .select("cell", F.posexplode("iv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("sv"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "sv"))
+                ).alias("ps")
+            )
+            .select(
+                "cell", F.transform("ps", lambda s: s["sv"]).alias("niv")
+            )
+        )
+        cent = (
+            cent.join(sums, "cell", "left")
+            .select("cell", F.coalesce("niv", "civ").alias("civ"))
+            .localCheckpoint()
+        )
+    return cent.select("cell", as_double("civ").alias("centroid"))
+
+
 def ivf_cells(
     df: DataFrame,
     *,
     cell_stride: int = 50,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: (centroids, ranked cell scores per vector).
 
-    Centroids are the deterministic subset ``vec_id % cell_stride == 0`` —
-    a stand-in for trained k-means centroids that keeps the operator
-    oracle-checkable; the assignment/probe machinery is identical either
-    way (swap the centroid frame for a trained one in production). The
-    centroid set is tiny (n/stride) and broadcast, so assignment is one
-    pass over the corpus with no shuffle."""
+    Centroids come from :func:`kmeans_centroids` — seeded at the
+    ``vec_id % cell_stride == 0`` sample and refined by ``train_iters``
+    exact Lloyd rounds (0 = the untrained seed stand-in). The centroid
+    set is tiny (n/stride) and broadcast, so assignment is one pass over
+    the corpus with no shuffle."""
     v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
-    centroids = v.filter(F.col("vec_id") % cell_stride == 0).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("centroid")
+    centroids = kmeans_centroids(
+        df, cell_stride=cell_stride, iters=train_iters,
+        id_col=id_col, vec_col=vec_col,
     )
     return centroids, rank_cells(v, centroids)
 
@@ -227,6 +315,7 @@ def ivf_topk(
     *,
     cell_stride: int = 50,
     nprobe: int = 2,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -236,7 +325,8 @@ def ivf_topk(
     from n to ~nprobe*n/n_cells; the cell equi-join replaces the cross
     join, which is the property that survives a 100× scale-up."""
     centroids, corpus_cells = ivf_cells(
-        corpus, cell_stride=cell_stride, id_col=id_col, vec_col=vec_col
+        corpus, cell_stride=cell_stride, train_iters=train_iters,
+        id_col=id_col, vec_col=vec_col,
     )
     assign = corpus_cells.filter(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"

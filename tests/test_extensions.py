@@ -201,6 +201,43 @@ def test_ivf_topk_matches_bruteforce_on_twins(spark):
     assert recall > 0.8, f"twin lost through IVF pruning: {recall}"
 
 
+def test_kmeans_centroids_deterministic_exact_training(spark):
+    """Trained quantizer invariants: byte-identical across runs (exact
+    integer training), one centroid per seed cell (empty cells carry the
+    seed), and iters=0 degenerates to the snapped seed vectors."""
+    from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+
+    vecs = _planted_vectors(spark, n_base=40)
+    run1 = sorted(
+        ((r["cell"], tuple(r["centroid"]))
+         for r in sim.kmeans_centroids(vecs, cell_stride=8, iters=2).collect())
+    )
+    run2 = sorted(
+        ((r["cell"], tuple(r["centroid"]))
+         for r in sim.kmeans_centroids(vecs, cell_stride=8, iters=2).collect())
+    )
+    assert run1 == run2, "k-means training is not deterministic"
+
+    seeds = sorted(
+        ((r["cell"], tuple(r["centroid"]))
+         for r in sim.kmeans_centroids(vecs, cell_stride=8, iters=0).collect())
+    )
+    assert [c for c, _ in run1] == [c for c, _ in seeds], (
+        "trained run lost or invented cells"
+    )
+    # training moved at least one centroid off its seed
+    assert any(a != b for (_, a), (_, b) in zip(run1, seeds))
+    # seed centroids are the snapped seed vectors themselves
+    raw = {r["vec_id"]: r["embedding"] for r in vecs.collect()
+           if r["vec_id"] % 8 == 0}
+    for cell, cw in seeds:
+        import math
+        want = tuple(
+            float(math.floor(float(x) * 1_000_000 + 0.5)) for x in raw[cell]
+        )
+        assert cw == want
+
+
 def test_winnowing_shares_fingerprints_on_overlap(spark):
     from _event_intelligence_data_warehouse_spark.operators.text import (
         winnowing_fingerprints,
