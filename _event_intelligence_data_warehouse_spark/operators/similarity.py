@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from _event_intelligence_data_warehouse_spark import cache
+
 
 def _vec_double(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
@@ -240,34 +242,41 @@ def kmeans_centroids(
     for _ in range(iters):
         scored = v.crossJoin(F.broadcast(cent)).select(
             "vec_id",
+            "iv",
             "cell",
             cosine(as_double("iv"), as_double("civ")).alias("s"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
-        assign = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cell")
-        )
+        # argmax by (s DESC, cell ASC) as ONE hash aggregate — a window
+        # row_number here costs an extra sort per round. Negating the
+        # cell makes the lexicographic max realize the ASC tie-break.
+        assign = scored.groupBy("vec_id").agg(
+            F.max(F.struct(F.col("s"), (-F.col("cell")).alias("nc"))).alias(
+                "top"
+            ),
+            F.first("iv").alias("iv"),
+        ).select("vec_id", (-F.col("top.nc")).alias("cell"), "iv")
+        # Component-wise BIGINT sum via an array fold over each cell's
+        # member list: one hash aggregate, no explode shuffle. Fold
+        # order is immaterial — integer + is associative/commutative.
         sums = (
-            assign.join(v, "vec_id")
-            .select("cell", F.posexplode("iv").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("sv"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "sv"))
-                ).alias("ps")
-            )
+            assign.groupBy("cell")
+            .agg(F.collect_list("iv").alias("ivs"))
             .select(
-                "cell", F.transform("ps", lambda s: s["sv"]).alias("niv")
+                "cell",
+                # NB: slice() is 1-based but [] is 0-based — init must be
+                # element_at(ivs, 1) (the first member), not ivs[1].
+                F.expr(
+                    "aggregate(slice(ivs, 2, size(ivs)), element_at(ivs, 1), "
+                    "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+                ).alias("niv"),
             )
         )
-        cent = (
+        # Lazy persist (not an eager checkpoint): the whole training
+        # chain materializes in the downstream action's first job, and
+        # the final centroids are reused by both rank_cells consumers.
+        cent = cache.persist(
             cent.join(sums, "cell", "left")
             .select("cell", F.coalesce("niv", "civ").alias("civ"))
-            .localCheckpoint()
         )
     return cent.select("cell", as_double("civ").alias("centroid"))
 
