@@ -138,6 +138,14 @@ _DRIVER_SAMPLE_TAIL = [
     "round_nullif_guard",
     # U1 distinct covered by fact_build_star's dim builds
     "dedup_distinct_pairs",
+    # round-2 additions beyond the §2 surface: full local oracles, but
+    # kept out of the driver's 50-sample so no §2-covering entry loses
+    # its driver row (tokenize/wordcount mechanics are driver-covered
+    # via text_quality_score; the CC+quality composition via
+    # dedup_connected_components + text_quality_score)
+    "text_tfidf_top_terms",
+    "text_repetition_filter",
+    "dedup_canonical_keep_best",
 ]
 
 

@@ -195,7 +195,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_dedup(_docs_near(spark, sf_dir), threshold=0.8)
 
 
-_CC_SQL = (
+_CC_CTES = (
     _DOCS_NEAR_CTE.replace("WITH docs2", "WITH RECURSIVE docs2")
     + _LSH_PAIR_CTES
     + f"""
@@ -209,11 +209,14 @@ _CC_SQL = (
     SELECT doc_id AS src, doc_id AS node FROM docs2
     UNION
     SELECT r.src, s.b AS node FROM reach r JOIN sym s ON r.node = s.a
+), comp AS (
+    SELECT src AS doc_id, MIN(node) AS component_id
+    FROM reach GROUP BY src
 )
-SELECT src AS doc_id, MIN(node) AS component_id
-FROM reach GROUP BY src
 """
 )
+
+_CC_SQL = _CC_CTES + "SELECT doc_id, component_id FROM comp"
 
 
 @query("dedup_connected_components", _CC_SQL)
@@ -551,6 +554,143 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.stopword_ratio(t).alias("stopword_ratio_en"),
         tx.quality_score(t).alias("quality_score"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, doc_freq, rank FROM (
+        SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY
+                   t.tf * (ln((n.n_docs + 1) / (d.doc_freq + 1)) + 1) DESC,
+                   t.term) AS rank
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf) — the classic
+    keyword-extraction / relevance primitive over the documents table.
+    Rank + exact integer (tf, doc_freq) are the contract; the float
+    score stays internal (ln is libm-dependent in the last ulp)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "text_repetition_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tl FROM documents
+    ), wstats AS (
+        SELECT doc_id, MAX(c) AS max_w, SUM(c) AS n_w FROM (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(tl) AS w FROM toks)
+            GROUP BY 1, 2
+        ) GROUP BY doc_id
+    ), bstats AS (
+        SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bg FROM (
+            SELECT doc_id, bg, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tl) >= 2 THEN
+                           list_transform(generate_series(1, len(tl) - 1),
+                               i -> tl[CAST(i AS INT)] || ' '
+                                    || tl[CAST(i + 1 AS INT)])
+                           ELSE CAST([] AS VARCHAR[]) END) AS bg
+                FROM toks
+            ) GROUP BY 1, 2
+        ) GROUP BY doc_id
+    ), fracs AS (
+        SELECT t.doc_id,
+               CAST(len(t.tl) AS BIGINT) AS n_tokens,
+               CASE WHEN w.n_w > 0
+                    THEN CAST(w.max_w AS DOUBLE) / CAST(w.n_w AS DOUBLE)
+                    ELSE 0.0 END AS top_word_frac,
+               CASE WHEN b.n_bg > 0
+                    THEN CAST(b.max_bg AS DOUBLE) / CAST(b.n_bg AS DOUBLE)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM toks t
+        LEFT JOIN wstats w USING (doc_id)
+        LEFT JOIN bstats b USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, top_word_frac, top_bigram_frac,
+           (top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep
+    FROM fracs
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate (Gopher-style): most-frequent-word and
+    most-frequent-bigram fractions per document with keep/drop ceilings
+    (0.2 / 0.18) — the standard boilerplate/spam screen ahead of
+    pre-training. Exact-integer divisions; wordcount-shaped shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.repetition_metrics(docs)
+
+
+_QUALITY_DOCS2_CTE = f"""
+, qm AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+                    '\\s+'), x -> x != '')) AS DOUBLE) AS n_tok,
+           CASE WHEN length(text) > 0 THEN
+                CAST(length(text) - length(regexp_replace(text,
+                     '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE)
+           ELSE 0.0 END AS punct,
+           CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)),
+                    '\\s+'), x -> x != '')) > 0 THEN
+                CAST(len(list_filter(list_filter(regexp_split_to_array(
+                         lower(trim(text)), '\\s+'), x -> x != ''),
+                     x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE)
+                / CAST(len(list_filter(regexp_split_to_array(
+                      lower(trim(text)), '\\s+'), x -> x != '')) AS DOUBLE)
+           ELSE 0.0 END AS sw
+    FROM docs2
+), q AS (
+    SELECT doc_id,
+           CAST(ROUND(CAST(
+               least(n_tok / 20.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+               + least(sw * 5.0, 1.0) * 0.3
+               AS DECIMAL(10,6)), 4) AS DOUBLE) AS quality_score
+    FROM qm
+)
+"""
+
+
+@query(
+    "dedup_canonical_keep_best",
+    _CC_CTES
+    + _QUALITY_DOCS2_CTE
+    + """
+    SELECT c.doc_id, c.component_id, q.quality_score,
+           CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT)
+               AS group_size,
+           (row_number() OVER (PARTITION BY c.component_id
+                               ORDER BY q.quality_score DESC, c.doc_id) = 1)
+               AS keep
+    FROM comp c JOIN q USING (doc_id)
+    """,
+)
+def dedup_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup end-game: near-dup pair graph -> connected components ->
+    per-cluster canonical election by quality score (rounded 4 dp, doc_id
+    tie-break). Every doc keeps its verdict so curation can filter
+    keep=true or audit the dropped side."""
+    docs = _docs_near(spark, sf_dir)
+    pairs = dd.minhash_dedup(docs, threshold=0.8)
+    comps = dd.connected_components(docs.select("doc_id"), pairs)
+    quality = docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality_score")
+    )
+    return dd.canonical_keep_best(comps, quality)
 
 
 @query(

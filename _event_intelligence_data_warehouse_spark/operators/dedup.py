@@ -686,3 +686,35 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def canonical_keep_best(
+    components: DataFrame,
+    quality: DataFrame,
+    *,
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Per near-dup cluster, elect ONE canonical document: the highest
+    quality score, doc_id as the deterministic tie-break. Output keeps
+    every doc with its verdict — (doc_id, component_id, quality_score,
+    group_size, keep) — so the curation pipeline can either filter
+    keep=true or audit what was dropped.
+
+    This is the end-game of the dedup family: pair emitters find the
+    edges, connected_components names the clusters, and this picks the
+    survivors. One window shuffle on component_id; quality arrives
+    pre-rounded (4 dp decimal -> double), so the argmax is
+    engine-deterministic."""
+    j = components.join(quality, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc(quality_col), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "component_id",
+        quality_col,
+        F.count("*").over(Window.partitionBy("component_id")).cast("long").alias(
+            "group_size"
+        ),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

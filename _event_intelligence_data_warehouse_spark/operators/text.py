@@ -193,3 +193,115 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, doc_freq,
+    rank), score = tf * (ln((N+1)/(df+1)) + 1) (smoothed idf).
+
+    The contract output is the RANK (plus the exact integer tf/df), not
+    the float score — ln() is libm-dependent in the last ulp, but equal
+    (tf, df) pairs score identically on every engine and distinct pairs
+    are separated far beyond ulp, so the ordering is stable.
+
+    Scale shape: wordcount — shuffles on (doc, term) then term; the
+    doc-frequency join shuffles on term (a 100 TB vocabulary doesn't
+    broadcast); the top-k window shuffles on doc. All partial-aggregated
+    map-side first; the raw text never moves after tokenize."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_frac: float = 0.2,
+    max_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition screens per document: the fraction of
+    tokens taken by the single most frequent word, and of bigrams by the
+    most frequent bigram, plus the keep/drop verdict under the given
+    ceilings. High values indicate boilerplate/spam — a standard
+    pre-training quality gate.
+
+    Fractions are exact-integer divisions in double (no rounding step
+    needed for cross-engine equality). Wordcount-shaped shuffles only."""
+    d = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    words = d.select("doc_id", F.explode("toks").alias("w"))
+    wstats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_w"), F.sum("c").alias("n_w"))
+    )
+    bigram_expr = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bstats = (
+        d.select("doc_id", F.explode(bigram_expr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"), F.sum("c").alias("n_bg"))
+    )
+    base = (
+        d.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(wstats, "doc_id", "left")
+        .join(bstats, "doc_id", "left")
+    )
+    twf = F.when(
+        F.col("n_w") > 0,
+        F.col("max_w").cast("double") / F.col("n_w").cast("double"),
+    ).otherwise(0.0)
+    tbf = F.when(
+        F.col("n_bg") > 0,
+        F.col("max_bg").cast("double") / F.col("n_bg").cast("double"),
+    ).otherwise(0.0)
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        twf.alias("top_word_frac"),
+        tbf.alias("top_bigram_frac"),
+        ((twf <= F.lit(max_word_frac)) & (tbf <= F.lit(max_bigram_frac))).alias(
+            "keep"
+        ),
+    )

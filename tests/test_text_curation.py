@@ -1,0 +1,63 @@
+"""Unit tests for the round-2 curation operators: TF-IDF top terms,
+repetition screens, and canonical keep-best election."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare_one rare_one"),
+            (2, "common filler filler"),
+            (3, "common other words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc (idf floor ln(1)+1); repeated
+    # doc-specific terms (tf=2, idf ln(2)+1) outscore it.
+    assert top[1] == "rare_one"
+    assert top[2] == "filler"
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["doc_freq"]) for r in out}
+    assert rows[(1, "rare_one")] == (2, 1)
+    assert rows[(2, "filler")] == (2, 1)
+
+
+def test_repetition_metrics_flags_spam(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "buy buy buy buy buy buy"),        # one word everywhere
+            (2, "a healthy mix of many different words here today"),
+            (3, "solo"),                            # no bigrams at all
+            (4, ""),                                # no tokens at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_metrics(docs).collect()}
+    assert out[1]["top_word_frac"] == 1.0 and not out[1]["keep"]
+    assert out[2]["keep"]
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[4]["top_word_frac"] == 0.0
+
+
+def test_canonical_keep_best_elects_highest_quality(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)],
+        "doc_id long, component_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    out = {r["doc_id"]: r for r in
+           dd.canonical_keep_best(comps, quality).collect()}
+    # 2 and 3 tie on quality -> lower doc_id wins
+    assert out[2]["keep"] and not out[3]["keep"] and not out[1]["keep"]
+    assert out[7]["keep"], "singleton clusters keep their only member"
+    assert out[1]["group_size"] == 3 and out[7]["group_size"] == 1
