@@ -92,10 +92,19 @@ def build_fact_rows(
     )
 
 
-def upsert_facts(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+def upsert_facts(
+    existing: DataFrame,
+    incoming: DataFrame,
+    *,
+    sk_source: DataFrame | None = None,
+) -> DataFrame:
     """Merge semantics of load_facts.sql:92-98: on event_nk match refresh
     the mutable attrs and loaded_at, preserving event_sk and the original
-    ingested_at; new keys get deterministic surrogate keys."""
+    ingested_at; new keys get deterministic surrogate keys.
+
+    ``sk_source`` supplies the frame whose max(event_sk) seeds new keys —
+    pass the FULL table when ``existing`` is a partition-pruned subset
+    (partitioned upsert), so continuation stays globally unique."""
     inc = incoming.drop("_ingest_id")
 
     matched_or_existing = merge_upsert(
@@ -110,7 +119,64 @@ def upsert_facts(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     )
     new_rows = with_sk.filter(F.col("event_sk").isNull()).drop("event_sk")
     old_rows = with_sk.filter(F.col("event_sk").isNotNull())
-    new_rows = assign_surrogate_keys(existing, new_rows, "event_sk", ["event_nk"])
-    return old_rows.select(existing.columns).unionByName(
-        new_rows.select(existing.columns)
+    new_rows = assign_surrogate_keys(
+        sk_source if sk_source is not None else existing,
+        new_rows, "event_sk", ["event_nk"],
     )
+    cols = [c for c in existing.columns]
+    return old_rows.select(cols).unionByName(new_rows.select(cols))
+
+
+# Bucket count for the partitioned fact layout. 16 keeps test-scale file
+# counts sane; a 100 TB deployment raises it (and/or adds a date column as
+# the leading partition) so one bucket ~ one rewrite unit of a few GB.
+FACT_BUCKETS = 16
+FACT_PART_COL = "p_bucket"
+
+
+def fact_bucket(nk_col: str = "event_nk", n: int = FACT_BUCKETS) -> Column:
+    """Immutable partition bucket for a fact row: xxhash64 of the natural
+    key. Re-ingesting a key always lands in its original bucket, so an
+    upsert touches exactly the buckets of its incoming keys."""
+    return F.pmod(F.xxhash64(F.col(nk_col)), F.lit(n)).cast("int")
+
+
+def upsert_facts_partitioned(
+    wh,
+    incoming: DataFrame,
+    *,
+    table: str = "fact_events",
+    n_buckets: int = FACT_BUCKETS,
+) -> list[int]:
+    """Partition-pruned fact upsert: the 100 TB path.
+
+    The fact table lives hash-bucketed on ``p_bucket(event_nk)``. An
+    incremental batch (1) tags its rows with their buckets, (2) reads ONLY
+    those buckets of the existing table (partition pruning on the scan),
+    (3) merges, and (4) writes back with dynamic partition overwrite —
+    untouched buckets' files are never read or rewritten, so batch cost
+    is proportional to the increment. The surrogate-key base comes from a
+    column-pruned max over the full table (a footer-cheap scan of one
+    column). Returns the affected bucket ids (for observability/tests)."""
+    from _event_intelligence_data_warehouse_spark import schemas
+
+    affected = sorted(
+        r[0]
+        for r in incoming.select(
+            fact_bucket(n=n_buckets).alias(FACT_PART_COL)
+        ).distinct().collect()
+    )
+    if wh.exists(table):
+        full = wh.read(table)
+        existing_aff = full.filter(
+            F.col(FACT_PART_COL).isin(affected)
+        ).drop(FACT_PART_COL)
+        sk_src = full
+    else:
+        existing_aff = wh.read(table, schemas.FACT_EVENTS)
+        sk_src = existing_aff
+    merged = upsert_facts(
+        existing_aff, incoming, sk_source=sk_src
+    ).withColumn(FACT_PART_COL, fact_bucket(n=n_buckets))
+    wh.overwrite_partitions(table, merged, FACT_PART_COL)
+    return affected

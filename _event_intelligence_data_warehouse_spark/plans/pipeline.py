@@ -106,11 +106,12 @@ def step_transform_and_load(wh: Warehouse, spark: SparkSession) -> dict:
         wh.read("dim_category"),
         wh.read("dim_source"),
         loaded_at=now,
-    )
-    merged = facts_mod.upsert_facts(gold["fact_events"], fact_rows)
-    wh.overwrite("fact_events", merged.select(
-        [f.name for f in schemas.FACT_EVENTS.fields]
-    ))
+    ).select([f.name for f in schemas.FACT_EVENTS.fields if f.name != "event_sk"]
+             + ["_ingest_id"])
+    # Partition-pruned upsert: only the hash buckets containing this
+    # batch's keys are read and rewritten (storage.overwrite_partitions) —
+    # at 100 TB the merge cost tracks the increment, not the table.
+    facts_mod.upsert_facts_partitioned(wh, fact_rows)
 
     max_ts = stg.agg(F.max("ingested_at")).first()[0]
     staged = stg.count()

@@ -37,10 +37,20 @@ class Warehouse:
         return os.path.join(self.root, table)
 
     def exists(self, table: str) -> bool:
-        return os.path.isdir(self.path(table)) and any(
-            f.endswith(".parquet") or f == "_SUCCESS"
-            for f in os.listdir(self.path(table))
-        )
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        for entry in os.listdir(p):
+            if entry.endswith(".parquet") or entry == "_SUCCESS":
+                return True
+            # Partitioned layout: dynamic partition overwrite leaves no
+            # root _SUCCESS marker; data lives under <col>=<value>/ dirs.
+            sub = os.path.join(p, entry)
+            if "=" in entry and os.path.isdir(sub) and any(
+                f.endswith(".parquet") for f in os.listdir(sub)
+            ):
+                return True
+        return False
 
     # -- read --------------------------------------------------------------
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
@@ -72,6 +82,27 @@ class Warehouse:
         os.rename(tmp, live)
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
+
+    def overwrite_partitions(
+        self, table: str, df: DataFrame, partition_col: str
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the partitions present
+        in ``df``, leave every other partition's files untouched on disk.
+
+        This is the parquet-native analog of a partition-pruned MERGE: at
+        100 TB an incremental batch touches a handful of buckets, so the
+        rewrite cost is proportional to the increment, not the table
+        (contrast ``overwrite``, which rewrites the full image). Not
+        atomic across partitions (a crash can leave a partition mix) —
+        the table-format MERGE closes that gap; semantics here are
+        already partition-MERGE-shaped.
+        """
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(table))
+        )
 
     # -- watermarks --------------------------------------------------------
     @property
