@@ -146,6 +146,8 @@ _DRIVER_SAMPLE_TAIL = [
     "text_tfidf_top_terms",
     "text_repetition_filter",
     "dedup_canonical_keep_best",
+    "streaming_dedup_within_watermark",
+    "cohort_retention",
 ]
 
 

@@ -1026,6 +1026,82 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) drained with
+    Trigger.AvailableNow over the events table with planted duplicate
+    copies (every 13th event repeated). Duplicates are exact row copies
+    arriving in the same batch — inside any watermark horizon — so the
+    emitted stream must equal the original table: the oracle is the
+    plain events relation."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    tmp = staging_dir("stream_dedup", sf_dir)
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    e = load(spark, sf_dir, "events")
+    dirty = e.unionByName(e.filter(F.col("event_id") % 13 == 0))
+    (
+        dirty.repartition(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = jobs.read_event_stream(spark, src)
+    deduped = jobs.dedup_event_stream(stream, keys=["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    jobs.run_available_now(stream, deduped, out, ckpt)
+    return spark.read.parquet(out)
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                   AS cohort_date
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    )
+    SELECT f.cohort_date,
+           date_diff('day', f.cohort_date, a.d) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    WHERE date_diff('day', f.cohort_date, a.d) <= 28
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date,
+    counted on each later active day up to a 28-day horizon — the
+    standard product-analytics rollup over the event stream. One
+    aggregate for cohorts (broadcastable: one row per user), one
+    distinct-activity aggregate, an equi-join on user, and the final
+    (cohort, offset) count."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    activity = e.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_date").cast("long"))
+        .filter(F.col("day_offset") <= 28)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew-safe aggregation
 # ---------------------------------------------------------------------------

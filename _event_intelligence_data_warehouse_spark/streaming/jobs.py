@@ -118,3 +118,25 @@ def purchase_attribution_stream(
         "view_ts",
         "purchase_ts",
     )
+
+
+def dedup_event_stream(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark``). The first
+    arrival of each key emits; later copies inside the horizon are
+    dropped, and per-key state is evicted once the watermark passes —
+    the property that keeps state bounded on an unbounded stream, unlike
+    plain dropDuplicates whose state grows forever.
+
+    This is the streaming face of operators.dedup.exact_dedup: a landing
+    pipeline runs it in-flight so bronze never stores the duplicates it
+    would otherwise anti-join away per batch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys or ["event_id"])
+    )
