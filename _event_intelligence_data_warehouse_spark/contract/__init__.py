@@ -148,6 +148,8 @@ _DRIVER_SAMPLE_TAIL = [
     "dedup_canonical_keep_best",
     "streaming_dedup_within_watermark",
     "cohort_retention",
+    "text_chunk_documents",
+    "text_redact_pii",
 ]
 
 

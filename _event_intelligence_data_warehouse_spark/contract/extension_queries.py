@@ -694,6 +694,84 @@ def dedup_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk_documents",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tl FROM documents
+    ), starts AS (
+        SELECT doc_id, tl,
+               unnest(list_filter(
+                   generate_series(1, greatest(len(tl), 1), 48),
+                   s -> s <= len(tl))) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_no,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(len(tl[CAST(start AS INT):CAST(least(start + 63, len(tl))
+                AS INT)]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(tl[CAST(start AS INT):CAST(least(start + 63,
+               len(tl)) AS INT)], ' ')) AS chunk_hash
+    FROM starts WHERE len(tl) > 0
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap per document — the context-
+    window preprocessing of a training/RAG pipeline. Shuffle-free
+    projection + explode; chunk payload carried as md5 so the contract
+    stays compact."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+# Shared Spark-expr / DuckDB-SQL dirtying expression (STRING is a valid
+# type alias in both parsers; VARCHAR needs a length under Spark).
+_PII_DIRTY = (
+    "text || ' contact user' || CAST(doc_id AS STRING)"
+    " || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS STRING)"
+    " || ' tel 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+    " || '-0199'"
+)
+
+
+@query(
+    "text_redact_pii",
+    f"""
+    WITH dirty AS (
+        SELECT doc_id, {_PII_DIRTY} AS text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+               AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+               AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+               '<IP>', 'g'),
+               '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b',
+               '<PHONE>', 'g')) AS redacted_hash
+    FROM dirty
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically dirtied corpus (every doc gets
+    a planted email, IPv4 and phone): per-doc match counts + md5 of the
+    redacted text. ASCII-only regex-dialect-portable patterns; codegen
+    projection, no shuffle."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_PII_DIRTY).alias("text"),
+    )
+    return tx.redact_pii(docs)
+
+
+@query(
     "text_winnowing_fingerprints",
     """
     WITH norm AS (

@@ -305,3 +305,76 @@ def repetition_metrics(
             "keep"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the context-
+    length preprocessing step of a training/RAG pipeline. One output row
+    per chunk: (doc_id, chunk_no, start_token, n_chunk_tokens,
+    chunk_hash), where chunk_hash is the md5 of the space-joined window
+    (the payload stays derivable; the hash keeps the contract compact).
+
+    Pure projection + explode: no shuffle anywhere, scales with scan
+    bandwidth. Deterministic: windows start at 1, step chunk-overlap."""
+    if chunk_tokens <= overlap:
+        raise ValueError("chunk_tokens must exceed overlap")
+    step = chunk_tokens - overlap
+    d = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    starts = F.expr(
+        f"filter(sequence(1, greatest(size(toks), 1), {step}), "
+        f"s -> s <= size(toks))"
+    )
+    chunk = F.expr(f"slice(toks, start, {chunk_tokens})")
+    return (
+        d.filter(F.size("toks") > 0)
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (((F.col("start") - 1) / step).cast("long")).alias("chunk_no"),
+            F.col("start").cast("long").alias("start_token"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+# ASCII-only PII patterns, deliberately regex-dialect-portable (same
+# semantics under Java regex and RE2): no lookaround, no unicode classes.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect and redact the common machine-recognizable PII shapes
+    (emails, IPv4s, dashed phone numbers) — the compliance scrub every
+    training-data pipeline runs before anything ships. Outputs per-doc
+    match counts plus the md5 of the redacted text (redaction applied
+    email -> ip -> phone, all-occurrence).
+
+    Stateless projection: counts and replacement run in codegen, no
+    Python, no shuffle."""
+    t = _col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
