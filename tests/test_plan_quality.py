@@ -55,6 +55,43 @@ def test_projection_operators_are_shuffle_free(spark):
         )
 
 
+def test_round2_text_ops_are_shuffle_free(spark):
+    """chunk_documents and redact_pii claim pure projection/explode —
+    no Exchange may appear in their plans."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    for name in ("text_chunk_documents", "text_redact_pii"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} plan shuffles"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partitioned_fact_read_prunes_buckets(spark, tmp_path):
+    """A bucket-filtered read of the partitioned fact table must prune at
+    the scan (PartitionFilters), not post-filter — the property that
+    makes the partitioned upsert's existing-side read incremental."""
+    from _event_intelligence_data_warehouse_spark.plans import (
+        facts as facts_mod,
+        pipeline,
+    )
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    whdir = str(tmp_path / "wh")
+    args = pipeline.parse_args(
+        ["--warehouse-dir", whdir, "--source", "csv", "--generate-sample",
+         "--sample-rows", "60"]
+    )
+    pipeline.run_pipeline(spark, whdir, args)
+    wh = Warehouse(spark, whdir)
+    df = wh.read("fact_events").filter(
+        F.col(facts_mod.FACT_PART_COL).isin([0, 1])
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and facts_mod.FACT_PART_COL in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "bucket filter did not reach the partition scan"
+
+
 def test_no_python_udfs_in_core_paths(spark):
     from _event_intelligence_data_warehouse_spark.contract import QUERIES
 
