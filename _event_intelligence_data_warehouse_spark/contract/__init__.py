@@ -150,6 +150,8 @@ _DRIVER_SAMPLE_TAIL = [
     "cohort_retention",
     "text_chunk_documents",
     "text_redact_pii",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
 ]
 
 

@@ -1180,6 +1180,113 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One HLL branch per analyzed column, mirrored in SQL. The harmonic sum
+# is an exact BIGINT (sum of 1 << (53 - rank)); 256 float 2^-rank terms
+# would overflow double's significand and go accumulation-order-dependent.
+def _hll_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(ROUND(CAST(
+               CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                         / (CAST(s_total AS DOUBLE) / 9007199254740992.0)
+                         <= 640.0
+                    AND 256 - present > 0
+                    THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+                    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                         / (CAST(s_total AS DOUBLE) / 9007199254740992.0)
+               END AS DECIMAL(18,6)), 2) AS DOUBLE) AS hll_estimate,
+           exact_distinct
+    FROM (
+        SELECT COUNT(*) AS present,
+               CAST(SUM(CAST(1 AS BIGINT) << (53 - m_j))
+                    + (256 - COUNT(*)) * CAST(9007199254740992 AS BIGINT)
+                    AS BIGINT) AS s_total,
+               (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM {table})
+                   AS exact_distinct
+        FROM (
+            SELECT idx, MAX(rank) AS m_j FROM (
+                SELECT hv % 256 AS idx,
+                       CASE WHEN hv // 256 > 0
+                            THEN 53 - length(bin(hv // 256))
+                            ELSE 53 END AS rank
+                FROM (
+                    SELECT CAST(('0x' || substr(md5(CAST({col} AS STRING)),
+                                 1, 15)) AS BIGINT) AS hv
+                    FROM {table}
+                )
+            ) GROUP BY idx
+        )
+    )
+    """
+
+
+@query(
+    "sketch_hll_distinct",
+    " UNION ALL ".join(
+        _hll_sql("events", c) for c in ("user_id", "event_id", "event_type")
+    ),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality estimates vs exact distinct counts for
+    three cardinality regimes of the events table (users ~ hundreds:
+    linear-counting range; event_id: saturated registers; event_type:
+    tiny). Register math is exact integers, so the sketch itself — not
+    just the answer — is engine-reproducible."""
+    from _event_intelligence_data_warehouse_spark.operators import sketches as sk
+
+    e = load(spark, sf_dir, "events")
+    out = None
+    for c in ("user_id", "event_id", "event_type"):
+        est = sk.hll_estimate(e, c).select(
+            F.lit(c).alias("column_name"),
+            "hll_estimate",
+        )
+        exact = e.agg(
+            F.countDistinct(c).cast("long").alias("exact_distinct")
+        )
+        branch = est.crossJoin(F.broadcast(exact))
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    """
+    WITH items AS (
+        SELECT CAST(user_id AS STRING) AS item FROM events
+    ), sk AS (
+        SELECT r.i AS row_i,
+               CAST(('0x' || substr(md5(CAST(r.i AS STRING) || '|' || item),
+                     1, 15)) AS BIGINT) % 1024 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM items CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) r
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM items GROUP BY item
+        ORDER BY exact_count DESC, item LIMIT 10
+    ), probes AS (
+        SELECT e.item, e.exact_count, r.i AS row_i,
+               CAST(('0x' || substr(md5(CAST(r.i AS STRING) || '|' || e.item),
+                     1, 15)) AS BIGINT) % 1024 AS bucket
+        FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) r
+    )
+    SELECT p.item, p.exact_count, CAST(MIN(s.c) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN sk s ON s.row_i = p.row_i AND s.bucket = p.bucket
+    GROUP BY p.item, p.exact_count
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: the top-10 users by exact count with
+    their CMS estimates (min over 4 row counters, always >= exact) —
+    integer arithmetic end-to-end, so sketch and report are exact on
+    both engines."""
+    from _event_intelligence_data_warehouse_spark.operators import sketches as sk
+
+    e = load(spark, sf_dir, "events")
+    return sk.cms_heavy_hitters(e, "user_id", k=10)
+
+
 # ---------------------------------------------------------------------------
 # Skew-safe aggregation
 # ---------------------------------------------------------------------------

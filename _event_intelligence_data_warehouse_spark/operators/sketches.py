@@ -1,0 +1,131 @@
+"""Deterministic sketches: HyperLogLog cardinality and Count-Min
+frequency — the approximate-answer toolkit a 100 TB engine reaches for
+when exact distinct/frequency shuffles are too expensive.
+
+Unlike library sketches (Spark's approx_count_distinct uses
+implementation-specific hashing), these are built from the engine's
+md5-derived hashes with pure integer register math, so the SKETCH
+CONTENTS — not just the query shape — are bit-reproducible anywhere and
+DuckDB-oracle-checkable:
+
+- HLL registers hold max leading-zero ranks; the harmonic-mean sum is
+  computed as an exact BIGINT (`sum(1 << (53 - rank))`) rather than a
+  float sum of 2^-rank terms, because 256 dyadic terms overflow double's
+  53-bit significand and become accumulation-order-dependent. One
+  double conversion + one division at the very end.
+- CMS counters are plain integers: estimate = min over d row-hashes of
+  the bucket counts, exact arithmetic end-to-end.
+
+Scale: both sketches are one wordcount-shaped aggregation over the data
+(register/bucket keyed, partial-aggregated map-side) into a fixed-size
+frame (m=256 registers / d*w=4096 counters) that merges associatively —
+the property that lets a 1000-executor scan reduce to KBs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 256          # registers (b = 8 index bits)
+HLL_WINDOW = 52      # rank window: 60-bit hash minus 8 index bits
+CMS_D = 4            # hash rows
+CMS_W = 1024         # buckets per row
+
+
+def _hash60(c: Column) -> Column:
+    """60-bit positive hash from the md5 prefix (15 hex chars) — the
+    engine-portable hash family used across dedup/minhash."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row (hll_estimate, n_registers) HyperLogLog cardinality
+    estimate of ``col`` (m=256, standard bias constant, linear-counting
+    small-range correction). Estimate rounded to 2 dp through the
+    decimal domain so the last-ulp of ln() (libm-dependent) can't leak
+    into the contract."""
+    h = _hash60(F.col(col))
+    per_row = df.select(
+        (h % HLL_M).alias("idx"),
+        F.shiftright(h, 8).alias("w"),
+    ).select(
+        "idx",
+        F.when(F.col("w") > 0, 53 - F.length(F.bin("w")))
+        .otherwise(53)
+        .alias("rank"),
+    )
+    regs = per_row.groupBy("idx").agg(F.max("rank").alias("m_j"))
+    agg = regs.agg(
+        F.count("*").alias("present"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)")
+        ).alias("s_present"),
+    )
+    two53 = F.lit(9007199254740992)  # 2^53
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("present")).cast("long") * two53
+    )
+    z = s_total.cast("double") / two53.cast("double")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    est_raw = alpha * F.lit(256.0) * F.lit(256.0) / z
+    v = F.lit(HLL_M) - F.col("present")
+    est = F.when(
+        (est_raw <= F.lit(640.0)) & (v > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / v.cast("double")),
+    ).otherwise(est_raw)
+    return agg.select(
+        F.round(est.cast("decimal(18,6)"), 2).cast("double").alias(
+            "hll_estimate"
+        ),
+        F.col("present").cast("long").alias("n_registers"),
+    )
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """(row, bucket, c): the Count-Min counter table of ``col`` —
+    d=4 hash rows x w=1024 buckets, built in one keyed aggregation."""
+    items = df.select(F.col(col).cast("string").alias("item"))
+    exploded = items.select(
+        "item",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("row"),
+    )
+    bucket = (
+        _hash60(F.concat_ws("|", F.col("row").cast("string"), F.col("item")))
+        % CMS_W
+    )
+    return exploded.groupBy("row", bucket.alias("bucket")).agg(
+        F.count("*").alias("c")
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-k items by exact count, each with its Count-Min estimate
+    (min over the d row counters — always >= the true count): the
+    sketch-accuracy report a pipeline uses to validate CMS sizing before
+    trusting it at scales where exact counting is off the table."""
+    sk = cms_sketch(df, col)
+    exact = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("item"))
+        .limit(k)
+    )
+    probes = exact.select(
+        "item",
+        "exact_count",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("row"),
+    ).withColumn(
+        "bucket",
+        _hash60(F.concat_ws("|", F.col("row").cast("string"), F.col("item")))
+        % CMS_W,
+    )
+    return (
+        probes.join(sk, ["row", "bucket"])
+        .groupBy("item", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
