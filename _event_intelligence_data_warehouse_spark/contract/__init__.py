@@ -152,6 +152,7 @@ _DRIVER_SAMPLE_TAIL = [
     "text_redact_pii",
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
+    "sketch_hll_grouped_merge",
 ]
 
 

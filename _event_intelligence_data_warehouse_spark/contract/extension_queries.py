@@ -1249,6 +1249,66 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_HLL_EST_SQL = """
+    CAST(ROUND(CAST(
+        CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                  / (CAST(s_total AS DOUBLE) / 9007199254740992.0) <= 640.0
+             AND 256 - present > 0
+             THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                  / (CAST(s_total AS DOUBLE) / 9007199254740992.0)
+        END AS DECIMAL(18,6)), 2) AS DOUBLE)
+"""
+
+
+@query(
+    "sketch_hll_grouped_merge",
+    f"""
+    WITH rr AS (
+        SELECT event_type, hv % 256 AS idx,
+               CASE WHEN hv // 256 > 0 THEN 53 - length(bin(hv // 256))
+                    ELSE 53 END AS rank
+        FROM (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS STRING)), 1, 15))
+                        AS BIGINT) AS hv
+            FROM events
+        )
+    ), regs AS (
+        SELECT event_type, idx, MAX(rank) AS m_j
+        FROM rr GROUP BY 1, 2
+    ), per_group AS (
+        SELECT CAST(event_type AS STRING) AS group_name,
+               COUNT(*) AS present,
+               CAST(SUM(CAST(1 AS BIGINT) << (53 - m_j))
+                    + (256 - COUNT(*)) * CAST(9007199254740992 AS BIGINT)
+                    AS BIGINT) AS s_total
+        FROM regs GROUP BY event_type
+    ), merged AS (
+        SELECT '__ALL__' AS group_name,
+               COUNT(*) AS present,
+               CAST(SUM(CAST(1 AS BIGINT) << (53 - m_j))
+                    + (256 - COUNT(*)) * CAST(9007199254740992 AS BIGINT)
+                    AS BIGINT) AS s_total
+        FROM (SELECT idx, MAX(m_j) AS m_j FROM regs GROUP BY idx)
+    )
+    SELECT group_name, {_HLL_EST_SQL} AS hll_estimate FROM per_group
+    UNION ALL
+    SELECT group_name, {_HLL_EST_SQL} AS hll_estimate FROM merged
+    """,
+)
+def sketch_hll_grouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL user cardinalities plus the register-MERGED
+    total (__ALL__): partial sketches combine by per-index max, so the
+    merged estimate is identical to sketching the full input — the
+    associativity that turns a 1000-executor scan (or stored hourly
+    sketches) into one KB-sized reduce."""
+    from _event_intelligence_data_warehouse_spark.operators import sketches as sk
+
+    e = load(spark, sf_dir, "events")
+    return sk.hll_grouped_with_merge(e, "user_id", "event_type")
+
+
 @query(
     "sketch_cms_heavy_hitters",
     """

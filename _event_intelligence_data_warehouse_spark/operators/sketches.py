@@ -41,29 +41,26 @@ def _hash60(c: Column) -> Column:
     )
 
 
-def hll_estimate(df: DataFrame, col: str) -> DataFrame:
-    """One-row (hll_estimate, n_registers) HyperLogLog cardinality
-    estimate of ``col`` (m=256, standard bias constant, linear-counting
-    small-range correction). Estimate rounded to 2 dp through the
-    decimal domain so the last-ulp of ln() (libm-dependent) can't leak
-    into the contract."""
+def _hll_rank_rows(df: DataFrame, col: str, *extra: str) -> DataFrame:
+    """(extra..., idx, rank) per input row — the HLL observation stream."""
     h = _hash60(F.col(col))
-    per_row = df.select(
+    return df.select(
+        *extra,
         (h % HLL_M).alias("idx"),
         F.shiftright(h, 8).alias("w"),
     ).select(
+        *extra,
         "idx",
         F.when(F.col("w") > 0, 53 - F.length(F.bin("w")))
         .otherwise(53)
         .alias("rank"),
     )
-    regs = per_row.groupBy("idx").agg(F.max("rank").alias("m_j"))
-    agg = regs.agg(
-        F.count("*").alias("present"),
-        F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)")
-        ).alias("s_present"),
-    )
+
+
+def _hll_estimate_col() -> Column:
+    """Estimate from (present, s_present) aggregate columns. Rounded to
+    2 dp through the decimal domain so the last-ulp of ln()
+    (libm-dependent) can't leak into the contract."""
     two53 = F.lit(9007199254740992)  # 2^53
     s_total = (
         F.col("s_present")
@@ -77,12 +74,69 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         (est_raw <= F.lit(640.0)) & (v > 0),
         F.lit(256.0) * F.log(F.lit(256.0) / v.cast("double")),
     ).otherwise(est_raw)
+    return F.round(est.cast("decimal(18,6)"), 2).cast("double")
+
+
+_HLL_SUM_EXPR = "shiftleft(CAST(1 AS BIGINT), 53 - m_j)"
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row (hll_estimate, n_registers) HyperLogLog cardinality
+    estimate of ``col`` (m=256, standard bias constant, linear-counting
+    small-range correction)."""
+    regs = (
+        _hll_rank_rows(df, col)
+        .groupBy("idx")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    agg = regs.agg(
+        F.count("*").alias("present"),
+        F.sum(F.expr(_HLL_SUM_EXPR)).alias("s_present"),
+    )
     return agg.select(
-        F.round(est.cast("decimal(18,6)"), 2).cast("double").alias(
-            "hll_estimate"
-        ),
+        _hll_estimate_col().alias("hll_estimate"),
         F.col("present").cast("long").alias("n_registers"),
     )
+
+
+def hll_grouped_with_merge(
+    df: DataFrame, col: str, group_col: str, *, merged_label: str = "__ALL__"
+) -> DataFrame:
+    """Per-group HLL estimates of ``col`` PLUS a merged row: group
+    register sets combine by per-index max — the associative merge that
+    lets partial sketches from a thousand executors (or a day of hourly
+    rollups) reduce to one estimate without re-reading data. The merged
+    estimate is *identical* to sketching the whole input directly,
+    because max is order- and grouping-insensitive."""
+    regs = (
+        _hll_rank_rows(df, col, group_col)
+        .groupBy(group_col, "idx")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    per_group = (
+        regs.groupBy(group_col)
+        .agg(
+            F.count("*").alias("present"),
+            F.sum(F.expr(_HLL_SUM_EXPR)).alias("s_present"),
+        )
+        .select(
+            F.col(group_col).cast("string").alias("group_name"),
+            _hll_estimate_col().alias("hll_estimate"),
+        )
+    )
+    merged = (
+        regs.groupBy("idx")
+        .agg(F.max("m_j").alias("m_j"))
+        .agg(
+            F.count("*").alias("present"),
+            F.sum(F.expr(_HLL_SUM_EXPR)).alias("s_present"),
+        )
+        .select(
+            F.lit(merged_label).alias("group_name"),
+            _hll_estimate_col().alias("hll_estimate"),
+        )
+    )
+    return per_group.unionByName(merged)
 
 
 def cms_sketch(df: DataFrame, col: str) -> DataFrame:

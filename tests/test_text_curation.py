@@ -61,3 +61,28 @@ def test_canonical_keep_best_elects_highest_quality(spark):
     assert out[2]["keep"] and not out[3]["keep"] and not out[1]["keep"]
     assert out[7]["keep"], "singleton clusters keep their only member"
     assert out[1]["group_size"] == 3 and out[7]["group_size"] == 1
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Merged group registers must give EXACTLY the whole-input estimate
+    — the associativity that makes the sketch distributable."""
+    from _event_intelligence_data_warehouse_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(500)], "x long, g string"
+    )
+    direct = sk.hll_estimate(df, "x").first()["hll_estimate"]
+    rows = {r["group_name"]: r["hll_estimate"]
+            for r in sk.hll_grouped_with_merge(df, "x", "g").collect()}
+    assert rows["__ALL__"] == direct
+    assert set(rows) == {"g0", "g1", "g2", "__ALL__"}
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from _event_intelligence_data_warehouse_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(i % 37,) for i in range(2000)], "x long"
+    )
+    for r in sk.cms_heavy_hitters(df, "x", k=10).collect():
+        assert r["cms_estimate"] >= r["exact_count"]
