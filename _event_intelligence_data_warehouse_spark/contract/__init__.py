@@ -153,6 +153,7 @@ _DRIVER_SAMPLE_TAIL = [
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
+    "sketch_binned_quantiles",
 ]
 
 

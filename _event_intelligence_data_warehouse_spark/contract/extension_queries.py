@@ -1310,6 +1310,44 @@ def sketch_hll_grouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_binned_quantiles",
+    """
+    WITH counts AS (
+        SELECT event_type,
+               CAST(floor(CAST(value AS DOUBLE) / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bin, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM counts
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                         THEN bin END) AS DOUBLE) * 1.0 AS p50_est,
+           CAST(MIN(CASE WHEN cum >= CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                         THEN bin END) AS DOUBLE) * 1.0 AS p95_est
+    FROM cum
+    GROUP BY event_type
+    """,
+)
+def sketch_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-binned quantile estimates (width-1 bins) of the event
+    value per type: the mergeable, sort-free percentile monitor for
+    scales where per-group sorts are off the table — error bounded by
+    the bin width, counters combine by addition. Exact discrete
+    percentiles of the same data are driver-checked separately
+    (agg_exact_percentiles), making the accuracy auditable."""
+    from _event_intelligence_data_warehouse_spark.operators import sketches as sk
+
+    e = load(spark, sf_dir, "events")
+    return sk.binned_quantiles(e, "value", "event_type", (0.5, 0.95))
+
+
+@query(
     "sketch_cms_heavy_hitters",
     """
     WITH items AS (

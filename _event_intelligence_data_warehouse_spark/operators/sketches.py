@@ -183,3 +183,53 @@ def cms_heavy_hitters(df: DataFrame, col: str, k: int = 10) -> DataFrame:
         .groupBy("item", "exact_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    *,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Fixed-bin quantile estimation per group: histogram counts (one
+    wordcount-shaped aggregation into ~range/width counters), cumulative
+    rank over the ordered bins, and for each q the lower edge of the
+    first bin reaching the discrete-percentile rank floor(q*(n-1))+1.
+
+    The streaming/mergeable answer to percentile monitoring at scales
+    where per-group sorts are off the table: bin counters merge by
+    addition (unlike a sort), error is bounded by bin_width, and the
+    whole computation is exact integer/bin arithmetic — fully
+    deterministic cross-engine."""
+    from pyspark.sql.window import Window
+
+    b = F.floor(F.col(col).cast("double") / F.lit(bin_width)).cast("long")
+    counts = df.groupBy(F.col(group_col), b.alias("bin")).agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(group_col)
+    cum = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        target = (
+            F.floor(F.lit(q) * (F.col("n") - 1).cast("double")).cast("long")
+            + 1
+        )
+        aggs.append(
+            (
+                F.min(F.when(F.col("cum") >= target, F.col("bin"))).cast(
+                    "double"
+                )
+                * bin_width
+            ).alias(f"p{int(q * 100)}_est")
+        )
+    return cum.groupBy(group_col).agg(*aggs)
