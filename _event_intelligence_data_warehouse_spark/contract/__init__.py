@@ -154,6 +154,7 @@ _DRIVER_SAMPLE_TAIL = [
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",
+    "join_scd2_point_in_time",
 ]
 
 

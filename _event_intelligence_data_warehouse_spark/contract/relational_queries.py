@@ -408,6 +408,63 @@ def scd2_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_scd2_point_in_time",
+    """
+    WITH changes AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), versions AS (
+        SELECT user_id, event_type AS state_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ), purchases AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.purchase_ts,
+           v.state_type AS v_state_type,
+           v.valid_from AS v_valid_from
+    FROM purchases p LEFT JOIN versions v
+      ON p.user_id = v.user_id
+     AND p.purchase_ts >= v.valid_from
+     AND (v.valid_to IS NULL OR p.purchase_ts < v.valid_to)
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 resolution: each purchase event joined to the
+    per-user state VERSION valid at its timestamp (validity intervals
+    derived by the scd2_change_intervals logic) — historical facts
+    resolve historical attributes, the defining SCD2 warehouse query.
+    Every purchase matches exactly one interval by construction."""
+    from _event_intelligence_data_warehouse_spark.operators.scd2 import (
+        point_in_time_join,
+    )
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    versions = changes.select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("purchase_ts")
+    )
+    return point_in_time_join(
+        purchases, versions, key="user_id", ts_col="purchase_ts"
+    ).drop("v_valid_to")
+
+
+@query(
     "surrogate_keys_dense",
     """
     SELECT row_number() OVER (ORDER BY event_type) AS type_sk, event_type

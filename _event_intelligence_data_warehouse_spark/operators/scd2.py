@@ -100,3 +100,45 @@ def scd2_apply(
         .unionByName(untouched_current.select(current_table.columns))
         .unionByName(fresh)
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Resolve each fact row against the dimension VERSION valid at its
+    event time: equi-join on the natural key plus the validity residual
+    ``valid_from <= ts < valid_to`` (open current version matches any
+    later ts). The point-in-time complement of the reference's
+    ``is_current = TRUE`` join — historical facts resolve historical
+    attribute values, the defining query of an SCD2 warehouse.
+
+    Scale: the join is hash-partitioned on the key; the interval check is
+    a residual predicate, so each fact row meets only its key's versions
+    (dim-change cadence, typically a handful) — no range explosion. For
+    keys with very long version chains, the as-of union trick
+    (operators.asof) is the fallback."""
+    f = facts.alias("f")
+    v = versions.alias("v")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"v.{key}"))
+        & (F.col(f"f.{ts_col}") >= F.col(f"v.{valid_from}"))
+        & (
+            F.col(f"v.{valid_to}").isNull()
+            | (F.col(f"f.{ts_col}") < F.col(f"v.{valid_to}"))
+        )
+    )
+    return f.join(v, cond, how).select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[
+            F.col(f"v.{c}").alias(f"v_{c}")
+            for c in versions.columns
+            if c != key
+        ],
+    )
