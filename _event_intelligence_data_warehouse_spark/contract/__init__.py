@@ -56,13 +56,16 @@ def staging_dir(name: str, sf_dir: str) -> str:
 
     Wiped on entry and (best-effort) at interpreter exit, so repeated
     bench/oracle/sweep runs reuse one path instead of leaking a fresh
-    mkdtemp per invocation (round-1 ADVICE)."""
+    mkdtemp per invocation (round-1 ADVICE). The root is PID-scoped so
+    concurrent harnesses (bench + oracle on the same sf, or multiple
+    users of one box) can't wipe each other's live stream inputs or
+    checkpoints — each process cleans only its own root at exit."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "eidw_staging")
+    root = os.path.join(tempfile.gettempdir(), f"eidw_staging_{os.getpid()}")
     base = os.path.join(
         root, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}"
     )

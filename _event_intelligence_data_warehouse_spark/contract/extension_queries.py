@@ -1183,18 +1183,25 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One HLL branch per analyzed column, mirrored in SQL. The harmonic sum
 # is an exact BIGINT (sum of 1 << (53 - rank)); 256 float 2^-rank terms
 # would overflow double's significand and go accumulation-order-dependent.
+# Single estimate expression shared by every HLL oracle — the alpha
+# constant / 640 threshold / rounding must stay bit-identical to
+# operators.sketches._hll_estimate_col, so exactly one SQL copy exists.
+_HLL_EST_SQL = """
+    CAST(ROUND(CAST(
+        CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                  / (CAST(s_total AS DOUBLE) / 9007199254740992.0) <= 640.0
+             AND 256 - present > 0
+             THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+             ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                  / (CAST(s_total AS DOUBLE) / 9007199254740992.0)
+        END AS DECIMAL(18,6)), 2) AS DOUBLE)
+"""
+
+
 def _hll_sql(table: str, col: str) -> str:
     return f"""
     SELECT '{col}' AS column_name,
-           CAST(ROUND(CAST(
-               CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-                         / (CAST(s_total AS DOUBLE) / 9007199254740992.0)
-                         <= 640.0
-                    AND 256 - present > 0
-                    THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
-                    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-                         / (CAST(s_total AS DOUBLE) / 9007199254740992.0)
-               END AS DECIMAL(18,6)), 2) AS DOUBLE) AS hll_estimate,
+           {_HLL_EST_SQL} AS hll_estimate,
            exact_distinct
     FROM (
         SELECT COUNT(*) AS present,
@@ -1247,18 +1254,6 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         branch = est.crossJoin(F.broadcast(exact))
         out = branch if out is None else out.unionByName(branch)
     return out
-
-
-_HLL_EST_SQL = """
-    CAST(ROUND(CAST(
-        CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-                  / (CAST(s_total AS DOUBLE) / 9007199254740992.0) <= 640.0
-             AND 256 - present > 0
-             THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
-             ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-                  / (CAST(s_total AS DOUBLE) / 9007199254740992.0)
-        END AS DECIMAL(18,6)), 2) AS DOUBLE)
-"""
 
 
 @query(

@@ -374,13 +374,14 @@ def upsert_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_change_intervals",
     """
     WITH changes AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
                lag(event_type) OVER w AS prev_type
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), versions AS (
         SELECT user_id, event_type, ts AS valid_from,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
         FROM changes
         WHERE prev_type IS NULL OR prev_type <> event_type
     )
@@ -398,7 +399,9 @@ def scd2_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").isNull()
         | (F.col("prev_type") != F.col("event_type"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break: two type-changing events at one ts would
+    # otherwise get an arbitrary valid_to (shuffle-order flaky).
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "event_type",
@@ -411,13 +414,14 @@ def scd2_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_scd2_point_in_time",
     """
     WITH changes AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
                lag(event_type) OVER w AS prev_type
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), versions AS (
         SELECT user_id, event_type AS state_type, ts AS valid_from,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
         FROM changes
         WHERE prev_type IS NULL OR prev_type <> event_type
     ), purchases AS (
@@ -449,7 +453,9 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").isNull()
         | (F.col("prev_type") != F.col("event_type"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break: two type-changing events at one ts would
+    # otherwise get an arbitrary valid_to (shuffle-order flaky).
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     versions = changes.select(
         "user_id",
         F.col("event_type").alias("state_type"),

@@ -168,15 +168,35 @@ def upsert_facts_partitioned(
     )
     if wh.exists(table):
         full = wh.read(table)
-        existing_aff = full.filter(
-            F.col(FACT_PART_COL).isin(affected)
-        ).drop(FACT_PART_COL)
+        if FACT_PART_COL not in full.columns:
+            # One-time migration from the pre-bucketed flat layout: no
+            # partition column on disk means no pruning is possible this
+            # batch — merge against the full image and write it back
+            # partitioned; every later batch prunes.
+            existing_aff = full
+        else:
+            existing_aff = full.filter(
+                F.col(FACT_PART_COL).isin(affected)
+            ).drop(FACT_PART_COL)
         sk_src = full
     else:
         existing_aff = wh.read(table, schemas.FACT_EVENTS)
         sk_src = existing_aff
+    migrating = (
+        wh.exists(table) and FACT_PART_COL not in wh.read(table).columns
+    )
     merged = upsert_facts(
         existing_aff, incoming, sk_source=sk_src
     ).withColumn(FACT_PART_COL, fact_bucket(n=n_buckets))
-    wh.overwrite_partitions(table, merged, FACT_PART_COL)
+    if migrating:
+        # Dynamic overwrite would leave the legacy flat files at the
+        # table root beside the new partition dirs (double-counted on
+        # read), and an in-place static overwrite would truncate its own
+        # input scan — so stage the partitioned image and swap.
+        staged = f"{table}.__migrate__"
+        wh.drop(staged)
+        wh.overwrite_partitions(staged, merged, FACT_PART_COL)
+        wh.replace_with(table, staged)
+    else:
+        wh.overwrite_partitions(table, merged, FACT_PART_COL)
     return affected

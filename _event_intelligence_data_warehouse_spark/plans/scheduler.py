@@ -24,6 +24,8 @@ from collections.abc import Callable
 DAILY_FULL = "daily_full"
 HOURLY_QUALITY = "hourly_quality"
 
+_DEFAULT_STATE = object()  # sentinel: derive state path from warehouse_dir
+
 
 def parse_hhmm(s: str) -> dt.time:
     h, m = s.split(":")
@@ -73,6 +75,33 @@ def make_runner(spark, warehouse_dir: str) -> Callable[[str], dict]:
     return run
 
 
+def _load_state(path: str | None) -> dict[str, dt.datetime]:
+    import json
+    import os
+
+    if not path or not os.path.isfile(path):
+        return {}
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+        return {k: dt.datetime.fromisoformat(v) for k, v in raw.items()}
+    except Exception:
+        return {}
+
+
+def _save_state(path: str | None, last_runs: dict[str, dt.datetime]) -> None:
+    import json
+    import os
+
+    if not path:
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({k: v.isoformat() for k, v in last_runs.items()}, f)
+    os.replace(tmp, path)
+
+
 def run_scheduler(
     spark,
     warehouse_dir: str,
@@ -83,20 +112,31 @@ def run_scheduler(
     runner: Callable[[str], dict] | None = None,
     clock: Callable[[], dt.datetime] | None = None,
     sleeper: Callable[[float], None] | None = None,
+    state_path=_DEFAULT_STATE,
 ) -> dict[str, dt.datetime]:
     """Tick loop: every ``tick_seconds``, fire whatever :func:`due_jobs`
     says is due. ``max_ticks`` bounds the loop (None = forever); returns
-    the last-completion map for inspection."""
+    the last-completion map for inspection.
+
+    Last-run state persists to ``<warehouse_dir>/_meta/scheduler.json``
+    (override with ``state_path``; None disables) so a process restart
+    after the daily anchor does NOT re-fire the daily full run — without
+    this, every restart would re-ingest a fresh sample batch."""
+    import os
+
     runner = runner or make_runner(spark, warehouse_dir)
     clock = clock or dt.datetime.now
     sleeper = sleeper or time.sleep
-    last_runs: dict[str, dt.datetime] = {}
+    if state_path is _DEFAULT_STATE:
+        state_path = os.path.join(warehouse_dir, "_meta", "scheduler.json")
+    last_runs = _load_state(state_path)
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
         now = clock()
         for job in due_jobs(now, last_runs, daily_at=daily_at):
             runner(job)
             last_runs[job] = clock()
+            _save_state(state_path, last_runs)
         ticks += 1
         if max_ticks is None or ticks < max_ticks:
             sleeper(tick_seconds)

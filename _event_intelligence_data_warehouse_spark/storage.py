@@ -104,6 +104,19 @@ class Warehouse:
             .parquet(self.path(table))
         )
 
+    def replace_with(self, table: str, staged: str) -> None:
+        """Promote a fully-written staged table directory over the live
+        one (two renames — the same atomic-enough swap as ``overwrite``).
+        For rewrites whose input is the live table itself, where an
+        in-place overwrite would truncate its own scan."""
+        live, stage = self.path(table), self.path(staged)
+        old = live + ".__old__" + uuid.uuid4().hex[:8]
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(stage, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
     # -- watermarks --------------------------------------------------------
     @property
     def _wm_path(self) -> str:

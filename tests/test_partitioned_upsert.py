@@ -98,6 +98,33 @@ def test_untouched_buckets_are_not_rewritten(spark, tmp_path):
     assert row["event_status"] == "cancelled"
 
 
+def test_legacy_flat_fact_table_migrates_on_first_upsert(spark, tmp_path):
+    """A warehouse whose fact table predates the bucketed layout (flat
+    parquet, no p_bucket) must migrate transparently on the next upsert:
+    full merge once, partitioned layout + correct rows after."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    empty = spark.createDataFrame([], schemas.FACT_EVENTS)
+    legacy = facts_mod.upsert_facts(empty, _fact_batch(spark, range(25)))
+    wh.overwrite("fact_events", legacy)  # old flat layout
+    assert "p_bucket" not in wh.read("fact_events").columns
+
+    facts_mod.upsert_facts_partitioned(
+        wh, _fact_batch(spark, range(20, 35), status="cancelled")
+    )
+    out = wh.read("fact_events")
+    assert facts_mod.FACT_PART_COL in out.columns, "layout did not migrate"
+    assert out.count() == 35
+    assert _snapshot(wh.path("fact_events")), "no partition dirs after migration"
+    assert (
+        out.filter(F.col("event_nk") == "csv_MOCK_00020").first()[
+            "event_status"
+        ]
+        == "cancelled"
+    )
+    sks = [r[0] for r in out.select("event_sk").collect()]
+    assert len(sks) == len(set(sks)) == 35
+
+
 def test_pipeline_fact_table_is_bucket_partitioned(spark, tmp_path):
     whdir = str(tmp_path / "wh")
     args = pipeline.parse_args(

@@ -57,10 +57,40 @@ def test_run_scheduler_loop_fires_jobs_via_fake_clock():
         runner=lambda job: fired.append((job, ticks["n"])) or {},
         clock=clock,
         sleeper=sleeper,
+        state_path=None,
     )
     jobs = [j for j, _ in fired]
     assert jobs.count(sch.DAILY_FULL) == 1, "daily job must fire exactly once"
-    assert jobs.count(sch.HOURLY_QUALITY) == 2, "hourly at 05:30 and 07:00"
+    # hourly fires at 05:30 and again at 06:30 (60 min after its 05:30
+    # completion timestamp — the fake clock doesn't advance mid-tick)
+    assert jobs.count(sch.HOURLY_QUALITY) == 2
+
+
+def test_scheduler_restart_does_not_refire_daily(tmp_path):
+    """A restart AFTER the daily anchor must not re-run the daily full —
+    last-run state persists across processes."""
+    state = str(tmp_path / "_meta" / "scheduler.json")
+    base = dt.datetime(2026, 3, 2, 6, 30)
+    fired: list[str] = []
+
+    def run_once():
+        sch.run_scheduler(
+            spark=None,
+            warehouse_dir=str(tmp_path),
+            max_ticks=1,
+            runner=lambda job: fired.append(job) or {},
+            clock=lambda: base,
+            sleeper=lambda _: None,
+            state_path=state,
+        )
+
+    run_once()  # fresh start after 06:00 -> daily fires once
+    assert fired.count(sch.DAILY_FULL) == 1
+    run_once()  # simulated restart same day -> daily must NOT re-fire
+    assert fired.count(sch.DAILY_FULL) == 1
+    assert fired.count(sch.HOURLY_QUALITY) == 1, (
+        "hourly also restored from state (ran 0 min ago)"
+    )
 
 
 def test_quality_only_tick_is_noop_on_no_new_data(spark, tmp_path):

@@ -31,6 +31,8 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    from _event_intelligence_data_warehouse_spark import cache
+
     results = []
     for name in sorted(QUERIES):
         t0 = time.time()
@@ -43,6 +45,11 @@ def main() -> None:
             results.append(
                 (round(time.time() - t0, 2), name, f"ERR {type(e).__name__}")
             )
+        finally:
+            # Per-query isolation: a sweep holds the longest-lived session
+            # of any harness; retained operator persists would put later
+            # queries under LRU pressure and skew their timings.
+            cache.release_all()
     failures = 0
     for dt, name, status in sorted(results, reverse=True):
         print(f"SWEEP {dt:8.2f}  {name}  {status}")
