@@ -152,3 +152,91 @@ def test_scd2_single_current_version_per_key(spark, batches):
         for k, v in b.items():
             last[str(k)] = v
     assert {r.nk: r.attr for r in current} == last
+
+
+# ---------------------------------------------------------------------------
+# Round-2 invariants
+# ---------------------------------------------------------------------------
+
+_event_streams = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user
+        st.integers(min_value=0, max_value=200_000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@PROP
+@given(events=_event_streams)
+def test_sessionize_partitions_events_exactly(spark, events):
+    """Every event lands in exactly one session; session event counts sum
+    to the input; per-user sessions are disjoint and separated by more
+    than the gap."""
+    from _event_intelligence_data_warehouse_spark.streaming.windows import (
+        sessionize,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        (i, u, datetime.datetime.utcfromtimestamp(base + off), 1.0)
+        for i, (u, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = sessionize(df, gap_minutes=30).collect()
+    assert sum(r["n_events"] for r in out) == len(rows)
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["session_start"])
+        for r in sess:
+            assert r["session_start"] <= r["session_end"]
+        for a, b in zip(sess, sess[1:]):
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap > 1800, "adjacent sessions closer than the gap"
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=120),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_chunking_tiles_every_token(spark, texts):
+    """Chunks cover all tokens: starts advance by chunk-overlap, the last
+    chunk reaches the end, and no chunk is empty."""
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        chunk_documents,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+    }
+    out = chunk_documents(df, chunk_tokens=8, overlap=3)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in n_tok.items():
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r["start_token"])
+        if n == 0:
+            assert not chunks
+            continue
+        assert chunks, f"doc {doc_id} with {n} tokens produced no chunks"
+        assert [c["start_token"] for c in chunks] == list(range(1, n + 1, 5))
+        last = chunks[-1]
+        assert last["start_token"] + last["n_chunk_tokens"] - 1 == n, (
+            "final chunk does not reach the last token"
+        )
+        for c in chunks:
+            assert 1 <= c["n_chunk_tokens"] <= 8
