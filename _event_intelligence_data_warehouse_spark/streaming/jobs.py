@@ -172,18 +172,38 @@ def stream_facts_from_bronze(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import datetime as dt
+
         if batch_df.isEmpty():
             return
-        stg = stage_events(batch_df, only_unprocessed=False)
-        fact_rows = facts_mod.build_fact_rows(
-            stg,
-            wh.read("dim_date", schemas.DIM_DATE),
-            wh.read("dim_venue", schemas.DIM_VENUE),
-            wh.read("dim_category", schemas.DIM_CATEGORY),
-            wh.read("dim_source", schemas.DIM_SOURCE),
-            loaded_at=F.current_timestamp(),
+        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        run_id = f"stream-fact-merge-{batch_id}"
+        try:
+            stg = stage_events(batch_df, only_unprocessed=False)
+            fact_rows = facts_mod.build_fact_rows(
+                stg,
+                wh.read("dim_date", schemas.DIM_DATE),
+                wh.read("dim_venue", schemas.DIM_VENUE),
+                wh.read("dim_category", schemas.DIM_CATEGORY),
+                wh.read("dim_source", schemas.DIM_SOURCE),
+                loaded_at=F.current_timestamp(),
+            )
+            n = batch_df.count()
+            facts_mod.upsert_facts_partitioned(wh, fact_rows)
+        except Exception as exc:
+            bronze._log(
+                wh, spark, run_id, "stream_fact_merge", started,
+                dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                0, 0, "failed", str(exc)[:500],
+            )
+            raise
+        # S9 parity for the streaming path: one success row per merged
+        # micro-batch, so kpi_pipeline_health sees streaming runs too.
+        bronze._log(
+            wh, spark, run_id, "stream_fact_merge", started,
+            dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            n, n, "success", None,
         )
-        facts_mod.upsert_facts_partitioned(wh, fact_rows)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

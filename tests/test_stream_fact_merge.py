@@ -47,3 +47,12 @@ def test_stream_fact_merge_is_incremental_and_idempotent(spark, tmp_path):
     sks = wh.read("fact_events").select("event_sk").collect()
     vals = [r[0] for r in sks]
     assert len(vals) == len(set(vals))
+    # every merged micro-batch left a success row in the run log (S9
+    # parity for the streaming path) and loaded counts are conserved
+    stream_runs = (
+        bronze.current_runs(wh)
+        .filter(F.col("source") == "stream_fact_merge")
+        .collect()
+    )
+    assert stream_runs and all(r["status"] == "success" for r in stream_runs)
+    assert sum(r["records_loaded"] for r in stream_runs) == n0 + 30
