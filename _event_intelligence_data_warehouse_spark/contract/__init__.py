@@ -158,6 +158,7 @@ _DRIVER_SAMPLE_TAIL = [
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",
     "join_scd2_point_in_time",
+    "rollup_cascade_daily",
 ]
 
 

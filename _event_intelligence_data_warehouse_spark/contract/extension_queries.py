@@ -1305,6 +1305,44 @@ def sketch_hll_grouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_cascade_daily",
+    """
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)))
+                AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)))
+                AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (hypertable-style): hourly partials
+    from raw, daily combined FROM HOURLY, monthly from daily — stored
+    partition-pruned and refreshed additively (plans/rollups.py). The
+    oracle aggregates raw directly, proving the two-hop derivation loses
+    nothing (re-aggregable measures, decimal-domain sums)."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.plans import rollups
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(spark, staging_dir("rollup_cascade", sf_dir))
+    rollups.build_cascade(wh, load(spark, sf_dir, "events"))
+    return wh.read(rollups.DAILY).select(
+        "d",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@query(
     "sketch_binned_quantiles",
     """
     WITH counts AS (

@@ -1,0 +1,91 @@
+"""Rollup cascade: incremental refresh equals full rebuild, and refresh
+physically rewrites only the partitions its batch touched."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.plans import rollups
+from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+
+def _events(spark, specs):
+    """specs: (event_id, day, hour, type, value)."""
+    rows = [
+        (i, dt.datetime(2026, 3, day, hour, 15), f"u{i % 5}", typ, float(v))
+        for i, (day, hour, typ, v) in enumerate(specs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double",
+    )
+
+
+def _daily_rows(wh):
+    return sorted(
+        (str(r["d"]), r["event_type"], r["n_events"], str(r["sum_value"]),
+         str(r["min_value"]), str(r["max_value"]))
+        for r in wh.read(rollups.DAILY).collect()
+    )
+
+
+def _part_files(table_dir):
+    out = {}
+    for entry in sorted(os.listdir(table_dir)):
+        sub = os.path.join(table_dir, entry)
+        if os.path.isdir(sub) and "=" in entry:
+            out[entry] = tuple(sorted(
+                f for f in os.listdir(sub) if f.endswith(".parquet")
+            ))
+    return out
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, tmp_path):
+    base = [(1, h, t, v) for h in (0, 1, 13) for t, v in
+            (("view", 10), ("click", 20))] + [
+        (2, 5, "view", 7), (15, 23, "purchase", 99)]
+    batch = [(1, 1, "view", 3), (2, 5, "click", 11), (16, 8, "view", 1)]
+
+    wh_inc = Warehouse(spark, str(tmp_path / "inc"))
+    rollups.build_cascade(wh_inc, _events(spark, base))
+    touched = rollups.refresh_incremental(wh_inc, _events(spark, batch))
+    assert touched == {"days": 3, "months": 1}
+
+    wh_full = Warehouse(spark, str(tmp_path / "full"))
+    rollups.build_cascade(wh_full, _events(spark, base + batch))
+
+    assert _daily_rows(wh_inc) == _daily_rows(wh_full), (
+        "incremental cascade diverged from full rebuild"
+    )
+    m_inc = sorted(map(tuple, wh_inc.read(rollups.MONTHLY).collect()))
+    m_full = sorted(map(tuple, wh_full.read(rollups.MONTHLY).collect()))
+    assert m_inc == m_full
+
+
+def test_refresh_rewrites_only_touched_day_partitions(spark, tmp_path):
+    base = [(d, 9, "view", 5) for d in (1, 2, 3, 10, 20)]
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rollups.build_cascade(wh, _events(spark, base))
+    before = _part_files(wh.path(rollups.HOURLY))
+    assert len(before) == 5
+
+    rollups.refresh_incremental(
+        wh, _events(spark, [(2, 10, "click", 1)])
+    )
+    after = _part_files(wh.path(rollups.HOURLY))
+    for part, files in before.items():
+        if part == "d=2026-03-02":
+            assert after[part] != files, "touched day was not rewritten"
+        else:
+            assert after[part] == files, f"untouched {part} was rewritten"
+    # and the merged hour is additive, not replaced
+    row = (
+        wh.read(rollups.HOURLY)
+        .filter((F.col("d") == "2026-03-02") & (F.col("event_type") == "view"))
+        .first()
+    )
+    assert row["n_events"] == 1, "existing partials must survive the merge"
