@@ -212,3 +212,34 @@ def stream_facts_from_bronze(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_rollups_from_events(
+    spark: SparkSession, wh, input_dir: str, checkpoint_dir: str
+) -> None:
+    """Continuously maintained rollup cascade: each micro-batch of raw
+    events merges additively into the hourly/daily/monthly aggregates
+    (plans.rollups.refresh_incremental) — the streaming face of
+    continuous aggregates. Late events simply land in their (old) hour
+    partition: the additive merge has no watermark cutoff, so the
+    cascade converges to the batch-rebuild answer regardless of arrival
+    order (test-pinned)."""
+    from _event_intelligence_data_warehouse_spark.plans import rollups
+
+    stream = read_event_stream(spark, input_dir)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not wh.exists(rollups.HOURLY):
+            rollups.build_cascade(wh, batch_df)
+        else:
+            rollups.refresh_incremental(wh, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

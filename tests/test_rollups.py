@@ -15,12 +15,12 @@ from _event_intelligence_data_warehouse_spark.storage import Warehouse
 def _events(spark, specs):
     """specs: (event_id, day, hour, type, value)."""
     rows = [
-        (i, dt.datetime(2026, 3, day, hour, 15), f"u{i % 5}", typ, float(v))
+        (i, dt.datetime(2026, 3, day, hour, 15), i % 5, typ, float(v))
         for i, (day, hour, typ, v) in enumerate(specs)
     ]
     return spark.createDataFrame(
         rows,
-        "event_id long, ts timestamp, user_id string, event_type string, "
+        "event_id long, ts timestamp, user_id long, event_type string, "
         "value double",
     )
 
@@ -89,3 +89,37 @@ def test_refresh_rewrites_only_touched_day_partitions(spark, tmp_path):
         .first()
     )
     assert row["n_events"] == 1, "existing partials must survive the merge"
+
+
+def test_late_events_converge_to_batch_answer(spark, tmp_path):
+    """Out-of-order arrival must not matter: additive merge has no
+    watermark cutoff, so late events for an old day update exactly that
+    day and the cascade equals the in-order rebuild."""
+    on_time = [(10, 9, "view", 5), (20, 9, "view", 5)]
+    late = [(1, 3, "click", 2)]  # arrives after much newer data
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rollups.build_cascade(wh, _events(spark, on_time))
+    rollups.refresh_incremental(wh, _events(spark, late))
+
+    wh_ref = Warehouse(spark, str(tmp_path / "ref"))
+    rollups.build_cascade(wh_ref, _events(spark, on_time + late))
+    assert _daily_rows(wh) == _daily_rows(wh_ref)
+
+
+def test_stream_maintains_rollup_cascade(spark, tmp_path):
+    """foreachBatch wiring: a drained stream leaves the same cascade as
+    a batch build over the same events; re-draining is a no-op."""
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    events = _events(spark, [(d, h, "view", 5) for d in (1, 2) for h in (0, 12)])
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "ckpt"))
+    wh_ref = Warehouse(spark, str(tmp_path / "ref"))
+    rollups.build_cascade(wh_ref, events)
+    assert _daily_rows(wh) == _daily_rows(wh_ref)
+
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "ckpt"))
+    assert _daily_rows(wh) == _daily_rows(wh_ref), "re-drain changed results"
