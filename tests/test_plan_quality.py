@@ -113,6 +113,57 @@ def test_topk_compiles_to_take_ordered(spark):
     )
 
 
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """A selective dim-side filter on a big-big join must inject a
+    runtime bloom filter (might_contain) on the fact side — Catalyst's
+    runtime row-level filtering, the 100 TB lever that prunes fact rows
+    before the shuffle. Size thresholds are scaled down to test data;
+    at production scan sizes the defaults (10 GB application side)
+    trigger on their own."""
+    from _event_intelligence_data_warehouse_spark.contract import load
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB")
+        l = load(spark, SF, "lineitem")
+        o = load(spark, SF, "orders")
+        j = (
+            l.join(
+                o.filter(F.col("o_orderpriority") == "1-URGENT"),
+                l.l_orderkey == o.o_orderkey,
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()
+        plan = _plan(j)
+        assert "might_contain" in plan.lower(), (
+            "runtime bloom filter was not injected on the fact side"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     """Bucketing both sides of a big-big equi-join on the join key makes
     the join shuffle-free (SCALE.md: pre-partitioning/co-location is the
