@@ -65,7 +65,8 @@ def staging_dir(name: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), f"eidw_staging_{os.getpid()}")
+    tmp = tempfile.gettempdir()
+    root = os.path.join(tmp, f"eidw_staging_{os.getpid()}")
     base = os.path.join(
         root, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}"
     )
@@ -74,6 +75,19 @@ def staging_dir(name: str, sf_dir: str) -> str:
     if not getattr(staging_dir, "_atexit_registered", False):
         staging_dir._atexit_registered = True
         atexit.register(shutil.rmtree, root, ignore_errors=True)
+        # Crashed runs never reach their atexit: sweep roots whose owner
+        # PID is gone so SIGKILLed harnesses can't fill /tmp over time.
+        for entry in os.listdir(tmp):
+            if not entry.startswith("eidw_staging_"):
+                continue
+            try:
+                pid = int(entry.rsplit("_", 1)[-1])
+                if pid != os.getpid():
+                    os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            except (ValueError, PermissionError):
+                pass
     return base
 
 

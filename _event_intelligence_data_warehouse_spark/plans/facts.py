@@ -166,6 +166,7 @@ def upsert_facts_partitioned(
             fact_bucket(n=n_buckets).alias(FACT_PART_COL)
         ).distinct().collect()
     )
+    migrating = False
     if wh.exists(table):
         full = wh.read(table)
         if FACT_PART_COL not in full.columns:
@@ -173,6 +174,7 @@ def upsert_facts_partitioned(
             # partition column on disk means no pruning is possible this
             # batch — merge against the full image and write it back
             # partitioned; every later batch prunes.
+            migrating = True
             existing_aff = full
         else:
             existing_aff = full.filter(
@@ -182,9 +184,6 @@ def upsert_facts_partitioned(
     else:
         existing_aff = wh.read(table, schemas.FACT_EVENTS)
         sk_src = existing_aff
-    migrating = (
-        wh.exists(table) and FACT_PART_COL not in wh.read(table).columns
-    )
     merged = upsert_facts(
         existing_aff, incoming, sk_source=sk_src
     ).withColumn(FACT_PART_COL, fact_bucket(n=n_buckets))

@@ -37,9 +37,14 @@ _DEC = "decimal(18,2)"
 
 
 def hourly_partials(events: DataFrame) -> DataFrame:
-    """Raw events -> hourly partials (the only level that reads raw)."""
+    """Raw events -> hourly partials (the only level that reads raw).
+    Rows without an event time cannot enter a time rollup and are
+    dropped here — a null day would otherwise poison the refresh's
+    partition arithmetic AND exclude the null partition from its own
+    merge (silent data loss under dynamic overwrite)."""
     return (
-        events.groupBy(
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
             F.date_trunc("hour", "ts").alias("hour_start"),
             F.col("event_type"),
         )
@@ -112,8 +117,14 @@ def refresh_incremental(wh, new_events: DataFrame) -> dict[str, int]:
     monthly_touched = monthly_from_daily(
         wh.read(DAILY).filter(F.col("m").isin(months))
     )
-    # monthly is tiny (months x types): merge via key-replace union
-    current = wh.read(MONTHLY).filter(~F.col("m").isin(months))
+    # monthly is tiny (months x types): merge via key-replace union. A
+    # crash between a previous run's DAILY and MONTHLY writes can leave
+    # MONTHLY absent — recover from an empty same-shape frame instead of
+    # failing every subsequent refresh.
+    if wh.exists(MONTHLY):
+        current = wh.read(MONTHLY).filter(~F.col("m").isin(months))
+    else:
+        current = monthly_touched.limit(0)
     wh.overwrite(
         MONTHLY, current.unionByName(monthly_touched.select(current.columns))
     )

@@ -95,7 +95,9 @@ def _save_state(path: str | None, last_runs: dict[str, dt.datetime]) -> None:
 
     if not path:
         return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    parent = os.path.dirname(path)
+    if parent:  # bare filename -> current dir, nothing to create
+        os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({k: v.isoformat() for k, v in last_runs.items()}, f)

@@ -73,15 +73,10 @@ class Warehouse:
         """
         live = self.path(table)
         tmp = live + ".__tmp__" + uuid.uuid4().hex[:8]
-        old = live + ".__old__" + uuid.uuid4().hex[:8]
         # Writing from the live dir to tmp first makes self-referential
         # rewrites (read table -> transform -> overwrite table) safe.
         df.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(live):
-            os.rename(live, old)
-        os.rename(tmp, live)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        self._swap(live, tmp)
 
     def overwrite_partitions(
         self, table: str, df: DataFrame, partition_col: str
@@ -104,18 +99,22 @@ class Warehouse:
             .parquet(self.path(table))
         )
 
-    def replace_with(self, table: str, staged: str) -> None:
-        """Promote a fully-written staged table directory over the live
-        one (two renames — the same atomic-enough swap as ``overwrite``).
-        For rewrites whose input is the live table itself, where an
-        in-place overwrite would truncate its own scan."""
-        live, stage = self.path(table), self.path(staged)
+    @staticmethod
+    def _swap(live: str, staged: str) -> None:
+        """Two-rename promotion of a fully-written dir over the live one;
+        a crash leaves either image intact plus a cleanable leftover."""
         old = live + ".__old__" + uuid.uuid4().hex[:8]
         if os.path.isdir(live):
             os.rename(live, old)
-        os.rename(stage, live)
+        os.rename(staged, live)
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
+
+    def replace_with(self, table: str, staged: str) -> None:
+        """Promote a staged table directory over the live one. For
+        rewrites whose input is the live table itself, where an in-place
+        overwrite would truncate its own scan."""
+        self._swap(self.path(table), self.path(staged))
 
     # -- watermarks --------------------------------------------------------
     @property

@@ -179,17 +179,23 @@ def stream_facts_from_bronze(
         started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         run_id = f"stream-fact-merge-{batch_id}"
         try:
+            from _event_intelligence_data_warehouse_spark import cache
+
             stg = stage_events(batch_df, only_unprocessed=False)
-            fact_rows = facts_mod.build_fact_rows(
+            fact_rows = cache.persist(facts_mod.build_fact_rows(
                 stg,
                 wh.read("dim_date", schemas.DIM_DATE),
                 wh.read("dim_venue", schemas.DIM_VENUE),
                 wh.read("dim_category", schemas.DIM_CATEGORY),
                 wh.read("dim_source", schemas.DIM_SOURCE),
                 loaded_at=F.current_timestamp(),
-            )
-            n = batch_df.count()
+            ))
+            # Log what actually LOADS (post-cleanse/dedup fact rows),
+            # not the raw batch size; the persist means the count and
+            # the upsert share one computation of the build.
+            n = fact_rows.count()
             facts_mod.upsert_facts_partitioned(wh, fact_rows)
+            cache.release_all()
         except Exception as exc:
             bronze._log(
                 wh, spark, run_id, "stream_fact_merge", started,
@@ -231,10 +237,22 @@ def stream_rollups_from_events(
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # foreachBatch is AT-LEAST-once: a crash after the sink commit
+        # but before the checkpoint commit replays the batch, and an
+        # additive merge would double-count it. The ledger (applied
+        # batch ids are strictly increasing per checkpoint) makes
+        # replays no-ops. A crash BETWEEN the cascade write and the
+        # ledger write still double-applies — the unavoidable window of
+        # a non-transactional sink; a table format with commit metadata
+        # closes it.
+        applied = wh.get_watermark("rollups.last_batch_id")
+        if applied is not None and batch_id <= int(applied):
+            return
         if not wh.exists(rollups.HOURLY):
             rollups.build_cascade(wh, batch_df)
         else:
             rollups.refresh_incremental(wh, batch_df)
+        wh.set_watermark("rollups.last_batch_id", str(batch_id))
 
     q = (
         stream.writeStream.foreachBatch(refresh)

@@ -123,3 +123,20 @@ def test_stream_maintains_rollup_cascade(spark, tmp_path):
 
     jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "ckpt"))
     assert _daily_rows(wh) == _daily_rows(wh_ref), "re-drain changed results"
+
+
+def test_replayed_batches_do_not_double_count(spark, tmp_path):
+    """foreachBatch is at-least-once: replayed batch ids (here simulated
+    by draining the same files under a FRESH checkpoint, which restarts
+    ids at 0) must be no-ops via the warehouse-side batch ledger."""
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    events = _events(spark, [(d, 9, "view", 5) for d in (1, 2, 3)])
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "ckpt1"))
+    rows_once = _daily_rows(wh)
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "ckpt2"))
+    assert _daily_rows(wh) == rows_once, "replayed batches were re-applied"
