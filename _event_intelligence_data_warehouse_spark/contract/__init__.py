@@ -173,6 +173,7 @@ _DRIVER_SAMPLE_TAIL = [
     "sketch_binned_quantiles",
     "join_scd2_point_in_time",
     "rollup_cascade_daily",
+    "text_winnowing_overlap_pairs",
 ]
 
 

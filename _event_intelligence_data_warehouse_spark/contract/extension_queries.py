@@ -771,9 +771,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.redact_pii(docs)
 
 
-@query(
-    "text_winnowing_fingerprints",
-    """
+_WINNOW_FP_CTES = """
     WITH norm AS (
         SELECT doc_id,
                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
@@ -792,9 +790,15 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                         j -> list_min(gh[CAST(j AS INT):CAST(j + 3 AS INT)])))
                ELSE [list_min(gh)] END AS fps
         FROM grams
+    ), fp AS (
+        SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM sel
     )
-    SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM sel
-    """,
+"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    _WINNOW_FP_CTES + "SELECT doc_id, fingerprint FROM fp",
 )
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: min-hash of each 4-window of
@@ -802,6 +806,26 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage, hash-for-hash reproducible."""
     docs = load(spark, sf_dir, "documents")
     return tx.winnowing_fingerprints(docs, k=5, w=4)
+
+
+@query(
+    "text_winnowing_overlap_pairs",
+    _WINNOW_FP_CTES + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap retrieval: document pairs sharing >= 3
+    winnowing fingerprints via the fingerprint equi-self-join — pair
+    candidates are O(hash collisions), never O(n²), and only 8-byte
+    hashes join (the text never moves)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.winnowing_overlap_pairs(docs, min_shared=3, k=5, w=4)
 
 
 # ---------------------------------------------------------------------------

@@ -378,3 +378,36 @@ def redact_pii(
         F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    *,
+    min_shared: int = 3,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    the retrieval step fingerprints exist for (MOSS-style overlap /
+    plagiarism detection). The fingerprint equi-self-join only meets
+    documents that actually share a selected hash, so pair candidates
+    are O(collisions), never O(n²); overlap counts come from one group
+    aggregate over the join.
+
+    Shares every physical property of the LSH band join: the index side
+    is (doc_id, 8-byte hash), the text never joins, and hot fingerprints
+    are already thinned by winnowing's ~2/(w+1) selection."""
+    fp = winnowing_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
