@@ -811,9 +811,15 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_winnowing_overlap_pairs",
     _WINNOW_FP_CTES + """
+    , rare AS (
+        SELECT fingerprint FROM fp GROUP BY fingerprint
+        HAVING COUNT(*) <= 10
+    ), fpr AS (
+        SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint)
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
-    FROM fp a JOIN fp b
+    FROM fpr a JOIN fpr b
       ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= 3
@@ -821,11 +827,12 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style overlap retrieval: document pairs sharing >= 3
-    winnowing fingerprints via the fingerprint equi-self-join — pair
-    candidates are O(hash collisions), never O(n²), and only 8-byte
-    hashes join (the text never moves)."""
+    DISCRIMINATIVE winnowing fingerprints (document frequency <= 10 —
+    boilerplate hashes are excluded before the self-join, which is both
+    the signal and the anti-quadratic scale rule). Only 8-byte hashes
+    join; the text never moves."""
     docs = load(spark, sf_dir, "documents")
-    return tx.winnowing_overlap_pairs(docs, min_shared=3, k=5, w=4)
+    return tx.winnowing_overlap_pairs(docs, min_shared=3, max_df=10, k=5, w=4)
 
 
 # ---------------------------------------------------------------------------

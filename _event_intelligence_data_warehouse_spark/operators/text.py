@@ -384,6 +384,7 @@ def winnowing_overlap_pairs(
     df: DataFrame,
     *,
     min_shared: int = 3,
+    max_df: int | None = 10,
     k: int = 5,
     w: int = 4,
     text_col: str = "text",
@@ -392,16 +393,29 @@ def winnowing_overlap_pairs(
     """Document pairs sharing >= min_shared winnowing fingerprints —
     the retrieval step fingerprints exist for (MOSS-style overlap /
     plagiarism detection). The fingerprint equi-self-join only meets
-    documents that actually share a selected hash, so pair candidates
-    are O(collisions), never O(n²); overlap counts come from one group
-    aggregate over the join.
+    documents that actually share a selected hash; overlap counts come
+    from one group aggregate over the join.
 
-    Shares every physical property of the LSH band join: the index side
-    is (doc_id, 8-byte hash), the text never joins, and hot fingerprints
-    are already thinned by winnowing's ~2/(w+1) selection."""
+    ``max_df`` drops fingerprints present in more than that many
+    documents BEFORE the self-join. This is simultaneously the signal
+    fix and the scale fix: boilerplate/template hashes say nothing
+    about pairwise copying, and each hot fingerprint emits df² join
+    rows (measured: the template-heavy synthetic corpus at sf0.1 turns
+    the unfiltered join near-quadratic, 160+ s; with the cap the pair
+    space is bounded by max_df² per fingerprint — linear in the index).
+    The same move as the Jaccard prefix filter: hot keys can't
+    discriminate, so never join on them."""
     fp = winnowing_fingerprints(
         df, k=k, w=w, text_col=text_col, id_col=id_col
     )
+    if max_df is not None:
+        rare = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(rare, "fingerprint")
     a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
     return (
