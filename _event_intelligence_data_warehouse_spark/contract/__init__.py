@@ -174,6 +174,7 @@ _DRIVER_SAMPLE_TAIL = [
     "join_scd2_point_in_time",
     "rollup_cascade_daily",
     "text_winnowing_overlap_pairs",
+    "sample_weighted_by_quality",
 ]
 
 

@@ -634,7 +634,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_metrics(docs)
 
 
-_QUALITY_DOCS2_CTE = f"""
+# Parameterized so every quality-consuming oracle (keep-best election,
+# weighted sampling) shares ONE copy of the score formula.
+_QUALITY_CTE_TEMPLATE = f"""
 , qm AS (
     SELECT doc_id,
            CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
@@ -652,7 +654,7 @@ _QUALITY_DOCS2_CTE = f"""
                 / CAST(len(list_filter(regexp_split_to_array(
                       lower(trim(text)), '\\s+'), x -> x != '')) AS DOUBLE)
            ELSE 0.0 END AS sw
-    FROM docs2
+    FROM {{src}}
 ), q AS (
     SELECT doc_id,
            CAST(ROUND(CAST(
@@ -665,10 +667,14 @@ _QUALITY_DOCS2_CTE = f"""
 """
 
 
+def _quality_cte(src: str) -> str:
+    return _QUALITY_CTE_TEMPLATE.replace("{src}", src)
+
+
 @query(
     "dedup_canonical_keep_best",
     _CC_CTES
-    + _QUALITY_DOCS2_CTE
+    + _quality_cte("docs2")
     + """
     SELECT c.doc_id, c.component_id, q.quality_score,
            CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT)
@@ -691,6 +697,37 @@ def dedup_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tx.quality_score(F.col("text")).alias("quality_score")
     )
     return dd.canonical_keep_best(comps, quality)
+
+
+@query(
+    "sample_weighted_by_quality",
+    "WITH docs2 AS (SELECT doc_id, text FROM documents)"
+    + _quality_cte("docs2")
+    + """
+    SELECT doc_id, quality_score
+    FROM q
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))
+               AS BIGINT) % 100
+          < floor(60.0 * quality_score)
+    """,
+)
+def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: keep probability is 60%
+    scaled by each document's quality score — the curation move that
+    upsamples clean documents without an RNG. Membership is a pure
+    function of (doc_id, score): stable across runs, repartitions, and
+    engines (the oracle reproduces the exact row set)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality_score")
+    )
+    return smp.weighted_hash_sample(
+        scored, "quality_score", "doc_id", base_pct=60
+    )
 
 
 @query(

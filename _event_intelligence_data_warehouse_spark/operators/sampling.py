@@ -99,3 +99,26 @@ def topk_per_group(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    base_pct: int,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling: a row's keep probability is
+    base_pct% scaled by its weight in [0, 1] — keep iff
+    hash_bucket(id) < floor(base_pct * weight). The curation move that
+    upsamples high-quality documents and suppresses low-quality ones
+    without an RNG: membership is a pure function of (id, weight), so
+    the sample is stable across runs/repartitions and reproducible by
+    the oracle.
+
+    Still a stateless filter (threshold is per-row column arithmetic);
+    floor of an exact-operand product keeps the cut engine-portable."""
+    threshold = F.floor(
+        F.lit(float(base_pct)) * F.col(weight_col).cast("double")
+    )
+    return df.filter(hash_bucket(id_col, buckets) < threshold)
