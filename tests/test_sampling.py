@@ -71,3 +71,25 @@ def test_topk_per_group_rank_and_tiebreak(spark):
         for r in d.groupBy("source").agg(F.max("n_chars").alias("mx")).collect()
     }
     assert best == true_max
+
+
+def test_weighted_sample_monotone_in_base_and_weight(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 11) / 10.0) for i in range(400)], "doc_id long, w double"
+    )
+    keep30 = {r["doc_id"] for r in
+              smp.weighted_hash_sample(df, "w", "doc_id", 30).collect()}
+    keep60 = {r["doc_id"] for r in
+              smp.weighted_hash_sample(df, "w", "doc_id", 60).collect()}
+    assert keep30 <= keep60, "raising base_pct must only ADD rows"
+    # zero-weight rows can never be sampled; full-weight rows sample at
+    # ~base_pct
+    zeros = {r["doc_id"] for r in df.filter("w = 0.0").collect()}
+    assert not (keep60 & zeros)
+    full = [r["doc_id"] for r in df.filter("w = 1.0").collect()]
+    rate = len(keep60 & set(full)) / len(full)
+    assert 0.4 < rate < 0.8, f"full-weight sampling rate {rate} far from 60%"
