@@ -175,6 +175,7 @@ _DRIVER_SAMPLE_TAIL = [
     "rollup_cascade_daily",
     "text_winnowing_overlap_pairs",
     "sample_weighted_by_quality",
+    "stats_analyze_columns",
 ]
 
 

@@ -1410,6 +1410,41 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _colstat_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(MIN({col}) AS STRING) AS min_str,
+           CAST(MAX({col}) AS STRING) AS max_str
+    FROM {table}
+    """
+
+
+@query(
+    "stats_analyze_columns",
+    " UNION ALL ".join(
+        _colstat_sql("orders", c)
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus",
+                  "o_orderpriority")
+    ),
+)
+def stats_analyze_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (nulls, exact distincts, min/max)
+    for four orders columns in ONE scan — the stats a cost-based
+    optimizer and a data-quality dashboard both consume, unpivoted via
+    stack so column count doesn't multiply scan cost."""
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        column_stats,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    return column_stats(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 @query(
     "sketch_binned_quantiles",
     """

@@ -425,3 +425,40 @@ def winnowing_overlap_pairs(
         .agg(F.count("*").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE pass: row count, null
+    count, exact distinct count, and min/max (rendered as strings so
+    heterogeneous column types share a schema). The stats every
+    cost-based optimizer and data-quality dashboard consumes; computed
+    as a single multi-aggregate (no per-column scans) and unpivoted via
+    stack — scan cost is one read regardless of column count."""
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            # min/max in the NATIVE type, rendered after — string-min of
+            # numeric columns would be lexicographic ("100" < "99")
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )
