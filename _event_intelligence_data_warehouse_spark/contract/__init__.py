@@ -176,6 +176,7 @@ _DRIVER_SAMPLE_TAIL = [
     "text_winnowing_overlap_pairs",
     "sample_weighted_by_quality",
     "stats_analyze_columns",
+    "embedding_quantize_int8",
 ]
 
 

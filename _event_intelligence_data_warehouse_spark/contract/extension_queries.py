@@ -1410,6 +1410,43 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           CAST(list_sum(q) AS BIGINT) AS q_checksum,
+           CAST(ROUND(CAST(scale AS DECIMAL(18,9)), 6) AS DOUBLE)
+               AS scale_r,
+           CAST(ROUND(CAST(
+               list_max(list_transform(generate_series(1, len(v)),
+                   i -> abs(CAST(q[CAST(i AS INT)] AS DOUBLE) * scale
+                            - v[CAST(i AS INT)])))
+               AS DECIMAL(18,9)), 6) AS DOUBLE) AS max_err_r
+    FROM (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> greatest(-127, least(127,
+                   CAST(floor(x / scale + 0.5) AS INT)))) AS q
+        FROM (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings
+        )
+    )
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization with a reconstruction-error
+    report — the 4x storage/IO compression that fits billion-vector ANN
+    indexes in executor memory. Quantized values are bit-identical
+    across engines (pure IEEE floor-half-up arithmetic), verified via
+    the exact integer checksum plus rounded scale/error columns."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.quantize_embeddings_int8(emb)
+
+
 def _colstat_sql(table: str, col: str) -> str:
     return f"""
     SELECT '{col}' AS column_name,
