@@ -177,6 +177,7 @@ _DRIVER_SAMPLE_TAIL = [
     "sample_weighted_by_quality",
     "stats_analyze_columns",
     "embedding_quantize_int8",
+    "embedding_quantized_topk_recall",
 ]
 
 

@@ -1447,6 +1447,63 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantize_embeddings_int8(emb)
 
 
+_QUANT_VECS_SQL = """
+    quant AS (
+        SELECT vec_id,
+               list_transform(q, x -> CAST(x AS DOUBLE) * scale) AS v
+        FROM (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> greatest(-127, least(127,
+                       CAST(floor(x / scale + 0.5) AS INT)))) AS q
+            FROM (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS v,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                FROM embeddings
+            )
+        )
+    )
+"""
+
+_TOP1_SQL = """
+    SELECT vec_id AS query_id, nb AS {out} FROM (
+        SELECT x.vec_id, c.vec_id AS nb,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                   list_dot_product(x.v, c.v)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id) AS rk
+        FROM {rel} x CROSS JOIN {rel} c
+        WHERE x.vec_id < 50 AND x.vec_id <> c.vec_id
+    ) WHERE rk = 1
+"""
+
+
+@query(
+    "embedding_quantized_topk_recall",
+    "WITH exactv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+    "               FROM embeddings), "
+    + _QUANT_VECS_SQL
+    + ", e AS ("
+    + _TOP1_SQL.format(rel="exactv", out="exact_neighbor")
+    + "), qn AS ("
+    + _TOP1_SQL.format(rel="quant", out="quant_neighbor")
+    + """)
+    SELECT e.query_id, e.exact_neighbor, qn.quant_neighbor,
+           (e.exact_neighbor = qn.quant_neighbor) AS top1_match
+    FROM e JOIN qn USING (query_id)
+    """,
+)
+def embedding_quantized_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 agreement between exact cosine search and search over the
+    int8-dequantized corpus — the accuracy audit that decides whether
+    4x compression is admissible. Dequantized values are bit-identical
+    across engines, so both rankings reproduce exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.quantized_topk_recall(emb, emb.filter(F.col("vec_id") < 50))
+
+
 def _colstat_sql(table: str, col: str) -> str:
     return f"""
     SELECT '{col}' AS column_name,

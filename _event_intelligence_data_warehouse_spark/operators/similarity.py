@@ -410,6 +410,66 @@ def embedding_near_duplicates(
     )
 
 
+def quantized_vectors_int8(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, scale, q: array<int>) — the stored form of an int8-
+    compressed vector index. Dequantize with q_i * scale."""
+    v = _vec_double(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x / scale + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"), scale.alias("scale"), q.alias("q")
+    )
+
+
+def quantized_topk_recall(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query top-1 agreement between exact search and search over
+    int8-dequantized vectors — the accuracy audit that decides whether
+    the 4x compression is admissible for a corpus. Output: (query_id,
+    exact_neighbor, quant_neighbor, top1_match)."""
+    exact = brute_force_topk(df, queries, k=1, id_col=id_col,
+                             vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    qv = quantized_vectors_int8(df, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias(id_col),
+        F.transform("q", lambda x: x.cast("double") * F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    quant = brute_force_topk(
+        qv, qv.join(queries.select(id_col), id_col), k=1,
+        id_col=id_col, vec_col="embedding",
+    ).select("query_id", F.col("neighbor_id").alias("quant_neighbor"))
+    return exact.join(quant, "query_id").select(
+        "query_id",
+        "exact_neighbor",
+        "quant_neighbor",
+        (F.col("exact_neighbor") == F.col("quant_neighbor")).alias(
+            "top1_match"
+        ),
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     *,
