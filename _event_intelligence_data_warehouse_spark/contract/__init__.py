@@ -93,12 +93,26 @@ def staging_dir(name: str, sf_dir: str) -> str:
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver runs a VANILLA session (none of session.get_spark's
+    # configs): pin the timezone here so the TIMESTAMP_NTZ -> TIMESTAMP
+    # normalization below and every to_date/date_trunc downstream agree
+    # with the (timezone-naive) DuckDB oracle on any host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in _NS_TS_COLS.get(table, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer `div` keeps full int64 precision (float division
             # would corrupt epoch-nanos beyond 2^53).
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Driver testdata generations differ in timestamp physical type:
+    # TIMESTAMP(NANOS) surfaces as bigint (handled above) while
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ.
+    # The session timezone is pinned to UTC, so casting NTZ -> TIMESTAMP
+    # is value-preserving and restores the one stable type every
+    # downstream query (and the DuckDB oracle rendering) assumes.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -118,7 +132,26 @@ from _event_intelligence_data_warehouse_spark.contract import (  # noqa: E402,F4
 # are redundantly covered by another sampled query move to the tail.
 # Tail entries are still fully verified locally (tools/check_oracle.py,
 # pytest) — this only chooses which 50 the driver re-verifies.
+#
+# Round-3 rotation (r2 verdict item 5): sketch_hll_distinct,
+# rollup_cascade_daily, text_chunk_documents, join_scd2_point_in_time and
+# text_redact_pii move INTO the sample (plus the two new recall audits,
+# registered in the head region); seven entries whose mechanisms stay
+# sampled elsewhere move out — kpi_events_by_city / kpi_data_quality
+# (V2/F8/A10 remain covered by kpi_events_by_category,
+# kpi_weekend_vs_weekday, kpi_pipeline_health, quality_five_checks,
+# staging_cleanse, agg_pct_scalar_subquery), funnel / moving-avg / kNN
+# (extension shapes covered by cohort+window+brute-force entries), and
+# embedding_near_duplicates / similarity_topk_bruteforce (LSH bucketing
+# and the exact baseline are re-exercised inside the recall audits).
 _DRIVER_SAMPLE_TAIL = [
+    "kpi_events_by_city",
+    "kpi_data_quality",
+    "funnel_view_click_purchase",
+    "window_moving_avg_7d",
+    "knn_label_prediction",
+    "embedding_near_duplicates",
+    "similarity_topk_bruteforce",
     # subsumed by dedup_minhash_lsh_pairs (same signing path + verify)
     "dedup_minhash_signatures",
     # Expand-based grouping family: rollup + pivot stay sampled
@@ -165,14 +198,9 @@ _DRIVER_SAMPLE_TAIL = [
     "dedup_canonical_keep_best",
     "streaming_dedup_within_watermark",
     "cohort_retention",
-    "text_chunk_documents",
-    "text_redact_pii",
-    "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",
-    "join_scd2_point_in_time",
-    "rollup_cascade_daily",
     "text_winnowing_overlap_pairs",
     "sample_weighted_by_quality",
     "stats_analyze_columns",

@@ -876,12 +876,22 @@ def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF similarity (second ANN path)
 # ---------------------------------------------------------------------------
 
+# Quantizer geometry shared by the Spark call and its oracle: K is a
+# FIXED constant (never a function of corpus size) and training runs over
+# a bounded md5-ranked sample — the round-2 n/stride seeding made both
+# the per-round cost and the centroid broadcast grow with n.
+_IVF_N_CELLS = 16
+_IVF_MAX_TRAIN = 1024
+
 # Two unrolled Lloyd rounds over integer-snapped vectors (mirrors
-# operators.similarity.kmeans_centroids exactly): assignment = argmax
-# cosine with (sim DESC, cell) tie-break; new centroid = component-wise
-# BIGINT sum of members (exact, order-free; cosine is scale-invariant so
-# the un-divided sum ranks like the mean); empty cells carry forward.
-_IVF_TRAIN_CTE = """
+# operators.similarity.kmeans_centroids exactly): the training set is the
+# MAX_TRAIN vectors ranked lowest by (md5(vec_id), vec_id) and seeds are
+# that ranking's first N_CELLS ids; assignment = argmax cosine with
+# (sim DESC, cell) tie-break; new centroid = component-wise BIGINT sum of
+# members via (cell, pos) partial sums (exact, order-free; cosine is
+# scale-invariant so the un-divided sum ranks like the mean); empty cells
+# carry forward.
+_IVF_TRAIN_CTE = f"""
 WITH vecs AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), ivecs AS (
@@ -889,15 +899,23 @@ WITH vecs AS (
            list_transform(v, x -> CAST(floor(x * 1000000 + 0.5)
                                        AS BIGINT)) AS iv
     FROM vecs
-), ix AS (
-    SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE)) AS xd
-    FROM ivecs
-), iexp AS (
-    SELECT vec_id, unnest(iv) AS val,
-           unnest(generate_series(1, len(iv))) AS pos
-    FROM ivecs
+), ranked AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rk
+    FROM vecs
+), train AS (
+    SELECT i.vec_id,
+           list_transform(i.iv, x -> CAST(x AS DOUBLE)) AS xd, r.rk
+    FROM ivecs i JOIN ranked r USING (vec_id)
+    WHERE r.rk <= {_IVF_MAX_TRAIN}
+), texp AS (
+    SELECT i.vec_id, unnest(i.iv) AS val,
+           unnest(generate_series(1, len(i.iv))) AS pos
+    FROM ivecs i JOIN ranked r USING (vec_id)
+    WHERE r.rk <= {_IVF_MAX_TRAIN}
 ), seed AS (
-    SELECT vec_id AS cell, xd AS cw FROM ix WHERE vec_id % 50 = 0
+    SELECT vec_id AS cell, xd AS cw FROM train WHERE rk <= {_IVF_N_CELLS}
 ), a1 AS (
     SELECT vec_id, cell FROM (
         SELECT x.vec_id, c.cell,
@@ -906,12 +924,12 @@ WITH vecs AS (
                        / (sqrt(list_dot_product(x.xd, x.xd))
                           * sqrt(list_dot_product(c.cw, c.cw))) DESC,
                    c.cell) AS rk
-        FROM ix x CROSS JOIN seed c
+        FROM train x CROSS JOIN seed c
     ) WHERE rk = 1
 ), s1 AS (
-    SELECT a1.cell, iexp.pos, SUM(iexp.val) AS sx
-    FROM a1 JOIN iexp USING (vec_id)
-    GROUP BY a1.cell, iexp.pos
+    SELECT a1.cell, texp.pos, SUM(texp.val) AS sx
+    FROM a1 JOIN texp USING (vec_id)
+    GROUP BY a1.cell, texp.pos
 ), cent1 AS (
     SELECT s.cell, coalesce(l.cw2, s.cw) AS cw
     FROM seed s LEFT JOIN (
@@ -926,12 +944,12 @@ WITH vecs AS (
                        / (sqrt(list_dot_product(x.xd, x.xd))
                           * sqrt(list_dot_product(c.cw, c.cw))) DESC,
                    c.cell) AS rk
-        FROM ix x CROSS JOIN cent1 c
+        FROM train x CROSS JOIN cent1 c
     ) WHERE rk = 1
 ), s2 AS (
-    SELECT a2.cell, iexp.pos, SUM(iexp.val) AS sx
-    FROM a2 JOIN iexp USING (vec_id)
-    GROUP BY a2.cell, iexp.pos
+    SELECT a2.cell, texp.pos, SUM(texp.val) AS sx
+    FROM a2 JOIN texp USING (vec_id)
+    GROUP BY a2.cell, texp.pos
 ), cents AS (
     SELECT s.cell, coalesce(l.cw2, s.cw) AS centroid
     FROM cent1 s LEFT JOIN (
@@ -986,12 +1004,146 @@ SELECT query_id, neighbor_id, rank FROM (
 """,
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN path: corpus partitioned into centroid cells, queries probe
-    their 2 nearest cells, exact cosine re-ranks cell members only —
-    per-query work ~nprobe/n_cells of brute force."""
+    """IVF ANN path: corpus partitioned into a FIXED 16 centroid cells
+    (trained on a bounded md5-ranked sample), queries probe their 2
+    nearest cells, exact cosine re-ranks cell members only — per-query
+    work ~nprobe/n_cells of brute force, and training cost is constant
+    in corpus size."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 50), k=5, cell_stride=50, nprobe=2
+        emb, emb.filter(F.col("vec_id") < 50), k=5,
+        n_cells=_IVF_N_CELLS, max_train=_IVF_MAX_TRAIN, nprobe=2,
+    )
+
+
+# Shared recall-audit tail: per-query overlap between an `exact` and an
+# `approx` CTE (both (query_id, neighbor_id, rank)). Left joins keep
+# queries the approximate path missed entirely (n_overlap 0, top1 false).
+_RECALL_TAIL = """
+, rt_e1 AS (
+    SELECT query_id, neighbor_id AS exact_top1 FROM exact WHERE rank = 1
+), rt_a1 AS (
+    SELECT query_id, neighbor_id AS approx_top1 FROM approx WHERE rank = 1
+), rt_ov AS (
+    SELECT e.query_id, COUNT(*) AS n_ov
+    FROM exact e JOIN approx a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+), rt_base AS (
+    SELECT query_id, COUNT(*) AS n_ex FROM exact GROUP BY query_id
+)
+SELECT b.query_id,
+       CAST(b.n_ex AS BIGINT) AS n_exact,
+       CAST(coalesce(rt_ov.n_ov, 0) AS BIGINT) AS n_overlap,
+       coalesce(rt_e1.exact_top1 = rt_a1.approx_top1, FALSE) AS top1_match
+FROM rt_base b
+LEFT JOIN rt_ov USING (query_id)
+JOIN rt_e1 USING (query_id)
+LEFT JOIN rt_a1 ON b.query_id = rt_a1.query_id
+"""
+
+_EXACT_TOPK_CTE = f"""
+, eq AS (
+    SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 50
+), ec AS (
+    SELECT vec_id AS neighbor_id, v AS cv FROM vecs
+), escored AS (
+    SELECT query_id, neighbor_id, {_COS} AS sim
+    FROM ec CROSS JOIN eq
+    WHERE query_id <> neighbor_id
+), exact AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM escored
+    ) WHERE rank <= 5
+)
+"""
+
+
+@query(
+    "similarity_lsh_recall",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id, {_planes_sql()} AS bucket FROM vecs
+    ), c AS (
+        SELECT s.bucket, v.vec_id AS neighbor_id, v.v AS cv
+        FROM vecs v JOIN sig s USING (vec_id)
+    ), q AS (
+        SELECT s.bucket, v.vec_id AS query_id, v.v AS qv
+        FROM vecs v JOIN sig s USING (vec_id) WHERE v.vec_id < 50
+    ), ascored AS (
+        SELECT query_id, neighbor_id, {_COS} AS sim
+        FROM c JOIN q USING (bucket)
+        WHERE query_id <> neighbor_id
+    ), approx AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM ascored
+        ) WHERE rank <= 5
+    )
+    {_EXACT_TOPK_CTE}
+    {_RECALL_TAIL}
+    """,
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the hyperplane-LSH ANN path: per-query top-5
+    overlap (and top-1 agreement) against the exact brute-force baseline
+    — the accuracy gate that justifies the bucket approximation at
+    scale. Queries the approximation misses entirely score 0, not NULL."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return sim.topk_recall(
+        sim.brute_force_topk(emb, q, k=5), sim.lsh_topk(emb, q, k=5)
+    )
+
+
+@query(
+    "similarity_ivf_recall",
+    _IVF_CELLS_CTE
+    + f"""
+, assign AS (
+    SELECT vec_id AS neighbor_id, cell FROM cell_scores WHERE cell_rank = 1
+), probes AS (
+    SELECT vec_id AS query_id, cell FROM cell_scores
+    WHERE cell_rank <= 2 AND vec_id < 50
+), cand AS (
+    SELECT DISTINCT p.query_id, a.neighbor_id
+    FROM assign a JOIN probes p USING (cell)
+    WHERE p.query_id <> a.neighbor_id
+), ascored AS (
+    SELECT c.query_id, c.neighbor_id, {_COS} AS sim
+    FROM cand c
+    JOIN (SELECT vec_id, v AS cv FROM vecs) nv ON nv.vec_id = c.neighbor_id
+    JOIN (SELECT vec_id, v AS qv FROM vecs) qv ON qv.vec_id = c.query_id
+), approx AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM ascored
+    ) WHERE rank <= 5
+)
+{_EXACT_TOPK_CTE}
+{_RECALL_TAIL}
+""",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the IVF ANN path (same configuration as
+    similarity_ivf_topk): per-query top-5 overlap and top-1 agreement vs
+    exact search — quantifies what nprobe=2 over 16 cells trades away."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return sim.topk_recall(
+        sim.brute_force_topk(emb, q, k=5),
+        sim.ivf_topk(
+            emb, q, k=5,
+            n_cells=_IVF_N_CELLS, max_train=_IVF_MAX_TRAIN, nprobe=2,
+        ),
     )
 
 

@@ -205,10 +205,36 @@ def _int_vec(c: Column | str, scale: int = QUANT_SCALE) -> Column:
     )
 
 
+def _md5_rank_sample(
+    df: DataFrame, limit: int, id_col: str
+) -> DataFrame:
+    """The ``limit`` corpus ids ranked lowest by ``(md5(id), id)`` —
+    a deterministic, RNG-free uniform sample whose SIZE IS FIXED no
+    matter how big the corpus is. md5 of the id's decimal string is
+    engine-portable (same hex in Spark and DuckDB), and ``orderBy +
+    limit`` compiles to TakeOrderedAndProject: each partition keeps its
+    local top-``limit`` ids (8-byte id + 32-byte hash, no vectors move)
+    and one merge finishes — never a global sort, never a corpus
+    collect. Output: (vec_id, rk) with rk = 1..limit."""
+    ranked = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(limit)
+    )
+    # row_number over the already-limited frame: <= `limit` rows in one
+    # partition, a constant-size step independent of corpus size.
+    w = Window.orderBy("h", "vec_id")
+    return ranked.withColumn("rk", F.row_number().over(w)).drop("h")
+
+
 def kmeans_centroids(
     df: DataFrame,
     *,
-    cell_stride: int = 50,
+    n_cells: int = 16,
+    max_train: int = 1024,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -216,31 +242,52 @@ def kmeans_centroids(
     """Seeded, fixed-iteration Lloyd k-means -> (cell, centroid) with
     ``centroid: array<double>``.
 
+    Scale posture (the round-2 defect this replaces trained K = n/stride
+    centroids against the FULL corpus — O(n²/stride) per round with an
+    n-proportional broadcast): K and the training set are now both
+    bounded constants, so training cost is O(max_train · n_cells) per
+    round — independent of corpus size — and every broadcast frame
+    (sample ids, centroids) has a fixed row count. Guidance: n_cells ~
+    sqrt(n_vectors) for balanced cells (tune per corpus; 2^10..2^17 in
+    practice), max_train >= 64·n_cells for stable means.
+
     Deterministic and oracle-checkable by construction:
 
-    - seeds are the ``vec_id % cell_stride == 0`` sample (cell keeps the
-      seed's id), so K and the init need no RNG state;
+    - the training set is the ``max_train`` vectors ranked lowest by
+      ``(md5(vec_id), vec_id)`` (:func:`_md5_rank_sample`) — an RNG-free
+      uniform sample any engine reproduces; seeds are that ranking's
+      first ``n_cells`` ids (cell keeps the seed's id);
     - vectors are integer-snapped (:func:`_int_vec`) and each round's
       centroid is the *component-wise BIGINT SUM* of its members — exact
       and accumulation-order-free, unlike a double mean. Cosine is
       scale-invariant, so the un-divided sum vector ranks identically to
-      the mean and no division (hence no rounding) ever happens;
+      the mean and no division (hence no rounding) ever happens. The sum
+      is a true partial-sum plan: posexplode to (cell, pos, val), hash
+      aggregate on (cell, pos) — map-side combined, so no task ever
+      holds a cell's full membership even under skewed assignment;
     - assignment is argmax cosine with a (sim DESC, cell) tie-break;
       empty cells carry the previous round's centroid.
 
-    ``iters=0`` degenerates to the seed vectors themselves (the round-1
-    stand-in quantizer). Scale: per round, one broadcast of the K
-    centroids + one corpus pass for assignment and one shuffle of
-    (cell, pos) partial sums — never a corpus-sized broadcast."""
-    v = df.select(
-        F.col(id_col).alias("vec_id"), _int_vec(vec_col).alias("iv")
-    )
+    ``iters=0`` degenerates to the seed vectors themselves."""
+    sample = _md5_rank_sample(df, max_train, id_col)
     as_double = lambda c: F.transform(c, lambda x: x.cast("double"))
-    cent = v.filter(F.col("vec_id") % cell_stride == 0).select(
+    # Bounded frame: <= max_train rows. The broadcast side is the tiny
+    # (vec_id, rk) list; vectors stay on the (possibly huge) scan side
+    # and only the sampled rows survive the join. Coalescing the
+    # surviving sample to ONE partition is correct at any corpus scale —
+    # the frame is constant-size by construction — and collapses every
+    # per-round training shuffle from shuffle-partition-count tasks of
+    # near-empty work to one.
+    train = cache.persist(
+        df.select(F.col(id_col).alias("vec_id"), _int_vec(vec_col).alias("iv"))
+        .join(F.broadcast(sample), "vec_id")
+        .repartition(1)
+    )
+    cent = train.filter(F.col("rk") <= n_cells).select(
         F.col("vec_id").alias("cell"), F.col("iv").alias("civ")
     )
     for _ in range(iters):
-        scored = v.crossJoin(F.broadcast(cent)).select(
+        scored = train.crossJoin(F.broadcast(cent)).select(
             "vec_id",
             "iv",
             "cell",
@@ -254,21 +301,24 @@ def kmeans_centroids(
                 "top"
             ),
             F.first("iv").alias("iv"),
-        ).select("vec_id", (-F.col("top.nc")).alias("cell"), "iv")
-        # Component-wise BIGINT sum via an array fold over each cell's
-        # member list: one hash aggregate, no explode shuffle. Fold
-        # order is immaterial — integer + is associative/commutative.
+        ).select((-F.col("top.nc")).alias("cell"), "iv")
+        # True partial sums: one value per (cell, component) flows into a
+        # hash aggregate (map-side partials), then the <= n_cells rows
+        # reassemble their component arrays. Sum order is immaterial —
+        # integer + is associative/commutative — and no reducer ever
+        # materializes a cell's member list.
         sums = (
-            assign.groupBy("cell")
-            .agg(F.collect_list("iv").alias("ivs"))
+            assign.select("cell", F.posexplode("iv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("sx"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "sx"))
+                ).alias("ps")
+            )
             .select(
-                "cell",
-                # NB: slice() is 1-based but [] is 0-based — init must be
-                # element_at(ivs, 1) (the first member), not ivs[1].
-                F.expr(
-                    "aggregate(slice(ivs, 2, size(ivs)), element_at(ivs, 1), "
-                    "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
-                ).alias("niv"),
+                "cell", F.transform("ps", lambda x: x["sx"]).alias("niv")
             )
         )
         # Lazy persist (not an eager checkpoint): the whole training
@@ -284,21 +334,22 @@ def kmeans_centroids(
 def ivf_cells(
     df: DataFrame,
     *,
-    cell_stride: int = 50,
+    n_cells: int = 16,
+    max_train: int = 1024,
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: (centroids, ranked cell scores per vector).
 
-    Centroids come from :func:`kmeans_centroids` — seeded at the
-    ``vec_id % cell_stride == 0`` sample and refined by ``train_iters``
-    exact Lloyd rounds (0 = the untrained seed stand-in). The centroid
-    set is tiny (n/stride) and broadcast, so assignment is one pass over
-    the corpus with no shuffle."""
+    Centroids come from :func:`kmeans_centroids` — seeded at the first
+    ``n_cells`` of the md5-ranked sample and refined by ``train_iters``
+    exact Lloyd rounds over a ``max_train``-bounded training set. The
+    centroid set is a FIXED ``n_cells`` rows and broadcast, so full-
+    corpus assignment is one pass over the corpus with no shuffle."""
     v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
     centroids = kmeans_centroids(
-        df, cell_stride=cell_stride, iters=train_iters,
+        df, n_cells=n_cells, max_train=max_train, iters=train_iters,
         id_col=id_col, vec_col=vec_col,
     )
     return centroids, rank_cells(v, centroids)
@@ -317,29 +368,45 @@ def rank_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     return scored.withColumn("cell_rank", F.row_number().over(w))
 
 
-def ivf_topk(
+def ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     *,
-    cell_stride: int = 50,
-    nprobe: int = 2,
+    n_cells: int = 16,
+    max_train: int = 1024,
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF approximate top-k: each corpus vector lives in its nearest
-    centroid's cell; each query probes its ``nprobe`` nearest cells and
-    exact cosine re-ranks only those cells' members. Per-query work drops
-    from n to ~nprobe*n/n_cells; the cell equi-join replaces the cross
-    join, which is the property that survives a 100× scale-up."""
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF BUILD phase: (centroids, assignment) where assignment is
+    (neighbor_id, cell) — each corpus vector in its nearest centroid's
+    cell. Built once and amortized across query batches; persist or
+    write out both frames and serve with :func:`ivf_topk_prebuilt`."""
     centroids, corpus_cells = ivf_cells(
-        corpus, cell_stride=cell_stride, train_iters=train_iters,
-        id_col=id_col, vec_col=vec_col,
+        corpus, n_cells=n_cells, max_train=max_train,
+        train_iters=train_iters, id_col=id_col, vec_col=vec_col,
     )
     assign = corpus_cells.filter(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
+    return centroids, assign
+
+
+def ivf_topk_prebuilt(
+    centroids: DataFrame,
+    assign: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF SERVE phase over a prebuilt index: each query probes its
+    ``nprobe`` nearest cells and exact cosine re-ranks only those cells'
+    members. Per-query work drops from n to ~nprobe*n/n_cells; the cell
+    equi-join replaces the cross join, which is the property that
+    survives a 100× scale-up."""
     # Queries probe the CORPUS centroids (the cells that exist), never a
     # quantizer re-derived from the query subset.
     qv = queries.select(
@@ -370,6 +437,31 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
                 F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_cells: int = 16,
+    max_train: int = 1024,
+    nprobe: int = 2,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF approximate top-k: :func:`ivf_index` (build) +
+    :func:`ivf_topk_prebuilt` (serve) in one plan. Production amortizes
+    the build across batches; this form is the oracle-checkable unit."""
+    centroids, assign = ivf_index(
+        corpus, n_cells=n_cells, max_train=max_train,
+        train_iters=train_iters, id_col=id_col, vec_col=vec_col,
+    )
+    return ivf_topk_prebuilt(
+        centroids, assign, corpus, queries, k,
+        nprobe=nprobe, id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -407,6 +499,48 @@ def embedding_near_duplicates(
         .select("id_a", "id_b",
                 cosine(F.col("v_a"), F.col("v_b")).alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query agreement between an exact top-k result and an
+    approximate one (both shaped (query_id, neighbor_id, rank)) — the
+    accuracy audit that decides whether an ANN path's recall justifies
+    its speed at a given configuration. Output: (query_id, n_exact,
+    n_overlap, top1_match); recall@k = n_overlap / n_exact, aggregated
+    however the caller wants. A query the approximate path returned
+    nothing for scores n_overlap = 0, top1_match = false (left joins) —
+    silent misses count against recall, never drop out."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    base = e.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    ov = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    e1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("exact_top1")
+    )
+    a1 = approx.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("approx_top1")
+    )
+    return (
+        base.join(ov, "query_id", "left")
+        .join(e1, "query_id")
+        .join(a1, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            F.coalesce(
+                F.col("exact_top1") == F.col("approx_top1"), F.lit(False)
+            ).alias("top1_match"),
+        )
     )
 
 

@@ -136,7 +136,19 @@ def run_scheduler(
     while max_ticks is None or ticks < max_ticks:
         now = clock()
         for job in due_jobs(now, last_runs, daily_at=daily_at):
-            runner(job)
+            # Reference parity (scripts/scheduler.py): subprocess.run does
+            # not raise on a nonzero exit, so one failed pipeline run must
+            # log and keep the scheduler ticking — last_runs is NOT
+            # updated for the failed job, so it retries on the next tick.
+            try:
+                runner(job)
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "scheduled job %s failed; will retry next due tick", job
+                )
+                continue
             last_runs[job] = clock()
             _save_state(state_path, last_runs)
         ticks += 1

@@ -220,6 +220,11 @@ def stream_facts_from_bronze(
     q.awaitTermination()
 
 
+# Applied-source-file ledger for the streaming rollup cascade: exactly-
+# once per input file, independent of checkpoint identity (see refresh()).
+ROLLUP_LEDGER = "rollups_ingest_ledger"
+
+
 def stream_rollups_from_events(
     spark: SparkSession, wh, input_dir: str, checkpoint_dir: str
 ) -> None:
@@ -233,26 +238,50 @@ def stream_rollups_from_events(
     from _event_intelligence_data_warehouse_spark.plans import rollups
 
     stream = read_event_stream(spark, input_dir)
+    ledger_schema = T.StructType([T.StructField("src_file", T.StringType())])
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         # foreachBatch is AT-LEAST-once: a crash after the sink commit
         # but before the checkpoint commit replays the batch, and an
-        # additive merge would double-count it. The ledger (applied
-        # batch ids are strictly increasing per checkpoint) makes
-        # replays no-ops. A crash BETWEEN the cascade write and the
-        # ledger write still double-applies — the unavoidable window of
-        # a non-transactional sink; a table format with commit metadata
-        # closes it.
-        applied = wh.get_watermark("rollups.last_batch_id")
-        if applied is not None and batch_id <= int(applied):
+        # additive merge would double-count it. The replay ledger is
+        # FILE-scoped, not batch-id-scoped: micro-batch ids are only
+        # monotonic per checkpoint, so a warehouse-global max-batch-id
+        # would silently SKIP genuinely new files after a checkpoint
+        # loss/recreate (ids restart at 0 — data loss, round-2 ADVICE)
+        # while also depending on id coincidence to suppress re-drains.
+        # Tracking applied source files gives exactly-once per file
+        # regardless of checkpoint identity: replays and re-drains hit
+        # the ledger, new files always apply. A crash BETWEEN the
+        # cascade write and the ledger append still double-applies those
+        # files — the unavoidable window of a non-transactional sink; a
+        # table format with commit metadata closes it.
+        ledger = wh.read(ROLLUP_LEDGER, ledger_schema)
+        tagged = batch_df.withColumn("_src", F.input_file_name())
+        unapplied = tagged.join(
+            ledger, tagged["_src"] == ledger["src_file"], "left_anti"
+        )
+        # O(batch file count) driver list — the per-micro-batch file set,
+        # not the corpus. (batch_df.inputFiles() is empty inside
+        # foreachBatch; input_file_name() is the reliable source.)
+        new_files = [
+            r.src_file
+            for r in unapplied.select(
+                F.col("_src").alias("src_file")
+            ).distinct().collect()
+        ]
+        if not new_files:
             return
+        fresh = unapplied.drop("_src")
         if not wh.exists(rollups.HOURLY):
-            rollups.build_cascade(wh, batch_df)
+            rollups.build_cascade(wh, fresh)
         else:
-            rollups.refresh_incremental(wh, batch_df)
-        wh.set_watermark("rollups.last_batch_id", str(batch_id))
+            rollups.refresh_incremental(wh, fresh)
+        wh.append(
+            ROLLUP_LEDGER,
+            spark.createDataFrame([(f,) for f in new_files], ledger_schema),
+        )
 
     q = (
         stream.writeStream.foreachBatch(refresh)

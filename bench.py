@@ -74,6 +74,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        if name == "similarity_ivf_topk":
+            # Split build (train quantizer + assign corpus, amortized
+            # across query batches in production) from serve (probe +
+            # re-rank) so the regression guard distinguishes training
+            # cost from per-query cost. The end-to-end sum keeps the
+            # historical entry comparable across rounds.
+            _bench_ivf_split(spark, sf_dir, timings)
+            total += timings[name]
+            continue
         fn = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -101,6 +110,43 @@ def main() -> None:
     _regression_report(timings)
 
 
+def _bench_ivf_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """Time IVF index build and query serve as separate phases. Build
+    materializes (and persists) the centroids + cell assignment; serve
+    runs probe + re-rank against the prebuilt index."""
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark import cache
+    from _event_intelligence_data_warehouse_spark.contract import load
+    from _event_intelligence_data_warehouse_spark.contract.extension_queries import (
+        _IVF_MAX_TRAIN,
+        _IVF_N_CELLS,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    centroids, assign = sim.ivf_index(
+        emb, n_cells=_IVF_N_CELLS, max_train=_IVF_MAX_TRAIN
+    )
+    centroids = cache.persist(centroids)
+    assign = cache.persist(assign)
+    assign.write.mode("overwrite").format("noop").save()
+    centroids.write.mode("overwrite").format("noop").save()
+    build = round(time.time() - t0, 3)
+    t0 = time.time()
+    sim.ivf_topk_prebuilt(
+        centroids, assign, emb, emb.filter(F.col("vec_id") < 50),
+        k=5, nprobe=2,
+    ).write.mode("overwrite").format("noop").save()
+    serve = round(time.time() - t0, 3)
+    timings["similarity_ivf_build"] = build
+    timings["similarity_ivf_serve"] = serve
+    timings["similarity_ivf_topk"] = round(build + serve, 3)
+
+
 # Diff against the latest driver-recorded BENCH_r{N}.json so perf
 # regressions surface the moment bench runs, instead of a round later in
 # the judge's BENCH comparison.
@@ -113,11 +159,18 @@ REGRESSION_MIN_SEC = 1.0
 
 def _regression_report(timings: dict[str, float]) -> None:
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     prev = None
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
+    # Numeric round sort: lexical reverse would pick BENCH_r9 over
+    # BENCH_r10 once rounds reach two digits.
+    paths = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        reverse=True,
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 prev = json.load(f).get("parsed", {}).get("queries")

@@ -193,49 +193,98 @@ def test_ivf_topk_matches_bruteforce_on_twins(spark):
     vecs = _planted_vectors(spark, n_base=40)
     queries = vecs.filter(F.col("vec_id") < 10)
     exact = sim.brute_force_topk(vecs, queries, k=1)
-    # stride 8 over ids 0..39/1000..1039 -> ~10 cells, probe 3
-    approx = sim.ivf_topk(vecs, queries, k=1, cell_stride=8, nprobe=3)
+    # 8 fixed cells over 80 vectors, probe 3
+    approx = sim.ivf_topk(vecs, queries, k=1, n_cells=8, nprobe=3)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall > 0.8, f"twin lost through IVF pruning: {recall}"
 
 
+def _md5_rank_ids(ids, limit):
+    import hashlib
+
+    return [
+        i for _, i in sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+        )
+    ][:limit]
+
+
 def test_kmeans_centroids_deterministic_exact_training(spark):
     """Trained quantizer invariants: byte-identical across runs (exact
     integer training), one centroid per seed cell (empty cells carry the
-    seed), and iters=0 degenerates to the snapped seed vectors."""
+    seed), and iters=0 degenerates to the snapped seed vectors. Seeds
+    are the first n_cells ids of the (md5(id), id) ranking."""
     from _event_intelligence_data_warehouse_spark.operators import similarity as sim
 
     vecs = _planted_vectors(spark, n_base=40)
     run1 = sorted(
         ((r["cell"], tuple(r["centroid"]))
-         for r in sim.kmeans_centroids(vecs, cell_stride=8, iters=2).collect())
+         for r in sim.kmeans_centroids(vecs, n_cells=8, iters=2).collect())
     )
     run2 = sorted(
         ((r["cell"], tuple(r["centroid"]))
-         for r in sim.kmeans_centroids(vecs, cell_stride=8, iters=2).collect())
+         for r in sim.kmeans_centroids(vecs, n_cells=8, iters=2).collect())
     )
     assert run1 == run2, "k-means training is not deterministic"
 
     seeds = sorted(
         ((r["cell"], tuple(r["centroid"]))
-         for r in sim.kmeans_centroids(vecs, cell_stride=8, iters=0).collect())
+         for r in sim.kmeans_centroids(vecs, n_cells=8, iters=0).collect())
     )
     assert [c for c, _ in run1] == [c for c, _ in seeds], (
         "trained run lost or invented cells"
     )
     # training moved at least one centroid off its seed
     assert any(a != b for (_, a), (_, b) in zip(run1, seeds))
-    # seed centroids are the snapped seed vectors themselves
-    raw = {r["vec_id"]: r["embedding"] for r in vecs.collect()
-           if r["vec_id"] % 8 == 0}
+    # seed cells are exactly the md5-ranked first 8 ids, and seed
+    # centroids are the snapped seed vectors themselves
+    raw = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    want_cells = sorted(_md5_rank_ids(raw, 8))
+    assert [c for c, _ in seeds] == want_cells, "seed selection drifted"
     for cell, cw in seeds:
         import math
         want = tuple(
             float(math.floor(float(x) * 1_000_000 + 0.5)) for x in raw[cell]
         )
         assert cw == want
+
+
+def test_kmeans_training_cost_is_constant_in_corpus_size(spark):
+    """The round-2 defect regression guard: K must NOT grow with the
+    corpus, the training sample must be bounded by max_train, and the
+    plan must select it via TakeOrderedAndProject (distributed partial
+    top-k of bare ids — no global sort, no corpus broadcast) and update
+    centroids with a (cell, pos) partial-sum hash aggregate."""
+    import re
+
+    from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+
+    small = _planted_vectors(spark, n_base=30)   # 60 vectors
+    big = _planted_vectors(spark, n_base=120)    # 240 vectors
+    cs = sim.kmeans_centroids(small, n_cells=8, max_train=64, iters=1)
+    cb = sim.kmeans_centroids(big, n_cells=8, max_train=64, iters=1)
+    assert cs.count() == 8 and cb.count() == 8, (
+        "centroid count grew with the corpus"
+    )
+
+    plan = cb._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        "training sample is not a bounded top-k selection"
+    )
+    assert re.search(r"HashAggregate\(keys=\[cell#\d+L?, pos#\d+", plan), (
+        "centroid update is not a (cell, pos) partial-sum hash aggregate"
+    )
+    # Every broadcast in the training plan must be rooted at the bounded
+    # sample (TakeOrderedAndProject) or the persisted <= n_cells centroid
+    # frame (InMemoryTableScan) — never a raw corpus-sized frame.
+    for section in plan.split("BroadcastExchange")[1:]:
+        subtree = section.split("BroadcastExchange")[0]
+        assert (
+            "TakeOrderedAndProject" in subtree
+            or "InMemoryTableScan" in subtree
+        ), "a corpus-proportional frame is broadcast during training"
 
 
 def test_winnowing_shares_fingerprints_on_overlap(spark):

@@ -126,9 +126,9 @@ def test_stream_maintains_rollup_cascade(spark, tmp_path):
 
 
 def test_replayed_batches_do_not_double_count(spark, tmp_path):
-    """foreachBatch is at-least-once: replayed batch ids (here simulated
+    """foreachBatch is at-least-once: re-delivered files (here simulated
     by draining the same files under a FRESH checkpoint, which restarts
-    ids at 0) must be no-ops via the warehouse-side batch ledger."""
+    batch ids at 0) must be no-ops via the warehouse-side FILE ledger."""
     from _event_intelligence_data_warehouse_spark.streaming import jobs
 
     events = _events(spark, [(d, 9, "view", 5) for d in (1, 2, 3)])
@@ -140,3 +140,30 @@ def test_replayed_batches_do_not_double_count(spark, tmp_path):
     rows_once = _daily_rows(wh)
     jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "ckpt2"))
     assert _daily_rows(wh) == rows_once, "replayed batches were re-applied"
+
+
+def test_checkpoint_loss_does_not_drop_new_files(spark, tmp_path):
+    """Round-2 ADVICE regression: after a checkpoint loss/recreate, a
+    drain that re-delivers OLD files alongside genuinely NEW ones must
+    apply exactly the new files — a warehouse-global max-batch-id ledger
+    would see restarted batch ids and silently skip everything."""
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    first = _events(spark, [(d, 9, "view", 5) for d in (1, 2)])
+    src = str(tmp_path / "src")
+    first.write.parquet(src)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "ckpt1"))
+
+    # New files land; the checkpoint is lost (fresh dir -> ids restart).
+    late = _events(spark, [(3, 9, "click", 2)])
+    late.write.mode("append").parquet(src)
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "ckpt2"))
+
+    wh_ref = Warehouse(spark, str(tmp_path / "ref"))
+    rollups.build_cascade(wh_ref, spark.read.parquet(src))
+    assert _daily_rows(wh) == _daily_rows(wh_ref), (
+        "new files after checkpoint loss were skipped or old files "
+        "double-applied"
+    )

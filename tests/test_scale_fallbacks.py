@@ -56,6 +56,42 @@ def test_bitmap_jaccard_blocked_matches_broadcast(spark):
         )
 
 
+def test_bitmap_jaccard_blocked_exact_under_block_skew(spark):
+    """Adversarial block skew (r2 verdict item 7): every doc hashes into
+    just 2 of 8 blocks, so 6 blocks are empty, one block pair carries
+    ~half of all comparisons, and the diagonal dedup rule does most of
+    the work. Pair sets must still match the broadcast plan exactly."""
+    nb = 8
+    # Select doc ids whose murmur3 block is 0 or 1 USING SPARK'S OWN hash
+    # (test must not re-implement it): probe a candidate range first.
+    cand = (
+        spark.range(0, 5000)
+        .select("id", F.pmod(F.hash(F.col("id")), F.lit(nb)).alias("blk"))
+        .filter(F.col("blk") < 2)
+        .limit(40)
+    )
+    ids = [r.id for r in cand.collect()]
+    assert len(ids) == 40, "candidate range too small for the skew setup"
+
+    alphabet = "abc"
+    rows = []
+    for i, doc_id in enumerate(ids):
+        s = "".join(alphabet[(i * 7 + j * j) % 3] for j in range(12 + i % 5))
+        rows.append((doc_id, s))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    gsets = dedup.char_ngram_sets(docs, 3, "text", "doc_id", hashed=True)
+
+    bcast = dedup._bitmap_jaccard_pairs(gsets, 0.3)
+    blocked = dedup._bitmap_jaccard_pairs(
+        gsets, 0.3, broadcast_max_docs=10, n_blocks=nb
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    b_rows = sorted(bcast.collect(), key=key)
+    s_rows = sorted(blocked.collect(), key=key)
+    assert b_rows == s_rows, "block skew changed the blocked plan's pairs"
+    assert len(b_rows) > 0, "skewed corpus produced no pairs — not probative"
+
+
 def test_bitmap_jaccard_self_and_duplicate_pairs_excluded(spark):
     docs = _dense_docs(spark, 25)
     gsets = dedup.char_ngram_sets(docs, 3, "text", "doc_id", hashed=True)

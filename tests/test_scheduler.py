@@ -66,6 +66,45 @@ def test_run_scheduler_loop_fires_jobs_via_fake_clock():
     assert jobs.count(sch.HOURLY_QUALITY) == 2
 
 
+def test_runner_failure_does_not_kill_scheduler():
+    """Reference parity (scripts/scheduler.py: subprocess.run doesn't
+    raise on nonzero exit): a failing job logs, the loop keeps ticking,
+    and the failed job RETRIES on its next due tick because last_runs
+    was not updated."""
+    fired: list[tuple[str, int]] = []
+    ticks = {"n": 0}
+    base = dt.datetime(2026, 3, 2, 5, 30)
+
+    def clock():
+        return base + dt.timedelta(minutes=30 * ticks["n"])
+
+    def sleeper(_):
+        ticks["n"] += 1
+
+    def flaky(job):
+        fired.append((job, ticks["n"]))
+        if job == sch.HOURLY_QUALITY and ticks["n"] == 0:
+            raise RuntimeError("transient pipeline failure")
+        return {}
+
+    sch.run_scheduler(
+        spark=None,
+        warehouse_dir="unused",
+        max_ticks=3,  # 05:30 (fail), 06:00 (retry), 06:30
+        runner=flaky,
+        clock=clock,
+        sleeper=sleeper,
+        state_path=None,
+    )
+    hourly_ticks = [t for j, t in fired if j == sch.HOURLY_QUALITY]
+    # failed at tick 0, so still due (and succeeds) at tick 1; its next
+    # cadence slot after that is past the window
+    assert hourly_ticks[:2] == [0, 1], "failed job did not retry next tick"
+    assert sch.DAILY_FULL in [j for j, _ in fired], (
+        "a job failure stopped the other job from running"
+    )
+
+
 def test_scheduler_restart_does_not_refire_daily(tmp_path):
     """A restart AFTER the daily anchor must not re-run the daily full —
     last-run state persists across processes."""
