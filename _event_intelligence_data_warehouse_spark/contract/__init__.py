@@ -198,6 +198,12 @@ _DRIVER_SAMPLE_TAIL = [
     "dedup_canonical_keep_best",
     "streaming_dedup_within_watermark",
     "cohort_retention",
+    # round-3 additions: tail for now (head-50 is balanced across §2 +
+    # extension families); rotate in future rounds as slots free up
+    "text_decontaminate",
+    "curation_mixture_plan",
+    "curation_mixture_sample",
+    "split_leakage_safe",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",

@@ -232,6 +232,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(docs.select("doc_id"), pairs)
 
 
+@query(
+    "split_leakage_safe",
+    _CC_CTES + """
+SELECT doc_id, component_id,
+       CASE WHEN (CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 100) < 20
+            THEN 'holdout' ELSE 'train' END AS split
+FROM comp
+""",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split: the 20% holdout is drawn by
+    hashing the near-dup CLUSTER id (connected component of the verified
+    MinHash pair graph), so a document and its near-twin can never land
+    on opposite sides — the split-time guard against eval contamination
+    that a plain doc-id split cannot give."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = _docs_near(spark, sf_dir)
+    pairs = dd.minhash_dedup(docs, threshold=0.8)
+    return smp.leakage_safe_split(docs.select("doc_id"), pairs, 20)
+
+
 # ---------------------------------------------------------------------------
 # SimHash buckets
 # ---------------------------------------------------------------------------
@@ -870,6 +895,116 @@ def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; the text never moves."""
     docs = load(spark, sf_dir, "documents")
     return tx.winnowing_overlap_pairs(docs, min_shared=3, max_df=10, k=5, w=4)
+
+
+# Mixture geometry shared by the Spark calls and their oracles: integer
+# weights, token budget, and the VALUES-list rendering of the weight map.
+_MIX_WEIGHTS = {"src0": 8, "src1": 4, "src2": 2, "src3": 1, "src4": 1}
+_MIX_BUDGET = 4000
+_MIX_WSUM = sum(_MIX_WEIGHTS.values())
+_MIX_VALUES = ", ".join(
+    f"('{k}', {v})" for k, v in sorted(_MIX_WEIGHTS.items())
+)
+
+_MIX_PLAN_CTE = f"""
+WITH mtoks AS (
+    SELECT source, len({_TOKS}) AS nt FROM documents
+), magg AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM mtoks GROUP BY source
+), mwts AS (
+    SELECT * FROM (VALUES {_MIX_VALUES}) w(source, wt)
+), mplan AS (
+    SELECT a.source, a.n_docs, a.n_tokens,
+           CAST(coalesce(w.wt, 0) AS BIGINT) AS weight,
+           CAST(({_MIX_BUDGET} * coalesce(w.wt, 0)) // {_MIX_WSUM}
+                AS BIGINT) AS target_tokens,
+           CAST(least(1000000,
+                (({_MIX_BUDGET} * coalesce(w.wt, 0)) // {_MIX_WSUM})
+                    * 1000000 // a.n_tokens) AS BIGINT) AS rate_ppm
+    FROM magg a LEFT JOIN mwts w USING (source)
+)
+"""
+
+
+@query(
+    "curation_mixture_plan",
+    _MIX_PLAN_CTE + "SELECT * FROM mplan",
+)
+def curation_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan: split a 4000-token budget across
+    sources by integer weight (src0 x8 ... src4 x1; unweighted sources
+    audit at weight 0), reporting each source's deterministic sampling
+    rate in ppm. Pure int64 arithmetic — the plan is bit-identical on
+    every engine."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return smp.mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+@query(
+    "curation_mixture_sample",
+    _MIX_PLAN_CTE + """
+SELECT d.doc_id, d.source
+FROM documents d JOIN mplan p USING (source)
+WHERE (CAST(('0x' || substr(md5(d.source || '|'
+            || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)
+      < p.rate_ppm
+""",
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture plan: md5-bucket each (source, doc) pair into
+    [0, 1M) and keep it under its source's rate_ppm — a stable,
+    RNG-free training mix whose membership survives re-runs,
+    repartitioning, and appends. Scan + broadcast-joined filter; the
+    corpus never shuffles."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return smp.mixture_sample(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+@query(
+    "text_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+2], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM toks WHERE len(t) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM grams
+    ), bench AS (
+        SELECT doc_id AS bench_id, gram_hash FROM ex WHERE doc_id % 97 = 0
+    )
+    SELECT e.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ex e JOIN bench b USING (gram_hash)
+    WHERE e.doc_id <> b.bench_id
+    GROUP BY e.doc_id, b.bench_id
+    HAVING COUNT(*) >= 1
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): flag
+    corpus docs sharing word n-grams with a benchmark set (stand-in:
+    doc_id % 97 == 0). Only 8-byte gram hashes join; the benchmark index
+    broadcasts (bounded by the eval suite, not the corpus), so the
+    corpus streams past it in one pass. n=3 suits this tiny-vocab
+    corpus; production uses n=8-13."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return tx.ngram_contamination(docs, bench, n=3, min_shared=1)
 
 
 # ---------------------------------------------------------------------------

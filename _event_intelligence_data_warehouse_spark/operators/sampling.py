@@ -122,3 +122,130 @@ def weighted_hash_sample(
         F.lit(float(base_pct)) * F.col(weight_col).cast("double")
     )
     return df.filter(hash_bucket(id_col, buckets) < threshold)
+
+
+PPM = 1_000_000
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-mixture plan for a token budget: split ``token_budget``
+    across sources proportionally to integer ``weights``, then convert
+    each source's share into a deterministic per-source sampling rate —
+    the planning step of assembling a training mix ("webtext x8, books
+    x4, ..." at N total tokens).
+
+    Output per source present in the corpus: (source, n_docs, n_tokens,
+    weight, target_tokens, rate_ppm) where
+    ``target_tokens = floor(budget * w / sum(weights))`` and
+    ``rate_ppm = min(PPM, floor(target * PPM / n_tokens))`` — all pure
+    int64 arithmetic, so the plan is bit-identical on every engine.
+    Unweighted sources appear with weight 0 (audit rows; nothing
+    sampled). Scale: one wordcount-shaped aggregate over the corpus into
+    a sources-sized frame; the weight map rides in the plan as a literal.
+    """
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum positive")
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in sorted(weights.items()) for x in (k, int(v))]
+    )
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_count,
+    )
+
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = F.coalesce(
+        F.element_at(wmap, F.col("source")), F.lit(0)
+    ).cast("bigint")
+    target = F.expr(
+        f"(CAST({int(token_budget)} AS BIGINT) * weight) div {int(wsum)}"
+    )
+    rate = F.least(
+        F.lit(PPM).cast("bigint"),
+        F.expr(f"(target_tokens * CAST({PPM} AS BIGINT)) div n_tokens"),
+    )
+    return (
+        agg.withColumn("weight", w)
+        .withColumn("target_tokens", target)
+        .withColumn("rate_ppm", rate)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`mixture_plan`: keep a document iff its per-source
+    md5 bucket in [0, PPM) falls under the source's rate_ppm. Bucketing
+    on (source | id) keeps per-source samples independent; membership is
+    a pure function of the row, so the mix is stable across runs,
+    repartitions, and incremental appends. The plan frame is
+    sources-sized and broadcasts; the corpus never shuffles — at 100 TB
+    this is a scan + filter."""
+    plan = mixture_plan(
+        df, weights, token_budget, source_col=source_col, text_col=text_col
+    ).select(F.col("source").alias("_mx_source"), "rate_ppm")
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_hash,
+    )
+
+    bucket = token_hash(
+        F.concat(
+            F.col(source_col).cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        )
+    ) % PPM
+    return (
+        df.join(F.broadcast(plan), F.col(source_col) == F.col("_mx_source"))
+        .filter(bucket < F.col("rate_ppm"))
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(source_col).alias("source"))
+    )
+
+
+def leakage_safe_split(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    holdout_pct: int = 20,
+    *,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Train/holdout split that can never separate near-duplicates:
+    assignment hashes the near-dup CLUSTER id (connected component of
+    the verified pair graph), not the document id, so every member of a
+    duplicate cluster lands on the same side. This is the leakage guard
+    for eval construction — a doc-level split leaks a training document
+    into the holdout whenever its near-twin stays in train.
+
+    Output: (doc_id, component_id, split). Scale: the split itself is a
+    stateless projection over the component labels; cost lives in the
+    component computation, which is the same bounded-iteration
+    propagation the dedup path already runs (operators.dedup.
+    connected_components — no label broadcast above the vertex
+    threshold)."""
+    from _event_intelligence_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(vertices, pairs)
+    side = F.when(
+        hash_bucket(F.col("component_id"), buckets) < holdout_pct,
+        F.lit("holdout"),
+    ).otherwise(F.lit("train"))
+    return comp.select("doc_id", "component_id", side.alias("split"))

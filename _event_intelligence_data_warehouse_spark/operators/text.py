@@ -427,6 +427,71 @@ def winnowing_overlap_pairs(
     )
 
 
+def word_ngram_hashes(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, gram_hash): DISTINCT word n-gram hashes per document.
+    Grams are space-joined lowercase whitespace tokens hashed through the
+    engine's md5-prefix scheme (module docstring) — engine-portable, so
+    derived operators stay oracle-checkable. Pure projection + explode,
+    shuffle-free; array_distinct runs per-row so no global distinct is
+    needed."""
+    d = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> cast(conv(substr(md5(array_join(slice(toks, i, {n}), ' ')), "
+        f"1, 8), 16, 10) as bigint)))"
+    )
+    return (
+        d.filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(grams).alias("gram_hash"))
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_shared`` distinct word n-grams with a benchmark document — the
+    screen a training pipeline runs before any eval set can be trusted
+    (the n-gram-overlap rule used by GPT-3/PaLM-style decontamination;
+    production n is typically 8-13, tuned to the corpus).
+
+    Output: (doc_id, bench_id, n_shared) per contaminated pair; join
+    against the corpus to drop or audit. Scale: only 8-byte gram hashes
+    ever join — text never moves. The benchmark index is bounded by the
+    BENCHMARK size (MBs, by definition of an eval suite), not the corpus,
+    so it broadcasts and the corpus grams stream past it in one pass with
+    no shuffle of the corpus side; set ``broadcast_benchmark=False`` for
+    an oversized benchmark and the same plan runs as a shuffled hash
+    join. Both gram sides are per-doc distinct, so COUNT(*) per pair IS
+    the distinct shared-gram count."""
+    cg = word_ngram_hashes(corpus, n=n, text_col=text_col, id_col=id_col)
+    bg = word_ngram_hashes(
+        benchmark, n=n, text_col=text_col, id_col=id_col
+    ).withColumnRenamed("doc_id", "bench_id")
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        cg.join(bg, "gram_hash")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """ANALYZE-style per-column statistics in ONE pass: row count, null
     count, exact distinct count, and min/max (rendered as strings so

@@ -93,3 +93,84 @@ def test_weighted_sample_monotone_in_base_and_weight(spark):
     full = [r["doc_id"] for r in df.filter("w = 1.0").collect()]
     rate = len(keep60 & set(full)) / len(full)
     assert 0.4 < rate < 0.8, f"full-weight sampling rate {rate} far from 60%"
+
+
+def _mix_docs(spark):
+    rows = []
+    for s, n in (("a", 10), ("b", 10), ("c", 10)):
+        for i in range(n):
+            rows.append((hash((s, i)) % 10_000 + len(rows) * 10_000,
+                         s, "tok " * 10))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_plan_budget_split_and_cap(spark):
+    """Targets follow integer weight shares of the budget; a source whose
+    share exceeds its supply caps at rate 1M ppm; unweighted sources get
+    weight 0 / rate 0 audit rows."""
+    from _event_intelligence_data_warehouse_spark.operators import sampling as smp
+
+    docs = _mix_docs(spark)  # 100 tokens per source
+    plan = {r.source: r for r in smp.mixture_plan(
+        docs, {"a": 3, "b": 1}, token_budget=400).collect()}
+    assert set(plan) == {"a", "b", "c"}
+    assert plan["a"].target_tokens == 300 and plan["b"].target_tokens == 100
+    # a's 300-token share exceeds its 100 available -> capped at 100%
+    assert plan["a"].rate_ppm == 1_000_000
+    assert plan["b"].rate_ppm == 1_000_000  # exactly its supply
+    assert plan["c"].weight == 0 and plan["c"].rate_ppm == 0
+
+    half = {r.source: r for r in smp.mixture_plan(
+        docs, {"a": 1, "b": 1}, token_budget=100).collect()}
+    assert half["a"].target_tokens == 50
+    assert half["a"].rate_ppm == 500_000  # 50/100 of supply
+
+
+def test_mixture_sample_determinism_and_exclusion(spark):
+    from _event_intelligence_data_warehouse_spark.operators import sampling as smp
+
+    docs = _mix_docs(spark)
+    kw = dict(weights={"a": 1, "b": 1}, token_budget=100)
+    s1 = sorted(r.doc_id for r in smp.mixture_sample(docs, **kw).collect())
+    s2 = sorted(
+        r.doc_id
+        for r in smp.mixture_sample(docs.repartition(7), **kw).collect()
+    )
+    assert s1 == s2, "mixture sample not stable under repartitioning"
+    srcs = {r.source for r in smp.mixture_sample(docs, **kw).collect()}
+    assert "c" not in srcs, "zero-weight source leaked into the sample"
+    assert 0 < len(s1) < 30, "rate ~50% of two sources should keep a strict subset"
+
+
+def test_leakage_safe_split_never_separates_near_dups(spark):
+    """Every edge of the pair graph must have both endpoints on the same
+    side; a plain doc-id split on the same graph does separate some pair
+    (showing the guard is load-bearing, not vacuous)."""
+    from _event_intelligence_data_warehouse_spark.operators import sampling as smp
+
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    # chains of 4: {0..3}, {4..7}, ... -> 10 components
+    edges = spark.createDataFrame(
+        [(b + i, b + i + 1) for b in range(0, 40, 4) for i in range(3)],
+        "doc_a long, doc_b long",
+    )
+    out = smp.leakage_safe_split(vertices, edges, holdout_pct=40)
+    side = {r.doc_id: r.split for r in out.collect()}
+    comp = {r.doc_id: r.component_id for r in out.collect()}
+    for e in edges.collect():
+        assert side[e.doc_a] == side[e.doc_b], (
+            f"pair ({e.doc_a},{e.doc_b}) straddles the split"
+        )
+        assert comp[e.doc_a] == comp[e.doc_b]
+    assert {"train", "holdout"} == set(side.values()), (
+        "40% holdout over 10 components should populate both sides"
+    )
+
+    naive = smp.train_holdout_split(vertices, "doc_id", 40)
+    nside = {r.doc_id: r.split for r in naive.collect()}
+    assert any(nside[e.doc_a] != nside[e.doc_b] for e in edges.collect()), (
+        "doc-id split happened to keep all pairs together — test corpus "
+        "not probative"
+    )

@@ -86,3 +86,43 @@ def test_cms_estimate_never_undercounts(spark):
     )
     for r in sk.cms_heavy_hitters(df, "x", k=10).collect():
         assert r["cms_estimate"] >= r["exact_count"]
+
+
+def test_ngram_contamination_flags_planted_overlap(spark):
+    """Planted contamination: a corpus doc sharing k distinct word
+    3-grams with a benchmark doc reports exactly n_shared = k; disjoint
+    docs are absent; the benchmark index joins as a broadcast."""
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma yy"),        # 1 shared 3-gram
+            (2, "alpha beta gamma delta zz"),     # 2 shared 3-grams
+            (3, "totally different words here"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.ngram_contamination(corpus, bench, n=3, min_shared=1)
+    got = {(r.doc_id, r.bench_id): r.n_shared for r in out.collect()}
+    assert got == {(1, 1000): 1, (2, 1000): 2}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, (
+        "benchmark gram index should broadcast; corpus side must not shuffle"
+    )
+
+
+def test_ngram_contamination_counts_distinct_grams_once(spark):
+    """A gram repeated inside one doc still counts once per pair (both
+    sides are per-doc distinct by construction)."""
+    bench = spark.createDataFrame(
+        [(50, "a b c a b c")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    rows = tx.ngram_contamination(corpus, bench, n=3).collect()
+    # distinct 3-grams of 'a b c a b c ...': 'a b c', 'b c a', 'c a b'
+    assert len(rows) == 1 and rows[0].n_shared == 3
