@@ -204,6 +204,8 @@ _DRIVER_SAMPLE_TAIL = [
     "curation_mixture_plan",
     "curation_mixture_sample",
     "split_leakage_safe",
+    "text_pack_sequences",
+    "dedup_minhash_incremental",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",

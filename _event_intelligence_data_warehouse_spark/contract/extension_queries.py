@@ -897,6 +897,79 @@ def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnowing_overlap_pairs(docs, min_shared=3, max_df=10, k=5, w=4)
 
 
+@query(
+    "text_pack_sequences",
+    f"""
+    WITH ptoks AS (
+        SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, source AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS start_token
+        FROM ptoks
+    )
+    SELECT doc_id, shard, n_tokens, start_token,
+           CAST(start_token // 512 AS BIGINT) AS bin_id,
+           CAST(start_token % 512 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout: concatenate each source shard's docs in
+    id order and cut the token stream into 512-token training sequences,
+    reporting each doc's (bin, offset). One running-sum window per
+    shard; shards pack in parallel, no global ordering pass."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.pack_sequences(docs, 512)
+
+
+# Incremental dedup corpus: ids < 400 are the indexed corpus; the batch
+# is ids >= 400 plus near-copies (+200000, one token appended) of every
+# 7th corpus doc — planting guaranteed new-vs-corpus near-dup pairs. The
+# oracle runs the FULL minhash pipeline over corpus+batch and keeps only
+# pairs touching the batch: exactly what the incremental path must emit.
+_INCR_DOCS_CTE = """
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' zzextra' AS text
+    FROM documents WHERE doc_id < 400 AND doc_id % 7 = 0
+)
+"""
+
+
+@query(
+    "dedup_minhash_incremental",
+    _INCR_DOCS_CTE
+    + _LSH_PAIR_CTES
+    + _LSH_PAIR_SELECT.replace(
+        ">= 0.8", ">= 0.8 AND (i.doc_a >= 400 OR i.doc_b >= 400)"
+    ),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state dedup: a new batch (ids >= 400 plus planted
+    near-copies of corpus docs) is signed and probed against the
+    PERSISTED index of the ids < 400 corpus — the corpus is never
+    re-tokenized or re-signed, so per-batch cost scales with the
+    increment, not the accumulated 100 TB. Must equal the full
+    recompute's pairs restricted to those touching the batch (the
+    oracle computes exactly that)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400).unionByName(
+        corpus.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        )
+    )
+    index_sets, index_sigs = dd.minhash_index(corpus)
+    return dd.incremental_minhash_dedup(
+        batch, index_sets, index_sigs, threshold=0.8
+    )
+
+
 # Mixture geometry shared by the Spark calls and their oracles: integer
 # weights, token budget, and the VALUES-list rendering of the weight map.
 _MIX_WEIGHTS = {"src0": 8, "src1": 4, "src2": 2, "src3": 1, "src4": 1}

@@ -492,6 +492,54 @@ def ngram_contamination(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    *,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing layout (GPT-style concat-then-chunk):
+    within each shard, concatenate documents in deterministic id order
+    and cut the token stream into fixed ``seq_len`` sequences; report
+    where each document lands. Output: (doc_id, shard, n_tokens,
+    start_token, bin_id, bin_offset) with start_token the document's
+    0-based offset in its shard's stream, bin_id = start div seq_len,
+    bin_offset = start mod seq_len — everything a downstream tokenizer
+    shard-writer needs to materialize the packed batches.
+
+    Scale: packing is sequential BY CONSTRUCTION (each offset depends on
+    every predecessor), so the parallel unit is the shard — one running-
+    sum window per shard key, shards pack independently and in parallel,
+    and no global ordering pass exists. Pick the shard column so shards
+    are plentiful (source, date, hash bucket); skewed shards bound
+    parallelism exactly as they would any per-shard job."""
+    from pyspark.sql.window import Window
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).cast("string").alias("shard"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return (
+        d.withColumn("start_token", start)
+        .withColumn(
+            "bin_id", F.expr(f"start_token div {int(seq_len)}").cast("bigint")
+        )
+        .withColumn(
+            "bin_offset",
+            F.pmod(F.col("start_token"), F.lit(int(seq_len))).cast("bigint"),
+        )
+    )
+
+
 def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """ANALYZE-style per-column statistics in ONE pass: row count, null
     count, exact distinct count, and min/max (rendered as strings so

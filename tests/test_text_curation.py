@@ -126,3 +126,56 @@ def test_ngram_contamination_counts_distinct_grams_once(spark):
     rows = tx.ngram_contamination(corpus, bench, n=3).collect()
     # distinct 3-grams of 'a b c a b c ...': 'a b c', 'b c a', 'c a b'
     assert len(rows) == 1 and rows[0].n_shared == 3
+
+
+def test_incremental_minhash_equals_full_recompute_restricted(spark):
+    """The incremental path must emit exactly the full recompute's pairs
+    that touch the batch — no missed cross pairs, no phantom extras."""
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta w{i}")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(base, "doc_id long, text string")
+    # batch: near-copies of corpus docs 0/5/10 (+1000) and one novel doc
+    batch_rows = [
+        (i + 1000, t + " extra") for i, t in base if i % 5 == 0
+    ] + [(2000, "totally unrelated content nothing shared here at all")]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    sets_, sigs = dd.minhash_index(corpus)
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in dd.incremental_minhash_dedup(
+            batch, sets_, sigs, threshold=0.8
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_dedup(
+            corpus.unionByName(batch), threshold=0.8
+        ).collect()
+    }
+    batch_ids = {r.doc_id for r in batch.collect()}
+    expected = {
+        p for p in full if p[0] in batch_ids or p[1] in batch_ids
+    }
+    assert incr == expected
+    assert len(incr) > 0, "no planted near-dups detected — not probative"
+    assert all(a in batch_ids or b in batch_ids for a, b in incr)
+
+
+def test_pack_sequences_contiguous_per_shard(spark):
+    """Within a shard, start offsets are the running sum of predecessor
+    token counts; bin/offset are exact div/mod of the start."""
+    rows = [
+        (1, "s1", "a b c"),          # 3 tokens, start 0
+        (2, "s1", "d e f g"),        # 4 tokens, start 3
+        (3, "s1", "h i j k l m n"),  # 7 tokens, start 7
+        (10, "s2", "x y"),           # start 0 in its own shard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in tx.pack_sequences(df, 5).collect()}
+    assert (out[1].start_token, out[1].bin_id, out[1].bin_offset) == (0, 0, 0)
+    assert (out[2].start_token, out[2].bin_id, out[2].bin_offset) == (3, 0, 3)
+    assert (out[3].start_token, out[3].bin_id, out[3].bin_offset) == (7, 1, 2)
+    assert out[10].start_token == 0 and out[10].shard == "s2"
