@@ -206,6 +206,7 @@ _DRIVER_SAMPLE_TAIL = [
     "split_leakage_safe",
     "text_pack_sequences",
     "dedup_minhash_incremental",
+    "dedup_cluster_sizes",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",

@@ -233,6 +233,34 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_sizes",
+    _CC_CTES + """
+SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (
+    SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component_id
+)
+GROUP BY n_members
+""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup-rate telemetry a
+    curation run reports (how much of the corpus is singleton vs
+    clustered, and whether any mega-cluster signals boilerplate). Two
+    tiny aggregates on top of the component labels; output is bounded by
+    the largest cluster size."""
+    docs = _docs_near(spark, sf_dir)
+    pairs = dd.minhash_dedup(docs, threshold=0.8)
+    comp = dd.connected_components(docs.select("doc_id"), pairs)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+    )
+
+
+@query(
     "split_leakage_safe",
     _CC_CTES + """
 SELECT doc_id, component_id,
@@ -925,17 +953,21 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pack_sequences(docs, 512)
 
 
-# Incremental dedup corpus: ids < 400 are the indexed corpus; the batch
-# is ids >= 400 plus near-copies (+200000, one token appended) of every
-# 7th corpus doc — planting guaranteed new-vs-corpus near-dup pairs. The
-# oracle runs the FULL minhash pipeline over corpus+batch and keeps only
-# pairs touching the batch: exactly what the incremental path must emit.
+# Incremental dedup corpus: 90% of ids (doc_id % 10 != 0) are the
+# indexed corpus; the ~10% batch is the doc_id % 10 == 0 slice plus
+# near-copies (+200000, one token appended) of every 7th corpus doc —
+# planting guaranteed new-vs-corpus near-dup pairs. A modulus split (not
+# an id cutoff) keeps the batch-to-corpus ratio fixed at every scale
+# factor. The oracle runs the FULL minhash pipeline over corpus+batch
+# and keeps only pairs touching the batch: exactly what the incremental
+# path must emit.
+_INCR_BATCH_PRED = "(doc_id % 10 = 0 OR doc_id >= 200000)"
 _INCR_DOCS_CTE = """
 WITH docs2 AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 200000 AS doc_id, text || ' zzextra' AS text
-    FROM documents WHERE doc_id < 400 AND doc_id % 7 = 0
+    FROM documents WHERE doc_id % 10 != 0 AND doc_id % 7 = 0
 )
 """
 
@@ -945,20 +977,25 @@ WITH docs2 AS (
     _INCR_DOCS_CTE
     + _LSH_PAIR_CTES
     + _LSH_PAIR_SELECT.replace(
-        ">= 0.8", ">= 0.8 AND (i.doc_a >= 400 OR i.doc_b >= 400)"
+        ">= 0.8",
+        ">= 0.8 AND ("
+        + _INCR_BATCH_PRED.replace("doc_id", "i.doc_a")
+        + " OR "
+        + _INCR_BATCH_PRED.replace("doc_id", "i.doc_b")
+        + ")",
     ),
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Steady-state dedup: a new batch (ids >= 400 plus planted
+    """Steady-state dedup: a ~10% batch (doc_id % 10 == 0, plus planted
     near-copies of corpus docs) is signed and probed against the
-    PERSISTED index of the ids < 400 corpus — the corpus is never
-    re-tokenized or re-signed, so per-batch cost scales with the
-    increment, not the accumulated 100 TB. Must equal the full
-    recompute's pairs restricted to those touching the batch (the
-    oracle computes exactly that)."""
+    PERSISTED index of the other 90% — the corpus is never re-tokenized
+    or re-signed, so per-batch cost scales with the increment, not the
+    accumulated 100 TB. Must equal the full recompute's pairs
+    restricted to those touching the batch (the oracle computes exactly
+    that)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") < 400)
-    batch = docs.filter(F.col("doc_id") >= 400).unionByName(
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
         corpus.filter(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 200000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),

@@ -38,7 +38,9 @@ HEADLINE = [
     # scale extensions
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_incremental",
     "dedup_ngram_jaccard",
+    "text_decontaminate",
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
     "text_metrics",
