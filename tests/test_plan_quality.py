@@ -103,6 +103,31 @@ def test_no_python_udfs_in_core_paths(spark):
         )
 
 
+def test_round3_curation_plans(spark):
+    """Scale shapes of the r3 curation operators, asserted on executed
+    plans: decontamination broadcasts the benchmark index (corpus side
+    never sort-merges); mixture sampling is a broadcast-joined filter
+    with no corpus shuffle; sequence packing costs exactly the per-shard
+    window exchange and nothing else."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["text_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, "benchmark index not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus side fell to sort-merge"
+
+    plan = _plan(QUERIES["curation_mixture_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # The only exchanges allowed feed the tiny plan aggregate + its
+    # broadcast — never a corpus-sized hash partitioning of documents.
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(QUERIES["text_pack_sequences"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "packing should cost exactly the one per-shard window exchange"
+    )
+    assert "Window" in plan
+
+
 def test_topk_compiles_to_take_ordered(spark):
     from _event_intelligence_data_warehouse_spark.contract import QUERIES
 
