@@ -405,8 +405,15 @@ def winnowing_overlap_pairs(
     space is bounded by max_df² per fingerprint — linear in the index).
     The same move as the Jaccard prefix filter: hot keys can't
     discriminate, so never join on them."""
-    fp = winnowing_fingerprints(
-        df, k=k, w=w, text_col=text_col, id_col=id_col
+    from _event_intelligence_data_warehouse_spark import cache
+
+    # Persist the selected fingerprints: the winnowing projection hashes
+    # EVERY character k-gram (an md5 per gram), and this frame feeds the
+    # df-filter plus both self-join sides — uncached, that lineage runs
+    # three times (measured 3x the whole operator's cost at sf0.1). The
+    # cached frame is just (doc_id, long), ~2/(w+1) of gram count.
+    fp = cache.persist(
+        winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
     )
     if max_df is not None:
         rare = (
