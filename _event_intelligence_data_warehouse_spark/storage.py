@@ -20,6 +20,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -140,3 +141,68 @@ class Warehouse:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
+
+    # -- compaction --------------------------------------------------------
+    def file_stats(self, table: str) -> tuple[int, int]:
+        """(n_part_files, total_bytes) for a table directory (recursive,
+        partitioned layouts included)."""
+        n = 0
+        total = 0
+        for root, _dirs, files in os.walk(self.path(table)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(root, f))
+        return n, total
+
+    def compact(
+        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict:
+        """Small-file compaction for an UNPARTITIONED table: rewrite its
+        part files into ~target-size files and atomically swap. The
+        chronic cost of incremental appends — every micro-batch leaves a
+        file, and at 100 TB a scan then pays per-file footer reads and
+        task-scheduling overhead linear in file count, not data. The
+        rewrite is a coalesce (no shuffle: tasks just concatenate
+        inputs) into ceil(bytes/target) files. Returns
+        {files_before, files_after, bytes} for the run log."""
+        files_before, total = self.file_stats(table)
+        n_out = max(1, -(-total // max(1, target_file_bytes)))
+        df = self.spark.read.parquet(self.path(table))
+        live = self.path(table)
+        tmp = live + ".__tmp__" + uuid.uuid4().hex[:8]
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        self._swap(live, tmp)
+        files_after, _ = self.file_stats(table)
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes": total,
+        }
+
+    def compact_partitions(
+        self, table: str, partition_col: str
+    ) -> dict:
+        """Compaction for a PARTITIONED table: rewrite every partition's
+        files into one file per partition via dynamic partition
+        overwrite (each partition's data repartitions to its own single
+        task — the partition column is the shuffle key, so partition
+        boundaries are preserved exactly and readers keep pruning).
+        Incremental variant at scale: filter the frame to the partitions
+        a freshness probe flags before calling — dynamic overwrite
+        leaves the rest untouched on disk."""
+        files_before, total = self.file_stats(table)
+        df = self.spark.read.parquet(self.path(table))
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(table))
+        )
+        files_after, _ = self.file_stats(table)
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes": total,
+        }

@@ -136,3 +136,51 @@ def test_pipeline_fact_table_is_bucket_partitioned(spark, tmp_path):
     assert parts and all(
         p.startswith(f"{facts_mod.FACT_PART_COL}=") for p in parts
     )
+
+
+def test_compact_unpartitioned_reduces_files_preserves_rows(spark, tmp_path):
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # simulate many tiny incremental appends
+    for i in range(8):
+        wh.append("t", spark.range(i * 10, (i + 1) * 10).toDF("id"))
+    before = sorted(r.id for r in wh.read("t").collect())
+    n_before, _ = wh.file_stats("t")
+    assert n_before >= 8, "appends should have left many part files"
+
+    report = wh.compact("t", target_file_bytes=1 << 30)
+    assert report["files_before"] == n_before
+    assert report["files_after"] == 1, "1 GiB target should yield one file"
+    after = sorted(r.id for r in wh.read("t").collect())
+    assert after == before, "compaction changed table contents"
+
+
+def test_compact_partitions_one_file_per_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 60).select(
+        "id", (F.col("id") % 3).alias("p")
+    )
+    # several appends -> multiple files per partition
+    for i in range(4):
+        (
+            df.filter(F.col("id") % 4 == i)
+            .write.mode("append").partitionBy("p")
+            .parquet(wh.path("t"))
+        )
+    before = sorted((r.id, r.p) for r in wh.read("t").collect())
+    n_before, _ = wh.file_stats("t")
+    assert n_before > 3
+
+    wh.compact_partitions("t", "p")
+    n_after, _ = wh.file_stats("t")
+    assert n_after == 3, "expected exactly one file per partition"
+    after = sorted((r.id, r.p) for r in wh.read("t").collect())
+    assert after == before
+    import os
+    parts = [d for d in os.listdir(wh.path("t")) if d.startswith("p=")]
+    assert sorted(parts) == ["p=0", "p=1", "p=2"], "partition layout lost"
