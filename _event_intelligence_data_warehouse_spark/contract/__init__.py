@@ -207,6 +207,7 @@ _DRIVER_SAMPLE_TAIL = [
     "text_pack_sequences",
     "dedup_minhash_incremental",
     "dedup_cluster_sizes",
+    "cdc_snapshot_diff",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",

@@ -1007,6 +1007,62 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_snapshot_diff",
+    """
+    WITH old_t AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ), new_t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 17 = 0
+    ), d AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                      OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                    THEN 'update' END AS change
+        FROM old_t o FULL OUTER JOIN new_t n USING (o_orderkey)
+    )
+    SELECT o_orderkey, change FROM d WHERE change IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed recovered from two snapshots (deterministically
+    mutated orders: %13 keys deleted, %7 prices bumped, %17 keys
+    re-inserted under new ids): one full outer key join, null-safe
+    column comparison, rows only for changed keys — the feed an
+    incremental consumer wants when the source has no native CDC."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        upsert as up,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    new = orders.filter(k % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).unionByName(
+        orders.filter(k % 17 == 0).select(
+            (k + 10000000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+    return up.snapshot_diff(orders, new, ["o_orderkey"])
+
+
 # Mixture geometry shared by the Spark calls and their oracles: integer
 # weights, token budget, and the VALUES-list rendering of the weight map.
 _MIX_WEIGHTS = {"src0": 8, "src1": 4, "src2": 2, "src3": 1, "src4": 1}

@@ -102,3 +102,65 @@ def assign_surrogate_keys(
         .withColumn(sk_col, (F.row_number().over(w) + F.col("__base")).cast("long"))
         .drop("__base")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style change feed between two table snapshots: one row per
+    changed key with ``change`` in {'insert', 'delete', 'update'} —
+    insert = key only in new, delete = key only in old, update = key in
+    both with any compared column differing (null-safe, so NULL -> value
+    and value -> NULL both count as changes; unchanged rows are absent).
+
+    The derivational complement of MERGE: upsert APPLIES a batch,
+    snapshot_diff RECOVERS the batch that separates two images — the
+    feed a downstream incremental consumer (rollup refresh, cache
+    invalidation, replication) wants when the source has no native CDC.
+
+    Scale: one full outer equi-join on the key — the minimum possible;
+    comparisons are codegen'd null-safe equality per column, no hashing,
+    no UDFs. At table-format maturity this is read from the commit log
+    instead; the semantics here are identical."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c not in key_cols
+        ]
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ok_{c}") == F.col(f"__nk_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__ov_{c}").eqNullSafe(
+            F.col(f"__nv_{c}")
+        )
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__ok_{c}"), F.col(f"__nk_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*out_keys, "change")
+    )

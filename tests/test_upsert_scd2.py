@@ -117,3 +117,37 @@ def test_scd2_idempotent_reapply(spark):
     )
     assert out.count() == 1
     assert out.filter(F.col("is_current")).count() == 1
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    """insert/delete/update each detected; unchanged keys absent;
+    NULL -> value and value -> NULL count as updates (null-safe)."""
+    from _event_intelligence_data_warehouse_spark.operators import upsert as up
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # unchanged
+            (2, "b", 21.0),      # value update
+            (3, "c", 30.0),      # NULL -> value: update
+            (5, "e", 50.0),      # insert
+        ],                        # 4 deleted
+        "k long, name string, v double",
+    )
+    got = {r.k: r.change for r in up.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_respects_compare_cols(spark):
+    """Columns outside compare_cols never trigger an update."""
+    from _event_intelligence_data_warehouse_spark.operators import upsert as up
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "k long, name string, v double")
+    new = spark.createDataFrame([(1, "y", 1.0)], "k long, name string, v double")
+    assert up.snapshot_diff(old, new, ["k"], compare_cols=["v"]).count() == 0
+    assert (
+        up.snapshot_diff(old, new, ["k"]).collect()[0].change == "update"
+    )
