@@ -1008,6 +1008,67 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "governance_validate_rules",
+    """
+    WITH lcl AS (
+        SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v0,
+               CAST(COUNT(CAST(o_orderkey AS VARCHAR))
+                    - COUNT(DISTINCT CAST(o_orderkey AS VARCHAR))
+                    AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0
+                                   OR o_totalprice > 10000000)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        FROM orders
+    ), ref AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v4 FROM (
+            SELECT o.o_custkey FROM orders o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        )
+    ), rows_ AS (
+        SELECT 'orderkey_not_null' AS rule_name, 'not_null' AS kind,
+               v0 AS n_violations FROM lcl
+        UNION ALL SELECT 'orderkey_unique', 'unique', v1 FROM lcl
+        UNION ALL SELECT 'status_accepted', 'accepted_values', v2 FROM lcl
+        UNION ALL SELECT 'price_in_range', 'range', v3 FROM lcl
+        UNION ALL SELECT 'custkey_exists', 'referential', v4 FROM ref
+    )
+    SELECT rule_name, kind, n_violations,
+           (n_violations = 0) AS passed
+    FROM rows_
+    """,
+)
+def governance_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation over orders: five rule kinds
+    (not-null, uniqueness, accepted values, numeric range, referential
+    to customer) — the reference's hardcoded quality battery as a
+    reusable rules engine. All row-local + uniqueness rules share ONE
+    scan; the referential probe is one anti-join."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        validate as vl,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    rules = [
+        vl.not_null("orderkey_not_null", "o_orderkey"),
+        vl.unique("orderkey_unique", ["o_orderkey"]),
+        vl.accepted_values("status_accepted", "o_orderstatus",
+                           ["F", "O", "P"]),
+        vl.value_range("price_in_range", "o_totalprice", 0, 10_000_000),
+        vl.referential("custkey_exists", "o_custkey", customer,
+                       "c_custkey"),
+    ]
+    return vl.validate(orders, rules)
+
+
+@query(
     "cdc_snapshot_diff",
     """
     WITH old_t AS (

@@ -1,0 +1,129 @@
+"""Declarative constraint validation — the reference's five hardcoded
+quality checks (data_quality.sql) generalized into a reusable rules
+engine: declare (name, kind, params) rules, get one violations row per
+rule. Citation for parity: /root/reference data_quality.sql implements
+exactly these kinds inline (NULL probes, duplicate grouping, accepted
+status values, orphan FK probes); here they compose over any frame.
+
+Scale design: every ROW-LOCAL rule (not_null, accepted_values, range)
+plus every uniqueness rule compiles into ONE multi-aggregate pass over
+the frame — a single scan no matter how many rules, exactly like the
+warehouse's one-pass quality battery. Referential rules each cost one
+anti-join against their (dimension-sized, broadcastable) reference —
+the unavoidable probe — and union onto the same report. No UDFs, no
+collects; the report is rules-sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str  # not_null | unique | accepted_values | range | referential
+    params: dict = field(default_factory=dict)
+
+
+def not_null(name: str, col: str) -> Rule:
+    return Rule(name, "not_null", {"col": col})
+
+
+def unique(name: str, cols: list[str]) -> Rule:
+    return Rule(name, "unique", {"cols": cols})
+
+
+def accepted_values(name: str, col: str, values: list) -> Rule:
+    return Rule(name, "accepted_values", {"col": col, "values": values})
+
+
+def value_range(name: str, col: str, lo, hi) -> Rule:
+    return Rule(name, "range", {"col": col, "lo": lo, "hi": hi})
+
+
+def referential(name: str, col: str, ref: DataFrame, ref_col: str) -> Rule:
+    return Rule(name, "referential", {"col": col, "ref": ref,
+                                      "ref_col": ref_col})
+
+
+def _violation_expr(rule: Rule):
+    p = rule.params
+    if rule.kind == "not_null":
+        return F.sum(
+            F.when(F.col(p["col"]).isNull(), 1).otherwise(0)
+        )
+    if rule.kind == "accepted_values":
+        ok = F.col(p["col"]).isin(p["values"])
+        # NULL is not a value-set violation — not_null owns that rule.
+        return F.sum(
+            F.when(F.col(p["col"]).isNotNull() & ~ok, 1).otherwise(0)
+        )
+    if rule.kind == "range":
+        c = F.col(p["col"])
+        out = (c < F.lit(p["lo"])) | (c > F.lit(p["hi"]))
+        return F.sum(F.when(c.isNotNull() & out, 1).otherwise(0))
+    if rule.kind == "unique":
+        # duplicate surplus: rows minus distinct keys — the same
+        # one-aggregate folding the quality battery uses for A8.
+        key = F.concat_ws(
+            "", *[F.col(c).cast("string") for c in p["cols"]]
+        )
+        return F.count(key) - F.count_distinct(key)
+    raise ValueError(f"unknown row-local rule kind {rule.kind!r}")
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Violations report: one row per rule — (rule_name, kind,
+    n_violations, passed). Row-local and uniqueness rules share a single
+    scan; referential rules add one anti-join each."""
+    local = [r for r in rules if r.kind != "referential"]
+    refs = [r for r in rules if r.kind == "referential"]
+
+    parts: list[DataFrame] = []
+    if local:
+        agg = df.agg(
+            *[
+                _violation_expr(r).cast("bigint").alias(f"v{i}")
+                for i, r in enumerate(local)
+            ]
+        )
+        # unpivot the single aggregate row into one report row per rule
+        stack = ", ".join(
+            f"'{r.name}', '{r.kind}', v{i}" for i, r in enumerate(local)
+        )
+        parts.append(
+            agg.select(
+                F.expr(
+                    f"stack({len(local)}, {stack}) AS "
+                    "(rule_name, kind, n_violations)"
+                )
+            )
+        )
+    for r in refs:
+        p = r.params
+        orphans = (
+            df.select(F.col(p["col"]))
+            .filter(F.col(p["col"]).isNotNull())
+            .join(
+                p["ref"].select(
+                    F.col(p["ref_col"]).alias(p["col"])
+                ).distinct(),
+                p["col"],
+                "left_anti",
+            )
+            .agg(F.count("*").cast("bigint").alias("n_violations"))
+            .select(
+                F.lit(r.name).alias("rule_name"),
+                F.lit("referential").alias("kind"),
+                "n_violations",
+            )
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.withColumn("passed", F.col("n_violations") == 0)

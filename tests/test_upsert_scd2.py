@@ -151,3 +151,64 @@ def test_snapshot_diff_respects_compare_cols(spark):
     assert (
         up.snapshot_diff(old, new, ["k"]).collect()[0].change == "update"
     )
+
+
+def test_validate_rules_counts_planted_violations(spark):
+    from _event_intelligence_data_warehouse_spark.operators import validate as vl
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5.0, 100),
+            (1, "ok", 5.0, 100),      # duplicate key
+            (None, "ok", 5.0, 100),   # null key
+            (3, "BAD", 5.0, 100),     # bad status
+            (4, "ok", -1.0, 100),     # out of range
+            (5, "ok", None, 999),     # null value (not a range violation),
+                                      # orphan fk
+        ],
+        "k long, status string, v double, fk long",
+    )
+    ref = spark.createDataFrame([(100,)], "rk long")
+    rules = [
+        vl.not_null("k_nn", "k"),
+        vl.unique("k_uq", ["k"]),
+        vl.accepted_values("status_ok", "status", ["ok"]),
+        vl.value_range("v_rng", "v", 0, 10),
+        vl.referential("fk_ok", "fk", ref, "rk"),
+    ]
+    got = {r.rule_name: (r.n_violations, r.passed)
+           for r in vl.validate(df, rules).collect()}
+    assert got == {
+        "k_nn": (1, False),
+        "k_uq": (1, False),
+        "status_ok": (1, False),
+        "v_rng": (1, False),
+        "fk_ok": (1, False),
+    }
+
+    clean = spark.createDataFrame(
+        [(1, "ok", 5.0, 100)], "k long, status string, v double, fk long"
+    )
+    assert all(r.passed for r in vl.validate(clean, rules).collect())
+
+
+def test_validate_row_local_rules_share_one_scan(spark):
+    """However many row-local rules are declared, the frame is scanned
+    once (a single aggregate node; no unions of per-rule scans)."""
+    from _event_intelligence_data_warehouse_spark.operators import validate as vl
+
+    df = spark.range(100).selectExpr("id as k", "'ok' as status",
+                                     "cast(id as double) as v")
+    rules = [
+        vl.not_null("a", "k"),
+        vl.unique("b", ["k"]),
+        vl.accepted_values("c", "status", ["ok"]),
+        vl.value_range("d", "v", 0, 1000),
+    ]
+    plan = (
+        vl.validate(df, rules)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Range (0, 100") == 1, (
+        "row-local rules re-scanned the input instead of sharing one pass"
+    )
