@@ -209,6 +209,7 @@ _DRIVER_SAMPLE_TAIL = [
     "dedup_cluster_sizes",
     "cdc_snapshot_diff",
     "governance_validate_rules",
+    "kpi_anomalous_days",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",

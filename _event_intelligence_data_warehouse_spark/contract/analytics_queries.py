@@ -489,3 +489,48 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).cast("double").alias("pct_rank"),
     )
+
+
+@query(
+    "kpi_anomalous_days",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(n) AS BIGINT) AS s,
+               CAST(SUM(n * n) AS BIGINT) AS s2
+        FROM daily
+    )
+    SELECT d.day, d.n,
+           ((d.n * t.m - t.s) * (d.n * t.m - t.s)
+            > 9 * (t.m * t.s2 - t.s * t.s)) AS is_anomaly
+    FROM daily d CROSS JOIN stats t
+    """,
+)
+def kpi_anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screen over the daily event counts: flag days more
+    than 3 population standard deviations from the series mean. The
+    z-test is evaluated in EXACT integer arithmetic —
+    (n*m - s)^2 > 9*(m*s2 - s^2) is |x - mean| > 3*sigma cleared of
+    divisions — so the verdict is bit-identical on every engine (float
+    variance accumulates in engine-specific order and drifts in the last
+    ulp; integers cannot). One aggregate + a 1-row broadcast join; at
+    100 TB the daily rollup feeds this directly."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    dev = F.col("n") * F.col("m") - F.col("s")
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        (dev * dev > 9 * (F.col("m") * F.col("s2")
+                          - F.col("s") * F.col("s"))).alias("is_anomaly"),
+    )
