@@ -210,6 +210,7 @@ _DRIVER_SAMPLE_TAIL = [
     "cdc_snapshot_diff",
     "governance_validate_rules",
     "kpi_anomalous_days",
+    "embedding_batch_drift",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",

@@ -1378,6 +1378,44 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_batch_drift",
+    """
+    WITH iv AS (
+        SELECT CAST(vec_id % 3 AS VARCHAR) AS grp,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+        FROM embeddings
+    ), ex AS (
+        SELECT grp, unnest(v) AS val,
+               unnest(generate_series(1, len(v))) AS pos
+        FROM iv
+    ), sums AS (
+        SELECT grp, pos, SUM(val) AS sx, COUNT(*) AS cnt
+        FROM ex GROUP BY grp, pos
+    ), sv AS (
+        SELECT grp, CAST(MAX(cnt) AS BIGINT) AS n,
+               list(CAST(sx AS DOUBLE) ORDER BY pos) AS v
+        FROM sums GROUP BY grp
+    )
+    SELECT a.grp AS group_a, b.grp AS group_b,
+           a.n AS n_a, b.n AS n_b,
+           list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS centroid_cosine
+    FROM sv a JOIN sv b ON a.grp < b.grp
+    """,
+)
+def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift screen across three simulated ingestion batches
+    (vec_id % 3): pairwise cosine between batch centroid-sum vectors,
+    computed entirely from exact BIGINT component sums (cosine's scale
+    invariance makes the mean division unnecessary) — the cheap early
+    warning that a new batch's embedding distribution shifted."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.embedding_drift(emb, F.col("vec_id") % 3)
+
+
 # Shared recall-audit tail: per-query overlap between an `exact` and an
 # `approx` CTE (both (query_id, neighbor_id, rank)). Left joins keep
 # queries the approximate path missed entirely (n_overlap 0, top1 false).

@@ -544,6 +544,65 @@ def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
     )
 
 
+def embedding_drift(
+    df: DataFrame,
+    group_col: Column | str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distribution-drift screen between embedding groups (ingestion
+    batches, sources, time slices): each group's integer-snapped vectors
+    sum component-wise into ONE exact BIGINT vector — cosine between
+    group-sum vectors equals cosine between group means (scale
+    invariance), so pairwise group similarity is computed without a
+    single float aggregation. A drop in cross-batch centroid cosine is
+    the cheap early warning that new data stopped looking like old data.
+
+    Output: (group_a, group_b, n_a, n_b, centroid_cosine) for each
+    unordered group pair. Scale: one partial-sum hash aggregate on
+    (group, pos) — map-side combined, order-free — into a groups-sized
+    frame; the pair cross join is groups², trivially small. The final
+    cosine is a fixed expression tree over ordered arrays, so it is
+    bit-deterministic on every engine (the same property the ANN oracle
+    relies on)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    sums = (
+        df.select(g.cast("string").alias("grp"), _int_vec(vec_col).alias("iv"))
+        .select("grp", F.posexplode("iv").alias("pos", "val"))
+        .groupBy("grp", "pos")
+        .agg(F.sum("val").alias("sx"), F.count("*").alias("cnt"))
+        .groupBy("grp")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "sx"))).alias("ps"),
+            F.max("cnt").cast("bigint").alias("n"),
+        )
+        .select(
+            "grp",
+            "n",
+            F.transform("ps", lambda x: x["sx"].cast("double")).alias("sv"),
+        )
+    )
+    a = sums.select(
+        F.col("grp").alias("group_a"), F.col("n").alias("n_a"),
+        F.col("sv").alias("sv_a"),
+    )
+    b = sums.select(
+        F.col("grp").alias("group_b"), F.col("n").alias("n_b"),
+        F.col("sv").alias("sv_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            cosine(F.col("sv_a"), F.col("sv_b")).alias("centroid_cosine"),
+        )
+    )
+
+
 def quantized_vectors_int8(
     df: DataFrame,
     *,

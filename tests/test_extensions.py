@@ -514,3 +514,25 @@ def test_ngram_jaccard_empty_and_short_corpus(spark):
         [(1, "ab"), (2, "x")], "doc_id long, text string"
     )
     assert dd.ngram_jaccard_pairs(empty, n=3, threshold=0.6).count() == 0
+
+
+def test_embedding_drift_detects_planted_shift(spark):
+    """Two batches drawn from the same direction stay near cosine 1;
+    a batch pointing elsewhere scores visibly lower."""
+    from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "same_a", [1.0, 0.1 * (i % 3), 0.0, 0.0]))
+        rows.append((i + 100, "same_b", [1.0, 0.1 * ((i + 1) % 3), 0.0, 0.0]))
+        rows.append((i + 200, "shifted", [0.0, 0.0, 1.0, 0.1 * (i % 2)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, batch string, embedding array<float>"
+    )
+    out = {
+        tuple(sorted((r.group_a, r.group_b))): r.centroid_cosine
+        for r in sim.embedding_drift(df, "batch").collect()
+    }
+    assert out[("same_a", "same_b")] > 0.99
+    assert out[("same_a", "shifted")] < 0.1
+    assert out[("same_b", "shifted")] < 0.1
