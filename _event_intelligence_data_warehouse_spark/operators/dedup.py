@@ -346,11 +346,14 @@ def connected_components(
     ~ 80 MB serialized — comfortably inside executor memory; beyond
     that an unconditional hint would OOM where the shuffle path works).
     """
-    sym = edges.select(
+    # Materialize the (possibly expensive — minhash pairs) edge lineage
+    # ONCE before symmetrizing: a union of the lazy plan with its own
+    # swap would execute the upstream pair computation twice.
+    base = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    sym = sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    sym = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = vertices.select(
         F.col(id_col).alias("doc_id"), F.col(id_col).alias("component_id")
