@@ -498,9 +498,9 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY 1
     ), stats AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS m,
-               CAST(SUM(n) AS BIGINT) AS s,
-               CAST(SUM(n * n) AS BIGINT) AS s2
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+               CAST(SUM(n) AS DECIMAL(38,0)) AS s,
+               SUM(CAST(n AS DECIMAL(38,0)) * n) AS s2
         FROM daily
     )
     SELECT d.day, d.n,
@@ -512,22 +512,25 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kpi_anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly screen over the daily event counts: flag days more
     than 3 population standard deviations from the series mean. The
-    z-test is evaluated in EXACT integer arithmetic —
+    z-test is evaluated in EXACT arithmetic —
     (n*m - s)^2 > 9*(m*s2 - s^2) is |x - mean| > 3*sigma cleared of
     divisions — so the verdict is bit-identical on every engine (float
     variance accumulates in engine-specific order and drifts in the last
-    ulp; integers cannot). One aggregate + a 1-row broadcast join; at
-    100 TB the daily rollup feeds this directly."""
+    ulp; exact decimals cannot). DECIMAL(38,0), not BIGINT: at ~1e12
+    events/day, sum(n^2) and the squared deviation overflow int64 while
+    staying far inside 38 digits. One aggregate + a 1-row broadcast
+    join; at 100 TB the daily rollup feeds this directly."""
     events = load(spark, sf_dir, "events")
     daily = events.groupBy(
         F.col("ts").cast("date").alias("day")
     ).agg(F.count("*").cast("bigint").alias("n"))
+    dec = "decimal(38,0)"
     stats = daily.agg(
-        F.count("*").cast("bigint").alias("m"),
-        F.sum("n").cast("bigint").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+        F.count("*").cast(dec).alias("m"),
+        F.sum("n").cast(dec).alias("s"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).alias("s2"),
     )
-    dev = F.col("n") * F.col("m") - F.col("s")
+    dev = F.col("n").cast(dec) * F.col("m") - F.col("s")
     return daily.crossJoin(F.broadcast(stats)).select(
         "day",
         "n",
