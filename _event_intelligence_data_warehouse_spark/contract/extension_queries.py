@@ -1143,13 +1143,17 @@ WITH mtoks AS (
 ), mwts AS (
     SELECT * FROM (VALUES {_MIX_VALUES}) w(source, wt)
 ), mplan AS (
+    -- HUGEINT (int128) intermediates: budget*weight and target*1e6
+    -- overflow int64 at ~1e13-token budgets; hugeint // is exact
+    -- integer division (decimal // would ROUND the quotient first).
     SELECT a.source, a.n_docs, a.n_tokens,
            CAST(coalesce(w.wt, 0) AS BIGINT) AS weight,
-           CAST(({_MIX_BUDGET} * coalesce(w.wt, 0)) // {_MIX_WSUM}
-                AS BIGINT) AS target_tokens,
-           CAST(least(1000000,
-                (({_MIX_BUDGET} * coalesce(w.wt, 0)) // {_MIX_WSUM})
-                    * 1000000 // a.n_tokens) AS BIGINT) AS rate_ppm
+           CAST((CAST({_MIX_BUDGET} AS HUGEINT) * coalesce(w.wt, 0))
+                // {_MIX_WSUM} AS BIGINT) AS target_tokens,
+           CAST(least(1000000, CAST(
+                ((CAST({_MIX_BUDGET} AS HUGEINT) * coalesce(w.wt, 0))
+                     // {_MIX_WSUM} * 1000000) // a.n_tokens AS BIGINT))
+           AS BIGINT) AS rate_ppm
     FROM magg a LEFT JOIN mwts w USING (source)
 )
 """

@@ -167,12 +167,21 @@ def mixture_plan(
     w = F.coalesce(
         F.element_at(wmap, F.col("source")), F.lit(0)
     ).cast("bigint")
+    # DECIMAL(38,0) intermediates, integral `div` (truncation == floor
+    # for non-negatives, no rounding step): budget*weight and
+    # target*PPM overflow int64 at ~1e13-token budgets — real LLM-mix
+    # territory — while staying far inside 38 digits. Exact on both
+    # engines.
     target = F.expr(
-        f"(CAST({int(token_budget)} AS BIGINT) * weight) div {int(wsum)}"
+        f"CAST((CAST({int(token_budget)} AS DECIMAL(38,0)) * weight) "
+        f"div {int(wsum)} AS BIGINT)"
     )
     rate = F.least(
         F.lit(PPM).cast("bigint"),
-        F.expr(f"(target_tokens * CAST({PPM} AS BIGINT)) div n_tokens"),
+        F.expr(
+            f"CAST((CAST(target_tokens AS DECIMAL(38,0)) * {PPM}) "
+            "div n_tokens AS BIGINT)"
+        ),
     )
     return (
         agg.withColumn("weight", w)
