@@ -222,3 +222,25 @@ def test_jsonl_sharded_export_is_deterministic(spark, tmp_path):
     back = jsonl.read_jsonl(spark, str(tmp_path / "a"), schema)
     clean, corrupt = jsonl.split_corrupt(back)
     assert clean.count() == 100 and corrupt.count() == 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves values, and a filtered read pushes the
+    predicate to the ORC scan like parquet would."""
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.sources import orc_source
+
+    df = spark.range(100).selectExpr("id", "id % 5 as grp",
+                                     "cast(id * 1.5 as double) as v")
+    p = str(tmp_path / "t.orc")
+    orc_source.write_orc(df, p)
+    back = orc_source.read_orc(spark, p)
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+
+    filtered = back.filter(F.col("grp") == 2).select("id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "grp" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "grp filter not pushed to the ORC scan"
+    assert filtered.count() == 20
