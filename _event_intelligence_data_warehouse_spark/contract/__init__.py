@@ -144,6 +144,23 @@ from _event_intelligence_data_warehouse_spark.contract import (  # noqa: E402,F4
 # (extension shapes covered by cohort+window+brute-force entries), and
 # embedding_near_duplicates / similarity_topk_bruteforce (LSH bucketing
 # and the exact baseline are re-exercised inside the recall audits).
+#
+# Round-4 rotation (r3 verdict item 1): the 11 round-3 additions move
+# INTO the sample (incremental dedup, decontamination, mixture
+# plan/sample, leakage-safe split, sequence packing, CDC diff,
+# constraint validation, anomaly + drift screens, cluster telemetry).
+# Moving out, with every SURVEY §2 id still head-covered:
+# - sketch_hll_distinct / rollup_cascade_daily / text_chunk_documents /
+#   text_redact_pii / join_scd2_point_in_time: rotated in for r3 and
+#   earned green CORRECTNESS_r03 rows; U5 stays covered by
+#   scd2_change_intervals, the mechanisms by their r03 rows + local gate.
+# - window_pct_of_total (W1 stays via kpi_weekend_vs_weekday),
+#   window_sessionize (D8 stays via kpi_pipeline_health's duration;
+#   gap-lag is extension), agg_exact_percentiles (OLAP family stays via
+#   rollup+pivot), dedup_simhash (4 other dedup mechanisms + 2 promoted
+#   stay sampled), join_star_revenue (J5-J7 stay via the KPI joins),
+#   agg_salted_skew_safe (driver-green r1-r3; salting plan-asserted in
+#   tests/test_scale_fallbacks.py).
 _DRIVER_SAMPLE_TAIL = [
     "kpi_events_by_city",
     "kpi_data_quality",
@@ -198,19 +215,19 @@ _DRIVER_SAMPLE_TAIL = [
     "dedup_canonical_keep_best",
     "streaming_dedup_within_watermark",
     "cohort_retention",
-    # round-3 additions: tail for now (head-50 is balanced across §2 +
-    # extension families); rotate in future rounds as slots free up
-    "text_decontaminate",
-    "curation_mixture_plan",
-    "curation_mixture_sample",
-    "split_leakage_safe",
-    "text_pack_sequences",
-    "dedup_minhash_incremental",
-    "dedup_cluster_sizes",
-    "cdc_snapshot_diff",
-    "governance_validate_rules",
-    "kpi_anomalous_days",
-    "embedding_batch_drift",
+    # round-4 demotions (see rotation note above): r3-rotated entries
+    # with earned driver rows + same-family duplicates
+    "sketch_hll_distinct",
+    "rollup_cascade_daily",
+    "text_chunk_documents",
+    "text_redact_pii",
+    "join_scd2_point_in_time",
+    "window_pct_of_total",
+    "window_sessionize",
+    "agg_exact_percentiles",
+    "dedup_simhash",
+    "join_star_revenue",
+    "agg_salted_skew_safe",
     "sketch_cms_heavy_hitters",
     "sketch_hll_grouped_merge",
     "sketch_binned_quantiles",

@@ -69,9 +69,16 @@ def _violation_expr(rule: Rule):
     if rule.kind == "unique":
         # duplicate surplus: rows minus distinct keys — the same
         # one-aggregate folding the quality battery uses for A8.
-        key = F.concat_ws(
-            "", *[F.col(c).cast("string") for c in p["cols"]]
-        )
+        # Key identity is the column TUPLE (struct), never a string
+        # concat: a delimited concat can collide when the delimiter
+        # occurs in data, and concat_ws silently skips NULL components
+        # so distinct NULL-bearing keys fold together. A key
+        # participates only when every component is non-null, matching
+        # the oracle's COUNT(col)/COUNT(DISTINCT col) NULL exclusion.
+        valid = F.lit(True)
+        for c in p["cols"]:
+            valid = valid & F.col(c).isNotNull()
+        key = F.when(valid, F.struct(*[F.col(c) for c in p["cols"]]))
         return F.count(key) - F.count_distinct(key)
     raise ValueError(f"unknown row-local rule kind {rule.kind!r}")
 

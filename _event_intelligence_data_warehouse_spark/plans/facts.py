@@ -191,11 +191,10 @@ def upsert_facts_partitioned(
         # Dynamic overwrite would leave the legacy flat files at the
         # table root beside the new partition dirs (double-counted on
         # read), and an in-place static overwrite would truncate its own
-        # input scan — so stage the partitioned image and swap.
-        staged = f"{table}.__migrate__"
-        wh.drop(staged)
-        wh.overwrite_partitions(staged, merged, FACT_PART_COL)
-        wh.replace_with(table, staged)
+        # input scan — so replace the full image with a partitioned
+        # write: staged-dir + swap in legacy mode, snapshot + manifest
+        # publish in manifest mode (atomic either way).
+        wh.overwrite(table, merged, FACT_PART_COL)
     else:
         wh.overwrite_partitions(table, merged, FACT_PART_COL)
     return affected

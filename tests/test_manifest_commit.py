@@ -1,0 +1,301 @@
+"""Manifest-mode storage: the object-store-safe commit protocol.
+
+Rename-swap atomicity holds only on one POSIX filesystem; a 100 TB
+warehouse lives on an object store where directory rename is neither
+atomic nor cheap. Manifest mode commits by atomically replacing ONE
+pointer file after all data/manifest files are durable, so a reader
+resolves either the whole old image or the whole new one — never a
+partition mix — no matter where a writer crashed. These tests drive the
+fact upsert, the rollup cascade, and compaction through that path, and
+inject crashes between the data write and the pointer publish.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark import schemas
+from _event_intelligence_data_warehouse_spark.plans import facts as facts_mod
+from _event_intelligence_data_warehouse_spark.plans import rollups
+from _event_intelligence_data_warehouse_spark.storage import (
+    ConcurrentWriteError,
+    Warehouse,
+)
+from test_partitioned_upsert import _fact_batch, _rows
+
+
+def _mwh(spark, tmp_path, name="mwh"):
+    return Warehouse(spark, str(tmp_path / name), manifest=True)
+
+
+def _live_files(wh, table):
+    return set(wh._manifest(table)["files"])
+
+
+# -- fact upsert through the manifest path --------------------------------
+
+def test_manifest_partitioned_upsert_matches_full_rewrite(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    base = _fact_batch(spark, range(40))
+    upd = _fact_batch(spark, range(30, 50), status="cancelled",
+                      ts="2026-02-01 00:00:00")
+    facts_mod.upsert_facts_partitioned(wh, base)
+    facts_mod.upsert_facts_partitioned(wh, upd)
+
+    empty = spark.createDataFrame([], schemas.FACT_EVENTS)
+    want = _rows(facts_mod.upsert_facts(
+        facts_mod.upsert_facts(empty, base), upd
+    ))
+    assert _rows(wh.read("fact_events")) == want
+    sks = [r[0] for r in wh.read("fact_events").select("event_sk").collect()]
+    assert len(sks) == len(set(sks)) == 50
+
+
+def test_manifest_untouched_partition_entries_are_stable(spark, tmp_path):
+    """A single-key upsert replaces only its bucket's manifest entries;
+    every other partition keeps the exact same (immutable) files."""
+    wh = _mwh(spark, tmp_path)
+    facts_mod.upsert_facts_partitioned(wh, _fact_batch(spark, range(60)))
+    before = _live_files(wh, "fact_events")
+    pcol = facts_mod.FACT_PART_COL
+
+    touched = facts_mod.upsert_facts_partitioned(
+        wh, _fact_batch(spark, [0], status="cancelled")
+    )
+    after = _live_files(wh, "fact_events")
+    assert len(touched) == 1
+    tval = str(touched[0])
+
+    part = Warehouse._partition_of
+    assert {f for f in before if part(f, pcol) != tval} == {
+        f for f in after if part(f, pcol) != tval
+    }, "an untouched partition's files changed"
+    assert {f for f in before if part(f, pcol) == tval}.isdisjoint(
+        {f for f in after if part(f, pcol) == tval}
+    ), "the touched partition kept stale files"
+
+
+def test_manifest_migrates_legacy_flat_fact_table(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    empty = spark.createDataFrame([], schemas.FACT_EVENTS)
+    legacy = facts_mod.upsert_facts(empty, _fact_batch(spark, range(25)))
+    # simulate a pre-manifest, pre-bucket deployment: flat parquet files
+    legacy.write.mode("overwrite").parquet(wh.path("fact_events"))
+
+    facts_mod.upsert_facts_partitioned(
+        wh, _fact_batch(spark, range(20, 35), status="cancelled")
+    )
+    out = wh.read("fact_events")
+    assert facts_mod.FACT_PART_COL in out.columns
+    assert out.count() == 35
+    assert (
+        out.filter(F.col("event_nk") == "csv_MOCK_00020").first()
+        ["event_status"] == "cancelled"
+    )
+
+
+# -- crash injection ------------------------------------------------------
+
+def test_crash_before_pointer_publish_preserves_old_image(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the writer after every data file and the manifest file are
+    written but before the pointer replace: readers still resolve the
+    complete OLD image (never a partition mix), and a retry commits."""
+    wh = _mwh(spark, tmp_path)
+    df1 = spark.range(0, 30).select(
+        "id", (F.col("id") % 3).alias("p"), F.lit("old").alias("tag")
+    )
+    wh.overwrite_partitions("t", df1, "p")
+    want_old = sorted((r.id, r.p, r.tag) for r in wh.read("t").collect())
+
+    real_replace = os.replace
+
+    def crash_on_pointer(src, dst):
+        if os.path.basename(dst) == "CURRENT":
+            raise OSError("injected crash before pointer publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_on_pointer)
+    df2 = spark.range(0, 20).select(
+        "id", (F.col("id") % 2).alias("p"), F.lit("new").alias("tag")
+    )
+    with pytest.raises(OSError, match="injected crash"):
+        wh.overwrite_partitions("t", df2, "p")
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # a fresh reader (new Warehouse: no cached state) sees the old image
+    rd = Warehouse(spark, wh.root, manifest=True)
+    got = sorted((r.id, r.p, r.tag) for r in rd.read("t").collect())
+    assert got == want_old, "reader observed a torn/partial commit"
+    assert all(r.tag == "old" for r in rd.read("t").collect())
+
+    # the orphan snapshot + manifest are invisible garbage; vacuum
+    # removes the files and the retry commits cleanly over them
+    removed = rd.vacuum("t")
+    assert removed > 0, "crashed writer's orphan files were not collected"
+    assert sorted(
+        (r.id, r.p, r.tag) for r in rd.read("t").collect()
+    ) == want_old
+    rd.overwrite_partitions("t", df2, "p")
+    tags = {r.p: {x.tag for x in rd.read("t").filter(F.col("p") == r.p)
+                  .collect()}
+            for r in rd.read("t").select("p").distinct().collect()}
+    # retried commit replaced its partitions; the untouched one persists
+    assert tags == {0: {"new"}, 1: {"new"}, 2: {"old"}}
+
+
+def test_crash_mid_snapshot_write_preserves_old_image(spark, tmp_path):
+    """Kill the writer while partition data files are still being
+    written (no manifest at all): the table is untouched — the exact
+    scenario where legacy dynamic overwrite leaves a partition mix."""
+    wh = _mwh(spark, tmp_path)
+    df1 = spark.range(0, 30).select(
+        "id", (F.col("id") % 3).alias("p"), F.lit("old").alias("tag")
+    )
+    wh.overwrite_partitions("t", df1, "p")
+    want = sorted(tuple(r) for r in wh.read("t").collect())
+
+    # simulate: a crashed writer got two of three partitions out
+    orphan = os.path.join(wh.path("t"), "data", "s_crashed")
+    df1.filter(F.col("p") < 2).withColumn("tag", F.lit("new")).write.mode(
+        "overwrite"
+    ).partitionBy("p").parquet(orphan)
+
+    rd = Warehouse(spark, wh.root, manifest=True)
+    assert sorted(tuple(r) for r in rd.read("t").collect()) == want
+    rd.vacuum("t")
+    assert not os.path.exists(orphan) or not any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(orphan) for f in fs
+    )
+    assert sorted(tuple(r) for r in rd.read("t").collect()) == want
+
+
+def test_concurrent_committed_writer_is_detected(spark, tmp_path, monkeypatch):
+    """A writer whose base version was committed over by another writer
+    raises ConcurrentWriteError instead of silently clobbering."""
+    wh = _mwh(spark, tmp_path)
+    wh.overwrite("t", spark.range(5).toDF("id"))  # v1
+
+    real = Warehouse._current_version
+    state = {"stale": True}
+
+    def stale_once(self, table):
+        if state["stale"]:
+            state["stale"] = False
+            return 0  # this writer planned its commit against v0
+        return real(self, table)
+
+    monkeypatch.setattr(Warehouse, "_current_version", stale_once)
+    with pytest.raises(ConcurrentWriteError):
+        wh.overwrite("t", spark.range(9).toDF("id"))
+    monkeypatch.setattr(Warehouse, "_current_version", real)
+    assert [r.id for r in wh.read("t").orderBy("id").collect()] == list(range(5))
+
+
+def test_orphan_manifest_from_crashed_writer_is_skipped(spark, tmp_path):
+    """A v1 manifest file with no pointer (writer died between manifest
+    write and publish) must not block or corrupt the next commit."""
+    wh = _mwh(spark, tmp_path)
+    os.makedirs(wh._mdir("t"))
+    with open(os.path.join(wh._mdir("t"), "v00000001.json"), "w") as f:
+        f.write('{"version": 1, "files": ["data/sdead/x.parquet"]}')
+    wh.overwrite("t", spark.range(3).toDF("id"))
+    assert wh._current_version("t") == 2
+    assert wh.read("t").count() == 3
+
+
+# -- compaction through the manifest path ---------------------------------
+
+def test_manifest_compact_unpartitioned(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    for i in range(8):
+        wh.append("t", spark.range(i * 10, (i + 1) * 10).toDF("id"))
+    before = sorted(r.id for r in wh.read("t").collect())
+    n_before, _ = wh.file_stats("t")
+    assert n_before >= 8
+
+    report = wh.compact("t", target_file_bytes=1 << 30)
+    assert report["files_before"] == n_before
+    assert report["files_after"] == 1
+    assert sorted(r.id for r in wh.read("t").collect()) == before
+    # vacuum ran inside compact: stale snapshots are gone from disk
+    on_disk = sum(
+        1 for _r, _d, fs in os.walk(wh.path("t"))
+        for f in fs if f.endswith(".parquet")
+    )
+    assert on_disk == 1
+
+
+def test_manifest_compact_partitions(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    df = spark.range(0, 60).select("id", (F.col("id") % 3).alias("p"))
+    for i in range(4):
+        wh.overwrite_partitions(
+            "t", df.filter(F.col("id") % 4 == i), "p"
+        )
+    # each dynamic overwrite replaced all 3 partitions, so only the last
+    # round is live; rebuild with appends to get multi-file partitions
+    wh2 = _mwh(spark, tmp_path, "mwh2")
+    for i in range(4):
+        wh2.append("t", df.filter(F.col("id") % 4 == i))
+    before = sorted((r.id, r.p) for r in wh2.read("t").collect())
+    n_before, _ = wh2.file_stats("t")
+    assert n_before > 3
+
+    wh2.compact_partitions("t", "p")
+    n_after, _ = wh2.file_stats("t")
+    assert n_after == 3, "expected one file per partition"
+    assert sorted((r.id, r.p) for r in wh2.read("t").collect()) == before
+
+
+# -- rollup cascade through the manifest path -----------------------------
+
+def _events(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(dt.datetime.fromisoformat(t), e, v) for t, e, v in rows], schema
+    )
+
+
+def test_manifest_rollup_incremental_matches_full(spark, tmp_path):
+    b1 = _events(spark, [
+        ("2026-01-01 10:15:00", "view", 1.0),
+        ("2026-01-01 11:30:00", "click", 2.5),
+        ("2026-02-03 09:00:00", "view", 4.0),
+    ])
+    b2 = _events(spark, [
+        ("2026-01-01 10:45:00", "view", 3.0),
+        ("2026-03-05 08:00:00", "purchase", 10.0),
+    ])
+
+    inc = _mwh(spark, tmp_path, "inc")
+    rollups.build_cascade(inc, b1)
+    rollups.refresh_incremental(inc, b2)
+
+    full = _mwh(spark, tmp_path, "full")
+    rollups.build_cascade(full, b1.unionByName(b2))
+
+    for tbl in (rollups.HOURLY, rollups.DAILY, rollups.MONTHLY):
+        cols = sorted(
+            set(inc.read(tbl).columns) & set(full.read(tbl).columns)
+        )
+        got = sorted(
+            tuple(r) for r in inc.read(tbl).select(cols).collect()
+        )
+        want = sorted(
+            tuple(r) for r in full.read(tbl).select(cols).collect()
+        )
+        assert got == want, f"{tbl}: incremental != full through manifests"

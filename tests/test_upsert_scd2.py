@@ -192,6 +192,28 @@ def test_validate_rules_counts_planted_violations(spark):
     assert all(r.passed for r in vl.validate(clean, rules).collect())
 
 
+def test_validate_unique_struct_key_semantics(spark):
+    """Composite unique keys compare as tuples, not string concats:
+    ('ab','c') vs ('a','bc') are distinct; keys with any NULL component
+    never count as duplicates (oracle COUNT(col) NULL-exclusion)."""
+    from _event_intelligence_data_warehouse_spark.operators import validate as vl
+
+    df = spark.createDataFrame(
+        [
+            ("ab", "c"),    # adjacency pair 1 — NOT a dup of pair 2
+            ("a", "bc"),    # adjacency pair 2
+            (None, "x"),    # NULL-bearing keys fold under concat_ws,
+            (None, "y"),    # but must not count as duplicates
+            ("k", None),
+            ("dup", "dup"),
+            ("dup", "dup"),  # the only real duplicate
+        ],
+        "a string, b string",
+    )
+    got = vl.validate(df, [vl.unique("ab_uq", ["a", "b"])]).collect()[0]
+    assert (got.n_violations, got.passed) == (1, False)
+
+
 def test_validate_row_local_rules_share_one_scan(spark):
     """However many row-local rules are declared, the frame is scanned
     once (a single aggregate node; no unions of per-rule scans)."""
