@@ -1150,10 +1150,13 @@ WITH mtoks AS (
            CAST(coalesce(w.wt, 0) AS BIGINT) AS weight,
            CAST((CAST({_MIX_BUDGET} AS HUGEINT) * coalesce(w.wt, 0))
                 // {_MIX_WSUM} AS BIGINT) AS target_tokens,
-           CAST(least(1000000, CAST(
-                ((CAST({_MIX_BUDGET} AS HUGEINT) * coalesce(w.wt, 0))
-                     // {_MIX_WSUM} * 1000000) // a.n_tokens AS BIGINT))
-           AS BIGINT) AS rate_ppm
+           -- n_tokens = 0 -> rate 0 (guard matches the Spark side:
+           -- HUGEINT // would raise on zero, Spark would NULL)
+           CASE WHEN a.n_tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(least(1000000, CAST(
+                     ((CAST({_MIX_BUDGET} AS HUGEINT) * coalesce(w.wt, 0))
+                          // {_MIX_WSUM} * 1000000) // a.n_tokens AS BIGINT))
+                AS BIGINT) END AS rate_ppm
     FROM magg a LEFT JOIN mwts w USING (source)
 )
 """

@@ -303,8 +303,21 @@ def incremental_minhash_dedup(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
-    cand = new_vs_corpus.unionByName(new_vs_new).distinct()
-    all_sets = index_sets.unionByName(new_sets)
+    cand = cache.persist(new_vs_corpus.unionByName(new_vs_new).distinct())
+    # Prune the stored token sets to the docs candidates actually touch
+    # BEFORE unioning with the batch: the collision-id set is
+    # O(collisions) — typically tiny, so AQE broadcasts it and the
+    # semi-join filters the index map-side; the big per-doc hash arrays
+    # of untouched corpus docs never enter the verify join's shuffle.
+    # Per-batch verify read becomes O(collisions), not O(corpus) (and
+    # with the index bucketed by doc_id the semi-join is shuffle-free).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    touched = index_sets.join(cand_ids, "doc_id", "left_semi")
+    all_sets = touched.unionByName(new_sets)
     return jaccard_pairs(all_sets, cand).filter(F.col("jaccard") >= threshold)
 
 

@@ -176,12 +176,17 @@ def mixture_plan(
         f"CAST((CAST({int(token_budget)} AS DECIMAL(38,0)) * weight) "
         f"div {int(wsum)} AS BIGINT)"
     )
-    rate = F.least(
-        F.lit(PPM).cast("bigint"),
-        F.expr(
-            f"CAST((CAST(target_tokens AS DECIMAL(38,0)) * {PPM}) "
-            "div n_tokens AS BIGINT)"
-        ),
+    # n_tokens = 0 (every doc of a source tokenizes empty) must yield
+    # rate 0, not a silent non-ANSI NULL (Spark) or a div-by-zero error
+    # (DuckDB HUGEINT //) — nothing can be sampled from zero tokens.
+    rate = F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(PPM).cast("bigint"),
+            F.expr(
+                f"CAST((CAST(target_tokens AS DECIMAL(38,0)) * {PPM}) "
+                "div n_tokens AS BIGINT)"
+            ),
+        )
     )
     return (
         agg.withColumn("weight", w)

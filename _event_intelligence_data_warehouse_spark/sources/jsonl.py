@@ -9,11 +9,14 @@ single-pass and the contract stable. Corrupt lines are captured, not
 dropped: PERMISSIVE mode routes them to ``_corrupt_record`` so a
 pipeline can count/quarantine them (``split_corrupt``).
 
-Write side: deterministic sharded export. Range-partition by the sort
-key so shard N holds a contiguous, reproducible id range, sort within
-partitions, and cap records per file — the layout downstream trainers
-expect (stable shard membership across re-exports, bounded shard size
-for shuffling/streaming loaders).
+Write side: deterministic sharded export. Shard membership is a PURE
+FUNCTION of the sort key — ``shard = pmod(xxhash64(key), n_shards)`` —
+written as ``shard=N/`` directories, rows sorted within each shard,
+optional per-file record cap. Byte-stable across re-exports regardless
+of input partitioning: the layout downstream trainers expect. (A
+range-partitioned mode also exists for contiguous key ranges, but its
+boundaries come from Spark's sampling and are NOT guaranteed stable
+between runs — it trades reproducibility for range locality.)
 """
 
 from __future__ import annotations
@@ -60,6 +63,9 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean, corrupt
 
 
+SHARD_COL = "shard"
+
+
 def write_jsonl_shards(
     df: DataFrame,
     path: str,
@@ -67,17 +73,45 @@ def write_jsonl_shards(
     order_col: str,
     n_shards: int,
     max_records_per_file: int | None = None,
+    contiguous_ranges: bool = False,
 ) -> None:
-    """Deterministic sharded JSONL export: ``n_shards`` range partitions
-    of ``order_col`` (contiguous key ranges — shard membership is a
-    function of the key, not of input partitioning), rows sorted within
-    each shard, optional per-file record cap for bounded shard sizes.
-    At scale the range exchange is the one shuffle an export costs; the
-    write itself is embarrassingly parallel."""
+    """Deterministic sharded JSONL export.
+
+    Default mode: ``shard = pmod(xxhash64(order_col), n_shards)`` — a
+    pure function of the key, so shard membership is byte-stable across
+    re-exports, input repartitioning, and incremental re-runs. Shards
+    land as ``shard=N/`` directories (rows sorted by ``order_col``
+    within each), with an optional per-file record cap. One hash
+    exchange is the only shuffle; the write is embarrassingly parallel.
+
+    ``contiguous_ranges=True`` instead range-partitions on the key so
+    shard N holds a contiguous key range (part files at the root, no
+    ``shard=`` dirs). Range boundaries come from Spark's reservoir
+    sampling, which is documented as potentially inconsistent between
+    runs — membership near boundaries is NOT a pure key function, so
+    use this only when range locality matters more than reproducible
+    shard membership."""
+    if contiguous_ranges:
+        writer = (
+            df.repartitionByRange(n_shards, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .write.mode("overwrite")
+        )
+        if max_records_per_file is not None:
+            writer = writer.option(
+                "maxRecordsPerFile", max_records_per_file
+            )
+        writer.json(path)
+        return
+    shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast(
+        "int"
+    )
     writer = (
-        df.repartitionByRange(n_shards, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.withColumn(SHARD_COL, shard)
+        .repartition(n_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(SHARD_COL, order_col)
         .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
     )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

@@ -9,6 +9,8 @@ exits.
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -223,10 +225,21 @@ def stream_facts_from_bronze(
 # Applied-source-file ledger for the streaming rollup cascade: exactly-
 # once per input file, independent of checkpoint identity (see refresh()).
 ROLLUP_LEDGER = "rollups_ingest_ledger"
+# Compact + prune the ledger when its file count exceeds this: every
+# micro-batch appends one small file AND anti-joins the whole ledger, so
+# unbounded growth would make per-batch overhead scale with total files
+# ever ingested instead of the retention window.
+LEDGER_COMPACT_FILES = 32
+# Entries older than this can never match a re-offered file: Spark's
+# file source only re-offers files younger than maxFileAge (7 days by
+# default), so pruning at 8 days keeps exactly-once intact while
+# bounding the anti-join side to the recent-arrival window.
+LEDGER_RETENTION_DAYS = 8.0
 
 
 def stream_rollups_from_events(
-    spark: SparkSession, wh, input_dir: str, checkpoint_dir: str
+    spark: SparkSession, wh, input_dir: str, checkpoint_dir: str,
+    *, ledger_retention_days: float = LEDGER_RETENTION_DAYS,
 ) -> None:
     """Continuously maintained rollup cascade: each micro-batch of raw
     events merges additively into the hourly/daily/monthly aggregates
@@ -238,7 +251,21 @@ def stream_rollups_from_events(
     from _event_intelligence_data_warehouse_spark.plans import rollups
 
     stream = read_event_stream(spark, input_dir)
-    ledger_schema = T.StructType([T.StructField("src_file", T.StringType())])
+    ledger_schema = T.StructType([
+        T.StructField("src_file", T.StringType()),
+        T.StructField("applied_at", T.TimestampType()),
+    ])
+
+    def read_ledger() -> DataFrame:
+        led = wh.read(ROLLUP_LEDGER, ledger_schema)
+        if "applied_at" not in led.columns:
+            # one-time v1 -> v2 migration: unknown-age entries start
+            # their retention clock now — strictly conservative (they
+            # survive a full extra window before pruning).
+            led = led.withColumn("applied_at", F.current_timestamp())
+            wh.overwrite(ROLLUP_LEDGER, led)
+            led = wh.read(ROLLUP_LEDGER, ledger_schema)
+        return led
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -257,7 +284,7 @@ def stream_rollups_from_events(
         # cascade write and the ledger append still double-applies those
         # files — the unavoidable window of a non-transactional sink; a
         # table format with commit metadata closes it.
-        ledger = wh.read(ROLLUP_LEDGER, ledger_schema)
+        ledger = read_ledger()
         tagged = batch_df.withColumn("_src", F.input_file_name())
         unapplied = tagged.join(
             ledger, tagged["_src"] == ledger["src_file"], "left_anti"
@@ -278,10 +305,24 @@ def stream_rollups_from_events(
             rollups.build_cascade(wh, fresh)
         else:
             rollups.refresh_incremental(wh, fresh)
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         wh.append(
             ROLLUP_LEDGER,
-            spark.createDataFrame([(f,) for f in new_files], ledger_schema),
+            spark.createDataFrame(
+                [(f, now) for f in new_files], ledger_schema
+            ),
         )
+        # Bound steady-state cost: each micro-batch appends one ledger
+        # file, so periodically fold the ledger into one file and drop
+        # entries past the retention horizon (the file source never
+        # re-offers files that old — see LEDGER_RETENTION_DAYS).
+        n_files, _ = wh.file_stats(ROLLUP_LEDGER)
+        if n_files > LEDGER_COMPACT_FILES:
+            cutoff = now - dt.timedelta(days=ledger_retention_days)
+            kept = read_ledger().filter(
+                F.col("applied_at") >= F.lit(cutoff)
+            )
+            wh.overwrite(ROLLUP_LEDGER, kept.coalesce(1))
 
     q = (
         stream.writeStream.foreachBatch(refresh)

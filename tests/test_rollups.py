@@ -142,6 +142,72 @@ def test_replayed_batches_do_not_double_count(spark, tmp_path):
     assert _daily_rows(wh) == rows_once, "replayed batches were re-applied"
 
 
+def test_ledger_compaction_bounds_growth_and_keeps_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """The ingest ledger must not grow (in files or rows) with total
+    history: once past the compaction threshold it folds to one file
+    and sheds entries older than the retention horizon, while entries
+    inside the horizon keep suppressing replays."""
+    import datetime as dt
+
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    monkeypatch.setattr(jobs, "LEDGER_COMPACT_FILES", 2)
+
+    src = str(tmp_path / "src")
+    _events(spark, [(1, 9, "view", 5)]).write.parquet(src)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "c1"))
+
+    # plant stale entries beyond the horizon: prunable, and their
+    # (fake) files can never be re-offered by the source anyway
+    old = dt.datetime(2020, 1, 1)
+    wh.append(jobs.ROLLUP_LEDGER, spark.createDataFrame(
+        [(f"file:///dead/f{i}.parquet", old) for i in range(5)],
+        "src_file string, applied_at timestamp",
+    ))
+    n_before = wh.read(jobs.ROLLUP_LEDGER).count()
+
+    # new files arrive; the drain triggers compaction (file count > 2)
+    _events(spark, [(2, 9, "click", 2)]).write.mode("append").parquet(src)
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "c1"))
+
+    ledger = wh.read(jobs.ROLLUP_LEDGER)
+    n_files, _ = wh.file_stats(jobs.ROLLUP_LEDGER)
+    assert n_files == 1, "ledger did not compact to one file"
+    assert ledger.count() < n_before, "stale entries were not pruned"
+    assert ledger.filter(
+        F.col("src_file").startswith("file:///dead/")
+    ).count() == 0
+
+    # exactly-once intact: re-drain under a fresh checkpoint is a no-op
+    rows = _daily_rows(wh)
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "c2"))
+    assert _daily_rows(wh) == rows, "replay after compaction re-applied"
+
+
+def test_legacy_v1_ledger_migrates_without_replay(spark, tmp_path):
+    """A pre-upgrade ledger (src_file only, no applied_at) must keep
+    suppressing its files after the schema migration."""
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    src = str(tmp_path / "src")
+    _events(spark, [(1, 9, "view", 5)]).write.parquet(src)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "c1"))
+
+    # rewrite the ledger in the v1 single-column shape
+    v1 = wh.read(jobs.ROLLUP_LEDGER).select("src_file")
+    wh.overwrite(jobs.ROLLUP_LEDGER, v1)
+    assert wh.read(jobs.ROLLUP_LEDGER).columns == ["src_file"]
+
+    rows = _daily_rows(wh)
+    jobs.stream_rollups_from_events(spark, wh, src, str(tmp_path / "c2"))
+    assert _daily_rows(wh) == rows, "v1 ledger entries stopped suppressing"
+    assert "applied_at" in wh.read(jobs.ROLLUP_LEDGER).columns
+
+
 def test_checkpoint_loss_does_not_drop_new_files(spark, tmp_path):
     """Round-2 ADVICE regression: after a checkpoint loss/recreate, a
     drain that re-delivers OLD files alongside genuinely NEW ones must

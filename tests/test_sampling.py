@@ -126,6 +126,23 @@ def test_mixture_plan_budget_split_and_cap(spark):
     assert half["a"].rate_ppm == 500_000  # 50/100 of supply
 
 
+def test_mixture_plan_zero_token_source_rates_zero(spark):
+    """A weighted source whose documents all tokenize empty must plan
+    rate 0 — not a NULL (non-ANSI div-by-zero) that diverges from the
+    oracle's erroring HUGEINT division."""
+    from _event_intelligence_data_warehouse_spark.operators import sampling as smp
+
+    docs = spark.createDataFrame(
+        [(1, "a", "tok tok tok"), (2, "z", ""), (3, "z", "   ")],
+        "doc_id long, source string, text string",
+    )
+    plan = {r.source: r for r in smp.mixture_plan(
+        docs, {"a": 1, "z": 1}, token_budget=100).collect()}
+    assert plan["z"].n_tokens == 0
+    assert plan["z"].rate_ppm == 0, "zero-token source must not rate NULL"
+    assert plan["a"].rate_ppm is not None and plan["a"].rate_ppm > 0
+
+
 def test_mixture_sample_determinism_and_exclusion(spark):
     from _event_intelligence_data_warehouse_spark.operators import sampling as smp
 

@@ -164,6 +164,26 @@ def test_incremental_minhash_equals_full_recompute_restricted(spark):
     assert all(a in batch_ids or b in batch_ids for a, b in incr)
 
 
+def test_incremental_minhash_prunes_index_read_with_semi_join(spark):
+    """The verify join must see only index docs that collide with the
+    batch: a LeftSemi prune sits upstream, so the per-batch read of
+    stored token sets is O(collisions), not O(corpus)."""
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta w0 extra")],
+        "doc_id long, text string",
+    )
+    sets_, sigs = dd.minhash_index(corpus)
+    out = dd.incremental_minhash_dedup(batch, sets_, sigs, threshold=0.8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, (
+        "stored token sets enter the verify join unpruned (full index read)"
+    )
+
+
 def test_pack_sequences_contiguous_per_shard(spark):
     """Within a shard, start offsets are the running sum of predecessor
     token counts; bin/offset are exact div/mod of the start."""
