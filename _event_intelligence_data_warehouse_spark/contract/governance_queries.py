@@ -186,23 +186,17 @@ FROM tiered
 _FIVE_CHECKS_SQL = _FACT_CTE + _FIVE_CHECKS_SQL[len(_STG_CTE):]
 
 
-@query("quality_five_checks", _FIVE_CHECKS_SQL)
-def quality_five_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five reference quality checks (data_quality.sql:10-113) as one
-    plan: checks 1-4 over a deterministically dirtied raw landing (every
-    status tier exercised), check 5 over the star build with a planted
-    dangling-FK gap (venue_sk % 5 nulled)."""
+def quality_fact_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FK-pruned star-build frame the orphan check (check 5) probes:
+    fact_build_star projected to its four FK columns with the planted
+    dangling-venue gap (venue_sk % 5 nulled). Exposed separately so the
+    bench can attribute quality_five_checks' cost to fact-build vs
+    checks (mirroring the IVF build/serve split)."""
     from _event_intelligence_data_warehouse_spark.contract.warehouse_queries import (
         fact_build_star,
     )
 
-    dirty = _dirty_raw(spark, sf_dir)
-    # The four dim probes below all derive from this same fact plan;
-    # persist so the star build executes once, not once per probe. Project
-    # to the FK columns FIRST — persisting the full fact would cache 15
-    # columns where the orphan check reads 4 (persist is a pruning
-    # barrier).
-    fact = cache.persist(
+    return (
         fact_build_star(spark, sf_dir)
         .select("date_id", "venue_sk", "category_sk", "source_sk")
         .withColumn(
@@ -211,6 +205,28 @@ def quality_five_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("venue_sk")
             ),
         )
+    )
+
+
+@query("quality_five_checks", _FIVE_CHECKS_SQL)
+def quality_five_checks(
+    spark: SparkSession, sf_dir: str, *, _prebuilt_fact: DataFrame | None = None
+) -> DataFrame:
+    """All five reference quality checks (data_quality.sql:10-113) as one
+    plan: checks 1-4 over a deterministically dirtied raw landing (every
+    status tier exercised), check 5 over the star build with a planted
+    dangling-FK gap (venue_sk % 5 nulled). ``_prebuilt_fact`` lets the
+    bench time the checks against an already-materialized fact frame."""
+    dirty = _dirty_raw(spark, sf_dir)
+    # The four dim probes below all derive from this same fact plan;
+    # persist so the star build executes once, not once per probe. Project
+    # to the FK columns FIRST — persisting the full fact would cache 15
+    # columns where the orphan check reads 4 (persist is a pruning
+    # barrier).
+    fact = (
+        _prebuilt_fact
+        if _prebuilt_fact is not None
+        else cache.persist(quality_fact_frame(spark, sf_dir))
     )
     dims = {
         "dim_date": fact.select("date_id").filter(F.col("date_id").isNotNull()),

@@ -230,12 +230,80 @@ def _md5_rank_sample(
     return ranked.withColumn("rk", F.row_number().over(w)).drop("h")
 
 
+def _scalable_seeds(train: DataFrame, n_cells: int, *, rounds: int = 2) -> DataFrame:
+    """k-means||-style oversampled seeding over the BOUNDED training
+    frame (after Bahmani et al., "Scalable K-Means++", VLDB 2012), made
+    deterministic and RNG-free: start from the md5-rank-first point;
+    each round adds the ``n_cells`` training points FARTHEST from the
+    current candidate set (farthest-first standing in for the paper's
+    distance²-weighted sampling); finally weight each candidate by the
+    number of training points it attracts and keep the ``n_cells``
+    heaviest (the paper's cluster-size weighting, with top-weight
+    selection in place of a weighted local k-means). A skewed corpus
+    whose md5-rank sample under-covers a region gets seeds pushed into
+    that region by the farthest-first rounds.
+
+    Every frame is bounded: ``train`` <= max_train rows (already
+    coalesced to one partition), candidates <= 1 + rounds*n_cells —
+    so nothing here is corpus-proportional."""
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))
+
+    def _cand_sides(cand: DataFrame) -> DataFrame:
+        return F.broadcast(
+            cand.select(F.col("vec_id").alias("cid"), F.col("iv").alias("civ"))
+        )
+
+    cand = train.filter(F.col("rk") == 1).select("vec_id", "iv")
+    for _ in range(rounds):
+        far = (
+            train.select("vec_id", "iv")
+            .crossJoin(_cand_sides(cand))
+            .select(
+                "vec_id", "iv",
+                cosine(as_double("iv"), as_double("civ")).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("smax"), F.first("iv").alias("iv"))
+            # farthest = lowest max-similarity; (smax, vec_id) tie-break
+            .orderBy(F.asc("smax"), F.asc("vec_id"))
+            .limit(n_cells)
+            .select("vec_id", "iv")
+        )
+        cand = cache.persist(
+            cand.unionByName(far).dropDuplicates(["vec_id"])
+        )
+    weights = (
+        train.select("vec_id", "iv")
+        .crossJoin(_cand_sides(cand))
+        .select(
+            "vec_id",
+            "cid",
+            cosine(as_double("iv"), as_double("civ")).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias("top"))
+        .select((-F.col("top.nc")).alias("cid"))
+        .groupBy("cid")
+        .agg(F.count("*").alias("w"))
+    )
+    return (
+        cand.join(weights, cand["vec_id"] == weights["cid"], "left")
+        .select(
+            "vec_id", "iv", F.coalesce("w", F.lit(0)).alias("w")
+        )
+        .orderBy(F.desc("w"), F.asc("vec_id"))
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("iv").alias("civ"))
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     *,
     n_cells: int = 16,
     max_train: int = 1024,
     iters: int = 2,
+    init: str = "md5",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -268,7 +336,16 @@ def kmeans_centroids(
     - assignment is argmax cosine with a (sim DESC, cell) tie-break;
       empty cells carry the previous round's centroid.
 
+    ``init`` picks the seeding: ``"md5"`` (default) seeds at the first
+    ``n_cells`` md5-ranked sample ids; ``"kmeans||"`` runs the
+    deterministic oversampled farthest-first rounds of
+    :func:`_scalable_seeds` over the same bounded sample — better
+    centroid spread when the distribution is skewed, at the cost of a
+    few extra bounded-frame passes before Lloyd starts.
+
     ``iters=0`` degenerates to the seed vectors themselves."""
+    if init not in ("md5", "kmeans||"):
+        raise ValueError(f"unknown init {init!r}: use 'md5' or 'kmeans||'")
     sample = _md5_rank_sample(df, max_train, id_col)
     as_double = lambda c: F.transform(c, lambda x: x.cast("double"))
     # Bounded frame: <= max_train rows. The broadcast side is the tiny
@@ -283,9 +360,12 @@ def kmeans_centroids(
         .join(F.broadcast(sample), "vec_id")
         .repartition(1)
     )
-    cent = train.filter(F.col("rk") <= n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("iv").alias("civ")
-    )
+    if init == "kmeans||":
+        cent = _scalable_seeds(train, n_cells)
+    else:
+        cent = train.filter(F.col("rk") <= n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("iv").alias("civ")
+        )
     for _ in range(iters):
         scored = train.crossJoin(F.broadcast(cent)).select(
             "vec_id",
@@ -337,6 +417,7 @@ def ivf_cells(
     n_cells: int = 16,
     max_train: int = 1024,
     train_iters: int = 2,
+    init: str = "md5",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
@@ -350,7 +431,7 @@ def ivf_cells(
     v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
     centroids = kmeans_centroids(
         df, n_cells=n_cells, max_train=max_train, iters=train_iters,
-        id_col=id_col, vec_col=vec_col,
+        init=init, id_col=id_col, vec_col=vec_col,
     )
     return centroids, rank_cells(v, centroids)
 
@@ -374,6 +455,7 @@ def ivf_index(
     n_cells: int = 16,
     max_train: int = 1024,
     train_iters: int = 2,
+    init: str = "md5",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
@@ -383,7 +465,7 @@ def ivf_index(
     write out both frames and serve with :func:`ivf_topk_prebuilt`."""
     centroids, corpus_cells = ivf_cells(
         corpus, n_cells=n_cells, max_train=max_train,
-        train_iters=train_iters, id_col=id_col, vec_col=vec_col,
+        train_iters=train_iters, init=init, id_col=id_col, vec_col=vec_col,
     )
     assign = corpus_cells.filter(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
@@ -449,6 +531,7 @@ def ivf_topk(
     max_train: int = 1024,
     nprobe: int = 2,
     train_iters: int = 2,
+    init: str = "md5",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -457,7 +540,7 @@ def ivf_topk(
     the build across batches; this form is the oracle-checkable unit."""
     centroids, assign = ivf_index(
         corpus, n_cells=n_cells, max_train=max_train,
-        train_iters=train_iters, id_col=id_col, vec_col=vec_col,
+        train_iters=train_iters, init=init, id_col=id_col, vec_col=vec_col,
     )
     return ivf_topk_prebuilt(
         centroids, assign, corpus, queries, k,

@@ -85,6 +85,13 @@ def main() -> None:
             _bench_ivf_split(spark, sf_dir, timings)
             total += timings[name]
             continue
+        if name == "quality_five_checks":
+            # Same split for the most expensive warehouse query: it
+            # legitimately contains the full star build plus 5 checks —
+            # attribute movement to the right phase.
+            _bench_quality_split(spark, sf_dir, timings)
+            total += timings[name]
+            continue
         fn = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -147,6 +154,31 @@ def _bench_ivf_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
     timings["similarity_ivf_build"] = build
     timings["similarity_ivf_serve"] = serve
     timings["similarity_ivf_topk"] = round(build + serve, 3)
+
+
+def _bench_quality_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """Time the star fact build and the five checks as separate phases.
+    Build materializes (and persists) the FK-pruned fact frame; checks
+    run against the prebuilt fact plus the dirtied-landing scan. The sum
+    keeps the historical quality_five_checks entry comparable."""
+    from _event_intelligence_data_warehouse_spark import cache
+    from _event_intelligence_data_warehouse_spark.contract.governance_queries import (
+        quality_fact_frame,
+        quality_five_checks,
+    )
+
+    t0 = time.time()
+    fact = cache.persist(quality_fact_frame(spark, sf_dir))
+    fact.write.mode("overwrite").format("noop").save()
+    build = round(time.time() - t0, 3)
+    t0 = time.time()
+    quality_five_checks(spark, sf_dir, _prebuilt_fact=fact).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    checks = round(time.time() - t0, 3)
+    timings["quality_fact_build"] = build
+    timings["quality_checks_only"] = checks
+    timings["quality_five_checks"] = round(build + checks, 3)
 
 
 # Diff against the latest driver-recorded BENCH_r{N}.json so perf

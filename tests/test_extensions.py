@@ -287,6 +287,59 @@ def test_kmeans_training_cost_is_constant_in_corpus_size(spark):
         ), "a corpus-proportional frame is broadcast during training"
 
 
+def test_kmeans_parallel_init_recall_and_bounded_training(spark):
+    """init='kmeans||' (deterministic oversampled farthest-first seeding)
+    must match or beat the md5 seeding's recall on the planted-twin
+    fixture, stay deterministic, and keep every training broadcast
+    rooted at a bounded frame (same guard as the default init)."""
+    from _event_intelligence_data_warehouse_spark.operators import similarity as sim
+
+    vecs = _planted_vectors(spark, n_base=40)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(vecs, queries, k=1)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(init):
+        approx = sim.ivf_topk(
+            vecs, queries, k=1, n_cells=8, nprobe=3, init=init
+        )
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        return len(e & a) / len(e)
+
+    r_pp = recall("kmeans||")
+    assert r_pp >= 0.8, f"kmeans|| init lost planted twins: {r_pp}"
+    assert r_pp >= recall("md5") - 1e-9, (
+        "kmeans|| init regressed recall vs the md5 seeding"
+    )
+
+    # deterministic: two runs agree byte-for-byte
+    runs = [
+        sorted(
+            (r["cell"], tuple(r["centroid"]))
+            for r in sim.kmeans_centroids(
+                vecs, n_cells=8, iters=2, init="kmeans||"
+            ).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1], "kmeans|| training is not deterministic"
+
+    # bounded-training guard (mirrors the md5-init plan test)
+    cb = sim.kmeans_centroids(
+        _planted_vectors(spark, n_base=120), n_cells=8, max_train=64,
+        iters=1, init="kmeans||",
+    )
+    assert cb.count() == 8
+    plan = cb._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for section in plan.split("BroadcastExchange")[1:]:
+        subtree = section.split("BroadcastExchange")[0]
+        assert (
+            "TakeOrderedAndProject" in subtree
+            or "InMemoryTableScan" in subtree
+        ), "a corpus-proportional frame is broadcast during kmeans|| init"
+
+
 def test_winnowing_shares_fingerprints_on_overlap(spark):
     from _event_intelligence_data_warehouse_spark.operators.text import (
         winnowing_fingerprints,

@@ -143,12 +143,6 @@ def test_incremental_minhash_equals_full_recompute_restricted(spark):
     batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
 
     sets_, sigs = dd.minhash_index(corpus)
-    incr = {
-        (r.doc_a, r.doc_b)
-        for r in dd.incremental_minhash_dedup(
-            batch, sets_, sigs, threshold=0.8
-        ).collect()
-    }
     full = {
         (r.doc_a, r.doc_b)
         for r in dd.minhash_dedup(
@@ -159,15 +153,25 @@ def test_incremental_minhash_equals_full_recompute_restricted(spark):
     expected = {
         p for p in full if p[0] in batch_ids or p[1] in batch_ids
     }
-    assert incr == expected
-    assert len(incr) > 0, "no planted near-dups detected — not probative"
-    assert all(a in batch_ids or b in batch_ids for a, b in incr)
+    assert len(expected) > 0, "no planted near-dups — not probative"
+    for prune in (False, True):
+        incr = {
+            (r.doc_a, r.doc_b)
+            for r in dd.incremental_minhash_dedup(
+                batch, sets_, sigs, threshold=0.8,
+                prune_index_read=prune,
+            ).collect()
+        }
+        assert incr == expected, f"prune_index_read={prune} diverged"
+        assert all(a in batch_ids or b in batch_ids for a, b in incr)
 
 
 def test_incremental_minhash_prunes_index_read_with_semi_join(spark):
-    """The verify join must see only index docs that collide with the
-    batch: a LeftSemi prune sits upstream, so the per-batch read of
-    stored token sets is O(collisions), not O(corpus)."""
+    """With prune_index_read=True (the small-batch-vs-stored-index
+    steady-state mode) the verify join must see only index docs that
+    collide with the batch: a LeftSemi prune sits upstream, so the
+    per-batch read of stored token sets is O(collisions), not
+    O(corpus)."""
     corpus = spark.createDataFrame(
         [(i, f"alpha beta gamma delta w{i}") for i in range(10)],
         "doc_id long, text string",
@@ -177,10 +181,17 @@ def test_incremental_minhash_prunes_index_read_with_semi_join(spark):
         "doc_id long, text string",
     )
     sets_, sigs = dd.minhash_index(corpus)
-    out = dd.incremental_minhash_dedup(batch, sets_, sigs, threshold=0.8)
+    out = dd.incremental_minhash_dedup(
+        batch, sets_, sigs, threshold=0.8, prune_index_read=True
+    )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan, (
         "stored token sets enter the verify join unpruned (full index read)"
+    )
+    # default mode (fixture-scale batches) stays prune-free
+    out_d = dd.incremental_minhash_dedup(batch, sets_, sigs, threshold=0.8)
+    assert "LeftSemi" not in (
+        out_d._jdf.queryExecution().optimizedPlan().toString()
     )
 
 
