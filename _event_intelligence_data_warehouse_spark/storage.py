@@ -44,6 +44,21 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+def _parse_part(pv: str, like) -> object:
+    """Parse a partition-path value to the filter value's type; on
+    failure return the raw string (the comparison then TypeErrors and the
+    file is conservatively kept)."""
+    if isinstance(like, bool):
+        return pv
+    for t in (int, float):
+        if isinstance(like, t):
+            try:
+                return t(pv)
+            except ValueError:
+                return pv
+    return pv
+
+
 class Warehouse:
     """A directory of named parquet tables + tiny JSON metadata."""
 
@@ -78,9 +93,22 @@ class Warehouse:
         return False
 
     # -- read --------------------------------------------------------------
-    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+    def read(
+        self, table: str, schema: T.StructType | None = None, *,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the table's CURRENT image, or (manifest mode) a committed
+        historical ``version`` — time travel: every commit publishes an
+        immutable manifest, so any still-vacuum-retained snapshot is
+        readable by resolving its manifest instead of the pointer. The
+        reproducible-training-data primitive: pin a dataset to the exact
+        file set a run trained on, diff versions, audit what changed."""
         if self.manifest:
-            return self._m_read(table, schema)
+            return self._m_read(table, schema, version=version)
+        if version is not None:
+            raise ValueError(
+                "time-travel reads require Warehouse(manifest=True)"
+            )
         if self.exists(table):
             return self.spark.read.parquet(self.path(table))
         if schema is None:
@@ -95,7 +123,9 @@ class Warehouse:
             new = self._write_snapshot(
                 table, df, pcol if pcol and pcol in df.columns else None
             )
-            self._publish(table, m["files"] + new, pcol)
+            stats = {**m.get("stats", {}), **self._collect_minmax(table, new)}
+            self._publish(table, m["files"] + new, pcol, "append",
+                          stats=stats)
             return
         df.write.mode("append").parquet(self.path(table))
 
@@ -110,7 +140,8 @@ class Warehouse:
         object stores too (single pointer-file replace)."""
         if self.manifest:
             files = self._write_snapshot(table, df, partition_col)
-            self._publish(table, files, partition_col)
+            self._publish(table, files, partition_col, "overwrite",
+                          stats=self._collect_minmax(table, files))
             return
         live = self.path(table)
         tmp = live + ".__tmp__" + uuid.uuid4().hex[:8]
@@ -157,7 +188,13 @@ class Warehouse:
                 f for f in m["files"]
                 if self._partition_of(f, partition_col) not in touched
             ]
-            self._publish(table, kept + new, partition_col)
+            old_stats = m.get("stats", {})
+            stats = {
+                **{f: old_stats[f] for f in kept if f in old_stats},
+                **self._collect_minmax(table, new),
+            }
+            self._publish(table, kept + new, partition_col,
+                          "overwrite_partitions", stats=stats)
             return
         (
             df.write.mode("overwrite")
@@ -183,12 +220,20 @@ class Warehouse:
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             return 0
 
-    def _manifest(self, table: str) -> dict:
-        v = self._current_version(table)
+    def _manifest(self, table: str, version: int | None = None) -> dict:
+        v = self._current_version(table) if version is None else version
         if v == 0:
             return {"version": 0, "files": [], "partition_col": None}
-        with open(os.path.join(self._mdir(table), f"v{v:08d}.json")) as f:
-            return json.load(f)
+        try:
+            with open(os.path.join(self._mdir(table), f"v{v:08d}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            if version is None:
+                raise
+            raise FileNotFoundError(
+                f"table {table!r} has no version {version} (never "
+                "committed, or expired by vacuum retention)"
+            ) from None
 
     def _adopt_if_legacy(self, table: str) -> dict:
         """Current manifest; if none exists but the directory holds a
@@ -211,10 +256,11 @@ class Warehouse:
                         pcol = head.split("=", 1)[0]
         if not files:
             return m
-        return self._publish(table, files, pcol)
+        return self._publish(table, files, pcol, "adopt_legacy")
 
     def _publish(
-        self, table: str, files: list[str], partition_col: str | None
+        self, table: str, files: list[str], partition_col: str | None,
+        operation: str | None = None, *, stats: dict | None = None,
     ) -> dict:
         """Commit a new table version: write the immutable manifest file
         (O_EXCL — the optimistic lock), then atomically replace the
@@ -237,10 +283,20 @@ class Warehouse:
                         f"{base_v} while this write was in flight"
                     ) from None
                 v += 1  # orphan from a crashed writer: skip its number
+        import datetime as _dt
+
         manifest = {
             "version": v,
+            # committed-chain lineage: orphan manifests from crashed
+            # writers occupy version numbers but are never anyone's
+            # parent, so history()/time travel walk parent links and
+            # skip them.
+            "parent": base_v,
+            "operation": operation,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "partition_col": partition_col,
             "files": sorted(files),
+            "stats": stats or {},
         }
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -275,6 +331,144 @@ class Warehouse:
                     )
         return rels
 
+    # -- file-level min/max stats + data-skipping scans --------------------
+    # Iceberg/Delta keep per-file column bounds in table metadata so a
+    # filtered scan opens only files whose [min, max] can satisfy the
+    # predicate — at 100 TB the difference between touching terabytes of
+    # footers and touching the manifest. Same idea here: commit time
+    # records each new file's column bounds (one footer read per file the
+    # writer just wrote — in a distributed deployment the write tasks
+    # return these with their commit message), and ``scan`` prunes the
+    # manifest's file list before Spark ever sees a path. Numeric and
+    # string columns only; a column/file without recorded bounds is never
+    # pruned (correctness first), and the residual DataFrame filter is
+    # always applied, so pruning can only skip files, not change results.
+    _STATS_TYPES = (int, float, str)
+
+    def _collect_minmax(self, table: str, rels: list[str]) -> dict:
+        import pyarrow.parquet as pq
+
+        base = self.path(table)
+        out: dict[str, dict] = {}
+        for rel in rels:
+            try:
+                md = pq.ParquetFile(os.path.join(base, rel)).metadata
+            except Exception:
+                continue
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            dead: set[str] = set()
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in dead or "." in name:
+                        continue
+                    st = col.statistics
+                    if (
+                        st is None or not st.has_min_max
+                        or not isinstance(st.min, self._STATS_TYPES)
+                        or isinstance(st.min, bool)
+                    ):
+                        dead.add(name)
+                        mins.pop(name, None)
+                        maxs.pop(name, None)
+                        continue
+                    mins[name] = (
+                        st.min if name not in mins
+                        else min(mins[name], st.min)
+                    )
+                    maxs[name] = (
+                        st.max if name not in maxs
+                        else max(maxs[name], st.max)
+                    )
+            if mins:
+                out[rel] = {c: [mins[c], maxs[c]] for c in mins}
+        return out
+
+    @staticmethod
+    def _file_may_match(
+        bounds: dict | None, col: str, op: str, value
+    ) -> bool:
+        if not bounds or col not in bounds:
+            return True  # no recorded bounds: cannot prune
+        lo, hi = bounds[col]
+        try:
+            if op == "==":
+                return lo <= value <= hi
+            if op == "<":
+                return lo < value
+            if op == "<=":
+                return lo <= value
+            if op == ">":
+                return hi > value
+            if op == ">=":
+                return hi >= value
+        except TypeError:
+            return True  # incomparable filter value: cannot prune
+        return True  # unknown op: cannot prune
+
+    def pruned_files(
+        self, table: str, filters: list[tuple], *,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """(surviving file list, total live files) for ``filters`` —
+        each ``(col, op, value)`` with op in {==, <, <=, >, >=} — using
+        manifest min/max bounds plus partition-path values."""
+        m = (
+            self._manifest(table, version) if version is not None
+            else self._adopt_if_legacy(table)
+        )
+        stats = m.get("stats", {})
+        pcol = m.get("partition_col")
+        keep = []
+        for rel in m["files"]:
+            ok = True
+            for col, op, value in filters:
+                if pcol is not None and col == pcol:
+                    pv = self._partition_of(rel, pcol)
+                    if pv is not None and not self._file_may_match(
+                        {col: [_parse_part(pv, value), _parse_part(pv, value)]},
+                        col, op, value,
+                    ):
+                        ok = False
+                        break
+                if not self._file_may_match(stats.get(rel), col, op, value):
+                    ok = False
+                    break
+            if ok:
+                keep.append(rel)
+        return keep, len(m["files"])
+
+    def scan(
+        self, table: str, filters: list[tuple],
+        schema: T.StructType | None = None, *, version: int | None = None,
+    ) -> DataFrame:
+        """Filtered read with manifest-level data skipping: files whose
+        recorded [min, max] bounds (or partition-path value) cannot
+        satisfy ``filters`` are never handed to Spark; the same filters
+        are then applied as DataFrame predicates, so results are exactly
+        ``read(table).filter(...)`` — only cheaper."""
+        if not self.manifest:
+            raise ValueError("scan() pruning requires Warehouse(manifest=True)")
+        if version is not None and version not in self._committed_chain(table):
+            raise FileNotFoundError(
+                f"table {table!r} version {version} is not on the "
+                "committed chain"
+            )
+        keep, _total = self.pruned_files(table, filters, version=version)
+        if not keep:
+            df = self.read(table, schema, version=version).limit(0)
+        else:
+            df = self._read_file_list(self.path(table), keep)
+        for col, op, value in filters:
+            c = F.col(col)
+            df = df.filter({
+                "==": c == value, "<": c < value, "<=": c <= value,
+                ">": c > value, ">=": c >= value,
+            }[op])
+        return df
+
     @staticmethod
     def _partition_of(rel: str, partition_col: str) -> str | None:
         for comp in rel.split(os.sep):
@@ -283,21 +477,33 @@ class Warehouse:
         return None
 
     def _m_read(
-        self, table: str, schema: T.StructType | None = None
+        self, table: str, schema: T.StructType | None = None, *,
+        version: int | None = None,
     ) -> DataFrame:
-        m = self._adopt_if_legacy(table)
+        if version is not None:
+            if version not in self._committed_chain(table):
+                raise FileNotFoundError(
+                    f"table {table!r} version {version} is not on the "
+                    "committed chain (orphan from a crashed writer, "
+                    "never published, or expired by vacuum)"
+                )
+            m = self._manifest(table, version)
+        else:
+            m = self._adopt_if_legacy(table)
         if not m["files"]:
             if schema is None:
                 raise FileNotFoundError(
                     f"table {table!r} missing and no schema given"
                 )
             return self.spark.createDataFrame([], schema)
-        base = self.path(table)
+        return self._read_file_list(self.path(table), m["files"])
+
+    def _read_file_list(self, base: str, files: list[str]) -> DataFrame:
         # Group by snapshot root so partition values recover from the
         # <col>=<val>/ path components under each basePath; compaction
         # collapses the table to one group, bounding the union width.
         groups: dict[str, list[str]] = {}
-        for rel in m["files"]:
+        for rel in files:
             parts = rel.split(os.sep)
             root = os.path.join(base, *parts[:2]) if parts[0] == "data" else base
             groups.setdefault(root, []).append(os.path.join(base, rel))
@@ -310,18 +516,102 @@ class Warehouse:
             out = out.unionByName(d)
         return out
 
-    def vacuum(self, table: str) -> int:
-        """Delete files no longer referenced by the CURRENT manifest —
+    def _committed_chain(self, table: str) -> list[int]:
+        """Version numbers on the committed lineage, newest first: walk
+        ``parent`` links from CURRENT. Orphan manifests (crashed writers
+        that never replaced the pointer) occupy numbers but are on no
+        one's parent link, so they never appear. Legacy manifests
+        predating the ``parent`` field fall back to the next-lower
+        manifest file on disk (those layouts were written strictly
+        sequentially)."""
+        chain: list[int] = []
+        v = self._current_version(table)
+        while v > 0:
+            try:
+                m = self._manifest(table, v)
+            except FileNotFoundError:
+                break  # expired by vacuum retention: chain ends here
+            chain.append(v)
+            if "parent" in m:
+                v = int(m["parent"] or 0)
+            else:
+                prior = [
+                    n for n in self._versions_on_disk(table) if n < v
+                ]
+                v = max(prior) if prior else 0
+        return chain
+
+    def _versions_on_disk(self, table: str) -> list[int]:
+        mdir = self._mdir(table)
+        if not os.path.isdir(mdir):
+            return []
+        out = []
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def history(self, table: str) -> list[dict]:
+        """Commit log of the table, newest first: one row per committed
+        version with its operation, commit time, file count and bytes —
+        the audit surface for time travel (``read(table, version=...)``).
+        Only still-on-disk manifests appear; vacuum retention expires
+        old entries."""
+        base = self.path(table)
+        out = []
+        for v in self._committed_chain(table):
+            try:
+                m = self._manifest(table, v)
+            except FileNotFoundError:
+                continue
+            nbytes = 0
+            for f in m["files"]:
+                try:
+                    nbytes += os.path.getsize(os.path.join(base, f))
+                except OSError:
+                    nbytes = -1  # expired data files
+                    break
+            out.append({
+                "version": v,
+                "parent": m.get("parent"),
+                "operation": m.get("operation"),
+                "committed_at": m.get("committed_at"),
+                "partition_col": m.get("partition_col"),
+                "n_files": len(m["files"]),
+                "bytes": nbytes,
+            })
+        return out
+
+    def vacuum(self, table: str, *, retain_versions: int = 1) -> int:
+        """Delete files no longer referenced by any RETAINED manifest —
         crashed writers' orphan snapshots, replaced partitions,
-        pre-compaction images. Safe by construction: every reader
-        resolves CURRENT, so unreferenced files are unreachable. Returns
-        the number of files removed."""
+        pre-compaction images. ``retain_versions`` newest committed
+        versions stay fully readable for time travel (default 1: only
+        CURRENT, the round-3 behavior); expired versions' manifests are
+        removed too, so ``history``/``read(version=...)`` fail fast
+        instead of resolving missing files. Safe by construction: every
+        reader resolves CURRENT or a retained manifest, so unreferenced
+        files are unreachable. Returns the number of files removed."""
         m = self._manifest(table)
         if m["version"] == 0:
             return 0
         base = self.path(table)
-        live = {os.path.normpath(f) for f in m["files"]}
+        chain = self._committed_chain(table)
+        retained = set(chain[:max(1, retain_versions)])
+        live: set[str] = set()
+        for v in retained:
+            live |= {
+                os.path.normpath(f)
+                for f in self._manifest(table, v)["files"]
+            }
         removed = 0
+        # expired + orphan manifests go first (fail-fast for readers)
+        for v in self._versions_on_disk(table):
+            if v not in retained:
+                os.remove(os.path.join(self._mdir(table), f"v{v:08d}.json"))
         for root, dirs, fs in os.walk(base):
             dirs[:] = [d for d in dirs if d != "_manifests"]
             for f in fs:
@@ -416,7 +706,8 @@ class Warehouse:
         df = self.read(table)
         if self.manifest:
             files = self._write_snapshot(table, df.coalesce(n_out))
-            self._publish(table, files, None)
+            self._publish(table, files, None, "compact",
+                          stats=self._collect_minmax(table, files))
             self.vacuum(table)
         else:
             live = self.path(table)
@@ -450,7 +741,8 @@ class Warehouse:
         compacted = df.repartition(F.col(partition_col))
         if self.manifest:
             files = self._write_snapshot(table, compacted, partition_col)
-            self._publish(table, files, partition_col)
+            self._publish(table, files, partition_col, "compact_partitions",
+                          stats=self._collect_minmax(table, files))
             self.vacuum(table)
         else:
             live = self.path(table)

@@ -145,7 +145,8 @@ def dedup_event_stream(
 
 
 def stream_facts_from_bronze(
-    spark: SparkSession, wh, checkpoint_dir: str
+    spark: SparkSession, wh, checkpoint_dir: str,
+    *, max_files_per_trigger: int = 16,
 ) -> None:
     """Continuous bronze -> gold: watch the bronze landing directory as a
     file stream and MERGE each micro-batch of raw events into the
@@ -169,7 +170,7 @@ def stream_facts_from_bronze(
 
     stream = (
         spark.readStream.schema(schemas.RAW_EVENTS)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(wh.path(bronze.RAW_TABLE))
     )
 

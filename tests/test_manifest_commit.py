@@ -209,6 +209,191 @@ def test_orphan_manifest_from_crashed_writer_is_skipped(spark, tmp_path):
     assert wh.read("t").count() == 3
 
 
+# -- time travel + history ------------------------------------------------
+
+def test_time_travel_reads_committed_versions(spark, tmp_path):
+    """Every commit is an immutable snapshot: read(version=N) reproduces
+    the exact table image of commit N while CURRENT moves on — the
+    pin-the-training-set primitive."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", spark.range(0, 10).toDF("id"))          # v1
+    wh.append("t", spark.range(10, 20).toDF("id"))         # v2
+    wh.overwrite("t", spark.range(100, 105).toDF("id"))    # v3
+
+    assert sorted(r.id for r in wh.read("t").collect()) == list(range(100, 105))
+    assert sorted(r.id for r in wh.read("t", version=1).collect()) == list(range(10))
+    assert sorted(r.id for r in wh.read("t", version=2).collect()) == list(range(20))
+    assert sorted(r.id for r in wh.read("t", version=3).collect()) == list(range(100, 105))
+
+    hist = wh.history("t")
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert [h["parent"] for h in hist] == [2, 1, 0]
+    assert [h["operation"] for h in hist] == ["overwrite", "append", "append"]
+    assert all(h["committed_at"] for h in hist)
+    assert all(h["bytes"] > 0 for h in hist)
+    assert hist[2]["n_files"] < hist[1]["n_files"]  # append accumulated
+
+
+def test_time_travel_rejects_orphan_and_unknown_versions(spark, tmp_path):
+    """Orphan manifests (crashed writers that never published) and
+    never-existing versions are not readable history."""
+    wh = _mwh(spark, tmp_path)
+    wh.overwrite("t", spark.range(5).toDF("id"))           # v1
+    # crashed writer: manifest file exists, pointer never replaced
+    with open(os.path.join(wh._mdir("t"), "v00000002.json"), "w") as f:
+        f.write('{"version": 2, "parent": 1, "files": ["data/sdead/x.parquet"]}')
+    wh.overwrite("t", spark.range(9).toDF("id"))           # skips to v3
+
+    assert wh._current_version("t") == 3
+    assert [h["version"] for h in wh.history("t")] == [3, 1]
+    assert wh.read("t", version=1).count() == 5
+    with pytest.raises(FileNotFoundError, match="committed chain"):
+        wh.read("t", version=2)
+    with pytest.raises(FileNotFoundError):
+        wh.read("t", version=99)
+
+
+def test_vacuum_retention_bounds_time_travel(spark, tmp_path):
+    """vacuum(retain_versions=K) keeps the newest K commits fully
+    readable and expires everything older — manifests AND data files —
+    so storage does not grow with history forever."""
+    wh = _mwh(spark, tmp_path)
+    wh.overwrite("t", spark.range(0, 4).toDF("id"))    # v1
+    wh.overwrite("t", spark.range(10, 14).toDF("id"))  # v2
+    wh.overwrite("t", spark.range(20, 24).toDF("id"))  # v3
+
+    removed = wh.vacuum("t", retain_versions=2)
+    assert removed > 0, "v1's unreferenced data files should be collected"
+    assert [h["version"] for h in wh.history("t")] == [3, 2]
+    assert sorted(r.id for r in wh.read("t", version=2).collect()) == [10, 11, 12, 13]
+    assert sorted(r.id for r in wh.read("t", version=3).collect()) == [20, 21, 22, 23]
+    with pytest.raises(FileNotFoundError):
+        wh.read("t", version=1)
+
+    # default vacuum: only CURRENT survives (round-3 behavior unchanged)
+    wh.vacuum("t")
+    assert [h["version"] for h in wh.history("t")] == [3]
+    with pytest.raises(FileNotFoundError):
+        wh.read("t", version=2)
+    assert sorted(r.id for r in wh.read("t").collect()) == [20, 21, 22, 23]
+
+
+def test_time_travel_partitioned_upsert_versions(spark, tmp_path):
+    """Partition-pruned upserts commit versions too: an earlier version
+    reproduces pre-upsert fact state exactly."""
+    wh = _mwh(spark, tmp_path)
+    facts_mod.upsert_facts_partitioned(wh, _fact_batch(spark, range(20)))
+    v1 = wh._current_version("fact_events")
+    want_v1 = _rows(wh.read("fact_events"))
+    facts_mod.upsert_facts_partitioned(
+        wh, _fact_batch(spark, range(10, 30), status="cancelled")
+    )
+    assert wh.read("fact_events").count() == 30
+    assert _rows(wh.read("fact_events", version=v1)) == want_v1
+
+
+def test_time_travel_requires_manifest_mode(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "legacy"))
+    wh.overwrite("t", spark.range(3).toDF("id"))
+    with pytest.raises(ValueError, match="manifest"):
+        wh.read("t", version=1)
+
+
+# -- file-level min/max stats + data skipping -----------------------------
+
+def test_scan_prunes_files_by_minmax_bounds(spark, tmp_path):
+    """Commit-time column bounds let a filtered scan skip files whose
+    [min, max] cannot satisfy the predicate — and the result is exactly
+    read().filter(...)."""
+    wh = _mwh(spark, tmp_path)
+    for lo in (0, 100, 200, 300):
+        wh.append("t", spark.range(lo, lo + 100).coalesce(1).toDF("id"))
+
+    keep, total = wh.pruned_files("t", [("id", ">=", 250), ("id", "<", 320)])
+    assert total == 4
+    assert len(keep) == 2, "only the [200,300) and [300,400) files survive"
+
+    got = sorted(
+        r.id for r in wh.scan(
+            "t", [("id", ">=", 250), ("id", "<", 320)]
+        ).collect()
+    )
+    assert got == list(range(250, 320))
+
+    # equality point lookup touches one file
+    keep_eq, _ = wh.pruned_files("t", [("id", "==", 150)])
+    assert len(keep_eq) == 1
+    assert [r.id for r in wh.scan("t", [("id", "==", 150)]).collect()] == [150]
+
+
+def test_scan_prunes_string_bounds_and_empty_result(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    for names in (["alpha", "bravo"], ["mike", "november"], ["xray", "zulu"]):
+        wh.append(
+            "t",
+            spark.createDataFrame([(n,) for n in names], "name string")
+            .coalesce(1),
+        )
+    keep, total = wh.pruned_files("t", [("name", "==", "november")])
+    assert total == 3 and len(keep) == 1
+    assert [r.name for r in wh.scan("t", [("name", "==", "november")]).collect()] \
+        == ["november"]
+
+    # predicate outside every file's bounds: zero files, empty result,
+    # schema preserved
+    keep0, _ = wh.pruned_files("t", [("name", "==", "queen")])
+    assert keep0 == []
+    empty = wh.scan("t", [("name", "==", "queen")])
+    assert empty.columns == ["name"] and empty.count() == 0
+
+
+def test_scan_prunes_by_partition_path_value(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    df = spark.range(0, 90).select("id", (F.col("id") % 3).alias("p"))
+    wh.overwrite("t", df, "p")
+    keep, total = wh.pruned_files("t", [("p", "==", 1)])
+    assert len(keep) < total
+    assert all("p=1" in f for f in keep)
+    got = sorted(r.id for r in wh.scan("t", [("p", "==", 1)]).collect())
+    assert got == sorted(i for i in range(90) if i % 3 == 1)
+
+
+def test_scan_without_stats_never_prunes_or_drops_rows(spark, tmp_path):
+    """A legacy-adopted table has no recorded bounds: scan must keep
+    every file and still return the exact filtered rows."""
+    wh = _mwh(spark, tmp_path)
+    spark.range(0, 50).toDF("id").coalesce(2).write.mode("overwrite").parquet(
+        wh.path("t")
+    )
+    keep, total = wh.pruned_files("t", [("id", "<", 10)])
+    assert len(keep) == total, "files without bounds must never be pruned"
+    assert sorted(r.id for r in wh.scan("t", [("id", "<", 10)]).collect()) \
+        == list(range(10))
+
+
+def test_scan_bounds_survive_partition_upsert_and_compaction(spark, tmp_path):
+    """overwrite_partitions keeps untouched files' bounds and records the
+    new files'; compaction re-records bounds for the rewritten files."""
+    wh = _mwh(spark, tmp_path)
+    df = spark.range(0, 60).select("id", (F.col("id") % 3).alias("p"))
+    wh.overwrite("t", df, "p")
+    upd = spark.range(60, 80).select("id", F.lit(1).alias("p"))
+    wh.overwrite_partitions("t", upd, "p")
+
+    m = wh._manifest("t")
+    assert set(m["stats"]) == set(m["files"]), "every live file has bounds"
+    keep, total = wh.pruned_files("t", [("id", ">=", 60)])
+    assert len(keep) < total
+    got = sorted(r.id for r in wh.scan("t", [("id", ">=", 60)]).collect())
+    assert got == list(range(60, 80))
+
+    wh.compact_partitions("t", "p")
+    m2 = wh._manifest("t")
+    assert set(m2["stats"]) == set(m2["files"])
+    got2 = sorted(r.id for r in wh.scan("t", [("id", ">=", 60)]).collect())
+    assert got2 == list(range(60, 80))
+
+
 # -- compaction through the manifest path ---------------------------------
 
 def test_manifest_compact_unpartitioned(spark, tmp_path):

@@ -56,3 +56,101 @@ def test_stream_fact_merge_is_incremental_and_idempotent(spark, tmp_path):
     )
     assert stream_runs and all(r["status"] == "success" for r in stream_runs)
     assert sum(r["records_loaded"] for r in stream_runs) == n0 + 30
+
+
+def test_stream_fact_merge_crash_restart_is_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-injection for the streaming MERGE: kill the foreachBatch loop
+    BETWEEN micro-batches — after the 2nd batch's warehouse write lands
+    but before its streaming checkpoint commits (the worst-case crash
+    point: data visible, progress not recorded) — then restart from the
+    same checkpoint. At-least-once replay + the idempotent event_nk MERGE
+    must yield exactly-once fact state: no lost batch, no double-applied
+    batch, unique surrogate keys."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from _event_intelligence_data_warehouse_spark.plans import facts as facts_mod
+
+    whdir = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    args = pipeline.parse_args(
+        ["--warehouse-dir", whdir, "--source", "csv", "--generate-sample",
+         "--sample-rows", "120"]
+    )
+    pipeline.run_pipeline(spark, whdir, args)
+    wh = Warehouse(spark, whdir)
+    n0 = wh.read("fact_events").count()
+    jobs.stream_facts_from_bronze(spark, wh, ckpt)  # drain the backlog
+
+    # Land 30 genuinely new keys as six separate bronze batches (six
+    # landing files), so with maxFilesPerTrigger=1 the next drain runs
+    # them as several micro-batches.
+    import os
+
+    raw_dir = wh.path(bronze.RAW_TABLE)
+
+    def _n_files():
+        return sum(
+            1 for _, _, fs in os.walk(raw_dir)
+            for f in fs if f.endswith(".parquet")
+        )
+
+    before_files = _n_files()
+    base30 = generate_sample_events(spark, 30).withColumn(
+        "event_id", F.concat(F.lit("C_"), F.col("event_id"))
+    ).cache()
+    for i in range(6):
+        bronze.land_batch(
+            wh, base30.filter(F.crc32(F.col("event_id")) % 6 == i),
+            source="csv",
+        )
+    base30.unpersist()
+    assert _n_files() - before_files >= 4, (
+        "need several new bronze files to force multiple micro-batches"
+    )
+
+    real_upsert = facts_mod.upsert_facts_partitioned
+    calls = {"n": 0}
+
+    def crash_after_second_write(wh_, incoming, **kw):
+        out = real_upsert(wh_, incoming, **kw)  # the write COMPLETES
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after batch write")
+        return out
+
+    monkeypatch.setattr(
+        facts_mod, "upsert_facts_partitioned", crash_after_second_write
+    )
+    with pytest.raises(StreamingQueryException):
+        jobs.stream_facts_from_bronze(
+            spark, wh, ckpt, max_files_per_trigger=1
+        )
+    assert calls["n"] == 2, "crash was injected between micro-batches"
+    mid = wh.read("fact_events").count()
+    assert n0 <= mid <= n0 + 30, "mid-crash state outside replay envelope"
+    # the crashed batch left a failed row in the run log
+    failed = (
+        bronze.current_runs(wh)
+        .filter((F.col("source") == "stream_fact_merge")
+                & (F.col("status") == "failed"))
+        .count()
+    )
+    assert failed >= 1
+
+    # Restart from the same checkpoint with the crash removed: the batch
+    # whose offsets never committed replays (idempotently), the rest
+    # process once, and the fact table converges to exactly-once state.
+    monkeypatch.setattr(facts_mod, "upsert_facts_partitioned", real_upsert)
+    jobs.stream_facts_from_bronze(spark, wh, ckpt, max_files_per_trigger=1)
+    assert wh.read("fact_events").count() == n0 + 30
+    nks = [r[0] for r in wh.read("fact_events").select("event_nk").collect()]
+    assert len(nks) == len(set(nks)), "replayed batch double-applied"
+    sks = [r[0] for r in wh.read("fact_events").select("event_sk").collect()]
+    assert len(sks) == len(set(sks))
+
+    # A further drain with nothing new processes nothing.
+    jobs.stream_facts_from_bronze(spark, wh, ckpt, max_files_per_trigger=1)
+    assert wh.read("fact_events").count() == n0 + 30
