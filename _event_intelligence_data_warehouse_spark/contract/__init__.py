@@ -236,6 +236,18 @@ _DRIVER_SAMPLE_TAIL = [
     "stats_analyze_columns",
     "embedding_quantize_int8",
     "embedding_quantized_topk_recall",
+    # round-4 demotions making room for dedup_semantic,
+    # text_boilerplate_lines and text_bpe_pair_stats (all three new this
+    # round, so they take the driver rows; every demotee is r01-r03
+    # driver-green):
+    # rank/dense_rank/ntile are extension shapes; row_number coverage
+    # stays via dedup_latest_per_key + topk_recent_events
+    "window_rank_family",
+    # extension range join, 3 green rounds; the as-of join stays sampled
+    "join_range_price_band",
+    # A1-A6 stay covered by kpi_events_by_category + quality_five_checks;
+    # count_distinct by text_boilerplate_lines' document-frequency agg
+    "agg_distinct_counts",
 ]
 
 

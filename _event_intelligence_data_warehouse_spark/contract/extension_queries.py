@@ -1260,9 +1260,13 @@ _IVF_MAX_TRAIN = 1024
 # members via (cell, pos) partial sums (exact, order-free; cosine is
 # scale-invariant so the un-divided sum ranks like the mean); empty cells
 # carry forward.
-_IVF_TRAIN_CTE = f"""
+_VECS_SRC = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+def _ivf_train_cte(vecs_src: str = _VECS_SRC) -> str:
+    return f"""
 WITH vecs AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    {vecs_src}
 ), ivecs AS (
     SELECT vec_id,
            list_transform(v, x -> CAST(floor(x * 1000000 + 0.5)
@@ -1328,7 +1332,10 @@ WITH vecs AS (
 )
 """
 
-_IVF_CELLS_CTE = _IVF_TRAIN_CTE + """
+
+_IVF_TRAIN_CTE = _ivf_train_cte()
+
+_CELL_SCORES_CTE = """
 , cell_scores AS (
     SELECT x.vec_id, c.cell,
            list_dot_product(x.v, c.centroid)
@@ -1343,6 +1350,8 @@ _IVF_CELLS_CTE = _IVF_TRAIN_CTE + """
     FROM vecs x CROSS JOIN cents c
 )
 """
+
+_IVF_CELLS_CTE = _IVF_TRAIN_CTE + _CELL_SCORES_CTE
 
 
 @query(
@@ -2655,3 +2664,177 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     joined = jobs.purchase_attribution_stream(stream)
     jobs.run_available_now(stream, joined, out, ckpt)
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup), boilerplate-line removal (CCNet), BPE pair stats
+# ---------------------------------------------------------------------------
+
+# Augmented embedding corpus for semantic dedup: exact copies (cosine
+# exactly 1.0 — robustly over any threshold) of every 10th vector, ids
+# offset by +100000, mirrored verbatim in the oracle.
+_SEM_VECS_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 10 = 0"""
+
+_SEM_TAU = 0.9
+
+_SEM_SQL = (
+    _ivf_train_cte(_SEM_VECS_SRC).replace("WITH vecs", "WITH RECURSIVE vecs", 1)
+    + _CELL_SCORES_CTE
+    + f"""
+, assign AS (
+    SELECT vec_id, cell, cs FROM cell_scores WHERE cell_rank = 1
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assign a
+    JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN vecs va ON va.vec_id = a.vec_id
+    JOIN vecs vb ON vb.vec_id = b.vec_id
+    WHERE list_dot_product(va.v, vb.v)
+              / (sqrt(list_dot_product(va.v, va.v))
+                 * sqrt(list_dot_product(vb.v, vb.v))) >= {_SEM_TAU}
+), sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+    SELECT vec_id AS src, vec_id AS node FROM assign
+    UNION
+    SELECT r.src, s.b AS node FROM reach r JOIN sym s ON r.node = s.a
+), comp AS (
+    SELECT src AS vec_id, MIN(node) AS component_id FROM reach GROUP BY src
+), elect AS (
+    SELECT a.vec_id, a.cell, c.component_id,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY a.cs ASC, a.vec_id ASC) AS rk
+    FROM assign a JOIN comp c USING (vec_id)
+)
+SELECT vec_id, cell, component_id,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM elect
+"""
+)
+
+
+@query("dedup_semantic", _SEM_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells bound the pair
+    search, within-cell cosine >= 0.9 edges define duplicate groups
+    (connected components), each group keeps its LEAST centroid-similar
+    member. The oracle re-derives the trained cells with the unrolled
+    Lloyd CTE and the groups with a recursive reachability CTE."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return sim.semantic_dedup(emb.unionByName(dup), threshold=_SEM_TAU)
+
+
+# Boilerplate-line corpus: header / footer lines planted on most docs
+# (document frequency far above the threshold), one rare promo line far
+# below it — mirrored verbatim in the oracle. ELSE '' keeps || away from
+# NULL in SQL.
+_BOILER_MIN_DF = 100
+
+_BOILER_DOCS_CTE = """
+WITH docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'Subscribe to our newsletter!' || chr(10) ELSE '' END
+           || text
+           || CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || 'All rights reserved.' ELSE '' END
+           || CASE WHEN doc_id % 997 = 0
+                   THEN chr(10) || 'Rare promo line' ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+
+@query(
+    "text_boilerplate_lines",
+    _BOILER_DOCS_CTE
+    + f"""
+, ls AS (
+    SELECT doc_id, string_split(text, chr(10)) AS la FROM docs2
+), lines AS (
+    SELECT doc_id, unnest(la) AS line,
+           unnest(generate_series(1, len(la))) AS pos
+    FROM ls
+), normed AS (
+    SELECT doc_id, pos, line,
+           trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nline
+    FROM lines
+), boiler AS (
+    SELECT md5(nline) AS lh
+    FROM normed WHERE nline <> ''
+    GROUP BY md5(nline)
+    HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DF}
+), flagged AS (
+    SELECT n.doc_id, n.pos, n.line,
+           (b.lh IS NOT NULL) AS is_boiler
+    FROM normed n LEFT JOIN boiler b ON md5(n.nline) = b.lh
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT is_boiler), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_removed
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: lines whose normalized form
+    appears in >= 100 distinct documents (planted headers/footers) are
+    dropped corpus-wide; the rare promo line (document frequency ~5)
+    survives. Only line digests shuffle to the document-frequency
+    aggregate."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 3 == 0, F.lit("Subscribe to our newsletter!\n"))
+            .otherwise(""),
+            F.col("text"),
+            F.when(did % 4 == 0, F.lit("\nAll rights reserved."))
+            .otherwise(""),
+            F.when(did % 997 == 0, F.lit("\nRare promo line")).otherwise(""),
+        ).alias("text"),
+    )
+    return tx.boilerplate_line_filter(aug, min_df=_BOILER_MIN_DF)
+
+
+@query(
+    "text_bpe_pair_stats",
+    """
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS wn FROM words GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(pos AS INT), 2) AS pair, wn FROM (
+            SELECT w, wn,
+                   unnest(generate_series(1, length(w) - 1)) AS pos
+            FROM vocab WHERE length(w) >= 2
+        )
+    )
+    SELECT pair, CAST(SUM(wn) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT 50
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics (Sennrich et al. 2016):
+    corpus-weighted adjacent character-pair counts inside words, top 50
+    with a deterministic tie-break. The corpus collapses to its
+    vocabulary before any pair explodes."""
+    return tx.bpe_pair_stats(
+        load(spark, sf_dir, "documents"), text_col="text", top_n=50
+    )

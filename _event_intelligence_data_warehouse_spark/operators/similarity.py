@@ -585,6 +585,74 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    *,
+    n_cells: int = 16,
+    max_train: int = 1024,
+    train_iters: int = 2,
+    init: str = "md5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells bound the pair search, within-cell
+    cosine >= threshold edges define duplicate groups (connected
+    components), and each group keeps its LEAST centroid-similar member
+    — the paper's diversity-preserving election (the most centroid-like
+    copies are the redundant ones). Returns
+    (vec_id, cell, component_id, is_kept).
+
+    Scale shape: the quadratic pair search is confined to one cell
+    (n/n_cells rows — ``n_cells`` is the scale knob and grows with the
+    corpus, SemDeDup runs ~50k clusters on LAION), centroid training is
+    bounded by ``max_train`` (never corpus-proportional, see
+    kmeans_centroids), and the component step inherits
+    connected_components' size-gated broadcast fallback."""
+    from _event_intelligence_data_warehouse_spark import cache
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    _, cells = ivf_cells(
+        df, n_cells=n_cells, max_train=max_train,
+        train_iters=train_iters, init=init, id_col=id_col, vec_col=vec_col,
+    )
+    # (vec_id, cell, cell_sim): reused by the pair join AND the election,
+    # so persist one computation of the trained assignment.
+    assign = cache.persist(
+        cells.filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cell", "cell_sim")
+    )
+    v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    members = assign.select("vec_id", "cell").join(v, "vec_id")
+    pairs = (
+        members.alias("a")
+        .join(members.alias("b"),
+              (F.col("a.cell") == F.col("b.cell"))
+              & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cosine(F.col("a.v"), F.col("b.v")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = dd.connected_components(
+        assign.select("vec_id"), pairs,
+        id_col="vec_id", src_col="id_a", dst_col="id_b",
+    ).withColumnRenamed("doc_id", "vec_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.asc("cell_sim"), F.asc("vec_id")
+    )
+    return (
+        assign.join(comp, "vec_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "vec_id", "cell", "component_id",
+            (F.col("_rk") == 1).cast("bigint").alias("is_kept"),
+        )
+    )
+
+
 def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Per-query agreement between an exact top-k result and an
     approximate one (both shaped (query_id, neighbor_id, rank)) — the

@@ -547,6 +547,109 @@ def pack_sequences(
     )
 
 
+def boilerplate_line_filter(
+    df: DataFrame,
+    *,
+    min_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020): a line whose
+    normalized form appears in >= ``min_df`` distinct documents is
+    boilerplate (nav menus, cookie banners, copyright footers) and is
+    dropped from every document; order of the surviving lines is
+    preserved. Returns (doc_id, clean_text, n_lines, n_removed).
+
+    Scale shape: only 32-byte line digests shuffle to the document-
+    frequency aggregate (never line text); the flagged lines regroup to
+    their documents in one group-bounded collect (a document's own line
+    count), so both shuffles are linear in corpus lines with no
+    all-pairs term.
+    """
+    doc = F.col(id_col)
+    lines = df.select(
+        doc.alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "lh",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))),
+    ).withColumn(
+        "is_blank",
+        F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")) == "",
+    )
+    line_df = (
+        lines.filter(~F.col("is_blank"))
+        .groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lh", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(line_df, "lh", "left").select(
+        "doc_id", "pos", "line",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("pos", "line", "is_boiler")
+                            )
+                        ),
+                        lambda s: ~s["is_boiler"],
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("is_boiler").cast("bigint")).alias("n_removed"),
+        )
+        .select("doc_id", "clean_text", "n_lines", "n_removed")
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame, *, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """First-iteration byte-pair-encoding statistics (Sennrich et al.
+    2016): corpus-weighted counts of adjacent character pairs inside
+    words — the quantity a BPE trainer maximizes when choosing its next
+    merge. Returns the ``top_n`` (pair, pair_count) rows with a
+    deterministic (count DESC, pair ASC) tie-break.
+
+    Scale shape: the corpus collapses to its vocabulary FIRST (one
+    word-count aggregate — the only corpus-sized shuffle), then pairs
+    explode from vocabulary words only, so the quadratic-ish pair work
+    is bounded by |vocab| * word_len, not corpus tokens — the same
+    trick production BPE trainers use."""
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), "
+                       "i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "wn",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
 def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """ANALYZE-style per-column statistics in ONE pass: row count, null
     count, exact distinct count, and min/max (rendered as strings so

@@ -45,6 +45,9 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_metrics",
     "text_winnowing_fingerprints",
+    "dedup_semantic",
+    "text_boilerplate_lines",
+    "text_bpe_pair_stats",
     "curation_pipeline",
     "window_tumbling_hourly",
     "window_sessionize",

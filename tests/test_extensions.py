@@ -589,3 +589,74 @@ def test_embedding_drift_detects_planted_shift(spark):
     assert out[("same_a", "same_b")] > 0.99
     assert out[("same_a", "shifted")] < 0.1
     assert out[("same_b", "shifted")] < 0.1
+
+
+def test_semantic_dedup_groups_planted_copies(spark):
+    """SemDeDup composition: exact embedding copies land in one
+    component, exactly one member of every component is kept, and
+    distinct vectors stay singleton-kept."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7, 0.7, 0.1, 0.0]),
+    ]
+    # copies: identical (cos=1) and a scaled copy (cos=1, scale-invariant)
+    rows = base + [(101, base[0][1]), (103, [0.0, 0.0, 2.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semantic_dedup(df, threshold=0.95, n_cells=3, max_train=6)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 6
+    assert got[1].component_id == got[101].component_id
+    assert got[3].component_id == got[103].component_id
+    assert got[2].component_id not in (
+        got[1].component_id, got[3].component_id
+    )
+    # exactly one keeper per component
+    from collections import Counter
+
+    kept = Counter()
+    for r in got.values():
+        kept[r.component_id] += r.is_kept
+    assert all(v == 1 for v in kept.values())
+    # singletons keep themselves
+    assert got[2].is_kept == 1 and got[4].is_kept == 1
+
+
+def test_semantic_dedup_election_prefers_least_centroid_similar(spark):
+    """Within a duplicate group of non-identical members, the kept row is
+    the one least similar to its cell centroid (the SemDeDup
+    diversity-preserving rule)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    # two near-dup vectors slightly off a shared direction + decoys
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, -0.02, 0.0, 0.0]),
+        (7, [0.0, 1.0, 0.0, 0.0]),
+        (8, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semantic_dedup(df, threshold=0.99, n_cells=3, max_train=4)
+    got = {r.vec_id: r for r in out.collect()}
+    assert got[1].component_id == got[2].component_id
+    assert got[1].is_kept + got[2].is_kept == 1
+    # recompute the rule independently: keeper has the LOWER cell_sim
+    from _event_intelligence_data_warehouse_spark.operators.similarity import (
+        ivf_cells,
+    )
+
+    _, cells = ivf_cells(df, n_cells=3, max_train=4)
+    sims = {
+        r.vec_id: r.cell_sim
+        for r in cells.filter(F.col("cell_rank") == 1).collect()
+        if r.vec_id in (1, 2)
+    }
+    want_keeper = min(sims, key=lambda k: (sims[k], k))
+    assert got[want_keeper].is_kept == 1

@@ -210,3 +210,63 @@ def test_pack_sequences_contiguous_per_shard(spark):
     assert (out[2].start_token, out[2].bin_id, out[2].bin_offset) == (3, 0, 3)
     assert (out[3].start_token, out[3].bin_id, out[3].bin_offset) == (7, 1, 2)
     assert out[10].start_token == 0 and out[10].shard == "s2"
+
+
+def test_boilerplate_line_filter_drops_frequent_lines_keeps_order(spark):
+    header, footer = "COOKIE BANNER", "copyright 2026"
+    rows = [
+        (1, f"{header}\nalpha body one\n{footer}"),
+        (2, f"{header}\nbeta body two\n{footer}"),
+        (3, f"{header}\ngamma body three"),
+        (4, "delta body four\nrare line"),
+        (5, f"{header}\n{footer}"),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in tx.boilerplate_line_filter(df, min_df=3).collect()
+    }
+    assert out[1].clean_text == "alpha body one"
+    assert out[2].clean_text == "beta body two"
+    assert out[3].clean_text == "gamma body three"
+    # rare line (df=1) survives; line order preserved
+    assert out[4].clean_text == "delta body four\nrare line"
+    assert out[5].clean_text == ""
+    assert (out[5].n_lines, out[5].n_removed) == (2, 2)
+    assert (out[1].n_lines, out[1].n_removed) == (3, 2)
+    # footer df=3 exactly meets the threshold
+    assert out[2].n_removed == 2
+
+
+def test_boilerplate_matching_is_normalized_but_output_is_raw(spark):
+    rows = [
+        (1, "  The   Footer \nbody a"),
+        (2, "the footer\nbody b"),
+        (3, "THE FOOTER\nbody c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in tx.boilerplate_line_filter(df, min_df=3).collect()
+    }
+    # all three case/whitespace variants count as ONE line for df
+    assert out[1].clean_text == "body a"
+    assert out[2].clean_text == "body b"
+    assert out[3].clean_text == "body c"
+
+
+def test_bpe_pair_stats_counts_weighted_adjacent_pairs(spark):
+    # "aba" x3, "ab" x2, "ba" x1  ->  ab: 3+2=5... plus inside aba:
+    # pairs of "aba" are {ab, ba} each once per occurrence.
+    df = spark.createDataFrame(
+        [(1, "aba aba ab"), (2, "aba ab ba"), (3, "x")], ["doc_id", "text"]
+    )
+    got = {r.pair: r.pair_count for r in tx.bpe_pair_stats(df).collect()}
+    # ab: 3 (from aba) + 2 (from ab) = 5 ; ba: 3 (from aba) + 1 = 4
+    assert got == {"ab": 5, "ba": 4}
+
+
+def test_bpe_pair_stats_top_n_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([(1, "cd cd ef ef")], ["doc_id", "text"])
+    rows = tx.bpe_pair_stats(df, top_n=1).collect()
+    assert [(r.pair, r.pair_count) for r in rows] == [("cd", 2)]
