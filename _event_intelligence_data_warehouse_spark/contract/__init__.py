@@ -248,6 +248,10 @@ _DRIVER_SAMPLE_TAIL = [
     # A1-A6 stay covered by kpi_events_by_category + quality_five_checks;
     # count_distinct by text_boilerplate_lines' document-frequency agg
     "agg_distinct_counts",
+    # J8's anti join stays sampled (join_anti_not_exists); semi-join
+    # mechanics also run inside the incremental-dedup index prune —
+    # frees the slot for dedup_exact_substrings
+    "join_semi_exists",
 ]
 
 

@@ -2838,3 +2838,81 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_stats(
         load(spark, sf_dir, "documents"), text_col="text", top_n=50
     )
+
+
+# Exact-substring span dedup corpus: a fixed 12-token sentence appended
+# to every 7th document — its interior 10-grams duplicate across ~1/7 of
+# the corpus while every boundary-crossing gram stays document-unique.
+_SPAN_SENTENCE = (
+    "dupspan alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    " lambda"
+)
+_SPAN_N = 10
+
+_SPAN_SQL = f"""
+WITH docs2 AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0
+                        THEN ' {_SPAN_SENTENCE}' ELSE '' END AS text
+    FROM documents
+), toksrc AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x != '') AS toks
+    FROM docs2
+), grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(list_slice(toks, i, i + {_SPAN_N} - 1), ' '))
+               AS gh
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_SPAN_N} + 1)) AS i
+        FROM toksrc WHERE len(toks) >= {_SPAN_N}
+    )
+), dup AS (
+    SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+    SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN prev_end IS NULL OR pos > prev_end
+                THEN 1 ELSE 0 END AS new_island
+    FROM (
+        SELECT doc_id, pos,
+               MAX(pos + {_SPAN_N}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM flagged
+    )
+), isl2 AS (
+    SELECT doc_id, pos,
+           SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM isl
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_N} AS BIGINT) AS span_end
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+@query("dedup_exact_substrings", _SPAN_SQL)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2022): maximal token ranges
+    covered by 10-grams that appear verbatim in >= 2 documents — the
+    ranges a training-data pipeline cuts out even when the documents as
+    wholes are not duplicates. Digest group-by replaces the paper's
+    suffix array; gaps-and-islands windows merge overlapping spans."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _SPAN_SENTENCE))
+            .otherwise(""),
+        ).alias("text"),
+    )
+    return dd.duplicate_text_spans(aug, n=_SPAN_N, min_docs=2)

@@ -825,3 +825,76 @@ def canonical_keep_best(
         ),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def duplicate_text_spans(
+    df: DataFrame,
+    *,
+    n: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token range that participates in an ``n``-token
+    sequence appearing verbatim in >= ``min_docs`` distinct documents.
+    Returns (doc_id, span_start, span_end) with half-open TOKEN-index
+    intervals — the ranges an ExactSubstr-style pipeline cuts out of the
+    training text (distinct from document-level near-dup: two documents
+    can be globally dissimilar yet share one boilerplate paragraph).
+
+    Plan shape: per-document n-gram digests come from array ops on the
+    token array (no explode until the digest exists — the paper's
+    suffix-array machinery collapses to a hash group-by under a fixed
+    n); only 32-byte digests + int positions shuffle to the
+    document-frequency aggregate; flagged positions merge to maximal
+    intervals with the classic gaps-and-islands windows partitioned by
+    document. No step is quadratic and nothing corpus-sized is
+    collected or broadcast."""
+    from _event_intelligence_data_warehouse_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    # (doc_id, pos, gram digest): pos is the 0-based start token index.
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {n}))))"
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    flagged = grams.join(dup, "gh").select("doc_id", "pos")
+    # Gaps-and-islands: a new island starts where this span's start lies
+    # beyond every earlier span's end (running max over pos + n).
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "new_island",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(wp))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n).cast("bigint").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )

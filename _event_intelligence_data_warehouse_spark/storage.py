@@ -585,6 +585,24 @@ class Warehouse:
             })
         return out
 
+    def diff(
+        self, table: str, from_version: int, to_version: int | None,
+        key_cols: list[str], *, compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions — time
+        travel composed with the CDC snapshot diff: one row per changed
+        key with ``change`` in {'insert', 'delete', 'update'}. The
+        recover-the-batch primitive for consumers that missed the
+        original commits (replication, cache invalidation, audit).
+        ``to_version=None`` means CURRENT."""
+        from _event_intelligence_data_warehouse_spark.operators.upsert import (
+            snapshot_diff,
+        )
+
+        old = self.read(table, version=from_version)
+        new = self.read(table, version=to_version)
+        return snapshot_diff(old, new, key_cols, compare_cols=compare_cols)
+
     def vacuum(self, table: str, *, retain_versions: int = 1) -> int:
         """Delete files no longer referenced by any RETAINED manifest —
         crashed writers' orphan snapshots, replaced partitions,

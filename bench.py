@@ -46,6 +46,7 @@ HEADLINE = [
     "text_metrics",
     "text_winnowing_fingerprints",
     "dedup_semantic",
+    "dedup_exact_substrings",
     "text_boilerplate_lines",
     "text_bpe_pair_stats",
     "curation_pipeline",

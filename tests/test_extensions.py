@@ -660,3 +660,50 @@ def test_semantic_dedup_election_prefers_least_centroid_similar(spark):
     }
     want_keeper = min(sims, key=lambda k: (sims[k], k))
     assert got[want_keeper].is_kept == 1
+
+
+def test_duplicate_text_spans_finds_shared_paragraph(spark):
+    """ExactSubstr spans: two globally different docs sharing one
+    12-token boilerplate paragraph yield exactly that token range in
+    each; a doc without the paragraph yields nothing."""
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, f"intro words here {shared} trailing bit"),
+        (2, f"{shared} totally different ending words"),
+        (3, "unrelated text with no duplicated ranges at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id): (r.span_start, r.span_end)
+        for r in dd.duplicate_text_spans(df, n=10, min_docs=2).collect()
+    }
+    # doc 1: shared tokens occupy positions 3..15 (half-open)
+    assert out[1] == (3, 15)
+    # doc 2: positions 0..12
+    assert out[2] == (0, 12)
+    assert 3 not in out
+
+
+def test_duplicate_text_spans_merges_overlapping_islands(spark):
+    """Two overlapping duplicated regions in one doc merge to a single
+    maximal span."""
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    rows = [
+        (1, f"{a} {b}"),       # a then b back-to-back
+        (2, f"{a} x filler"),  # duplicates a
+        (3, f"{b} y filler"),  # duplicates b
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in dd.duplicate_text_spans(df, n=10, min_docs=2).collect()
+    }
+    # doc 1's two 10-token ranges are adjacent -> one merged [0, 20) span
+    assert got[1] == (0, 20)
+    assert got[2] == (0, 10)
+    assert got[3] == (0, 10)

@@ -484,3 +484,24 @@ def test_manifest_rollup_incremental_matches_full(spark, tmp_path):
             tuple(r) for r in full.read(tbl).select(cols).collect()
         )
         assert got == want, f"{tbl}: incremental != full through manifests"
+
+
+def test_version_diff_recovers_the_batch_between_commits(spark, tmp_path):
+    """wh.diff(v1, v2) = the CDC feed separating two committed images:
+    inserts, deletes, and null-safe updates."""
+    wh = _mwh(spark, tmp_path)
+    wh.overwrite("t", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    ))  # v1
+    wh.overwrite("t", spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "id long, val string"
+    ))  # v2
+
+    got = {
+        r.id: r.change
+        for r in wh.diff("t", 1, 2, ["id"]).collect()
+    }
+    assert got == {1: "delete", 2: "update", 4: "insert"}
+    # to_version=None diffs against CURRENT
+    got2 = {r.id: r.change for r in wh.diff("t", 1, None, ["id"]).collect()}
+    assert got2 == got
