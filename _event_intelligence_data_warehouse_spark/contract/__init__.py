@@ -252,6 +252,10 @@ _DRIVER_SAMPLE_TAIL = [
     # mechanics also run inside the incremental-dedup index prune —
     # frees the slot for dedup_exact_substrings
     "join_semi_exists",
+    # stream-stream interval join, driver-green r01-r03; the streaming
+    # family keeps stateful sessions + tumbling windows sampled — frees
+    # the slot for sketch_bloom_membership
+    "streaming_purchase_attribution",
 ]
 
 

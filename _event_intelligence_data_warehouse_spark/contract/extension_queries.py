@@ -2916,3 +2916,83 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dd.duplicate_text_spans(aug, n=_SPAN_N, min_docs=2)
+
+
+# Bloom membership: filter built over the fingerprints of a "benchmark"
+# shard (sources src0-src4), probed by the whole corpus. Bit positions
+# are five disjoint 24-bit md5 slices, so the oracle reproduces the
+# FILTER CONTENTS — false positives and all — bit-for-bit.
+_BLOOM_SQL = """
+WITH fps AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+), keys AS (
+    SELECT DISTINCT fp FROM fps
+    WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+), kpos AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5(fp), 1 + 6 * j, 6)) AS BIGINT)
+               % 65536 AS pos
+    FROM (SELECT fp, unnest(generate_series(0, 4)) AS j FROM keys)
+), words AS (
+    SELECT pos // 32 AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+    FROM kpos GROUP BY pos // 32
+), ppos AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(fp), 1 + 6 * j, 6)) AS BIGINT)
+               % 65536 AS pos
+    FROM (SELECT doc_id, fp, unnest(generate_series(0, 4)) AS j FROM fps)
+), hits AS (
+    SELECT p.doc_id,
+           CASE WHEN w.bits IS NOT NULL
+                     AND (w.bits & (CAST(1 AS BIGINT)
+                                    << CAST(p.pos % 32 AS INT))) != 0
+                THEN 1 ELSE 0 END AS hit
+    FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word_idx
+), verdict AS (
+    SELECT doc_id, CAST(MIN(hit) AS BIGINT) AS maybe_present
+    FROM hits GROUP BY doc_id
+)
+SELECT f.doc_id, v.maybe_present,
+       CAST(CASE WHEN k.fp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_member
+FROM fps f
+JOIN verdict v USING (doc_id)
+LEFT JOIN keys k ON f.fp = k.fp
+"""
+
+
+@query("sketch_bloom_membership", _BLOOM_SQL)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter: ~2k sparse 32-bit words
+    summarize the benchmark shard's fingerprints, broadcast to probe the
+    whole corpus (no false negatives; is_member is the exact answer the
+    filter approximates). The m/64-row filter is what a 100 TB
+    decontamination pass ships to every executor where an exact key set
+    would not fit."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.fingerprint(F.col("text")).alias("fp")
+    )
+    keys = (
+        d.filter(F.col("source").isin([f"src{i}" for i in range(5)]))
+        .select("fp").distinct()
+    )
+    bloom = sk.bloom_build(keys, "fp")
+    probed = sk.bloom_probe(d, "fp", bloom, id_col="doc_id")
+    return (
+        d.join(probed, "doc_id")
+        .join(
+            keys.withColumn("is_member", F.lit(1)), "fp", "left"
+        )
+        .select(
+            "doc_id", "maybe_present",
+            F.coalesce("is_member", F.lit(0)).cast("bigint")
+            .alias("is_member"),
+        )
+    )

@@ -233,3 +233,69 @@ def binned_quantiles(
             ).alias(f"p{int(q * 100)}_est")
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (build / probe)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16    # bits
+BLOOM_K = 5          # hash functions (6 hex chars of md5 each)
+
+
+def _bloom_positions(c: Column) -> Column:
+    """Array of BLOOM_K bit positions for a key: disjoint 24-bit slices
+    of one md5 — engine-portable (the oracle takes the same substrings),
+    no second hash family needed."""
+    s = F.md5(c.cast("string"))
+    return F.array(*[
+        F.conv(F.substring(s, 1 + 6 * j, 6), 16, 10).cast("long")
+        % F.lit(BLOOM_M)
+        for j in range(BLOOM_K)
+    ])
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """Build a Bloom filter over ``col`` as SPARSE 32-bit words:
+    (word_idx, bits) rows, only words with set bits present. The
+    classic 100 TB membership pre-filter: m/32 rows (~2k) summarize any
+    number of keys, merge by bit_or, broadcast for probe joins — where
+    an exact key set would be corpus-sized. Deterministic md5 bit math,
+    so filter CONTENTS are oracle-checkable, like the HLL/CMS sketches
+    above."""
+    pos = df.select(
+        F.explode(_bloom_positions(F.col(col))).alias("pos")
+    ).distinct()
+    return (
+        pos.select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, col: str, bloom: DataFrame, *, id_col: str
+) -> DataFrame:
+    """(id, maybe_present): true iff every one of the key's BLOOM_K bits
+    is set — no false negatives, tunable false positives. The filter
+    frame broadcasts (<= m/32 rows); the probe side streams."""
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(_bloom_positions(F.col(col))).alias("j", "pos"),
+    ).select(
+        id_col,
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("bit"),
+    )
+    hit = pos.join(F.broadcast(bloom), "word_idx", "left").select(
+        id_col,
+        (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit"))
+         != 0).alias("hit"),
+    )
+    return hit.groupBy(id_col).agg(
+        F.min(F.col("hit").cast("bigint")).cast("bigint")
+        .alias("maybe_present")
+    )

@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_exact_substrings",
     "text_boilerplate_lines",
     "text_bpe_pair_stats",
+    "sketch_bloom_membership",
     "curation_pipeline",
     "window_tumbling_hourly",
     "window_sessionize",
@@ -161,28 +162,35 @@ def _bench_ivf_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
 
 
 def _bench_quality_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
-    """Time the star fact build and the five checks as separate phases.
-    Build materializes (and persists) the FK-pruned fact frame; checks
-    run against the prebuilt fact plus the dirtied-landing scan. The sum
-    keeps the historical quality_five_checks entry comparable."""
+    """Time the fused production plan (the historical, cross-round
+    comparable quality_five_checks entry — checks share the fact build's
+    scan in one plan), THEN the star fact build and the five checks as
+    separate attribution phases. The phases carry a persist barrier the
+    fused plan doesn't, so their sum legitimately exceeds the fused
+    time; they exist to attribute movement, not to replace the fused
+    number."""
     from _event_intelligence_data_warehouse_spark import cache
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
     from _event_intelligence_data_warehouse_spark.contract.governance_queries import (
         quality_fact_frame,
         quality_five_checks,
     )
 
     t0 = time.time()
+    QUERIES["quality_five_checks"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings["quality_five_checks"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     fact = cache.persist(quality_fact_frame(spark, sf_dir))
     fact.write.mode("overwrite").format("noop").save()
-    build = round(time.time() - t0, 3)
+    timings["quality_fact_build"] = round(time.time() - t0, 3)
     t0 = time.time()
     quality_five_checks(spark, sf_dir, _prebuilt_fact=fact).write.mode(
         "overwrite"
     ).format("noop").save()
-    checks = round(time.time() - t0, 3)
-    timings["quality_fact_build"] = build
-    timings["quality_checks_only"] = checks
-    timings["quality_five_checks"] = round(build + checks, 3)
+    timings["quality_checks_only"] = round(time.time() - t0, 3)
 
 
 # Diff against the latest driver-recorded BENCH_r{N}.json so perf

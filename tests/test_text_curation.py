@@ -270,3 +270,29 @@ def test_bpe_pair_stats_top_n_deterministic_tiebreak(spark):
     df = spark.createDataFrame([(1, "cd cd ef ef")], ["doc_id", "text"])
     rows = tx.bpe_pair_stats(df, top_n=1).collect()
     assert [(r.pair, r.pair_count) for r in rows] == [("cd", 2)]
+
+
+def test_bloom_filter_no_false_negatives_and_merges(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(200)], "k string"
+    )
+    bloom = sk.bloom_build(keys, "k")
+    probe = spark.createDataFrame(
+        [(i, f"key_{i}" if i < 200 else f"other_{i}") for i in range(400)],
+        "pid long, k string",
+    )
+    got = {
+        r.pid: r.maybe_present
+        for r in sk.bloom_probe(probe, "k", bloom, id_col="pid").collect()
+    }
+    # Bloom guarantee: every member answers yes
+    assert all(got[i] == 1 for i in range(200))
+    # at m=65536 / k=5 / n=200 the false-positive rate is ~0, so the
+    # non-members answer no (a deterministic fact of this fixed fixture)
+    assert sum(got[i] for i in range(200, 400)) == 0
+    # word frame stays tiny and mergeable
+    assert bloom.count() <= sk.BLOOM_M // 32
