@@ -585,6 +585,64 @@ class Warehouse:
             })
         return out
 
+    def cluster_by(
+        self, table: str, cols: list[str], *,
+        bits: int = 8, target_files: int | None = None,
+    ) -> dict:
+        """Z-order clustering rewrite (manifest mode): reorder the table
+        along the interleaved-bit curve of ``cols`` so each rewritten
+        file covers a narrow range in EVERY clustered column — the
+        rewrite that turns the manifest's min/max bounds into effective
+        multi-column data skipping (a row-major layout prunes only on
+        the leading column). Same idea as Delta/Iceberg Z-ORDER.
+
+        Bit mapping is linear min/max normalization to ``bits`` bits per
+        column (two cheap passes: one global min/max aggregate, then
+        pure column arithmetic — no rank window, so no single-task
+        global sort); the shuffle is one repartitionByRange on the
+        z-value. Commits as one new version with fresh per-file bounds,
+        then vacuums the replaced files. Returns {files_before,
+        files_after, cols}."""
+        if not self.manifest:
+            raise ValueError("cluster_by requires Warehouse(manifest=True)")
+        df = self.read(table)
+        files_before, total = self.file_stats(table)
+        n_out = target_files or max(1, files_before)
+        stats = df.agg(*[
+            f(c).alias(f"{n}_{c}")
+            for c in cols for n, f in (("mn", F.min), ("mx", F.max))
+        ]).first()
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            mn = float(stats[f"mn_{c}"])
+            mx = float(stats[f"mx_{c}"])
+            span = (mx - mn) or 1.0
+            r = F.floor(
+                (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - mn)
+                / span * ((1 << bits) - 1)
+            ).cast("long")
+            for b in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(r, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                )
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_out, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        files = self._write_snapshot(table, clustered)
+        self._publish(table, files, None, "cluster_by",
+                      stats=self._collect_minmax(table, files))
+        self.vacuum(table)
+        files_after, _ = self.file_stats(table)
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "cols": list(cols),
+        }
+
     def diff(
         self, table: str, from_version: int, to_version: int | None,
         key_cols: list[str], *, compare_cols: list[str] | None = None,

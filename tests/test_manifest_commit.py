@@ -505,3 +505,40 @@ def test_version_diff_recovers_the_batch_between_commits(spark, tmp_path):
     # to_version=None diffs against CURRENT
     got2 = {r.id: r.change for r in wh.diff("t", 1, None, ["id"]).collect()}
     assert got2 == got
+
+
+def test_zorder_clustering_enables_multi_column_skipping(spark, tmp_path):
+    """A row-major grid layout prunes only on the leading column; after
+    cluster_by([x, y]) a y-predicate scan skips most files too — with
+    identical results."""
+    wh = _mwh(spark, tmp_path)
+    # 64x64 grid written in x-major stripes: every file spans ALL of y
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") / 64).cast("long").alias("x"),
+        (F.col("id") % 64).alias("y"),
+    )
+    for x0 in range(0, 64, 8):
+        wh.append(
+            "t",
+            grid.filter((F.col("x") >= x0) & (F.col("x") < x0 + 8))
+            .coalesce(1),
+        )
+    want = sorted((r.x, r.y) for r in wh.read("t")
+                  .filter(F.col("y") == 7).collect())
+    keep_before, total_before = wh.pruned_files("t", [("y", "==", 7)])
+    assert len(keep_before) == total_before == 8, \
+        "x-major layout cannot skip on y"
+
+    report = wh.cluster_by("t", ["x", "y"], target_files=16)
+    assert report["files_after"] >= 8
+    keep_after, total_after = wh.pruned_files("t", [("y", "==", 7)])
+    assert len(keep_after) < total_after / 2, \
+        "z-order should make y-bounds selective"
+    got = sorted((r.x, r.y) for r in wh.scan("t", [("y", "==", 7)]).collect())
+    assert got == want
+    # and the x dimension still skips as well
+    keep_x, total_x = wh.pruned_files("t", [("x", "<", 8)])
+    assert len(keep_x) < total_x
+    gx = sorted((r.x, r.y) for r in wh.scan("t", [("x", "<", 8)]).collect())
+    assert gx == sorted((r.x, r.y) for r in wh.read("t")
+                        .filter(F.col("x") < 8).collect())
