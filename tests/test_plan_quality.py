@@ -243,3 +243,35 @@ def test_bucketed_tables_join_without_shuffle(spark):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_round4_curation_plans(spark):
+    """Round-4 operators keep their scale promises at the plan level:
+    no Python eval anywhere, the Bloom probe's filter side broadcasts,
+    boilerplate/BPE/spans stay free of corpus-sized collects."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    for name in (
+        "dedup_exact_substrings",
+        "text_boilerplate_lines",
+        "text_bpe_pair_stats",
+        "sketch_bloom_membership",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in plan, f"{name}: unexpected Python"
+        assert "CartesianProduct" not in plan, f"{name}: cross product"
+
+    bloom_plan = _plan(QUERIES["sketch_bloom_membership"](spark, SF))
+    assert "BroadcastHashJoin" in bloom_plan, (
+        "bloom words frame should broadcast to the probe join"
+    )
+
+
+def test_bpe_pair_stats_compiles_to_take_ordered(spark):
+    """Top-N with a deterministic tie-break must be TakeOrderedAndProject
+    (K rows per partition -> K at the driver), not a global sort."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["text_bpe_pair_stats"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
