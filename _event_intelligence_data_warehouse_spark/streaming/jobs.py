@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -327,6 +327,93 @@ def stream_rollups_from_events(
 
     q = (
         stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# -- streaming document curation -------------------------------------------
+
+CURATED_DOCS = "curated_documents"
+CURATED_FPS = "curated_fingerprints"
+
+DOCS_STREAM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def stream_curate_documents(
+    spark: SparkSession, wh, input_dir: str, checkpoint_dir: str,
+    *, min_quality: float = 0.3,
+) -> None:
+    """Steady-state streaming curation: documents land as files, each
+    micro-batch scores quality, drops rejects, exact-dedups in-batch
+    (min doc_id per fingerprint), anti-joins the persisted fingerprint
+    ledger so cross-batch duplicates never re-enter, and appends the
+    survivors + their fingerprints — the streaming face of the batch
+    curation pipeline, with per-batch cost proportional to the batch.
+
+    Exactly-once shape: the checkpoint makes each landed file process
+    once; a crash-replay of a batch whose append already committed is
+    absorbed by the fingerprint anti-join (replayed docs carry already-
+    ledgered fingerprints), so curated content never duplicates. The
+    ledger read is a single pruned 32-byte-digest column scan of the
+    curated corpus keys; at 100 TB, bucket the ledger by fingerprint
+    prefix and probe only the batch's buckets (same steady-state story
+    as operators.dedup.incremental_minhash_dedup)."""
+    from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+    fp_schema = T.StructType([T.StructField("fingerprint", T.StringType())])
+    out_schema = T.StructType(
+        list(DOCS_STREAM_SCHEMA.fields)
+        + [
+            T.StructField("fingerprint", T.StringType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = batch_df.select(
+            "*",
+            tx.fingerprint(F.col("text")).alias("fingerprint"),
+            tx.quality_score(F.col("text")).alias("quality"),
+        ).filter(F.col("quality") >= min_quality)
+        w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+        in_batch = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        seen = wh.read(CURATED_FPS, fp_schema).select("fingerprint")
+        fresh = in_batch.join(seen, "fingerprint", "left_anti")
+        # Persist: the append below and the ledger append must see ONE
+        # evaluation of the batch (a recompute between the two writes
+        # could diverge if the ledger moved underneath).
+        from _event_intelligence_data_warehouse_spark import cache
+
+        fresh = cache.persist(fresh)
+        if not fresh.isEmpty():
+            wh.append(
+                CURATED_DOCS,
+                fresh.select([f.name for f in out_schema.fields]),
+            )
+            wh.append(CURATED_FPS, fresh.select("fingerprint"))
+        cache.release_all()
+
+    q = (
+        stream.writeStream.foreachBatch(curate)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
