@@ -320,3 +320,134 @@ def test_pack_sequences_offsets_tile_the_stream(spark, toks, seq_len):
         expected_start[r.shard] = r.start_token + r.n_tokens
         assert r.bin_id == r.start_token // seq_len
         assert r.bin_offset == r.start_token % seq_len
+
+
+# -- round-4 curation operators --------------------------------------------
+
+_line = st.text(
+    alphabet="ab c", min_size=0, max_size=8
+)
+_doc_lines = st.lists(_line, min_size=1, max_size=6)
+
+
+@PROP
+@given(docs=st.lists(_doc_lines, min_size=1, max_size=8),
+       min_df=st.integers(min_value=1, max_value=4))
+def test_boilerplate_filter_partitions_lines(spark, docs, min_df):
+    """For every document: n_lines = original line count, n_removed +
+    kept lines = n_lines, kept lines appear in original order, and a
+    line is removed iff its normalized form's document frequency is
+    >= min_df."""
+    from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.boilerplate_line_filter(df, min_df=min_df).collect()
+    }
+
+    def norm(line):
+        return re.sub(r"\s+", " ", line.lower()).strip()
+
+    dfreq: dict[str, set] = {}
+    for i, ls in enumerate(docs):
+        for line in ls:
+            if norm(line):
+                dfreq.setdefault(norm(line), set()).add(i)
+    boiler = {k for k, v in dfreq.items() if len(v) >= min_df}
+
+    for i, ls in enumerate(docs):
+        want_kept = [l for l in ls if norm(l) not in boiler]
+        got = out[i]
+        assert got.n_lines == len(ls)
+        assert got.n_removed == len(ls) - len(want_kept)
+        assert got.clean_text == "\n".join(want_kept)
+
+
+_word = st.text(alphabet="ab", min_size=1, max_size=4)
+
+
+@PROP
+@given(texts=st.lists(
+    st.lists(_word, min_size=0, max_size=10).map(" ".join),
+    min_size=1, max_size=6,
+))
+def test_bpe_pair_counts_match_direct_enumeration(spark, texts):
+    from collections import Counter
+
+    from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.pair: r.pair_count
+        for r in tx.bpe_pair_stats(df, top_n=1000).collect()
+    }
+    want: Counter = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            for i in range(len(w) - 1):
+                want[w[i:i + 2]] += 1
+    assert got == dict(want)
+
+
+@PROP
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=6), min_size=1, max_size=30),
+    probes=st.lists(st.text(min_size=0, max_size=6), min_size=1, max_size=30),
+)
+def test_bloom_probe_never_false_negative(spark, keys, probes):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    kdf = spark.createDataFrame([(k,) for k in set(keys)], "k string")
+    bloom = sk.bloom_build(kdf, "k")
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "pid long, k string"
+    )
+    got = {
+        r.pid: r.maybe_present
+        for r in sk.bloom_probe(pdf, "k", bloom, id_col="pid").collect()
+    }
+    for i, p in enumerate(probes):
+        if p in set(keys):
+            assert got[i] == 1, "Bloom false negative"
+
+
+@PROP
+@given(
+    shared=st.lists(_word, min_size=10, max_size=12).map(" ".join),
+    tails=st.lists(
+        st.lists(st.text(alphabet="xyz", min_size=1, max_size=4),
+                 min_size=0, max_size=6).map(" ".join),
+        min_size=2, max_size=4,
+    ),
+)
+def test_duplicate_spans_are_within_bounds_and_disjoint(spark, shared, tails):
+    """Spans lie inside each doc's token range, never overlap, and every
+    doc containing the shared >=10-token prefix reports a span starting
+    at 0."""
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+    from _event_intelligence_data_warehouse_spark.operators.text import tokens
+
+    rows = [(i, (shared + " " + t).strip()) for i, t in enumerate(tails)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_toks = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", F.size(tokens(F.col("text")))
+                           .alias("n")).collect()
+    }
+    spans: dict[int, list] = {}
+    for r in dd.duplicate_text_spans(df, n=10, min_docs=2).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for i in range(len(tails)):
+        assert i in spans, "doc with shared prefix reported no span"
+        ss = sorted(spans[i])
+        assert ss[0][0] == 0
+        for (a1, b1), (a2, b2) in zip(ss, ss[1:]):
+            assert b1 < a2, "overlapping spans not merged"
+        for a, b in ss:
+            assert 0 <= a < b <= n_toks[i]
