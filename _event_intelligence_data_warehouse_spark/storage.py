@@ -63,10 +63,16 @@ class Warehouse:
     """A directory of named parquet tables + tiny JSON metadata."""
 
     def __init__(self, spark: SparkSession, root: str, *,
-                 manifest: bool = False):
+                 manifest: bool = False, retain_versions: int = 1):
         self.spark = spark
         self.root = root
         self.manifest = manifest
+        # Warehouse-level time-travel retention: vacuum() and the
+        # internal maintenance rewrites (compact, cluster_by) keep this
+        # many newest committed versions readable — so routine
+        # maintenance can't silently erase history a caller pinned with
+        # read(version=N).
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
 
@@ -302,6 +308,17 @@ class Warehouse:
             json.dump(manifest, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
+        # Last-moment conflict re-check before the pointer replace: two
+        # writers CAN both win their O_EXCL creates (A takes v, B sees
+        # FileExists with current unmoved and takes v+1) — whoever
+        # notices the other's committed pointer first backs off instead
+        # of clobbering it. Narrows (not closes — a true CAS needs the
+        # store's conditional PUT) the lost-update window.
+        if self._current_version(table) != base_v:
+            raise ConcurrentWriteError(
+                f"table {table!r}: version advanced past {base_v} "
+                "before this writer's pointer publish"
+            )
         tmp = self._pointer(table) + f".tmp{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump({"version": v}, f)
@@ -364,12 +381,18 @@ class Warehouse:
                     name = col.path_in_schema
                     if name in dead or "." in name:
                         continue
-                    st = col.statistics
-                    if (
-                        st is None or not st.has_min_max
-                        or not isinstance(st.min, self._STATS_TYPES)
-                        or isinstance(st.min, bool)
-                    ):
+                    try:
+                        # pyarrow raises for types it can't extract
+                        # stats for (e.g. intervals) — skip the column.
+                        st = col.statistics
+                        ok = (
+                            st is not None and st.has_min_max
+                            and isinstance(st.min, self._STATS_TYPES)
+                            and not isinstance(st.min, bool)
+                        )
+                    except Exception:
+                        ok = False
+                    if not ok:
                         dead.add(name)
                         mins.pop(name, None)
                         maxs.pop(name, None)
@@ -415,6 +438,12 @@ class Warehouse:
         """(surviving file list, total live files) for ``filters`` —
         each ``(col, op, value)`` with op in {==, <, <=, >, >=} — using
         manifest min/max bounds plus partition-path values."""
+        if not self.manifest:
+            # Never side-effect a legacy warehouse (_adopt_if_legacy
+            # would publish a manifest the caller didn't opt into).
+            raise ValueError(
+                "pruned_files requires Warehouse(manifest=True)"
+            )
         m = (
             self._manifest(table, version) if version is not None
             else self._adopt_if_legacy(table)
@@ -524,14 +553,19 @@ class Warehouse:
         predating the ``parent`` field fall back to the next-lower
         manifest file on disk (those layouts were written strictly
         sequentially)."""
-        chain: list[int] = []
+        return [v for v, _m in self._chain_manifests(table)]
+
+    def _chain_manifests(self, table: str) -> list[tuple[int, dict]]:
+        """(version, manifest) pairs along the committed chain, newest
+        first — single parse per manifest, shared by chain/history."""
+        out: list[tuple[int, dict]] = []
         v = self._current_version(table)
         while v > 0:
             try:
                 m = self._manifest(table, v)
             except FileNotFoundError:
                 break  # expired by vacuum retention: chain ends here
-            chain.append(v)
+            out.append((v, m))
             if "parent" in m:
                 v = int(m["parent"] or 0)
             else:
@@ -539,7 +573,7 @@ class Warehouse:
                     n for n in self._versions_on_disk(table) if n < v
                 ]
                 v = max(prior) if prior else 0
-        return chain
+        return out
 
     def _versions_on_disk(self, table: str) -> list[int]:
         mdir = self._mdir(table)
@@ -562,11 +596,7 @@ class Warehouse:
         old entries."""
         base = self.path(table)
         out = []
-        for v in self._committed_chain(table):
-            try:
-                m = self._manifest(table, v)
-            except FileNotFoundError:
-                continue
+        for v, m in self._chain_manifests(table):
             nbytes = 0
             for f in m["files"]:
                 try:
@@ -605,6 +635,20 @@ class Warehouse:
         files_after, cols}."""
         if not self.manifest:
             raise ValueError("cluster_by requires Warehouse(manifest=True)")
+        if not cols or bits * len(cols) > 63:
+            raise ValueError(
+                f"bits * len(cols) must fit a 64-bit z-value "
+                f"(got {bits} * {len(cols)}); lower bits or cluster "
+                "fewer columns"
+            )
+        pcol = self._adopt_if_legacy(table).get("partition_col")
+        if pcol is not None:
+            raise ValueError(
+                f"table {table!r} is partitioned on {pcol!r}; cluster_by "
+                "supports unpartitioned layouts — use "
+                "compact_partitions() for per-partition file hygiene, or "
+                "migrate with overwrite(df) first"
+            )
         df = self.read(table)
         files_before, total = self.file_stats(table)
         n_out = target_files or max(1, files_before)
@@ -612,6 +656,15 @@ class Warehouse:
             f(c).alias(f"{n}_{c}")
             for c in cols for n, f in (("mn", F.min), ("mx", F.max))
         ]).first()
+        for c in cols:
+            for side in ("mn", "mx"):
+                v = stats[f"{side}_{c}"]
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise ValueError(
+                        f"cluster_by column {c!r} needs numeric non-null "
+                        f"bounds (got {type(v).__name__}); cast or derive "
+                        "a numeric clustering key first"
+                    )
         z = F.lit(0).cast("long")
         for i, c in enumerate(cols):
             mn = float(stats[f"mn_{c}"])
@@ -661,41 +714,88 @@ class Warehouse:
         new = self.read(table, version=to_version)
         return snapshot_diff(old, new, key_cols, compare_cols=compare_cols)
 
-    def vacuum(self, table: str, *, retain_versions: int = 1) -> int:
+    def vacuum(
+        self, table: str, *, retain_versions: int | None = None,
+        grace_seconds: float = 600.0,
+    ) -> int:
         """Delete files no longer referenced by any RETAINED manifest —
         crashed writers' orphan snapshots, replaced partitions,
-        pre-compaction images. ``retain_versions`` newest committed
-        versions stay fully readable for time travel (default 1: only
-        CURRENT, the round-3 behavior); expired versions' manifests are
-        removed too, so ``history``/``read(version=...)`` fail fast
-        instead of resolving missing files. Safe by construction: every
-        reader resolves CURRENT or a retained manifest, so unreferenced
-        files are unreachable. Returns the number of files removed."""
+        pre-compaction images. ``retain_versions`` (default: the
+        Warehouse's ``retain_versions`` setting) newest committed
+        versions stay fully readable for time travel; expired versions'
+        manifests are removed too, so ``history``/``read(version=...)``
+        fail fast instead of resolving missing files.
+
+        Concurrency: a writer between its manifest O_EXCL-create and its
+        pointer replace owns a manifest numbered ABOVE current whose
+        files no chain references yet — indistinguishable from a crashed
+        writer's orphan except by age. Such manifests (and any data file
+        no retired manifest ever referenced) are only collected once
+        older than ``grace_seconds``, so vacuum can run alongside live
+        writers; files that WERE referenced by a now-expired manifest
+        are definitively replaced and deleted regardless of age.
+        Returns the number of data files removed."""
+        import time
+
+        retain = (
+            self.retain_versions if retain_versions is None
+            else retain_versions
+        )
         m = self._manifest(table)
         if m["version"] == 0:
             return 0
         base = self.path(table)
         chain = self._committed_chain(table)
-        retained = set(chain[:max(1, retain_versions)])
-        live: set[str] = set()
-        for v in retained:
-            live |= {
-                os.path.normpath(f)
-                for f in self._manifest(table, v)["files"]
-            }
-        removed = 0
-        # expired + orphan manifests go first (fail-fast for readers)
+        current = chain[0] if chain else 0
+        retained = set(chain[:max(1, retain)])
+        now = time.time()
+
+        def _old(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= grace_seconds
+            except OSError:
+                return False
+
+        live: set[str] = set()          # retained versions' files
+        retired_refs: set[str] = set()  # files some <=current manifest held
+        inflight_refs: set[str] = set()  # files of fresh >current manifests
         for v in self._versions_on_disk(table):
-            if v not in retained:
-                os.remove(os.path.join(self._mdir(table), f"v{v:08d}.json"))
+            try:
+                files = {
+                    os.path.normpath(f)
+                    for f in self._manifest(table, v)["files"]
+                }
+            except (OSError, json.JSONDecodeError, KeyError):
+                continue
+            if v in retained:
+                live |= files
+            elif v > current and not _old(
+                os.path.join(self._mdir(table), f"v{v:08d}.json")
+            ):
+                inflight_refs |= files
+            else:
+                retired_refs |= files
+        # expired + stale-orphan manifests go first (fail-fast for
+        # readers); a fresh >current manifest may be an in-flight commit
+        for v in self._versions_on_disk(table):
+            if v in retained:
+                continue
+            mpath = os.path.join(self._mdir(table), f"v{v:08d}.json")
+            if v > current and not _old(mpath):
+                continue
+            os.remove(mpath)
+        removed = 0
         for root, dirs, fs in os.walk(base):
             dirs[:] = [d for d in dirs if d != "_manifests"]
             for f in fs:
                 p = os.path.join(root, f)
                 rel = os.path.normpath(os.path.relpath(p, base))
-                if rel not in live:
-                    os.remove(p)
-                    removed += 1
+                if rel in live or rel in inflight_refs:
+                    continue
+                if rel not in retired_refs and not _old(p):
+                    continue  # may belong to an in-flight snapshot write
+                os.remove(p)
+                removed += 1
         data_dir = os.path.join(base, "data")
         if os.path.isdir(data_dir):
             for root, dirs, fs in os.walk(data_dir, topdown=False):

@@ -337,7 +337,6 @@ def stream_rollups_from_events(
 # -- streaming document curation -------------------------------------------
 
 CURATED_DOCS = "curated_documents"
-CURATED_FPS = "curated_fingerprints"
 
 DOCS_STREAM_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -360,15 +359,16 @@ def stream_curate_documents(
 
     Exactly-once shape: the checkpoint makes each landed file process
     once; a crash-replay of a batch whose append already committed is
-    absorbed by the fingerprint anti-join (replayed docs carry already-
-    ledgered fingerprints), so curated content never duplicates. The
+    absorbed by the fingerprint anti-join, so curated content never
+    duplicates. The ledger IS the curated table's own fingerprint
+    column — one table, one append, no two-table commit window where a
+    crash between writes could desynchronize ledger and corpus. The
     ledger read is a single pruned 32-byte-digest column scan of the
-    curated corpus keys; at 100 TB, bucket the ledger by fingerprint
-    prefix and probe only the batch's buckets (same steady-state story
-    as operators.dedup.incremental_minhash_dedup)."""
+    curated corpus; at 100 TB, bucket the table by fingerprint prefix
+    and probe only the batch's buckets (same steady-state story as
+    operators.dedup.incremental_minhash_dedup)."""
     from _event_intelligence_data_warehouse_spark.operators import text as tx
 
-    fp_schema = T.StructType([T.StructField("fingerprint", T.StringType())])
     out_schema = T.StructType(
         list(DOCS_STREAM_SCHEMA.fields)
         + [
@@ -396,21 +396,13 @@ def stream_curate_documents(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        seen = wh.read(CURATED_FPS, fp_schema).select("fingerprint")
+        seen = wh.read(CURATED_DOCS, out_schema).select("fingerprint")
         fresh = in_batch.join(seen, "fingerprint", "left_anti")
-        # Persist: the append below and the ledger append must see ONE
-        # evaluation of the batch (a recompute between the two writes
-        # could diverge if the ledger moved underneath).
-        from _event_intelligence_data_warehouse_spark import cache
-
-        fresh = cache.persist(fresh)
         if not fresh.isEmpty():
             wh.append(
                 CURATED_DOCS,
                 fresh.select([f.name for f in out_schema.fields]),
             )
-            wh.append(CURATED_FPS, fresh.select("fingerprint"))
-        cache.release_all()
 
     q = (
         stream.writeStream.foreachBatch(curate)

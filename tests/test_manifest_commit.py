@@ -135,7 +135,8 @@ def test_crash_before_pointer_publish_preserves_old_image(
 
     # the orphan snapshot + manifest are invisible garbage; vacuum
     # removes the files and the retry commits cleanly over them
-    removed = rd.vacuum("t")
+    assert rd.vacuum("t") == 0, "fresh orphan collected inside grace"
+    removed = rd.vacuum("t", grace_seconds=0)
     assert removed > 0, "crashed writer's orphan files were not collected"
     assert sorted(
         (r.id, r.p, r.tag) for r in rd.read("t").collect()
@@ -167,7 +168,7 @@ def test_crash_mid_snapshot_write_preserves_old_image(spark, tmp_path):
 
     rd = Warehouse(spark, wh.root, manifest=True)
     assert sorted(tuple(r) for r in rd.read("t").collect()) == want
-    rd.vacuum("t")
+    rd.vacuum("t", grace_seconds=0)
     assert not os.path.exists(orphan) or not any(
         f.endswith(".parquet")
         for _r, _d, fs in os.walk(orphan) for f in fs
@@ -542,3 +543,33 @@ def test_zorder_clustering_enables_multi_column_skipping(spark, tmp_path):
     gx = sorted((r.x, r.y) for r in wh.scan("t", [("x", "<", 8)]).collect())
     assert gx == sorted((r.x, r.y) for r in wh.read("t")
                         .filter(F.col("x") < 8).collect())
+
+
+def test_cluster_by_guards_partitioned_and_nonnumeric(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.overwrite("p", spark.range(9).select(
+        "id", (F.col("id") % 3).alias("p")
+    ), "p")
+    with pytest.raises(ValueError, match="partitioned"):
+        wh.cluster_by("p", ["id"])
+
+    wh.overwrite("s", spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ))
+    with pytest.raises(ValueError, match="numeric"):
+        wh.cluster_by("s", ["name"])
+    with pytest.raises(ValueError, match="64-bit"):
+        wh.cluster_by("s", ["id"] * 8, bits=16)
+
+
+def test_warehouse_retention_setting_survives_maintenance(spark, tmp_path):
+    """Warehouse(retain_versions=K): routine compaction keeps K versions
+    readable instead of silently erasing pinned history."""
+    wh = Warehouse(spark, str(tmp_path / "r"), manifest=True,
+                   retain_versions=3)
+    wh.overwrite("t", spark.range(0, 5).toDF("id"))    # v1
+    wh.overwrite("t", spark.range(5, 10).toDF("id"))   # v2
+    wh.compact("t", target_file_bytes=1 << 30)         # v3 + vacuum
+    assert sorted(r.id for r in wh.read("t", version=1).collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r.id for r in wh.read("t", version=2).collect()) == [5, 6, 7, 8, 9]
+    assert [h["version"] for h in wh.history("t")] == [3, 2, 1]

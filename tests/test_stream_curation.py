@@ -48,8 +48,8 @@ def test_stream_curation_dedups_across_batches(spark, tmp_path):
     out2 = {r.doc_id for r in wh.read(jobs.CURATED_DOCS).collect()}
     assert out2 == {1, 2, 5}, "cross-batch dup re-entered or new doc lost"
 
-    # fingerprints ledger matches the curated corpus exactly
-    fps = [r.fingerprint for r in wh.read(jobs.CURATED_FPS).collect()]
+    # the curated table's own fingerprint column is the dedup ledger
+    fps = [r.fingerprint for r in wh.read(jobs.CURATED_DOCS).collect()]
     assert len(fps) == len(set(fps)) == 3
 
     # drain with nothing new: no growth (checkpoint exactly-once)
