@@ -256,6 +256,14 @@ _DRIVER_SAMPLE_TAIL = [
     # family keeps stateful sessions + tumbling windows sampled — frees
     # the slot for sketch_bloom_membership
     "streaming_purchase_attribution",
+    # recall-audit mechanism stays sampled via similarity_ivf_recall and
+    # the LSH path via similarity_lsh_topk — frees a slot for
+    # text_url_canonicalize
+    "similarity_lsh_recall",
+    # md5 hash-bucket sampling stays sampled via curation_mixture_sample
+    # (rate application) and split_leakage_safe — frees a slot for
+    # text_url_host_stats
+    "sample_stratified_hash",
 ]
 
 

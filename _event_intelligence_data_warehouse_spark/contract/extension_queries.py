@@ -2996,3 +2996,122 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_member"),
         )
     )
+
+
+# Synthetic-but-deterministic URLs for the URL gate: scheme, www, port,
+# path depth, query and fragment all vary by doc_id, mirrored verbatim
+# in the oracle.
+_URL_EXPR_SQL = """
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END
+    || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN 'cdn.' ELSE '' END
+    || source || '-site.Com'
+    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+    || '/docs/' || CAST(doc_id % 7 AS VARCHAR) || '/page'
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || '?ref=' || CAST(doc_id AS VARCHAR) || '#frag'
+"""
+
+_URL_CANON_SQL = f"""
+WITH urls AS (
+    SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents
+), stripped AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(trim(url),
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+               '#.*$', ''),
+               '\\?.*$', '') AS su
+    FROM urls
+), parts AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+               lower(regexp_extract(su, '^[^/]*')),
+               ':[0-9]+$', ''), '^www\\.', '') AS host,
+           regexp_replace(regexp_extract(su, '/.*$'), '/+$', '') AS path
+    FROM stripped
+)
+SELECT doc_id,
+       host || path AS url_canon,
+       host,
+       regexp_extract(host, '[^.]+\\.[^.]+$') AS domain,
+       CAST(CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$')
+                      = 'src0-site.com' THEN 1 ELSE 0 END AS BIGINT)
+           AS blocked
+FROM parts
+"""
+
+
+@query("text_url_canonicalize", _URL_CANON_SQL)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL gate: canonical dedup key (scheme/query/fragment/
+    www/port/trailing-slash stripped), host + naive registered domain,
+    and a blocklist verdict — all anchored regex chains in codegen."""
+    from _event_intelligence_data_warehouse_spark.operators import urls as ur
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    withurl = d.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise("http://"),
+            F.when(did % 3 == 0, F.lit("www.")).otherwise(""),
+            F.when(did % 6 == 0, F.lit("cdn.")).otherwise(""),
+            F.col("source"), F.lit("-site.Com"),
+            F.when(did % 4 == 0, F.lit(":443")).otherwise(""),
+            F.lit("/docs/"), (did % 7).cast("string"), F.lit("/page"),
+            F.when(did % 5 == 0, F.lit("/")).otherwise(""),
+            F.lit("?ref="), did.cast("string"), F.lit("#frag"),
+        ).alias("url"),
+    )
+    return ur.canonicalize_urls(
+        withurl, blocked_domains=["src0-site.com"]
+    )
+
+
+@query(
+    "text_url_host_stats",
+    f"""
+WITH urls AS (
+    SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents
+), stripped AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(trim(url),
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+               '#.*$', ''),
+               '\\?.*$', '') AS su
+    FROM urls
+), parts AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+               lower(regexp_extract(su, '^[^/]*')),
+               ':[0-9]+$', ''), '^www\\.', '') AS host
+    FROM stripped
+)
+SELECT regexp_extract(host, '[^.]+\\.[^.]+$') AS domain,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM parts
+GROUP BY regexp_extract(host, '[^.]+\\.[^.]+$')
+""",
+)
+def text_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus concentration (docs + distinct
+    hosts) — the screen that catches one domain dominating a crawl."""
+    from _event_intelligence_data_warehouse_spark.operators import urls as ur
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    withurl = d.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise("http://"),
+            F.when(did % 3 == 0, F.lit("www.")).otherwise(""),
+            F.when(did % 6 == 0, F.lit("cdn.")).otherwise(""),
+            F.col("source"), F.lit("-site.Com"),
+            F.when(did % 4 == 0, F.lit(":443")).otherwise(""),
+            F.lit("/docs/"), (did % 7).cast("string"), F.lit("/page"),
+            F.when(did % 5 == 0, F.lit("/")).otherwise(""),
+            F.lit("?ref="), did.cast("string"), F.lit("#frag"),
+        ).alias("url"),
+    )
+    return ur.host_stats(withurl)

@@ -296,3 +296,33 @@ def test_bloom_filter_no_false_negatives_and_merges(spark):
     assert sum(got[i] for i in range(200, 400)) == 0
     # word frame stays tiny and mergeable
     assert bloom.count() <= sk.BLOOM_M // 32
+
+
+def test_url_canonicalization_edge_forms(spark):
+    from _event_intelligence_data_warehouse_spark.operators import urls as ur
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?q=1#frag"),
+        (7, "https://example.com/CaseSensitivePath"),
+        (2, "http://example.com/a/b"),
+        (3, "example.com/a/b/"),               # schemeless
+        (4, "ftp://cdn.media.example.co:21/x"),
+        (5, "https://example.com"),            # no path
+        (6, "https://sub.deep.example.org/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in ur.canonicalize_urls(
+        df, blocked_domains=["example.co"]
+    ).collect()}
+    assert got[1].url_canon == "example.com/a/b"
+    assert got[2].url_canon == "example.com/a/b"
+    assert got[3].url_canon == "example.com/a/b"
+    assert got[1].host == "example.com" and got[1].domain == "example.com"
+    assert got[4].host == "cdn.media.example.co"
+    assert got[4].domain == "example.co" and got[4].blocked == 1
+    assert got[5].url_canon == "example.com" and got[5].blocked == 0
+    assert got[6].domain == "example.org"
+    # host case folds; path case is semantic (RFC 3986) and preserved
+    assert got[7].url_canon == "example.com/CaseSensitivePath"
+    # 1, 2, 3 collapse to ONE canonical key — the URL-dedup property
+    assert len({got[i].url_canon for i in (1, 2, 3)}) == 1
