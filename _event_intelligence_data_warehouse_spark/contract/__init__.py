@@ -264,6 +264,10 @@ _DRIVER_SAMPLE_TAIL = [
     # (rate application) and split_leakage_safe — frees a slot for
     # text_url_host_stats
     "sample_stratified_hash",
+    # Expand-family grouping keeps pivot_status_by_priority sampled
+    # (cube/grouping-sets already tail on the same rationale) — frees a
+    # slot for split_kfold_leakage_safe
+    "agg_rollup_status_priority",
 ]
 
 

@@ -3115,3 +3115,25 @@ def text_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return ur.host_stats(withurl)
+
+
+@query(
+    "split_kfold_leakage_safe",
+    _CC_CTES + """
+SELECT doc_id, component_id,
+       CAST((CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 100) % 5 AS BIGINT) AS fold
+FROM comp
+""",
+)
+def split_kfold_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 5-fold assignment: folds hash the near-dup CLUSTER
+    id, so a document and its near-twin always share a fold — k-fold
+    eval without cross-fold contamination."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = _docs_near(spark, sf_dir)
+    pairs = dd.minhash_dedup(docs, threshold=0.8)
+    return smp.leakage_safe_kfold(docs.select("doc_id"), pairs, 5)

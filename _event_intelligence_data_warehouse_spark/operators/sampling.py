@@ -263,3 +263,27 @@ def leakage_safe_split(
         F.lit("holdout"),
     ).otherwise(F.lit("train"))
     return comp.select("doc_id", "component_id", side.alias("split"))
+
+
+def leakage_safe_kfold(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    *,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """K-fold cross-validation assignment that can never separate
+    near-duplicates: fold = hash of the near-dup COMPONENT id mod k, so
+    every member of a duplicate cluster shares a fold — the k-fold face
+    of :func:`leakage_safe_split` (same guard, k ways). Output:
+    (doc_id, component_id, fold). Scale: a stateless projection over the
+    component labels; cost lives in the component computation."""
+    from _event_intelligence_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(vertices, pairs)
+    fold = hash_bucket(F.col("component_id"), buckets) % k
+    return comp.select(
+        "doc_id", "component_id", fold.cast("bigint").alias("fold")
+    )

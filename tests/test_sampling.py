@@ -191,3 +191,27 @@ def test_leakage_safe_split_never_separates_near_dups(spark):
         "doc-id split happened to keep all pairs together — test corpus "
         "not probative"
     )
+
+
+def test_kfold_never_splits_near_dup_pairs(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    out = smp.leakage_safe_kfold(
+        docs, pairs.toDF("doc_a", "doc_b"), k=3
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 40
+    assert set(r.fold for r in rows.values()) <= {0, 1, 2}
+    for a, b in [(0, 1), (1, 2), (10, 11), (20, 21)]:
+        assert rows[a].fold == rows[b].fold, "near-dup pair straddles folds"
+        assert rows[a].component_id == rows[b].component_id
+    # transitive closure: 0-1-2 all share one fold
+    assert rows[0].fold == rows[2].fold
