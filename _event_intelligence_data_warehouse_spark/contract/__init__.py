@@ -268,6 +268,10 @@ _DRIVER_SAMPLE_TAIL = [
     # (cube/grouping-sets already tail on the same rationale) — frees a
     # slot for split_kfold_leakage_safe
     "agg_rollup_status_priority",
+    # composed pipeline, driver-green r01-r03; every stage it composes
+    # (quality score, exact dedup, hash sampling) keeps its own sampled
+    # or r03-green entry — frees a slot for dedup_cc_incremental
+    "curation_pipeline",
 ]
 
 

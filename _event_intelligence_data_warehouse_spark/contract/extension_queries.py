@@ -3137,3 +3137,54 @@ def split_kfold_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_near(spark, sf_dir)
     pairs = dd.minhash_dedup(docs, threshold=0.8)
     return smp.leakage_safe_kfold(docs.select("doc_id"), pairs, 5)
+
+
+_INCR_CC_SQL = (
+    _INCR_DOCS_CTE.replace("WITH docs2", "WITH RECURSIVE docs2")
+    + _LSH_PAIR_CTES
+    + f"""
+, pairs AS (
+    {_LSH_PAIR_SELECT}
+), sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+    SELECT doc_id AS src, doc_id AS node FROM docs2
+    UNION
+    SELECT r.src, s.b AS node FROM reach r JOIN sym s ON r.node = s.a
+), comp AS (
+    SELECT src AS doc_id, MIN(node) AS component_id
+    FROM reach GROUP BY src
+)
+SELECT doc_id, component_id FROM comp
+"""
+)
+
+
+@query("dedup_cc_incremental", _INCR_CC_SQL)
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state duplicate-group maintenance: the stored corpus keeps
+    its component labels; a batch's edges (from the incremental MinHash
+    probe) merge in via touched-component star edges only — untouched
+    clusters never enter the propagation. Must equal the full-graph
+    recompute, which is exactly what the oracle's recursive CTE over
+    ALL pairs of the union corpus computes."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        )
+    )
+    index_sets, index_sigs = dd.minhash_index(corpus)
+    stored = dd.connected_components(
+        corpus.select("doc_id"), dd.minhash_dedup(corpus, threshold=0.8)
+    )
+    batch_pairs = dd.incremental_minhash_dedup(
+        batch, index_sets, index_sigs, threshold=0.8
+    )
+    return dd.connected_components_incremental(
+        stored, batch.select("doc_id"), batch_pairs
+    )

@@ -898,3 +898,64 @@ def duplicate_text_spans(
         )
         .select("doc_id", "span_start", "span_end")
     )
+
+
+def connected_components_incremental(
+    stored_labels: DataFrame,
+    new_vertices: DataFrame,
+    new_edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental duplicate-group maintenance: labels for
+    stored ∪ new vertices after merging a batch's edges — the
+    steady-state complement of :func:`connected_components`, pairing
+    with :func:`incremental_minhash_dedup` (which emits exactly the
+    batch-touching edges).
+
+    Components untouched by any new edge keep their stored labels and
+    NEVER enter the propagation; touched components contribute their
+    members via doc->component star edges (diameter <= 2 per old
+    component, so the fixpoint converges in a couple of rounds even
+    when a new edge bridges two large old clusters). Per-batch cost
+    scales with the touched-component membership plus the batch — not
+    the corpus. Result equals a full recompute over the whole graph
+    whenever ``stored_labels`` themselves came from
+    connected_components (min-id labels)."""
+    from _event_intelligence_data_warehouse_spark import cache
+
+    edges = cache.persist(new_edges.select(
+        F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
+    ))
+    endpoints = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    stored = stored_labels.select(
+        F.col(id_col).alias("doc_id"), "component_id"
+    )
+    touched_comps = (
+        stored.join(endpoints, "doc_id")
+        .select("component_id").distinct()
+    )
+    touched = cache.persist(stored.join(touched_comps, "component_id"))
+    star = touched.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("component_id").alias("doc_b"),
+    )
+    verts = (
+        new_vertices.select(F.col(id_col).alias("doc_id"))
+        .unionByName(touched.select("doc_id"))
+        .distinct()
+    )
+    sub = connected_components(
+        verts, edges.unionByName(star), **cc_kwargs
+    )
+    untouched = stored.join(touched_comps, "component_id", "left_anti")
+    return untouched.select("doc_id", "component_id").unionByName(
+        sub.select("doc_id", "component_id")
+    )

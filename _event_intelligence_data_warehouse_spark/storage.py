@@ -537,12 +537,18 @@ class Warehouse:
             root = os.path.join(base, *parts[:2]) if parts[0] == "data" else base
             groups.setdefault(root, []).append(os.path.join(base, rel))
         dfs = [
-            self.spark.read.option("basePath", root).parquet(*sorted(fs))
+            self.spark.read.option("basePath", root)
+            .option("mergeSchema", "true").parquet(*sorted(fs))
             for root, fs in sorted(groups.items())
         ]
         out = dfs[0]
+        # Schema evolution across snapshots: an append that added a
+        # column leaves older snapshots without it — surface those rows
+        # with NULLs (mergeSchema handles files WITHIN a snapshot group,
+        # allowMissingColumns across groups), the additive-evolution
+        # semantics of every table format.
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def _committed_chain(self, table: str) -> list[int]:

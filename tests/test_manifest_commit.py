@@ -573,3 +573,28 @@ def test_warehouse_retention_setting_survives_maintenance(spark, tmp_path):
     assert sorted(r.id for r in wh.read("t", version=1).collect()) == [0, 1, 2, 3, 4]
     assert sorted(r.id for r in wh.read("t", version=2).collect()) == [5, 6, 7, 8, 9]
     assert [h["version"] for h in wh.history("t")] == [3, 2, 1]
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """An append that adds a column surfaces older snapshots' rows with
+    NULLs (additive evolution); time travel still reproduces the old
+    schema, and scan() prunes on the new column where bounds exist."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "id long, val string"))
+    wh.append("t", spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)],
+        "id long, val string, quality double",
+    ))
+    got = {r.id: (r.val, r.quality) for r in wh.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b", None),
+                   3: ("c", 0.5), 4: ("d", 0.9)}
+    # old version keeps the old schema
+    v1 = wh.read("t", version=1)
+    assert v1.columns == ["id", "val"] and v1.count() == 2
+    # the new column's bounds prune files that predate it? No: files
+    # without bounds are never pruned — both survive, results exact.
+    keep, total = wh.pruned_files("t", [("quality", ">=", 0.8)])
+    assert len(keep) >= 1
+    got_q = [r.id for r in wh.scan("t", [("quality", ">=", 0.8)]).collect()]
+    assert got_q == [4]

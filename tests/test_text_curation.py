@@ -326,3 +326,40 @@ def test_url_canonicalization_edge_forms(spark):
     assert got[7].url_canon == "example.com/CaseSensitivePath"
     # 1, 2, 3 collapse to ONE canonical key — the URL-dedup property
     assert len({got[i].url_canon for i in (1, 2, 3)}) == 1
+
+
+def test_incremental_cc_equals_full_and_merges_old_clusters(spark):
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    # stored graph: {1,2} and {5,6} and singleton 9
+    stored = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (9, 9)],
+        "doc_id long, component_id long",
+    )
+    # batch: 20 joins cluster {5,6}; 21 bridges the two old clusters
+    newv = spark.createDataFrame([(20,), (21,)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(20, 6), (21, 2), (21, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in dd.connected_components_incremental(
+            stored, newv, edges
+        ).collect()
+    }
+    # bridge merges {1,2} + {5,6} + {20,21} -> min id 1
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 20: 1, 21: 1, 9: 9}
+
+    # equals a full recompute over the whole graph
+    allv = spark.createDataFrame(
+        [(i,) for i in (1, 2, 5, 6, 9, 20, 21)], "doc_id long"
+    )
+    alle = spark.createDataFrame(
+        [(1, 2), (5, 6), (20, 6), (21, 2), (21, 5)],
+        "doc_a long, doc_b long",
+    )
+    full = {
+        r.doc_id: r.component_id
+        for r in dd.connected_components(allv, alle).collect()
+    }
+    assert got == full
