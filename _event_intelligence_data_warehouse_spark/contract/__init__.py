@@ -272,6 +272,10 @@ _DRIVER_SAMPLE_TAIL = [
     # (quality score, exact dedup, hash sampling) keeps its own sampled
     # or r03-green entry — frees a slot for dedup_cc_incremental
     "curation_pipeline",
+    # F.window tumbling, driver-green r01-r03 (sliding variant in tail);
+    # the streaming family keeps stateful sessions sampled — frees a
+    # slot for curation_pipeline_v2 (the round-4 composition)
+    "window_tumbling_hourly",
 ]
 
 

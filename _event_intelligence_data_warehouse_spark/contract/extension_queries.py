@@ -3188,3 +3188,184 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components_incremental(
         stored, batch.select("doc_id"), batch_pairs
     )
+
+
+# curation v2: the round-4 operators composed end-to-end — planted
+# boilerplate lines AND a planted in-body duplicate sentence, removed in
+# sequence (lines by document frequency, spans by cross-doc 10-gram
+# duplication), then re-scored. The oracle rebuilds the whole chain.
+_V2_DOCS_CTE = f"""
+WITH docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'Subscribe to our newsletter!' || chr(10) ELSE '' END
+           || text
+           || CASE WHEN doc_id % 7 = 0 THEN ' {_SPAN_SENTENCE}' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || 'All rights reserved.' ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+_V2_SQL = _V2_DOCS_CTE + f"""
+, ls AS (
+    SELECT doc_id, string_split(text, chr(10)) AS la FROM docs2
+), lines AS (
+    SELECT doc_id, unnest(la) AS line,
+           unnest(generate_series(1, len(la))) AS pos
+    FROM ls
+), normed AS (
+    SELECT doc_id, pos, line,
+           trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nline
+    FROM lines
+), boiler AS (
+    SELECT md5(nline) AS lh FROM normed WHERE nline <> ''
+    GROUP BY md5(nline)
+    HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DF}
+), cleaned AS (
+    SELECT n.doc_id,
+           coalesce(string_agg(n.line, chr(10) ORDER BY n.pos)
+               FILTER (WHERE b.lh IS NULL), '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE b.lh IS NOT NULL) AS BIGINT)
+               AS n_lines_removed
+    FROM normed n LEFT JOIN boiler b ON md5(n.nline) = b.lh
+    GROUP BY n.doc_id
+), ctoks AS (
+    SELECT doc_id, n_lines_removed,
+           list_filter(regexp_split_to_array(lower(trim(clean_text)),
+                       '\\s+'), x -> x != '') AS toks
+    FROM cleaned
+), grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(list_slice(toks, i, i + {_SPAN_N} - 1), ' '))
+               AS gh
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_SPAN_N} + 1)) AS i
+        FROM ctoks WHERE len(toks) >= {_SPAN_N}
+    )
+), dupg AS (
+    SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+    SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gh)
+), cover AS (
+    SELECT DISTINCT f.doc_id, f.pos + o.off AS tpos
+    FROM flagged f,
+         (SELECT unnest(generate_series(0, {_SPAN_N} - 1)) AS off) o
+), tok_pos AS (
+    SELECT doc_id, n_lines_removed, unnest(toks) AS tok,
+           unnest(generate_series(0, len(toks) - 1)) AS tpos
+    FROM ctoks
+), kept AS (
+    SELECT t.doc_id, t.n_lines_removed, t.tok, t.tpos,
+           (c.tpos IS NOT NULL) AS cut
+    FROM tok_pos t LEFT JOIN cover c
+      ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+), final AS (
+    SELECT doc_id, n_lines_removed,
+           coalesce(string_agg(tok, ' ' ORDER BY tpos)
+               FILTER (WHERE NOT cut), '') AS ftext,
+           CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_tokens_cut,
+           CAST(COUNT(*) FILTER (WHERE NOT cut) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY doc_id, n_lines_removed
+), scored AS (
+    SELECT doc_id, n_lines_removed, n_tokens_cut, n_tokens,
+           md5(ftext) AS final_text_md5,
+           CAST(n_tokens AS DOUBLE) AS n_tok,
+           CASE WHEN length(ftext) > 0 THEN
+                CAST(length(ftext) - length(regexp_replace(ftext,
+                     '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                / CAST(length(ftext) AS DOUBLE)
+           ELSE 0.0 END AS punct,
+           CASE WHEN n_tokens > 0 THEN
+                CAST(len(list_filter(
+                     list_filter(regexp_split_to_array(lower(trim(ftext)),
+                                 '\\s+'), x -> x != ''),
+                     x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE)
+                / CAST(n_tokens AS DOUBLE)
+           ELSE 0.0 END AS sw
+    FROM final
+)
+SELECT doc_id, n_lines_removed, n_tokens_cut, n_tokens, final_text_md5,
+       CAST(ROUND(CAST(
+           least(n_tok / 20.0, 1.0) * 0.4
+           + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+           + least(sw * 5.0, 1.0) * 0.3
+           AS DECIMAL(10,6)), 4) AS DOUBLE) AS quality
+FROM scored
+"""
+
+
+@query("curation_pipeline_v2", _V2_SQL)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation chain in ONE composed plan: CCNet boilerplate-
+    line removal -> ExactSubstr duplicate-span cut over the CLEANED text
+    -> re-tokenize -> quality re-score. Each stage is oracle-checked in
+    isolation (text_boilerplate_lines, dedup_exact_substrings,
+    text_quality_score); this checks the composition, reconstructed
+    hash-for-hash by the oracle."""
+    from _event_intelligence_data_warehouse_spark.operators import text as tx2
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 3 == 0, F.lit("Subscribe to our newsletter!\n"))
+            .otherwise(""),
+            F.col("text"),
+            F.when(did % 7 == 0, F.lit(" " + _SPAN_SENTENCE)).otherwise(""),
+            F.when(did % 4 == 0, F.lit("\nAll rights reserved."))
+            .otherwise(""),
+        ).alias("text"),
+    )
+    cleaned = tx2.boilerplate_line_filter(aug, min_df=_BOILER_MIN_DF).select(
+        "doc_id", F.col("clean_text").alias("text"),
+        F.col("n_removed").alias("n_lines_removed"),
+    )
+    from _event_intelligence_data_warehouse_spark import cache
+
+    cleaned = cache.persist(cleaned)
+    spans = dd.duplicate_text_spans(cleaned, n=_SPAN_N, min_docs=2)
+    toks = cleaned.select(
+        "doc_id", "n_lines_removed",
+        F.posexplode(tx2.tokens(F.col("text"))).alias("tpos", "tok"),
+    )
+    cover = spans.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.col("span_start"), F.col("span_end") - 1
+        )).alias("tpos"),
+    ).distinct()
+    flagged = toks.join(
+        cover.withColumn("cut", F.lit(True)), ["doc_id", "tpos"], "left"
+    ).select(
+        "doc_id", "n_lines_removed", "tpos", "tok",
+        F.coalesce("cut", F.lit(False)).alias("cut"),
+    )
+    # one aggregate per doc, fully-cut documents included (empty ftext)
+    per_doc = (
+        flagged.groupBy("doc_id", "n_lines_removed")
+        .agg(
+            F.concat_ws(" ", F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "tok", "cut"))
+                    ),
+                    lambda st: ~st["cut"],
+                ),
+                lambda st: st["tok"],
+            )).alias("ftext"),
+            F.sum(F.col("cut").cast("bigint")).cast("bigint")
+            .alias("n_tokens_cut"),
+            F.sum((~F.col("cut")).cast("bigint")).cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "n_lines_removed", "n_tokens_cut", "n_tokens",
+            F.md5("ftext").alias("final_text_md5"),
+            tx2.quality_score(F.col("ftext")).alias("quality"),
+        )
+    )
+    return per_doc
