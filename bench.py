@@ -51,6 +51,7 @@ HEADLINE = [
     "text_bpe_pair_stats",
     "sketch_bloom_membership",
     "curation_pipeline",
+    "curation_pipeline_v2",
     "window_tumbling_hourly",
     "window_sessionize",
 ]
