@@ -650,6 +650,72 @@ def bpe_pair_stats(
     )
 
 
+def bpe_train(
+    df: DataFrame, *, n_merges: int = 10, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Iterative BPE merge training (Sennrich et al. 2016): learn the
+    top ``n_merges`` merges over the corpus. Returns
+    [(left, right, count), ...] in merge order.
+
+    Scale shape: the ONE corpus-sized operation is the initial word
+    count; every merge iteration then operates on the VOCABULARY frame
+    (words as symbol arrays, weighted by frequency) — pair counting is a
+    vocab-sized explode+sum, the argmax is a 2-row-bounded
+    TakeOrderedAndProject, and applying a merge is an array fold per
+    vocab word. The driver loop is over n_merges (a parameter, typically
+    tens of thousands in production but never corpus-sized); each
+    round's vocab frame is localCheckpoint-truncated so lineage stays
+    flat. This is exactly how production BPE trainers are structured —
+    corpus once, vocabulary thereafter."""
+    spark = df.sparkSession
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w").agg(F.count("*").alias("wn"))
+        .select(F.split(F.col("w"), "").alias("syms"), "wn")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] as l, syms[i] as r))"
+                )
+            ).alias("p"),
+            "wn",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("wn").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((left, right, int(top[0]["cnt"])))
+        # apply the merge: left-to-right fold over each word's symbols
+        # (greedy, non-overlapping — matches the reference algorithm)
+        merged = F.expr(
+            "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
+            f"AND s = '{right}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array('{left}{right}')) "
+            "ELSE concat(acc, array(s)) END)"
+        )
+        vocab = vocab.select(
+            merged.alias("syms"), "wn"
+        ).localCheckpoint()
+    return merges
+
+
 def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """ANALYZE-style per-column statistics in ONE pass: row count, null
     count, exact distinct count, and min/max (rendered as strings so

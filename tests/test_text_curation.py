@@ -363,3 +363,57 @@ def test_incremental_cc_equals_full_and_merges_old_clusters(spark):
         for r in dd.connected_components(allv, alle).collect()
     }
     assert got == full
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python reference: Sennrich-style learn_bpe over word freqs."""
+    import re
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        wc.update(re.findall(r"[a-z]+", t.lower()))
+    vocab = {tuple(w): n for w, n in wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (l, r), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    texts = [
+        "the theme of the thesis is these themes",
+        "there the theory goes thence",
+        "banana bandana and an anthem",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = tx.bpe_train(df, n_merges=6)
+    want = _bpe_reference(texts, 6)
+    assert got == want, f"{got} != {want}"
+    # merged symbols grow beyond single characters
+    assert any(len(l) + len(r) > 2 for l, r, _ in got)
