@@ -611,7 +611,6 @@ def semantic_dedup(
     kmeans_centroids), and the component step inherits
     connected_components' size-gated broadcast fallback."""
     from _event_intelligence_data_warehouse_spark import cache
-    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
 
     _, cells = ivf_cells(
         df, n_cells=n_cells, max_train=max_train,
@@ -623,6 +622,26 @@ def semantic_dedup(
         cells.filter(F.col("cell_rank") == 1)
         .select("vec_id", "cell", "cell_sim")
     )
+    return semantic_dedup_prebuilt(
+        df, assign, threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
+def semantic_dedup_prebuilt(
+    df: DataFrame,
+    assign: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SemDeDup APPLY phase over a prebuilt cell assignment
+    (vec_id, cell, cell_sim) — pairs, components, election. Split out so
+    the (amortizable) quantizer training can be benchmarked and reused
+    separately from the per-corpus dedup work, mirroring
+    :func:`ivf_index` / :func:`ivf_topk_prebuilt`."""
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
     v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
     members = assign.select("vec_id", "cell").join(v, "vec_id")
     pairs = (
