@@ -276,6 +276,9 @@ _DRIVER_SAMPLE_TAIL = [
     # the streaming family keeps stateful sessions sampled — frees a
     # slot for curation_pipeline_v2 (the round-4 composition)
     "window_tumbling_hourly",
+    # shares its entire machinery (training, cells, pairs, components)
+    # with dedup_semantic, which IS sampled; the audit stays local-gated
+    "dedup_semantic_recall",
 ]
 
 

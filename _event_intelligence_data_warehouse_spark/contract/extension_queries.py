@@ -2680,10 +2680,16 @@ _SEM_VECS_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddin
 
 _SEM_TAU = 0.9
 
-_SEM_SQL = (
-    _ivf_train_cte(_SEM_VECS_SRC).replace("WITH vecs", "WITH RECURSIVE vecs", 1)
-    + _CELL_SCORES_CTE
-    + f"""
+def _sem_core(vecs_src: str) -> str:
+    return (
+        _ivf_train_cte(vecs_src)
+        .replace("WITH vecs", "WITH RECURSIVE vecs", 1)
+        + _CELL_SCORES_CTE
+        + _SEM_GROUPS_CTE
+    )
+
+
+_SEM_GROUPS_CTE = f"""
 , assign AS (
     SELECT vec_id, cell, cs FROM cell_scores WHERE cell_rank = 1
 ), pairs AS (
@@ -2711,11 +2717,13 @@ _SEM_SQL = (
                               ORDER BY a.cs ASC, a.vec_id ASC) AS rk
     FROM assign a JOIN comp c USING (vec_id)
 )
+"""
+
+_SEM_SQL = _sem_core(_SEM_VECS_SRC) + """
 SELECT vec_id, cell, component_id,
        CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
 FROM elect
 """
-)
 
 
 @query("dedup_semantic", _SEM_SQL)
@@ -3369,3 +3377,66 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_doc
+
+
+# Semantic-dedup recall audit: planted copies are PERTURBED (first
+# component scaled 1.5x), so capture is not structural — a pair whose
+# members straddle a cell boundary is genuinely missed, which is
+# SemDeDup's known failure mode and exactly what this measures.
+_SEM_PERT_VECS_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           [v[1] * 1.5] || list_slice(v, 2, len(v)) AS v
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 10 = 0)"""
+
+
+@query(
+    "dedup_semantic_recall",
+    _sem_core(_SEM_PERT_VECS_SRC) + """
+, planted AS (
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+    FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(SUM(CASE WHEN ca.component_id = cb.component_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_captured
+FROM planted p
+JOIN comp ca ON ca.vec_id = p.id_a
+JOIN comp cb ON cb.vec_id = p.id_b
+""",
+)
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for semantic dedup: perturbed near-copies (cosine
+    just under 1.0) planted across the corpus; captured = the pair
+    shares a duplicate component. Misses measure the cell-boundary
+    split — the accuracy gate that justifies bounding the pair search
+    to cells (the analog of the LSH/IVF recall audits)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding").getItem(0) * 1.5),
+            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    out = sim.semantic_dedup(
+        emb.unionByName(pert), threshold=_SEM_TAU
+    ).select("vec_id", "component_id")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + 100000).alias("id_b"),
+    )
+    a = out.toDF("id_a", "comp_a")
+    b = out.toDF("id_b", "comp_b")
+    return (
+        planted.join(a, "id_a").join(b, "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_planted"),
+            F.sum(
+                (F.col("comp_a") == F.col("comp_b")).cast("bigint")
+            ).cast("bigint").alias("n_captured"),
+        )
+    )

@@ -707,3 +707,19 @@ def test_duplicate_text_spans_merges_overlapping_islands(spark):
     assert got[1] == (0, 20)
     assert got[2] == (0, 10)
     assert got[3] == (0, 10)
+
+
+def test_semantic_dedup_recall_floor(spark):
+    """The driver-corpus recall audit (perturbed planted near-copies)
+    captures at least 90% of planted pairs — the accuracy floor that
+    justifies bounding the pair search to k-means cells."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from _event_intelligence_data_warehouse_spark import contract
+
+    r = contract.QUERIES["dedup_semantic_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    assert r.n_planted >= 40
+    assert r.n_captured >= 0.9 * r.n_planted
