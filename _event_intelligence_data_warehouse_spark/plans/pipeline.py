@@ -176,7 +176,8 @@ def summary(wh: Warehouse) -> dict[str, int]:
 
 def run_pipeline(spark: SparkSession, warehouse_dir: str, args=None) -> dict:
     args = args or parse_args([])
-    wh = Warehouse(spark, warehouse_dir)
+    wh = Warehouse(spark, warehouse_dir,
+                   manifest=getattr(args, "manifest", False))
     run_id = str(uuid.uuid4())
     result: dict = {"run_id": run_id}
     if not args.skip_ingest:
@@ -199,6 +200,10 @@ def parse_args(argv):
     p.add_argument("--skip-ingest", action="store_true")
     p.add_argument("--api-key", default=None)
     p.add_argument("--warehouse-dir", default="./warehouse_data")
+    p.add_argument("--manifest", action="store_true",
+                   help="run the warehouse in manifest-commit mode "
+                        "(object-store-safe atomic publishes, time "
+                        "travel, data skipping)")
     return p.parse_args(argv)
 
 

@@ -130,3 +130,29 @@ def test_one_pass_checks_match_per_check_functions(spark):
     assert got == want
     # at least one non-passed tier exercised
     assert any(v[4] != "passed" for v in want.values())
+
+
+def test_pipeline_end_to_end_in_manifest_mode(spark, tmp_path):
+    """The whole reference pipeline (ingest -> staging -> dims -> fact
+    -> quality -> KPIs) runs on the manifest storage engine: every
+    table commit is an atomic pointer publish, re-runs are idempotent,
+    and the fact table's commit history is visible."""
+    from _event_intelligence_data_warehouse_spark.plans import pipeline
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    whdir = str(tmp_path / "mwh")
+    args = pipeline.parse_args(
+        ["--warehouse-dir", whdir, "--source", "csv", "--generate-sample",
+         "--sample-rows", "80", "--manifest"]
+    )
+    r1 = pipeline.run_pipeline(spark, whdir, args)
+    assert r1["summary"]["fact_events"] == 80
+
+    wh = Warehouse(spark, whdir, manifest=True)
+    hist = wh.history("fact_events")
+    assert hist and hist[0]["version"] >= 1
+
+    # idempotent double run: same counts, a new committed version chain
+    r2 = pipeline.run_pipeline(spark, whdir, args)
+    assert r2["summary"]["fact_events"] == 80
+    assert wh._current_version("fact_events") > hist[0]["version"] - 1
