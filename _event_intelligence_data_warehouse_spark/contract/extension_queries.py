@@ -2680,6 +2680,18 @@ _SEM_VECS_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddin
 
 _SEM_TAU = 0.9
 
+
+def _sem_corpus(spark: SparkSession, sf_dir: str):
+    """embeddings plus exact copies of every 10th vector (+100000 ids):
+    the single Spark-side mirror of _SEM_VECS_SRC, shared by the
+    dedup_semantic driver and the bench's build/apply split."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(dup)
+
+
 def _sem_core(vecs_src: str) -> str:
     return (
         _ivf_train_cte(vecs_src)
@@ -2733,11 +2745,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (connected components), each group keeps its LEAST centroid-similar
     member. The oracle re-derives the trained cells with the unrolled
     Lloyd CTE and the groups with a recursive reachability CTE."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
-    return sim.semantic_dedup(emb.unionByName(dup), threshold=_SEM_TAU)
+    return sim.semantic_dedup(_sem_corpus(spark, sf_dir), threshold=_SEM_TAU)
 
 
 # Boilerplate-line corpus: header / footer lines planted on most docs
@@ -3020,6 +3028,25 @@ _URL_EXPR_SQL = """
     || '?ref=' || CAST(doc_id AS VARCHAR) || '#frag'
 """
 
+def _docs_with_urls(d):
+    """(doc_id, url): the synthetic-URL recipe, the single Spark-side
+    mirror of _URL_EXPR_SQL — edit both together."""
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise("http://"),
+            F.when(did % 3 == 0, F.lit("www.")).otherwise(""),
+            F.when(did % 6 == 0, F.lit("cdn.")).otherwise(""),
+            F.col("source"), F.lit("-site.Com"),
+            F.when(did % 4 == 0, F.lit(":443")).otherwise(""),
+            F.lit("/docs/"), (did % 7).cast("string"), F.lit("/page"),
+            F.when(did % 5 == 0, F.lit("/")).otherwise(""),
+            F.lit("?ref="), did.cast("string"), F.lit("#frag"),
+        ).alias("url"),
+    )
+
+
 _URL_CANON_SQL = f"""
 WITH urls AS (
     SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents
@@ -3056,21 +3083,7 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a blocklist verdict — all anchored regex chains in codegen."""
     from _event_intelligence_data_warehouse_spark.operators import urls as ur
 
-    d = load(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    withurl = d.select(
-        "doc_id",
-        F.concat(
-            F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise("http://"),
-            F.when(did % 3 == 0, F.lit("www.")).otherwise(""),
-            F.when(did % 6 == 0, F.lit("cdn.")).otherwise(""),
-            F.col("source"), F.lit("-site.Com"),
-            F.when(did % 4 == 0, F.lit(":443")).otherwise(""),
-            F.lit("/docs/"), (did % 7).cast("string"), F.lit("/page"),
-            F.when(did % 5 == 0, F.lit("/")).otherwise(""),
-            F.lit("?ref="), did.cast("string"), F.lit("#frag"),
-        ).alias("url"),
-    )
+    withurl = _docs_with_urls(load(spark, sf_dir, "documents"))
     return ur.canonicalize_urls(
         withurl, blocked_domains=["src0-site.com"]
     )
@@ -3107,21 +3120,7 @@ def text_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts) — the screen that catches one domain dominating a crawl."""
     from _event_intelligence_data_warehouse_spark.operators import urls as ur
 
-    d = load(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    withurl = d.select(
-        "doc_id",
-        F.concat(
-            F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise("http://"),
-            F.when(did % 3 == 0, F.lit("www.")).otherwise(""),
-            F.when(did % 6 == 0, F.lit("cdn.")).otherwise(""),
-            F.col("source"), F.lit("-site.Com"),
-            F.when(did % 4 == 0, F.lit(":443")).otherwise(""),
-            F.lit("/docs/"), (did % 7).cast("string"), F.lit("/page"),
-            F.when(did % 5 == 0, F.lit("/")).otherwise(""),
-            F.lit("?ref="), did.cast("string"), F.lit("#frag"),
-        ).alias("url"),
-    )
+    withurl = _docs_with_urls(load(spark, sf_dir, "documents"))
     return ur.host_stats(withurl)
 
 
@@ -3336,47 +3335,15 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cleaned = cache.persist(cleaned)
     spans = dd.duplicate_text_spans(cleaned, n=_SPAN_N, min_docs=2)
-    toks = cleaned.select(
-        "doc_id", "n_lines_removed",
-        F.posexplode(tx2.tokens(F.col("text"))).alias("tpos", "tok"),
-    )
-    cover = spans.select(
-        "doc_id",
-        F.explode(F.sequence(
-            F.col("span_start"), F.col("span_end") - 1
-        )).alias("tpos"),
-    ).distinct()
-    flagged = toks.join(
-        cover.withColumn("cut", F.lit(True)), ["doc_id", "tpos"], "left"
-    ).select(
-        "doc_id", "n_lines_removed", "tpos", "tok",
-        F.coalesce("cut", F.lit(False)).alias("cut"),
-    )
-    # one aggregate per doc, fully-cut documents included (empty ftext)
-    per_doc = (
-        flagged.groupBy("doc_id", "n_lines_removed")
-        .agg(
-            F.concat_ws(" ", F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(F.struct("tpos", "tok", "cut"))
-                    ),
-                    lambda st: ~st["cut"],
-                ),
-                lambda st: st["tok"],
-            )).alias("ftext"),
-            F.sum(F.col("cut").cast("bigint")).cast("bigint")
-            .alias("n_tokens_cut"),
-            F.sum((~F.col("cut")).cast("bigint")).cast("bigint")
-            .alias("n_tokens"),
-        )
+    cut = tx2.cut_spans(cleaned.select("doc_id", "text"), spans)
+    return (
+        cut.join(cleaned.select("doc_id", "n_lines_removed"), "doc_id")
         .select(
             "doc_id", "n_lines_removed", "n_tokens_cut", "n_tokens",
             F.md5("ftext").alias("final_text_md5"),
             tx2.quality_score(F.col("ftext")).alias("quality"),
         )
     )
-    return per_doc
 
 
 # Semantic-dedup recall audit: planted copies are PERTURBED (first

@@ -650,6 +650,61 @@ def bpe_pair_stats(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the token ranges named by ``spans`` — (id, span_start,
+    span_end) half-open token intervals, e.g. from
+    operators.dedup.duplicate_text_spans — from each document and
+    rebuild the text from the surviving tokens (single-space joined,
+    order preserved). The canonical consumption of span dedup: returns
+    (doc_id, ftext, n_tokens, n_tokens_cut), fully-cut documents
+    included with empty ftext; documents that tokenize empty produce no
+    row (they carry no tokens to cut or keep).
+
+    Scale: one posexplode + one left join on (doc, position) + one
+    group-bounded per-document rebuild — no step beyond the document's
+    own token count."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("tpos", "tok"),
+    )
+    cover = spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("tpos"),
+    ).distinct()
+    flagged = toks.join(
+        cover.withColumn("cut", F.lit(True)), ["doc_id", "tpos"], "left"
+    ).select(
+        "doc_id", "tpos", "tok",
+        F.coalesce("cut", F.lit(False)).alias("cut"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "tok", "cut"))
+                    ),
+                    lambda st: ~st["cut"],
+                ),
+                lambda st: st["tok"],
+            )).alias("ftext"),
+            F.sum((~F.col("cut")).cast("bigint")).cast("bigint")
+            .alias("n_tokens"),
+            F.sum(F.col("cut").cast("bigint")).cast("bigint")
+            .alias("n_tokens_cut"),
+        )
+    )
+
+
 def bpe_train(
     df: DataFrame, *, n_merges: int = 10, text_col: str = "text"
 ) -> list[tuple[str, str, int]]:

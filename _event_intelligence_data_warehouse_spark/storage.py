@@ -44,6 +44,17 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+def _lit_sql_type(value) -> str:
+    """Spark SQL type for a Python filter value (for a typed NULL)."""
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "bigint"
+    if isinstance(value, float):
+        return "double"
+    return "string"
+
+
 def _parse_part(pv: str, like) -> object:
     """Parse a partition-path value to the filter value's type; on
     failure return the raw string (the comparison then TypeErrors and the
@@ -491,6 +502,15 @@ class Warehouse:
         else:
             df = self._read_file_list(self.path(table), keep)
         for col, op, value in filters:
+            if col not in df.columns:
+                # Schema evolution corner: pruning kept only files that
+                # predate the filter column (they have no bounds, so
+                # they can never be pruned on it). read().filter() sees
+                # those rows with a NULL column and drops them — mirror
+                # that instead of raising UNRESOLVED_COLUMN.
+                df = df.withColumn(
+                    col, F.lit(None).cast(_lit_sql_type(value))
+                )
             c = F.col(col)
             df = df.filter({
                 "==": c == value, "<": c < value, "<=": c <= value,
@@ -536,9 +556,16 @@ class Warehouse:
             parts = rel.split(os.sep)
             root = os.path.join(base, *parts[:2]) if parts[0] == "data" else base
             groups.setdefault(root, []).append(os.path.join(base, rel))
+        # mergeSchema only where schemas CAN be heterogeneous: the
+        # legacy-adopted base-root group (files from many historical
+        # writes). Files inside one data/s* snapshot dir come from a
+        # single job and share a schema — skip the per-footer merge I/O
+        # there; cross-SNAPSHOT evolution is handled by the
+        # allowMissingColumns union below.
         dfs = [
             self.spark.read.option("basePath", root)
-            .option("mergeSchema", "true").parquet(*sorted(fs))
+            .option("mergeSchema", "true" if root == base else "false")
+            .parquet(*sorted(fs))
             for root, fs in sorted(groups.items())
         ]
         out = dfs[0]

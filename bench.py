@@ -177,20 +177,15 @@ def _bench_semantic_split(spark, sf_dir: str, timings: dict[str, float]) -> None
     from pyspark.sql import functions as F
 
     from _event_intelligence_data_warehouse_spark import cache
-    from _event_intelligence_data_warehouse_spark.contract import load
     from _event_intelligence_data_warehouse_spark.contract.extension_queries import (
         _SEM_TAU,
+        _sem_corpus,
     )
     from _event_intelligence_data_warehouse_spark.operators import (
         similarity as sim,
     )
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = emb.unionByName(
-        emb.filter(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-        )
-    )
+    corpus = _sem_corpus(spark, sf_dir)
     t0 = time.time()
     _, cells = sim.ivf_cells(corpus)
     assign = cache.persist(

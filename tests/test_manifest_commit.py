@@ -598,3 +598,19 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     assert len(keep) >= 1
     got_q = [r.id for r in wh.scan("t", [("quality", ">=", 0.8)]).collect()]
     assert got_q == [4]
+
+
+def test_scan_on_evolved_table_when_all_bounded_files_prune(spark, tmp_path):
+    """Data skipping can prune every file that carries an evolved
+    column; scan() must then match read().filter() (empty result), not
+    raise UNRESOLVED_COLUMN."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", spark.createDataFrame([(1, "a")], "id long, val string"))
+    wh.append("t", spark.createDataFrame(
+        [(2, "b", 0.5), (3, "c", 0.9)], "id long, val string, quality double"
+    ))
+    # quality < 0.3 prunes the only snapshot with quality bounds; only
+    # the pre-evolution file survives (no bounds -> never pruned)
+    got = wh.scan("t", [("quality", "<", 0.3)]).collect()
+    want = wh.read("t").filter(F.col("quality") < 0.3).collect()
+    assert got == want == []
