@@ -279,6 +279,9 @@ _DRIVER_SAMPLE_TAIL = [
     # shares its entire machinery (training, cells, pairs, components)
     # with dedup_semantic, which IS sampled; the audit stays local-gated
     "dedup_semantic_recall",
+    # rank-selection percentile machinery identical to
+    # agg_exact_percentiles (tail, r03-green); local-gated
+    "clean_winsorize_values",
 ]
 
 

@@ -3407,3 +3407,54 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_captured"),
         )
     )
+
+
+@query(
+    "clean_winsorize_values",
+    """
+    WITH ranked AS (
+        SELECT event_id, event_type,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(value AS DECIMAL(18,2)),
+                                           event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), cuts AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+                        THEN v END) AS lo,
+               MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                        THEN v END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type,
+           CAST(least(greatest(r.v, c.lo), c.hi) AS DOUBLE)
+               AS value_clamped,
+           CAST(CASE WHEN r.v < c.lo OR r.v > c.hi
+                     THEN 1 ELSE 0 END AS BIGINT) AS clamped
+    FROM ranked r JOIN cuts c USING (event_type)
+    """,
+)
+def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization of event values at exact p05/p95 rank
+    selections — robust preprocessing before normalization; clamp
+    bounds are integer rank picks, so both engines choose the identical
+    element."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    out = smp.winsorize(
+        e, "value", ["event_type"], p_lo=0.05, p_hi=0.95,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id", "event_type",
+        F.col("value_clamped").cast("double").alias("value_clamped"),
+        "clamped",
+    )

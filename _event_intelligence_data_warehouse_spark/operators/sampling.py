@@ -287,3 +287,52 @@ def leakage_safe_kfold(
     return comp.select(
         "doc_id", "component_id", fold.cast("bigint").alias("fold")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` to its group's
+    [p_lo, p_hi] exact percentiles — the robust-preprocessing staple
+    that tames outlier feature values (token counts, prices, durations)
+    before they skew a normalization or a training mix.
+
+    Percentiles are exact DISCRETE rank selections (element at sorted
+    rank floor(p*(n-1))+1, deterministic via ``tiebreak_col``) — pure
+    integer logic, engine-portable, no interpolation arithmetic. Output
+    keeps every row with (value_clamped, clamped). Scale: one window
+    shuffle on the group key for the ranking plus a group-sized cutoff
+    join (broadcasts — group count, not rows); the at-scale
+    approximate alternative is sketches.binned_quantiles."""
+    v = F.col(value_col)
+    w = Window.partitionBy(*group_cols).orderBy(v, F.col(tiebreak_col))
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(wn)
+    )
+
+    def pick(p: float, name: str):
+        target = F.floor(F.lit(p) * (F.col("_n") - 1)).cast("long") + 1
+        return F.max(F.when(F.col("_rn") == target, v)).alias(name)
+
+    cuts = ranked.groupBy(*group_cols).agg(
+        pick(p_lo, "_lo"), pick(p_hi, "_hi")
+    )
+    return (
+        df.join(F.broadcast(cuts), group_cols)
+        .withColumn(
+            "value_clamped",
+            F.least(F.greatest(v, F.col("_lo")), F.col("_hi")),
+        )
+        .withColumn(
+            "clamped",
+            ((v < F.col("_lo")) | (v > F.col("_hi"))).cast("bigint"),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -215,3 +215,26 @@ def test_kfold_never_splits_near_dup_pairs(spark):
         assert rows[a].component_id == rows[b].component_id
     # transitive closure: 0-1-2 all share one fold
     assert rows[0].fold == rows[2].fold
+
+
+def test_winsorize_clamps_group_outliers_only(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    rows = (
+        [(i, "a", float(i)) for i in range(1, 100)] + [(100, "a", 1000.0)]
+        + [(200 + i, "b", 5.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r for r in smp.winsorize(
+        df, "v", ["g"], p_lo=0.05, p_hi=0.95, tiebreak_col="id"
+    ).collect()}
+    # the planted outlier clamps to group a's p95 pick
+    assert out[100].clamped == 1 and out[100].value_clamped < 1000.0
+    # mid-range rows untouched
+    assert out[50].clamped == 0 and out[50].value_clamped == 50.0
+    # low tail clamps up
+    assert out[1].clamped == 1 and out[1].value_clamped > 1.0
+    # constant group: nothing clamps
+    assert all(out[200 + i].clamped == 0 for i in range(10))
