@@ -282,6 +282,9 @@ _DRIVER_SAMPLE_TAIL = [
     # rank-selection percentile machinery identical to
     # agg_exact_percentiles (tail, r03-green); local-gated
     "clean_winsorize_values",
+    # gram-hash df aggregate shape shared with text_decontaminate
+    # (sampled); local-gated
+    "text_ngram_novelty",
 ]
 
 

@@ -3458,3 +3458,37 @@ def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_clamped").cast("double").alias("value_clamped"),
         "clamped",
     )
+
+
+@query(
+    "text_ngram_novelty",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+2], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM toks WHERE len(t) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM grams
+    ), dfreq AS (
+        SELECT gram_hash, COUNT(*) AS df FROM ex GROUP BY gram_hash
+    )
+    SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM ex e JOIN dfreq d USING (gram_hash)
+    GROUP BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: fraction of the doc's distinct word
+    trigrams with corpus document frequency 1 — the derivativeness
+    signal between exact quality metrics and pairwise dedup."""
+    return tx.ngram_novelty(load(spark, sf_dir, "documents"), n=3)

@@ -806,3 +806,34 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+def ngram_novelty(
+    df: DataFrame, *, n: int = 3, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams that appear NOWHERE else in the corpus — the
+    cheap diversity/derivativeness signal (a doc of df=1 grams is
+    original; a doc whose grams all recur is boilerplate-adjacent even
+    when no single pair crosses a dedup threshold). Returns
+    (doc_id, n_grams, n_novel, novelty).
+
+    Scale: one gram-hash document-frequency aggregate (8-byte digests
+    shuffle, never text) + one hash join back — wordcount-shaped."""
+    grams = word_ngram_hashes(df, n=n, text_col=text_col, id_col=id_col)
+    # grams are per-doc distinct, so COUNT(*) per hash IS document freq
+    dfreq = grams.groupBy("gram_hash").agg(F.count("*").alias("df"))
+    joined = grams.join(dfreq, "gram_hash")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("bigint")).cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )

@@ -417,3 +417,20 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert got == want, f"{got} != {want}"
     # merged symbols grow beyond single characters
     assert any(len(l) + len(r) > 2 for l, r, _ in got)
+
+
+def test_ngram_novelty_separates_original_from_derivative(spark):
+    from _event_intelligence_data_warehouse_spark.operators import text as tx2
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, shared),                       # all grams recur in doc 2
+        (2, shared + " extra tail words here"),
+        (3, "completely original content nothing shared anywhere else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx2.ngram_novelty(df, n=3).collect()}
+    assert got[1].n_novel == 0 and got[1].novelty == 0.0
+    assert got[3].n_novel == got[3].n_grams and got[3].novelty == 1.0
+    # doc 2: shared prefix grams recur, tail grams are novel
+    assert 0 < got[2].n_novel < got[2].n_grams
