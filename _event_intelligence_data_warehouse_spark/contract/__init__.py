@@ -285,6 +285,17 @@ _DRIVER_SAMPLE_TAIL = [
     # gram-hash df aggregate shape shared with text_decontaminate
     # (sampled); local-gated
     "text_ngram_novelty",
+    # component-size histogram telemetry over CC labels; the CC
+    # machinery keeps TWO sampled entries (dedup_connected_components,
+    # dedup_cc_incremental) — frees the slot for text_lm_surprise (new
+    # mechanism: corpus-trained model scored by join-back)
+    "dedup_cluster_sizes",
+    # round-4 late additions: full local oracles this round, queued for
+    # next round's rotation (precedent: every round's tail additions
+    # earned driver rows one round later)
+    "curation_quality_percentile",
+    "profile_key_skew",
+    "embedding_random_projection",
 ]
 
 

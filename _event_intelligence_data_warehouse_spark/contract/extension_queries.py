@@ -3492,3 +3492,141 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams with corpus document frequency 1 — the derivativeness
     signal between exact quality metrics and pairwise dedup."""
     return tx.ngram_novelty(load(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "text_lm_surprise",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), occ AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> struct_pack(
+                h1 := CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT),
+                h2 := CAST(('0x' || substr(md5(t[i+1]), 1, 8)) AS BIGINT))
+        )) AS g
+        FROM toks WHERE len(t) >= 2
+    ), pairs AS (
+        SELECT doc_id, g.h1 AS h1, g.h2 AS h2 FROM occ
+    ), c2 AS (
+        SELECT h1, h2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM pairs GROUP BY h1, h2
+    ), c1 AS (
+        SELECT h1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY h1
+    )
+    -- HUGEINT intermediates + // (exact integer division) mirror the
+    -- Spark side's DECIMAL(38,0) div — bit-identical on both engines
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((CAST(c1 AS HUGEINT) * 1000000) // c2) AS BIGINT)
+               AS surprise_total,
+           CAST(CAST(SUM((CAST(c1 AS HUGEINT) * 1000000) // c2) AS BIGINT)
+                AS DOUBLE) / COUNT(*) AS surprise_mean
+    FROM pairs p JOIN c2 USING (h1, h2) JOIN c1 USING (h1)
+    GROUP BY p.doc_id
+    """,
+)
+def text_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM surprise per document — the CCNet-style
+    perplexity proxy (head/middle/tail quality bucketing), reformulated
+    as floor-scaled inverse conditional probability so the score is
+    exact integer arithmetic on both engines (sum-of-float-logs would
+    not even be deterministic across partition orders)."""
+    return tx.lm_bigram_surprise(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "curation_quality_percentile",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS score
+        FROM documents
+    )
+    SELECT doc_id, source, score,
+           percent_rank() OVER (
+               PARTITION BY source ORDER BY score, doc_id
+           ) AS pct_rank
+    FROM s
+    """,
+)
+def curation_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile calibration of a quality score (token
+    count here): raw scores from different sources aren't comparable;
+    their within-source percent_rank is — the normalization before a
+    global keep-top-X% curation threshold. (rank-1)/(n-1) is one exact
+    integer division, engine-identical."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count("text").cast("bigint").alias("score")
+    )
+    return smp.group_percentile(
+        d, "score", ["source"], tiebreak_col="doc_id"
+    )
+
+
+@query(
+    "profile_key_skew",
+    """
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM counts
+    )
+    SELECT user_id, n_rows,
+           CAST((CAST(n_rows AS HUGEINT) * 1000000) // t AS BIGINT)
+               AS share_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)
+                AS BIGINT) AS rnk
+    FROM counts CROSS JOIN tot
+    ORDER BY n_rows DESC, user_id
+    LIMIT 20
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile of events.user_id: the 20 heaviest keys
+    with exact counts and ppm share — the measurement that decides
+    whether a join/agg needs salting before anyone pays for it."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        skew as sk,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return sk.key_skew_profile(e, ["user_id"], top_n=20)
+
+
+@query(
+    "embedding_random_projection",
+    """
+    WITH ex AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    ), dims AS (
+        SELECT unnest(generate_series(0, 7)) AS dim
+    )
+    SELECT vec_id, CAST(d.dim AS BIGINT) AS dim,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) *
+               (CASE WHEN CAST(('0x' || substr(md5(
+                    'rp|' || i || '|' || d.dim), 1, 1)) AS INT) % 2 = 0
+                THEN 1 ELSE -1 END)) AS DOUBLE) AS value
+    FROM ex CROSS JOIN dims d
+    GROUP BY vec_id, d.dim
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection of the embedding
+    table to 8 dims (long form) — signs are pure md5 hashes, element
+    sums run in the decimal domain, so the reduced vectors are
+    bit-identical on every engine. The shrink step before a 100 TB ANN
+    index."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return sim.random_projection(e, k=8)

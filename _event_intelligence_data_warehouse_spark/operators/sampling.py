@@ -336,3 +336,26 @@ def winsorize(
         )
         .drop("_lo", "_hi")
     )
+
+
+def group_percentile(
+    df: DataFrame, score_col: str, group_cols: list[str], *,
+    tiebreak_col: str, out_col: str = "pct_rank",
+) -> DataFrame:
+    """Within-group percentile calibration: adds ``out_col`` =
+    percent_rank of ``score_col`` inside each group — the normalization
+    step before mixing sources whose raw quality scales are
+    incomparable (a 0.7 from a clean source and a 0.7 from a crawl mean
+    different things; their within-source percentiles don't). A global
+    "keep top X%" threshold then applies uniformly across sources.
+
+    ``tiebreak_col`` makes the ordering total, so tied scores rank
+    identically on every engine. percent_rank is (rank-1)/(n-1) — one
+    exact integer division — and a single-member group scores 0.0.
+
+    Scale: one window per group key — a sort within each group's
+    partition range, no extra shuffle beyond the partitionBy hash."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col), F.col(tiebreak_col)
+    )
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -877,3 +877,55 @@ def quantize_embeddings_int8(
             "max_err_r"
         ),
     )
+
+
+def random_projection(
+    df: DataFrame, *, k: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding", seed: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    deterministic Rademacher (±1) projection matrix: output dim ``j``
+    is ``sum_i v_i * s(i, j)`` where the sign ``s(i, j)`` is +1 when
+    the first hex nibble of ``md5(seed|i|j)`` is even — the matrix is
+    a pure hash function, never materialized, identical on every
+    engine and every run. JL: pairwise distances are preserved within
+    (1±eps) for k = O(log n / eps^2), which is what lets 100 TB of
+    384-dim embeddings shrink ~24x before the ANN index pays for them.
+
+    Output LONG form: (vec_id, dim, value), value exact — element
+    products and the per-dim sum run in the decimal domain (float ->
+    double -> DECIMAL(18,9) pins the engine-portable rendering; the
+    sum is order-free), so the projection is oracle-checkable
+    bit-for-bit.
+
+    Scale: per-row column algebra — no shuffle, no UDF, no matrix
+    broadcast; each of the k output dims is one codegen'd aggregate
+    over the vector array."""
+    sign = (
+        lambda j: f"(CASE WHEN conv(substr(md5(concat('{seed}|', i, "
+        f"'|', {j})), 1, 1), 16, 10) % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+    projs = F.array(*[
+        F.expr(
+            f"aggregate(zip_with({vec_col}, "
+            f"sequence(0, size({vec_col}) - 1), (x, i) -> "
+            f"CAST(CAST(x AS DOUBLE) AS DECIMAL(19,9)) * {sign(j)}), "
+            # precision-30 accumulator: decimal + at precision 38 would
+            # hit Spark's cap and silently ROUND the scale down to 8
+            # mid-fold; 30+30 -> 31 stays exact, and the re-cast keeps
+            # the fold type stable (unit-norm embeddings can't overflow
+            # 21 integer digits)
+            f"CAST(0 AS DECIMAL(30,9)), "
+            f"(acc, y) -> CAST(acc + CAST(y AS DECIMAL(30,9)) "
+            f"AS DECIMAL(30,9)))"
+        )
+        for j in range(k)
+    ])
+    return (
+        df.select(F.col(id_col).alias("vec_id"), projs.alias("_p"))
+        .select("vec_id", F.posexplode("_p").alias("dim", "_v"))
+        .select(
+            "vec_id", F.col("dim").cast("long").alias("dim"),
+            F.col("_v").cast("double").alias("value"),
+        )
+    )

@@ -21,7 +21,7 @@ determinism.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # (partial_fn, final_fn) per re-aggregatable measure: the algebra that
@@ -99,3 +99,44 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return salted_probe.join(replicated, [*on, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], *, top_n: int = 20,
+) -> DataFrame:
+    """Shuffle-key skew profile: the ``top_n`` heaviest key values with
+    exact row counts and corpus share in ppm — the measurement that
+    decides WHETHER a join/agg needs salting (and how many salts)
+    before anyone pays for it. A key holding >> 1/parallelism of the
+    rows is the straggler task at shuffle time.
+
+    Output: (key..., n_rows, share_ppm, rnk), heaviest first; ties
+    break on the key for a total, engine-stable order.
+
+    Scale: one hash aggregate (map-side partial combine) over the key,
+    a 1-row total broadcast, and a TakeOrdered top-N — the profile
+    never materializes the full key histogram on the driver."""
+    counts = df.groupBy(*key_cols).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    total = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("_total")
+    )
+    keys = [F.col(c) for c in key_cols]
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST((CAST(n_rows AS DECIMAL(38,0)) * 1000000) "
+                "div _total AS BIGINT)"
+            ),
+        )
+        .drop("_total")
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), *keys)
+    return ranked.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    )

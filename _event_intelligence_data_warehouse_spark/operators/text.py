@@ -837,3 +837,71 @@ def ngram_novelty(
             F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
         )
     )
+
+
+def lm_bigram_surprise(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document bigram language-model surprise — the CCNet-style
+    perplexity proxy for quality bucketing, reformulated to be exact
+    across engines. A corpus-trained bigram model scores each document
+    by the mean inverse conditional probability of its bigrams:
+
+        surprise(w1 w2) = floor(scale * c(w1·) / c(w1 w2))
+
+    where ``c(w1 w2)`` is the corpus occurrence count of the bigram and
+    ``c(w1·)`` the count of ``w1`` as a bigram head (so
+    ``c(w1w2)/c(w1·)`` IS the MLE ``p(w2|w1)``; surprise is its
+    floored-scaled reciprocal, ≥ ``scale``). A repetitive or templated
+    document scores near ``scale`` (its continuations are always seen),
+    a typical document sits in a mid band, and gibberish or
+    heavily-OOV-ish text scores high — mirroring how CCNet's KenLM
+    perplexity splits a crawl into head/middle/tail. Log-free on
+    purpose: floor(scale*a/b) over int64 counts is bit-identical on
+    every engine, while sum-of-float-logs is not even deterministic
+    across partition orders.
+
+    Output: (doc_id, n_bigrams, surprise_total, surprise_mean) —
+    integer totals plus one final double division.
+
+    Scale: wordcount-shaped. Documents explode to (h1, h2) 32-bit
+    token-hash pairs (text itself never shuffles); the model is two
+    hash aggregates (bigram counts, then head counts re-aggregated
+    from them — never a second pass over occurrences); scoring is two
+    equi-joins back. DECIMAL(38,0) guards the c1*scale product past
+    int64 at web-corpus counts. Hash collisions merge rare bigrams
+    identically on both engines, so the contract oracle stays exact."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
+    pair = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct("
+        "cast(conv(substr(md5(element_at(toks, i)), 1, 8), 16, 10) "
+        "  as bigint) as h1, "
+        "cast(conv(substr(md5(element_at(toks, i + 1)), 1, 8), 16, 10) "
+        "  as bigint) as h2))"
+    )
+    occ = (
+        d.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(pair).alias("g"))
+        .select("doc_id", F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2"))
+    )
+    c2 = occ.groupBy("h1", "h2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("h1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    surprise = F.expr(
+        f"CAST((CAST(c1 AS DECIMAL(38,0)) * {int(scale)}) div c2 AS BIGINT)"
+    )
+    return (
+        occ.join(c2, ["h1", "h2"]).join(c1, ["h1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(surprise).cast("bigint").alias("surprise_total"),
+        )
+        .withColumn(
+            "surprise_mean",
+            F.col("surprise_total").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+    )

@@ -966,3 +966,259 @@ class Warehouse:
             "files_after": files_after,
             "bytes": total,
         }
+
+    # -- copy-on-write row-level DML ---------------------------------------
+    @staticmethod
+    def _filters_pred(df: DataFrame, filters: list[tuple]):
+        """(df with any missing filter columns added as NULL, AND-ed
+        predicate Column). NULL comparisons yield NULL, so the caller
+        decides the three-valued-logic policy (DML keeps NULL rows)."""
+        pred = F.lit(True)
+        for col, op, value in filters:
+            if col not in df.columns:
+                # Schema evolution: files predating the column see NULL
+                # — comparisons are NULL there, so such rows are never
+                # "matched" by DML (same policy as scan()).
+                df = df.withColumn(
+                    col, F.lit(None).cast(_lit_sql_type(value))
+                )
+            c = F.col(col)
+            pred = pred & {
+                "==": c == value, "<": c < value, "<=": c <= value,
+                ">": c > value, ">=": c >= value,
+            }[op]
+        return df, pred
+
+    def delete_where(self, table: str, filters: list[tuple]) -> dict:
+        """Copy-on-write row-level DELETE (manifest mode): rows matching
+        ALL ``(col, op, value)`` filters are removed; rows where the
+        predicate is NULL (NULL column value, or a file predating the
+        column) are KEPT — SQL DELETE's three-valued logic.
+
+        Scale: the write cost is proportional to the files that CAN
+        contain a match, not the table — candidate files come from the
+        same manifest min/max + partition pruning as ``scan()``, every
+        other file carries into the new version verbatim (path and
+        stats entry reused, zero bytes moved), and one pointer publish
+        makes the delete atomic. A predicate that prunes to nothing is
+        a no-op and publishes no version. Deleted-row accounting runs
+        on candidate files only.
+
+        Returns {version, candidates, carried, rows_deleted,
+        files_rewritten}; ``version`` is None for the no-op case."""
+        if not self.manifest:
+            raise ValueError("delete_where requires Warehouse(manifest=True)")
+        m = self._adopt_if_legacy(table)
+        cands, _total = self.pruned_files(table, filters)
+        carried = [f for f in m["files"] if f not in set(cands)]
+        if not cands:
+            return {"version": None, "candidates": 0,
+                    "carried": len(carried), "rows_deleted": 0,
+                    "files_rewritten": 0}
+        cdf = self._read_file_list(self.path(table), cands)
+        base_cols = list(cdf.columns)
+        aug, pred = self._filters_pred(cdf, filters)
+        keep_df = aug.filter(~F.coalesce(pred, F.lit(False))).select(
+            *base_cols
+        )
+        n_cand = cdf.count()
+        pcol = m.get("partition_col")
+        new = self._write_snapshot(
+            table, keep_df,
+            pcol if pcol and pcol in keep_df.columns else None,
+        )
+        kept_rows = (
+            self._read_file_list(self.path(table), new).count()
+            if new else 0
+        )
+        old_stats = m.get("stats", {})
+        stats = {
+            **{f: old_stats[f] for f in carried if f in old_stats},
+            **self._collect_minmax(table, new),
+        }
+        man = self._publish(table, carried + new, pcol, "delete_where",
+                            stats=stats)
+        return {"version": man["version"], "candidates": len(cands),
+                "carried": len(carried),
+                "rows_deleted": n_cand - kept_rows,
+                "files_rewritten": len(new)}
+
+    def update_where(
+        self, table: str, filters: list[tuple], assignments: dict,
+    ) -> dict:
+        """Copy-on-write row-level UPDATE (manifest mode): rows matching
+        ALL filters get each ``assignments[col]`` (a Column expression
+        over the pre-update row, or a SQL-string expression) applied;
+        NULL-predicate rows are untouched, mirroring SQL UPDATE.
+        Candidate files are min/max + partition pruned exactly like
+        ``delete_where`` — untouched files carry over verbatim — so a
+        selective update of a 100 TB table rewrites only the files that
+        can hold a match, and one pointer publish keeps it atomic.
+
+        Returns {version, candidates, carried, rows_updated,
+        files_rewritten}; ``version`` is None when pruning proves no
+        file can match."""
+        if not self.manifest:
+            raise ValueError("update_where requires Warehouse(manifest=True)")
+        m = self._adopt_if_legacy(table)
+        pcol = m.get("partition_col")
+        if pcol and pcol in assignments:
+            raise ValueError(
+                f"update_where cannot reassign partition column "
+                f"{pcol!r} (rows would move between partitions; use "
+                "read -> transform -> overwrite_partitions instead)"
+            )
+        cands, _total = self.pruned_files(table, filters)
+        carried = [f for f in m["files"] if f not in set(cands)]
+        if not cands:
+            return {"version": None, "candidates": 0,
+                    "carried": len(carried), "rows_updated": 0,
+                    "files_rewritten": 0}
+        cdf = self._read_file_list(self.path(table), cands)
+        base_cols = list(cdf.columns)
+        unknown = [c for c in assignments if c not in base_cols]
+        if unknown:
+            raise ValueError(
+                f"update_where assigns to columns not in table "
+                f"{table!r}: {unknown} (schema evolution goes through "
+                "append/overwrite)"
+            )
+        types = dict(cdf.dtypes)
+        aug, pred = self._filters_pred(cdf, filters)
+        hit = F.coalesce(pred, F.lit(False))
+        out = aug.select(
+            *[
+                (
+                    F.when(
+                        hit,
+                        F.expr(assignments[c])
+                        if isinstance(assignments[c], str)
+                        else assignments[c],
+                    ).otherwise(F.col(c)).cast(types[c]).alias(c)
+                    if c in assignments else F.col(c)
+                )
+                for c in base_cols
+            ],
+            hit.alias("__hit__"),
+        )
+        n_updated = out.filter(F.col("__hit__")).count()
+        out = out.drop("__hit__")
+        new = self._write_snapshot(
+            table, out, pcol if pcol and pcol in out.columns else None
+        )
+        old_stats = m.get("stats", {})
+        stats = {
+            **{f: old_stats[f] for f in carried if f in old_stats},
+            **self._collect_minmax(table, new),
+        }
+        man = self._publish(table, carried + new, pcol, "update_where",
+                            stats=stats)
+        return {"version": man["version"], "candidates": len(cands),
+                "carried": len(carried), "rows_updated": n_updated,
+                "files_rewritten": len(new)}
+
+    def merge_into(
+        self, table: str, source: DataFrame, keys: list[str], *,
+        when_matched: str = "update", insert_not_matched: bool = True,
+    ) -> dict:
+        """Delta-style MERGE with stats-based file pruning (manifest
+        mode): target rows whose key matches a source row are replaced
+        by the source row (``when_matched='update'``, whole-row upsert)
+        or removed (``'delete'``); unmatched source rows are inserted
+        (``insert_not_matched``). The source must be unique per key
+        tuple — MERGE's own precondition (checked; duplicate source
+        keys raise rather than silently double-applying).
+
+        Scale: candidate files are pruned to those whose recorded
+        per-key [min, max] bounds intersect the SOURCE's key envelope —
+        one tiny aggregate over the source computes it — so a trickle
+        merge into a Z-ordered or partitioned 100 TB table rewrites
+        only files that can hold a matched key. Untouched files carry
+        into the new version verbatim; inserts land in the fresh
+        snapshot; one pointer publish keeps the whole MERGE atomic and
+        time-travelable. The matched anti-join shuffles candidate rows
+        only.
+
+        Returns {version, candidates, carried, rows_matched,
+        rows_inserted, files_rewritten}."""
+        if not self.manifest:
+            raise ValueError("merge_into requires Warehouse(manifest=True)")
+        if when_matched not in ("update", "delete"):
+            raise ValueError(
+                f"when_matched must be 'update' or 'delete', got "
+                f"{when_matched!r}"
+            )
+        m = self._adopt_if_legacy(table)
+        pcol = m.get("partition_col")
+        n_src = source.count()
+        if n_src == 0:
+            return {"version": None, "candidates": 0,
+                    "carried": len(m["files"]), "rows_matched": 0,
+                    "rows_inserted": 0, "files_rewritten": 0}
+        if source.select(*keys).distinct().count() != n_src:
+            raise ValueError(
+                "merge_into source has duplicate key tuples — MERGE "
+                "would apply a row twice; dedupe the source first "
+                "(e.g. operators.upsert.latest_per_key)"
+            )
+        # Source key envelope -> candidate files. A key column without
+        # usable bounds simply doesn't prune (correctness first).
+        env = source.agg(*[
+            f(k).alias(f"{n}_{k}")
+            for k in keys for n, f in (("mn", F.min), ("mx", F.max))
+        ]).first()
+        filters = []
+        for k in keys:
+            lo, hi = env[f"mn_{k}"], env[f"mx_{k}"]
+            if lo is not None and hi is not None:
+                filters.extend([(k, ">=", lo), (k, "<=", hi)])
+        cands, _total = self.pruned_files(table, filters)
+        carried = [f for f in m["files"] if f not in set(cands)]
+        if cands:
+            cdf = self._read_file_list(self.path(table), cands)
+            survivors = cdf.join(
+                F.broadcast(source.select(*keys)) if n_src <= 100_000
+                else source.select(*keys),
+                keys, "left_anti",
+            )
+            n_matched = cdf.count() - survivors.count()
+        else:
+            cdf = None
+            survivors = None
+            n_matched = 0
+        parts = []
+        if survivors is not None:
+            parts.append(survivors)
+        n_inserted = 0
+        if when_matched == "update":
+            # matched keys re-enter as source rows alongside inserts
+            parts.append(source)
+            n_inserted = n_src - n_matched
+        elif insert_not_matched:
+            # Pruning guarantee: non-candidate files hold no key inside
+            # the source envelope, so target keys that can match live
+            # in candidate files alone — never read the full table.
+            if cdf is not None:
+                fresh = source.join(
+                    cdf.select(*keys).distinct(), keys, "left_anti"
+                )
+            else:
+                fresh = source
+            parts.append(fresh)
+            n_inserted = n_src - n_matched
+        out = parts[0]
+        for p_df in parts[1:]:
+            out = out.unionByName(p_df, allowMissingColumns=True)
+        new = self._write_snapshot(
+            table, out, pcol if pcol and pcol in out.columns else None
+        )
+        old_stats = m.get("stats", {})
+        stats = {
+            **{f: old_stats[f] for f in carried if f in old_stats},
+            **self._collect_minmax(table, new),
+        }
+        man = self._publish(table, carried + new, pcol, "merge_into",
+                            stats=stats)
+        return {"version": man["version"], "candidates": len(cands),
+                "carried": len(carried), "rows_matched": n_matched,
+                "rows_inserted": n_inserted, "files_rewritten": len(new)}

@@ -723,3 +723,39 @@ def test_semantic_dedup_recall_floor(spark):
     ).first()
     assert r.n_planted >= 40
     assert r.n_captured >= 0.9 * r.n_planted
+
+
+def test_random_projection_is_deterministic_and_linear(spark):
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    base = [0.5, -0.25, 0.125, 1.0]
+    rows = [
+        (1, base),
+        (2, base),                     # identical vector
+        (3, [2 * x for x in base]),    # scaled vector
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        (r.vec_id, r.dim): r.value
+        for r in sim.random_projection(df, k=4).collect()
+    }
+    again = {
+        (r.vec_id, r.dim): r.value
+        for r in sim.random_projection(df, k=4).collect()
+    }
+    assert out == again, "projection must be a pure function"
+    for d in range(4):
+        assert out[(1, d)] == out[(2, d)]
+        assert out[(3, d)] == 2 * out[(1, d)], "Rademacher proj is linear"
+    # a different seed gives a different matrix
+    other = {
+        (r.vec_id, r.dim): r.value
+        for r in sim.random_projection(df, k=4, seed="rp2").collect()
+    }
+    assert any(out[(1, d)] != other[(1, d)] for d in range(4))

@@ -614,3 +614,209 @@ def test_scan_on_evolved_table_when_all_bounded_files_prune(spark, tmp_path):
     got = wh.scan("t", [("quality", "<", 0.3)]).collect()
     want = wh.read("t").filter(F.col("quality") < 0.3).collect()
     assert got == want == []
+
+
+# -- copy-on-write row-level DML ------------------------------------------
+
+def _dml_table(spark, wh, table="t"):
+    """Four single-file snapshots with disjoint id ranges [0,100)...[300,400),
+    val = 'v<id>', quality = id/10 as double."""
+    for lo in (0, 100, 200, 300):
+        wh.append(table, (
+            spark.range(lo, lo + 100).coalesce(1)
+            .select(
+                F.col("id"),
+                F.concat(F.lit("v"), F.col("id")).alias("val"),
+                (F.col("id") / F.lit(10.0)).alias("quality"),
+            )
+        ))
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
+    """A range delete touching one file's bounds rewrites that file
+    alone; the other three carry into the new version verbatim (same
+    path, same stats entry, zero bytes moved)."""
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    before = wh._manifest("t")
+    res = wh.delete_where("t", [("id", ">=", 120), ("id", "<", 180)])
+    assert res["candidates"] == 1 and res["carried"] == 3
+    assert res["rows_deleted"] == 60 and res["files_rewritten"] >= 1
+
+    after = wh._manifest("t")
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) == 3, "untouched files must keep their paths"
+    for f in carried:
+        assert before["stats"][f] == after["stats"][f]
+
+    got = sorted(r.id for r in wh.read("t").collect())
+    assert got == [i for i in range(400) if not (120 <= i < 180)]
+    # time travel still sees the pre-delete image
+    assert wh.read("t", version=before["version"]).count() == 400
+
+
+def test_delete_where_prune_to_nothing_is_a_noop(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    v = wh._current_version("t")
+    res = wh.delete_where("t", [("id", ">=", 1000)])
+    assert res["version"] is None and res["rows_deleted"] == 0
+    assert wh._current_version("t") == v, "no-op must not publish"
+
+
+def test_delete_where_null_predicate_rows_are_kept(spark, tmp_path):
+    """SQL DELETE three-valued logic: rows where the predicate is NULL
+    (NULL column value) survive the delete."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id long, score double"
+    ))
+    res = wh.delete_where("t", [("score", ">", 10.0)])
+    assert res["rows_deleted"] == 1
+    assert sorted(r.id for r in wh.read("t").collect()) == [1, 2]
+
+
+def test_update_where_rewrites_only_candidates_and_matches_sql(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    before = wh._manifest("t")
+    res = wh.update_where(
+        "t", [("id", ">=", 250), ("id", "<", 260)],
+        {"val": F.lit("redacted"), "quality": "quality * 2"},
+    )
+    assert res["candidates"] == 1 and res["carried"] == 3
+    assert res["rows_updated"] == 10
+
+    after = wh._manifest("t")
+    assert len(set(before["files"]) & set(after["files"])) == 3
+
+    rows = {r.id: (r.val, r.quality) for r in wh.read("t").collect()}
+    assert len(rows) == 400
+    for i in range(400):
+        if 250 <= i < 260:
+            assert rows[i] == ("redacted", i / 10.0 * 2)
+        else:
+            assert rows[i] == (f"v{i}", i / 10.0)
+
+
+def test_update_where_guards_partition_col_and_unknown_col(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, val string, bucket int"
+    )
+    wh.overwrite("t", df, partition_col="bucket")
+    with pytest.raises(ValueError, match="partition column"):
+        wh.update_where("t", [("id", "==", 1)], {"bucket": F.lit(99)})
+    with pytest.raises(ValueError, match="not in table"):
+        wh.update_where("t", [("id", "==", 1)], {"nope": F.lit(1)})
+
+
+def test_dml_on_partitioned_table_preserves_layout(spark, tmp_path):
+    """DML over a partitioned table prunes by partition-path value and
+    keeps the partition layout (readers keep pruning afterwards)."""
+    wh = _mwh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(30)],
+        "id long, val string, bucket int",
+    )
+    wh.overwrite("t", df, partition_col="bucket")
+    before = wh._manifest("t")
+    res = wh.delete_where("t", [("bucket", "==", 1), ("id", "<", 10)])
+    assert res["rows_deleted"] == 3  # ids 1,4,7
+    after = wh._manifest("t")
+    # files of buckets 0 and 2 carried verbatim
+    untouched_before = {
+        f for f in before["files"]
+        if Warehouse._partition_of(f, "bucket") != "1"
+    }
+    assert untouched_before <= set(after["files"])
+    # partition layout survives: any rewritten file still lands under a
+    # bucket= dir (an all-rows-deleted candidate legitimately yields none)
+    new_files = set(after["files"]) - set(before["files"])
+    assert all(
+        Warehouse._partition_of(f, "bucket") == "1" for f in new_files
+    )
+    got = sorted(r.id for r in wh.read("t").collect())
+    assert got == [i for i in range(30) if not (i % 3 == 1 and i < 10)]
+    # skipping still works post-DML
+    keep, total = wh.pruned_files("t", [("bucket", "==", 2)])
+    assert 0 < len(keep) < total
+
+
+def test_update_where_on_evolved_table_skips_pre_column_rows(spark, tmp_path):
+    """Files predating an evolved filter column see NULL there — their
+    rows are never matched (SQL UPDATE semantics), and the rewrite
+    keeps each file's own schema epoch readable."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", spark.createDataFrame([(1, "a")], "id long, val string"))
+    wh.append("t", spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, val string, quality double"
+    ))
+    res = wh.update_where(
+        "t", [("quality", ">=", 0.5)], {"val": F.lit("hi")}
+    )
+    assert res["rows_updated"] == 1
+    got = {r.id: r.val for r in wh.read("t").collect()}
+    assert got == {1: "a", 2: "hi"}
+
+
+def test_merge_into_upserts_with_file_pruning(spark, tmp_path):
+    """MERGE replaces matched rows with source rows and inserts the
+    rest; files outside the source's key envelope carry verbatim."""
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    before = wh._manifest("t")
+    src = spark.createDataFrame(
+        [(150, "updated", 9.9), (155, "updated", 8.8),
+         (1000, "fresh", 1.0)],
+        "id long, val string, quality double",
+    )
+    res = wh.merge_into("t", src, ["id"])
+    # key envelope [150, 1000]: only the [0,100) file provably cannot
+    # hold a source key — it carries verbatim; the rest are candidates
+    assert res["rows_matched"] == 2 and res["rows_inserted"] == 1
+    assert res["carried"] == 1 and res["candidates"] == 3
+    after = wh._manifest("t")
+    assert len(set(before["files"]) & set(after["files"])) == 1
+
+    rows = {r.id: (r.val, r.quality) for r in wh.read("t").collect()}
+    assert len(rows) == 401
+    assert rows[150] == ("updated", 9.9) and rows[155] == ("updated", 8.8)
+    assert rows[1000] == ("fresh", 1.0)
+    assert rows[151] == ("v151", 15.1)
+    # pre-merge image intact via time travel
+    assert wh.read("t", version=before["version"]).count() == 400
+
+
+def test_merge_into_delete_when_matched(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    src = spark.createDataFrame(
+        [(250,), (260,), (5000,)], "id long"
+    )
+    res = wh.merge_into(
+        "t", src, ["id"], when_matched="delete", insert_not_matched=False
+    )
+    assert res["rows_matched"] == 2 and res["rows_inserted"] == 0
+    got = sorted(r.id for r in wh.read("t").collect())
+    assert len(got) == 398 and 250 not in got and 260 not in got
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    src = spark.createDataFrame(
+        [(1, "a", 0.0), (1, "b", 0.0)], "id long, val string, quality double"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        wh.merge_into("t", src, ["id"])
+
+
+def test_merge_into_empty_source_is_noop(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    v = wh._current_version("t")
+    src = spark.createDataFrame([], "id long, val string, quality double")
+    res = wh.merge_into("t", src, ["id"])
+    assert res["version"] is None
+    assert wh._current_version("t") == v

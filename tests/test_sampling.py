@@ -238,3 +238,46 @@ def test_winsorize_clamps_group_outliers_only(spark):
     assert out[1].clamped == 1 and out[1].value_clamped > 1.0
     # constant group: nothing clamps
     assert all(out[200 + i].clamped == 0 for i in range(10))
+
+
+def test_group_percentile_calibrates_within_group(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    rows = [
+        # source a: scores 10 < 20 < 30 -> pct 0, .5, 1
+        (1, "a", 10), (2, "a", 20), (3, "a", 30),
+        # source b: same raw scores, different meaning — calibrated
+        # independently
+        (4, "b", 10), (5, "b", 30),
+        # singleton group scores 0.0 (not NaN)
+        (6, "c", 99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    got = {
+        r.doc_id: r.pct_rank
+        for r in smp.group_percentile(
+            df, "score", ["source"], tiebreak_col="doc_id"
+        ).collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.5 and got[3] == 1.0
+    assert got[4] == 0.0 and got[5] == 1.0
+    assert got[6] == 0.0
+
+
+def test_key_skew_profile_ranks_heavy_keys(spark):
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import skew as sk
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 70, F.lit("hot"))
+        .when(F.col("id") < 90, F.lit("warm"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id"))).alias("k")
+    )
+    got = sk.key_skew_profile(df, ["k"], top_n=3).collect()
+    assert [r.k for r in got[:2]] == ["hot", "warm"]
+    assert got[0].n_rows == 70 and got[0].share_ppm == 700000
+    assert got[1].n_rows == 20 and got[1].share_ppm == 200000
+    assert [r.rnk for r in got] == [1, 2, 3]

@@ -434,3 +434,34 @@ def test_ngram_novelty_separates_original_from_derivative(spark):
     assert got[3].n_novel == got[3].n_grams and got[3].novelty == 1.0
     # doc 2: shared prefix grams recur, tail grams are novel
     assert 0 < got[2].n_novel < got[2].n_grams
+
+
+def test_lm_surprise_separates_templated_from_gibberish(spark):
+    """The bigram-LM surprise score ranks a templated document (every
+    continuation always seen) at exactly `scale`, and one-off gibberish
+    strictly above the corpus-typical documents."""
+    template = "order confirmed thank you for shopping"
+    rows = (
+        # 5 identical templated docs: every bigram's head predicts its
+        # continuation with probability 1 -> surprise == scale
+        [(i, template) for i in range(5)]
+        # typical docs: shared vocabulary, varied continuations
+        + [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick red fox runs past the sleepy dog"),
+            (12, "the slow brown bear walks under the tall tree"),
+        ]
+        # gibberish: every bigram unique, but heads ('the') are common
+        + [(20, "the zxqv the wmbk the prtl")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.lm_bigram_surprise(df).collect()}
+
+    for i in range(5):
+        assert got[i].surprise_total == got[i].n_bigrams * 1_000_000
+        assert got[i].surprise_mean == 1_000_000.0
+    # gibberish scores strictly above every typical doc
+    typical_max = max(got[i].surprise_mean for i in (10, 11, 12))
+    assert got[20].surprise_mean > typical_max
+    # and typical docs score strictly above the pure template
+    assert min(got[i].surprise_mean for i in (10, 11, 12)) > 1_000_000.0
