@@ -296,6 +296,8 @@ _DRIVER_SAMPLE_TAIL = [
     "curation_quality_percentile",
     "profile_key_skew",
     "embedding_random_projection",
+    "text_bpe_encode",
+    "curation_dsir_affinity",
 ]
 
 

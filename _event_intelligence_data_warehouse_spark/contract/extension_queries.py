@@ -3630,3 +3630,102 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return sim.random_projection(e, k=8)
+
+
+# Fixed pretrained merge list for the BPE serving path — exercises
+# multi-character merges ((at,ch) only fires after (a,t) and (c,h)).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "t"), ("c", "h"), ("at", "ch"),
+    ("o", "w"), ("e", "r"),
+]
+
+
+def _bpe_apply_duckdb(merges) -> str:
+    """DuckDB expression equivalent of the Spark merge folds: reduce()
+    accumulates the word as a \\x1f-delimited symbol string (reduce's
+    accumulator must be element-typed), re-split between merges."""
+    sep = chr(31)
+    expr = "str_split(w, '')"
+    for left, right in merges:
+        folded = (
+            f"reduce({expr}, (acc, x) -> "
+            f"CASE WHEN (acc = '{left}' OR acc LIKE '%{sep}{left}') "
+            f"AND x = '{right}' "
+            f"THEN substr(acc, 1, len(acc) - {len(left)}) "
+            f"|| '{left}' || '{right}' "
+            f"ELSE acc || '{sep}' || x END)"
+        )
+        expr = f"str_split({folded}, '{sep}')"
+    return expr
+
+
+@query(
+    "text_bpe_encode",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id, len(w) AS nc,
+               len({_bpe_apply_duckdb(_BPE_MERGES)}) AS nt
+        FROM w
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(nc) AS DOUBLE) / SUM(nt) AS chars_per_token
+    FROM t GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE serving path: tokenize every document with a FIXED trained
+    merge list (greedy left-to-right merge folds, the Sennrich apply
+    step) and report per-doc token accounting — the numbers packing
+    budgets and training-cost estimates are built from. Merge folds run
+    as codegen'd array algebra; the merge list compiles into the plan."""
+    return tx.bpe_encode_stats(
+        load(spark, sf_dir, "documents"), _BPE_MERGES
+    )
+
+
+@query(
+    "curation_dsir_affinity",
+    f"""
+    WITH occ AS (
+        SELECT doc_id,
+               unnest(list_transform({_TOKS}, t ->
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096
+               )) AS b
+        FROM documents
+    ), tocc AS (
+        SELECT o.b FROM occ o JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en'
+    ), tf AS (
+        SELECT b, CAST((CAST(COUNT(*) AS HUGEINT) * 1000000) //
+               (SELECT COUNT(*) FROM tocc) AS BIGINT) AS tp
+        FROM tocc GROUP BY b
+    ), rf AS (
+        SELECT b, CAST((CAST(COUNT(*) AS HUGEINT) * 1000000) //
+               (SELECT COUNT(*) FROM occ) AS BIGINT) AS rp
+        FROM occ GROUP BY b
+    ), score AS (
+        SELECT r.b, CAST(coalesce(t.tp, 0) - r.rp AS BIGINT) AS delta_ppm
+        FROM rf r LEFT JOIN tf t USING (b)
+    )
+    SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(s.delta_ppm) AS BIGINT) AS affinity_sum_ppm,
+           CAST(CAST(SUM(s.delta_ppm) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS affinity_ppm
+    FROM occ o JOIN score s USING (b)
+    GROUP BY o.doc_id
+    """,
+)
+def curation_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection signal: hashed unigram buckets score
+    target-vs-raw frequency difference in exact ppm; each document's
+    affinity is its mean bucket score (target = the English subset).
+    Rank raw data by it to select target-looking training data. The
+    4096-row score table broadcasts; the corpus never shuffles text."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.dsir_affinity(docs, docs.filter(F.col("lang") == "en"))

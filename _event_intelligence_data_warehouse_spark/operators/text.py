@@ -905,3 +905,144 @@ def lm_bigram_surprise(
             / F.col("n_bigrams").cast("double"),
         )
     )
+
+
+def _bpe_apply_sql(base: str, merges: list[tuple[str, str]], tag: str) -> str:
+    """Spark SQL expression applying ``merges`` in order to a symbol
+    array expression ``base`` — each merge is one greedy left-to-right
+    array fold (identical to ``bpe_train``'s apply step). ``tag`` makes
+    nested lambda variable names unique."""
+    expr = base
+    for d, (left, right) in enumerate(merges):
+        a, s = f"acc{tag}{d}", f"s{tag}{d}"
+        expr = (
+            f"aggregate({expr}, CAST(array() AS ARRAY<STRING>), "
+            f"({a}, {s}) -> CASE WHEN size({a}) > 0 "
+            f"AND element_at({a}, -1) = '{left}' AND {s} = '{right}' "
+            f"THEN concat(slice({a}, 1, size({a}) - 1), "
+            f"array('{left}{right}')) "
+            f"ELSE concat({a}, array({s})) END)"
+        )
+    return expr
+
+
+def bpe_encode_stats(
+    df: DataFrame, merges: list[tuple[str, str]], *,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a FIXED trained BPE merge list (the serving path:
+    a pretrained tokenizer applied to new text — pair with ``bpe_train``
+    for the learning path) and report per-document token accounting:
+    (doc_id, n_words, n_chars, n_tokens, chars_per_token). The numbers
+    a data pipeline actually needs from its tokenizer — sequence-length
+    planning, packing budgets, cost estimates — without materializing
+    token sequences. Documents with no [a-z]+ words drop out (nothing
+    to tokenize).
+
+    Scale: pure per-row column algebra — words explode, each word runs
+    the merge folds in codegen, one hash re-aggregate per doc. No UDF,
+    no model broadcast (the merge list compiles into the plan), linear
+    in corpus size. ``chars_per_token`` is one exact int division."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+        ).alias("ws"),
+    )
+    apply_expr = _bpe_apply_sql("split(w, '')", merges, "m")
+    ex = d.select(
+        "doc_id", F.explode("ws").alias("w")
+    ).select(
+        "doc_id",
+        F.length("w").alias("nc"),
+        F.expr(f"size({apply_expr})").alias("nt"),
+    )
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+def dsir_affinity(
+    corpus: DataFrame, target: DataFrame, *, n_buckets: int = 4096,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-feature target-affinity score, the data-selection signal
+    of DSIR (Xie et al. 2023, Data Selection via Importance
+    Resampling) in an engine-exact linearization: token occurrences
+    hash into ``n_buckets`` buckets; each bucket scores the difference
+    between its target-corpus and raw-corpus frequency (both in ppm,
+    floored integer division); a document's affinity is the mean bucket
+    score over its token occurrences. Positive = the document's
+    vocabulary is over-represented in the target domain — rank by it
+    (or feed it into weighted sampling) to select raw data that looks
+    like the target. Log-free linearization keeps every intermediate
+    int64-exact (true DSIR sums log-probability ratios, which no two
+    engines aggregate identically).
+
+    Output: (doc_id, n_feats, affinity_sum_ppm, affinity_ppm).
+
+    Scale: both frequency tables are ``n_buckets`` rows no matter the
+    corpus size — they BROADCAST onto the streaming doc-token
+    projection; one wordcount aggregate per corpus + one per-doc
+    re-aggregate. Text never shuffles, only 8-byte hashes."""
+    def occ(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+        ).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(toks, t -> pmod(cast(conv(substr(md5(t), "
+                    f"1, 8), 16, 10) as bigint), {int(n_buckets)}))"
+                )
+            ).alias("b"),
+        )
+
+    def freq(o: DataFrame) -> DataFrame:
+        c = o.groupBy("b").agg(F.count("*").cast("bigint").alias("c"))
+        tot = c.agg(F.sum("c").cast("bigint").alias("t"))
+        return (
+            c.crossJoin(F.broadcast(tot))
+            .select(
+                "b",
+                F.expr(
+                    "CAST((CAST(c AS DECIMAL(38,0)) * 1000000) div t "
+                    "AS BIGINT)"
+                ).alias("ppm"),
+            )
+        )
+
+    raw_occ = occ(corpus)
+    t_ppm = freq(occ(target)).withColumnRenamed("ppm", "tp")
+    r_ppm = freq(raw_occ).withColumnRenamed("ppm", "rp")
+    # fixed-size (n_buckets) score table: broadcast onto the doc stream
+    score = (
+        r_ppm.join(t_ppm, "b", "left")
+        .select(
+            "b",
+            (F.coalesce(F.col("tp"), F.lit(0)) - F.col("rp"))
+            .cast("bigint").alias("delta_ppm"),
+        )
+    )
+    return (
+        raw_occ.join(F.broadcast(score), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("delta_ppm").cast("bigint").alias("affinity_sum_ppm"),
+        )
+        .withColumn(
+            "affinity_ppm",
+            F.col("affinity_sum_ppm").cast("double")
+            / F.col("n_feats").cast("double"),
+        )
+    )

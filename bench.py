@@ -50,6 +50,9 @@ HEADLINE = [
     "text_boilerplate_lines",
     "text_bpe_pair_stats",
     "sketch_bloom_membership",
+    "text_lm_surprise",
+    "text_bpe_encode",
+    "curation_dsir_affinity",
     "curation_pipeline",
     "curation_pipeline_v2",
     "window_tumbling_hourly",

@@ -465,3 +465,67 @@ def test_lm_surprise_separates_templated_from_gibberish(spark):
     assert got[20].surprise_mean > typical_max
     # and typical docs score strictly above the pure template
     assert min(got[i].surprise_mean for i in (10, 11, 12)) > 1_000_000.0
+
+
+def test_bpe_encode_stats_matches_reference_apply(spark):
+    """bpe_encode_stats applies a fixed merge list exactly as the
+    reference greedy left-to-right algorithm does, including cascaded
+    multi-character merges."""
+    merges = [("t", "h"), ("th", "e"), ("a", "t"), ("c", "h"),
+              ("at", "ch")]
+
+    def ref_apply(word):
+        syms = list(word)
+        for left, right in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    texts = ["the batch hatches", "thatch patch", "zz", "TH-E b.atch"]
+    import re
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_tokens)
+        for r in tx.bpe_encode_stats(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        words = re.findall("[a-z]+", t.lower())
+        want = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(ref_apply(w)) for w in words),
+        )
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+    # sanity: merges actually fired (tokens < chars)
+    assert got[0][2] < got[0][1]
+
+
+def test_dsir_affinity_prefers_target_like_documents(spark):
+    """Documents sharing the target domain's vocabulary score strictly
+    above documents from a disjoint vocabulary."""
+    target = spark.createDataFrame(
+        [(100, "quantum physics entangles photons"),
+         (101, "photons and quantum fields")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "quantum photons entangle in physics experiments"),
+         (2, "cheap flights hotel deals booking discount"),
+         (3, "flights booking discount cheap hotel")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.affinity_ppm
+        for r in tx.dsir_affinity(corpus, target).collect()
+    }
+    assert got[1] > got[2] and got[1] > got[3]
+    # target-disjoint docs score negative (their buckets are raw-only)
+    assert got[2] < 0 and got[3] < 0
