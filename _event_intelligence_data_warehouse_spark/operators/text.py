@@ -950,13 +950,17 @@ def bpe_encode_stats(
         ).alias("ws"),
     )
     apply_expr = _bpe_apply_sql("split(w, '')", merges, "m")
-    ex = d.select(
-        "doc_id", F.explode("ws").alias("w")
-    ).select(
-        "doc_id",
+    ex = d.select("doc_id", F.explode("ws").alias("w"))
+    # The production-tokenizer trick (same as bpe_pair_stats): the
+    # corpus collapses to its VOCABULARY before any merge fold runs —
+    # each distinct word folds once, occurrences join the result back.
+    # Fold cost is |vocab| x n_merges instead of corpus x n_merges.
+    vocab = ex.select("w").distinct().select(
+        "w",
         F.length("w").alias("nc"),
         F.expr(f"size({apply_expr})").alias("nt"),
     )
+    ex = ex.join(vocab, "w")
     return (
         ex.groupBy("doc_id")
         .agg(

@@ -74,7 +74,9 @@ class Warehouse:
     """A directory of named parquet tables + tiny JSON metadata."""
 
     def __init__(self, spark: SparkSession, root: str, *,
-                 manifest: bool = False, retain_versions: int = 1):
+                 manifest: bool = False, retain_versions: int = 1,
+                 bloom_cols: dict[str, list[str]] | None = None,
+                 bloom_bits: int = 8192):
         self.spark = spark
         self.root = root
         self.manifest = manifest
@@ -84,6 +86,15 @@ class Warehouse:
         # maintenance can't silently erase history a caller pinned with
         # read(version=N).
         self.retain_versions = max(1, retain_versions)
+        # Per-file Bloom filters for point-lookup skipping: min/max
+        # bounds cannot prune `==` probes on high-cardinality UNSORTED
+        # columns (every file's [min, max] spans the hash space); a
+        # small per-file bloom can. {table: [col, ...]} opts columns in
+        # at commit time; filters ride in the manifest next to the
+        # bounds and carry/recompute through every operation the same
+        # way. ~bloom_bits/8 bytes per (file, col).
+        self.bloom_cols = bloom_cols or {}
+        self.bloom_bits = bloom_bits
         os.makedirs(root, exist_ok=True)
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
 
@@ -416,9 +427,77 @@ class Warehouse:
                         st.max if name not in maxs
                         else max(maxs[name], st.max)
                     )
-            if mins:
-                out[rel] = {c: [mins[c], maxs[c]] for c in mins}
+            entry: dict = {c: [mins[c], maxs[c]] for c in mins}
+            blooms = self._collect_blooms(table, rel)
+            if blooms:
+                entry[self._BLOOM_KEY] = blooms
+            if entry:
+                out[rel] = entry
         return out
+
+    # Reserved stats key for per-file bloom filters (never a filter
+    # column name, so the bounds lookup in _file_may_match skips it).
+    _BLOOM_KEY = "__bloom__"
+
+    def _bloom_hashes(self, col: str, value) -> list[int]:
+        """Five bit positions for (col, value) — md5 slices of the
+        canonical string rendering; build and probe share this, so
+        false negatives are impossible by construction."""
+        import hashlib
+
+        h = hashlib.md5(f"{col}|{value}".encode()).hexdigest()
+        m = self.bloom_bits
+        return [int(h[i * 6:(i + 1) * 6], 16) % m for i in range(5)]
+
+    def _collect_blooms(self, table: str, rel: str) -> dict:
+        """Per-file blooms for this table's opted-in int/str columns —
+        one column read per file the writer just wrote (in a
+        distributed deployment the write task returns this with its
+        commit message, exactly like the min/max bounds)."""
+        cols = self.bloom_cols.get(table)
+        if not cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        try:
+            tbl = pq.read_table(
+                os.path.join(self.path(table), rel),
+                columns=[c for c in cols],
+            )
+        except Exception:
+            return {}
+        out = {}
+        for c in cols:
+            if c not in tbl.column_names:
+                continue
+            bits = 0
+            ok = True
+            for v in tbl.column(c).to_pylist():
+                if v is None:
+                    continue  # NULL never equals a probe value
+                if not isinstance(v, (int, str)) or isinstance(v, bool):
+                    ok = False  # non-canonical type: no bloom
+                    break
+                for b in self._bloom_hashes(c, v):
+                    bits |= 1 << b
+            if ok and bits:
+                out[c] = f"{bits:x}"
+        return out
+
+    def _bloom_may_contain(
+        self, stats_entry: dict | None, col: str, value
+    ) -> bool:
+        if not stats_entry:
+            return True
+        bloom = stats_entry.get(self._BLOOM_KEY, {}).get(col)
+        if bloom is None:
+            return True  # no filter recorded: cannot prune
+        if not isinstance(value, (int, str)) or isinstance(value, bool):
+            return True
+        bits = int(bloom, 16)
+        return all(
+            (bits >> b) & 1 for b in self._bloom_hashes(col, value)
+        )
 
     @staticmethod
     def _file_may_match(
@@ -474,6 +553,11 @@ class Warehouse:
                         ok = False
                         break
                 if not self._file_may_match(stats.get(rel), col, op, value):
+                    ok = False
+                    break
+                if op == "==" and not self._bloom_may_contain(
+                    stats.get(rel), col, value
+                ):
                     ok = False
                     break
             if ok:

@@ -820,3 +820,78 @@ def test_merge_into_empty_source_is_noop(spark, tmp_path):
     res = wh.merge_into("t", src, ["id"])
     assert res["version"] is None
     assert wh._current_version("t") == v
+
+
+# -- per-file bloom point-lookup skipping ---------------------------------
+
+def _bloom_wh(spark, tmp_path):
+    wh = Warehouse(
+        spark, str(tmp_path / "bwh"), manifest=True,
+        bloom_cols={"t": ["uid"]},
+    )
+    # four single-file snapshots of hash-distributed string uids: every
+    # file's [min, max] spans the whole space, so bounds can NEVER
+    # prune a point lookup — only the bloom can
+    for part in range(4):
+        wh.append("t", (
+            spark.range(part * 50, part * 50 + 50).coalesce(1)
+            .selectExpr("id", "md5(cast(id as string)) as uid")
+        ))
+    return wh
+
+
+def test_bloom_prunes_point_lookups_without_false_negatives(spark, tmp_path):
+    wh = _bloom_wh(spark, tmp_path)
+    probe = spark.sql("SELECT md5('123') AS u").first().u  # lives in file 3
+
+    keep, total = wh.pruned_files("t", [("uid", "==", probe)])
+    assert total == 4
+    assert len(keep) < 4, "bloom pruned nothing on a point lookup"
+    got = wh.scan("t", [("uid", "==", probe)]).collect()
+    assert [r.id for r in got] == [123], "bloom pruning lost the row"
+
+    # a value in NO file: every file may legitimately prune
+    keep_none, _ = wh.pruned_files("t", [("uid", "==", "absent")])
+    assert wh.scan("t", [("uid", "==", "absent")]).count() == 0
+    # range ops ignore blooms (bounds still span: nothing pruned)
+    keep_rng, _ = wh.pruned_files("t", [("uid", ">=", "f")])
+    assert len(keep_rng) == 4
+
+
+def test_bloom_filters_survive_dml_carry(spark, tmp_path):
+    """Files carried verbatim through a DELETE keep their blooms; the
+    rewritten file gets a fresh one."""
+    wh = _bloom_wh(spark, tmp_path)
+    wh.delete_where("t", [("id", ">=", 10), ("id", "<", 20)])
+    m = wh._manifest("t")
+    with_bloom = [
+        f for f, st in m["stats"].items() if "__bloom__" in st
+    ]
+    assert len(with_bloom) == len(m["files"]), (
+        "every live file (carried + rewritten) should carry a bloom"
+    )
+    probe = spark.sql("SELECT md5('123') AS u").first().u
+    keep, total = wh.pruned_files("t", [("uid", "==", probe)])
+    assert len(keep) < total
+    assert [r.id for r in wh.scan("t", [("uid", "==", probe)]).collect()] \
+        == [123]
+
+
+def test_bloom_absent_without_optin_and_nulls_safe(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)  # no bloom_cols
+    wh.append("t", spark.range(5).selectExpr(
+        "id", "md5(cast(id as string)) as uid"
+    ))
+    m = wh._manifest("t")
+    assert all("__bloom__" not in st for st in m["stats"].values())
+
+    # NULL values in a bloom'd column never poison the filter
+    wh2 = Warehouse(
+        spark, str(tmp_path / "b2"), manifest=True,
+        bloom_cols={"t": ["uid"]},
+    )
+    wh2.append("t", spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, uid string"
+    ))
+    assert [r.id for r in wh2.scan("t", [("uid", "==", "c")]).collect()] \
+        == [3]
