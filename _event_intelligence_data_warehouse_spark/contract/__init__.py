@@ -298,6 +298,7 @@ _DRIVER_SAMPLE_TAIL = [
     "embedding_random_projection",
     "text_bpe_encode",
     "curation_dsir_affinity",
+    "text_ccnet_buckets",
 ]
 
 

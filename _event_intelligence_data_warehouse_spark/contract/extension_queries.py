@@ -3729,3 +3729,79 @@ def curation_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     4096-row score table broadcasts; the corpus never shuffles text."""
     docs = load(spark, sf_dir, "documents")
     return tx.dsir_affinity(docs, docs.filter(F.col("lang") == "en"))
+
+
+@query(
+    "text_ccnet_buckets",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), occ2 AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> struct_pack(
+                h1 := CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT),
+                h2 := CAST(('0x' || substr(md5(t[i+1]), 1, 8)) AS BIGINT))
+        )) AS g
+        FROM toks WHERE len(t) >= 2
+    ), pairs AS (
+        SELECT doc_id, g.h1 AS h1, g.h2 AS h2 FROM occ2
+    ), c2 AS (
+        SELECT h1, h2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM pairs GROUP BY h1, h2
+    ), c1 AS (
+        SELECT h1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY h1
+    ), doc AS (
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM((CAST(c1 AS HUGEINT) * 1000000) // c2) AS BIGINT)
+                   AS st
+        FROM pairs p JOIN c2 USING (h1, h2) JOIN c1 USING (h1)
+        GROUP BY p.doc_id
+    ), bucketed AS (
+        SELECT d.source, doc.nb, doc.st,
+               ntile(3) OVER (
+                   PARTITION BY d.source
+                   ORDER BY CAST(doc.st AS DOUBLE) / doc.nb, doc.doc_id
+               ) AS bucket
+        FROM doc JOIN documents d USING (doc_id)
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(st) AS BIGINT) AS DOUBLE) / SUM(nb)
+               AS bucket_surprise
+    FROM bucketed
+    GROUP BY source, bucket
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split, end to end: per-source ntile(3)
+    over the bigram-LM surprise score (head = most predictable third).
+    Per (source, bucket): doc count and the bucket's pooled surprise —
+    pooled from INTEGER totals (sum of per-doc int64 surprise / sum of
+    bigram counts), because averaging per-doc doubles would be
+    partition-order-dependent. The mixture planner consumes this table
+    to sample head/middle/tail at different rates."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    scored = tx.lm_bigram_surprise(docs)
+    w = Window.partitionBy("source").orderBy(
+        F.col("surprise_mean"), F.col("doc_id")
+    )
+    b = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
+    )
+    return (
+        b.groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum("surprise_total").cast("bigint").cast("double")
+                / F.sum("n_bigrams").cast("bigint").cast("double")
+            ).alias("bucket_surprise"),
+        )
+    )

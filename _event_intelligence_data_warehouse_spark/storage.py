@@ -44,6 +44,19 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+class ConstraintViolation(ValueError):
+    """A write was rejected because its data failed a declared
+    constraint; ``failed`` holds (rule_name, n_violations) pairs."""
+
+    def __init__(self, table: str, failed: list[tuple[str, int]]):
+        self.table = table
+        self.failed = failed
+        super().__init__(
+            f"write to {table!r} rejected: "
+            + ", ".join(f"{n} ({c} violations)" for n, c in failed)
+        )
+
+
 def _lit_sql_type(value) -> str:
     """Spark SQL type for a Python filter value (for a typed NULL)."""
     if isinstance(value, bool):
@@ -76,7 +89,8 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str, *,
                  manifest: bool = False, retain_versions: int = 1,
                  bloom_cols: dict[str, list[str]] | None = None,
-                 bloom_bits: int = 8192):
+                 bloom_bits: int = 8192,
+                 constraints: dict | None = None):
         self.spark = spark
         self.root = root
         self.manifest = manifest
@@ -95,6 +109,9 @@ class Warehouse:
         # way. ~bloom_bits/8 bytes per (file, col).
         self.bloom_cols = bloom_cols or {}
         self.bloom_bits = bloom_bits
+        # Writer-side CHECK constraints: {table: [validate.Rule, ...]}
+        # enforced by check_constraints before any write lands.
+        self.constraints = constraints or {}
         os.makedirs(root, exist_ok=True)
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
 
@@ -144,7 +161,31 @@ class Warehouse:
         return self.spark.createDataFrame([], schema)
 
     # -- write -------------------------------------------------------------
+    def check_constraints(self, table: str, df: DataFrame) -> None:
+        """Enforce the table's declared constraints (``Warehouse(
+        constraints={table: [Rule, ...]})``) on a frame about to be
+        written: every row-local/uniqueness rule folds into ONE
+        aggregate pass over the batch (referential rules add one
+        anti-join each — see operators/validate.py); any violation
+        raises ``ConstraintViolation`` BEFORE any file is written, so a
+        bad batch can never publish. Writer-side contract enforcement —
+        the warehouse-side complement to pipeline-side validation."""
+        rules = self.constraints.get(table)
+        if not rules:
+            return
+        from _event_intelligence_data_warehouse_spark.operators.validate \
+            import validate
+
+        bad = [
+            (r["rule_name"], int(r["n_violations"]))
+            for r in validate(df, rules).collect()
+            if not r["passed"]
+        ]
+        if bad:
+            raise ConstraintViolation(table, bad)
+
     def append(self, table: str, df: DataFrame) -> None:
+        self.check_constraints(table, df)
         if self.manifest:
             m = self._adopt_if_legacy(table)
             pcol = m.get("partition_col")
@@ -166,6 +207,7 @@ class Warehouse:
         the new image plus a leftover temp dir. Manifest mode: write a
         fresh snapshot and publish a manifest listing only it — atomic on
         object stores too (single pointer-file replace)."""
+        self.check_constraints(table, df)
         if self.manifest:
             files = self._write_snapshot(table, df, partition_col)
             self._publish(table, files, partition_col, "overwrite",
@@ -1232,6 +1274,8 @@ class Warehouse:
                 f"when_matched must be 'update' or 'delete', got "
                 f"{when_matched!r}"
             )
+        if when_matched == "update":
+            self.check_constraints(table, source)
         m = self._adopt_if_legacy(table)
         pcol = m.get("partition_col")
         n_src = source.count()

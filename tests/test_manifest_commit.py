@@ -895,3 +895,48 @@ def test_bloom_absent_without_optin_and_nulls_safe(spark, tmp_path):
     ))
     assert [r.id for r in wh2.scan("t", [("uid", "==", "c")]).collect()] \
         == [3]
+
+
+# -- writer-side CHECK constraints ----------------------------------------
+
+def test_constraints_reject_bad_batch_before_any_write(spark, tmp_path):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        validate as val,
+    )
+    from _event_intelligence_data_warehouse_spark.storage import (
+        ConstraintViolation,
+    )
+
+    rules = [
+        val.not_null("id_not_null", "id"),
+        val.unique("id_unique", ["id"]),
+        val.value_range("score_range", "score", 0.0, 1.0),
+    ]
+    wh = Warehouse(
+        spark, str(tmp_path / "cwh"), manifest=True,
+        constraints={"t": rules},
+    )
+    good = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9)], "id long, score double"
+    )
+    wh.append("t", good)
+    assert wh.read("t").count() == 2
+
+    bad = spark.createDataFrame(
+        [(3, 0.5), (3, 1.5), (None, 0.1)], "id long, score double"
+    )
+    v_before = wh._current_version("t")
+    with pytest.raises(ConstraintViolation) as ei:
+        wh.append("t", bad)
+    names = {n for n, _c in ei.value.failed}
+    assert names == {"id_not_null", "id_unique", "score_range"}
+    # nothing published, nothing changed
+    assert wh._current_version("t") == v_before
+    assert wh.read("t").count() == 2
+
+    # merge_into enforces on its source too
+    with pytest.raises(ConstraintViolation):
+        wh.merge_into("t", bad.filter(F.col("id").isNull()), ["id"])
+    # untracked tables are unaffected
+    wh.append("other", bad)
+    assert wh.read("other").count() == 3
