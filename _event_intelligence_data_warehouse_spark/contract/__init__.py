@@ -299,6 +299,7 @@ _DRIVER_SAMPLE_TAIL = [
     "text_bpe_encode",
     "curation_dsir_affinity",
     "text_ccnet_buckets",
+    "sample_stratified_exact",
 ]
 
 

@@ -3805,3 +3805,58 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket_surprise"),
         )
     )
+
+
+@query(
+    "sample_stratified_exact",
+    """
+    WITH counts AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS stratum_n
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(stratum_n) AS BIGINT) AS N FROM counts
+    ), q AS (
+        SELECT event_type, stratum_n,
+               CAST((CAST(1000 AS HUGEINT) * stratum_n) // N AS BIGINT)
+                   AS base,
+               CAST((CAST(1000 AS HUGEINT) * stratum_n) % N AS BIGINT)
+                   AS rem
+        FROM counts CROSS JOIN tot
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, event_type)
+                   AS rrank,
+               1000 - SUM(base) OVER () AS leftover
+        FROM q
+    ), quotas AS (
+        SELECT event_type, stratum_n,
+               least(stratum_n, base + CASE WHEN rrank <= leftover
+                     THEN 1 ELSE 0 END) AS quota
+        FROM r
+    ), sel AS (
+        SELECT event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS srank
+        FROM events
+    )
+    SELECT s.event_id, s.event_type, CAST(q.quota AS BIGINT) AS quota,
+           q.stratum_n
+    FROM sel s JOIN quotas q USING (event_type)
+    WHERE s.srank <= q.quota
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample of events: a 1000-row budget
+    apportioned across event types by largest remainder (quotas sum to
+    the budget exactly — rate-based sampling can't), membership by md5
+    rank — deterministic across runs and repartitioning."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    out = smp.allocate_stratified(
+        e, ["event_type"], 1000, tiebreak_col="event_id"
+    )
+    return out.select("event_id", "event_type", "quota", "stratum_n")

@@ -359,3 +359,75 @@ def group_percentile(
         F.col(score_col), F.col(tiebreak_col)
     )
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def allocate_stratified(
+    df: DataFrame, group_cols: list[str], n_total: int, *,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact-size stratified sample: allocate a fixed budget of
+    ``n_total`` rows across strata proportionally with the
+    largest-remainder method (quota_i = floor(n*N_i/N), the leftover
+    goes to the largest remainders — the apportionment rule that makes
+    the quotas sum EXACTLY to the budget, which per-stratum rate
+    sampling cannot), then take each stratum's quota by md5 rank of
+    ``tiebreak_col`` — deterministic membership, stable across runs
+    and repartitioning. A stratum smaller than its quota contributes
+    all its rows (the only case the total can undershoot; documented
+    over silently re-flowing the deficit). Requires n_total <= corpus.
+
+    Output: the sampled rows + (quota, stratum_n) audit columns.
+
+    Scale: one count aggregate into a strata-sized frame (broadcast
+    back), one rank window per stratum — no corpus-sized shuffle
+    beyond the stratum hash; all arithmetic int64-exact."""
+    counts = df.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("stratum_n")
+    )
+    tot = counts.agg(F.sum("stratum_n").cast("bigint").alias("_N"))
+    keys = [F.col(c) for c in group_cols]
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_base",
+            F.expr(
+                f"CAST((CAST({int(n_total)} AS DECIMAL(38,0)) * stratum_n)"
+                " div _N AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "_rem",
+            F.expr(
+                f"CAST((CAST({int(n_total)} AS DECIMAL(38,0)) * stratum_n)"
+                " % _N AS BIGINT)"
+            ),
+        )
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), *keys)
+    w_leftover = Window.partitionBy(F.lit(1))
+    quotas = (
+        quotas.withColumn("_rrank", F.row_number().over(w_rem))
+        .withColumn(
+            "_leftover",
+            (F.lit(int(n_total)) - F.sum("_base").over(w_leftover))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("stratum_n"),
+                F.col("_base")
+                + (F.col("_rrank") <= F.col("_leftover")).cast("bigint"),
+            ),
+        )
+        .select(*group_cols, "stratum_n", "quota")
+    )
+    w_sel = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(tiebreak_col).cast("string")), F.col(tiebreak_col)
+    )
+    return (
+        df.withColumn("_srank", F.row_number().over(w_sel))
+        .join(F.broadcast(quotas), group_cols)
+        .filter(F.col("_srank") <= F.col("quota"))
+        .drop("_srank")
+    )

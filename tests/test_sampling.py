@@ -281,3 +281,45 @@ def test_key_skew_profile_ranks_heavy_keys(spark):
     assert got[0].n_rows == 70 and got[0].share_ppm == 700000
     assert got[1].n_rows == 20 and got[1].share_ppm == 200000
     assert [r.rnk for r in got] == [1, 2, 3]
+
+
+def test_allocate_stratified_exact_budget_and_caps(spark):
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    # strata 70 / 25 / 5, budget 10 -> proportional quotas 7 / 2.5 / 0.5
+    # largest-remainder: bases 7,2,0 (sum 9), leftover 1 -> largest rem
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") < 70, "a")
+        .when(F.col("id") < 95, "b").otherwise("c").alias("g"),
+    )
+    out = smp.allocate_stratified(df, ["g"], 10, tiebreak_col="id")
+    got = out.groupBy("g").count().collect()
+    by_g = {r.g: r["count"] for r in got}
+    assert sum(by_g.values()) == 10, "quotas must sum to the budget"
+    assert by_g["a"] == 7 and by_g["a"] + by_g["b"] + by_g.get("c", 0) == 10
+
+    # determinism: identical membership across runs
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(
+        r.id for r in smp.allocate_stratified(
+            df.repartition(7), ["g"], 10, tiebreak_col="id"
+        ).collect()
+    )
+    assert ids1 == ids2
+
+    # extreme skew still sums exactly (largest remainder gives the
+    # tiny stratum its fair ~1, never over-draws it: with budget <= N,
+    # quota_i <= ceil(n_i * budget/N) <= n_i, so the cap is a belt)
+    tiny = spark.createDataFrame(
+        [(i, "x") for i in range(2)] + [(i + 10, "y") for i in range(100)],
+        "id long, g string",
+    )
+    out2 = smp.allocate_stratified(tiny, ["g"], 50, tiebreak_col="id")
+    by = {r.g: r["count"] for r in out2.groupBy("g").count().collect()}
+    assert sum(by.values()) == 50
+    assert by["x"] == 1  # floor(50*2/102)=0 + largest-remainder top-up
