@@ -300,6 +300,7 @@ _DRIVER_SAMPLE_TAIL = [
     "curation_dsir_affinity",
     "text_ccnet_buckets",
     "sample_stratified_exact",
+    "embedding_contrastive_pairs",
 ]
 
 

@@ -3860,3 +3860,50 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ["event_type"], 1000, tiebreak_col="event_id"
     )
     return out.select("event_id", "event_type", "quota", "stratum_n")
+
+
+@query(
+    "embedding_contrastive_pairs",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings
+        WHERE vec_id % 10 = 0
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus
+    ), sig AS (
+        SELECT vec_id, {_planes_sql()} AS bucket FROM vecs
+    ), a AS (
+        SELECT s.bucket, v.vec_id, v.v FROM vecs v JOIN sig s USING (vec_id)
+    ), scored AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))) AS sim
+        FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, sim,
+           CASE WHEN sim >= 0.92 THEN 'positive'
+                WHEN sim >= 0.25 AND sim < 0.4 THEN 'hard_negative'
+           END AS kind
+    FROM scored
+    WHERE sim >= 0.92 OR (sim >= 0.25 AND sim < 0.4)
+    """,
+)
+def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: same-LSH-bucket pairs scored
+    once, split into positives (near-duplicate views — planted copies
+    of every 10th vector, the same construction the exact-dedup oracle
+    uses on documents) and hard negatives (related-but-distinct band —
+    the pairs that actually teach an embedding model; random negatives
+    are free at training time). Never O(n^2): the bucket join bounds
+    the pair space."""
+    emb = load(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return sim.contrastive_pairs(
+        corpus, pos_threshold=0.92, neg_lo=0.25, neg_hi=0.4
+    )

@@ -929,3 +929,55 @@ def random_projection(
             F.col("_v").cast("double").alias("value"),
         )
     )
+
+
+def contrastive_pairs(
+    df: DataFrame, *, pos_threshold: float = 0.92,
+    neg_lo: float = 0.5, neg_hi: float = 0.8,
+    n_planes: int = 8, dim: int = 64, n_tables: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training-pair mining over the near-dup machinery:
+    same-LSH-bucket pairs score once, then split into POSITIVES
+    (cos >= pos_threshold — near-duplicate views of the same content)
+    and HARD NEGATIVES (neg_lo <= cos < neg_hi — related-but-distinct,
+    the pairs that actually teach an embedding model; random negatives
+    are free and uninformative). Output: (id_a, id_b, sim, kind) with
+    id_a < id_b, kind in {'positive', 'hard_negative'}.
+
+    Scale: identical shape to embedding_near_duplicates — the bucket
+    equi-join bounds candidates (~n/2^planes per table per bucket),
+    each candidate scores exactly once, and the band predicate is a
+    filter on that one score. Never O(n²)."""
+    sig = lsh_signatures(df, n_planes=n_planes, dim=dim, n_tables=n_tables,
+                         id_col=id_col, vec_col=vec_col)
+    cand = (
+        sig.alias("sa")
+        .join(sig.alias("sb"),
+              (F.col("sa.table") == F.col("sb.table"))
+              & (F.col("sa.bucket") == F.col("sb.bucket"))
+              & (F.col("sa.vec_id") < F.col("sb.vec_id")))
+        .select(F.col("sa.vec_id").alias("id_a"),
+                F.col("sb.vec_id").alias("id_b"))
+        .distinct()
+    )
+    v = df.select(F.col(id_col).alias("vid"), _vec_double(vec_col).alias("v"))
+    scored = (
+        cand.join(v.withColumnRenamed("vid", "id_a")
+                  .withColumnRenamed("v", "v_a"), "id_a")
+        .join(v.withColumnRenamed("vid", "id_b")
+              .withColumnRenamed("v", "v_b"), "id_b")
+        .select("id_a", "id_b",
+                cosine(F.col("v_a"), F.col("v_b")).alias("sim"))
+    )
+    return (
+        scored.withColumn(
+            "kind",
+            F.when(F.col("sim") >= pos_threshold, F.lit("positive"))
+            .when(
+                (F.col("sim") >= neg_lo) & (F.col("sim") < neg_hi),
+                F.lit("hard_negative"),
+            ),
+        )
+        .filter(F.col("kind").isNotNull())
+    )

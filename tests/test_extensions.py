@@ -759,3 +759,32 @@ def test_random_projection_is_deterministic_and_linear(spark):
         for r in sim.random_projection(df, k=4, seed="rp2").collect()
     }
     assert any(out[(1, d)] != other[(1, d)] for d in range(4))
+
+
+def test_contrastive_pairs_bands_and_bounded_search(spark):
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    # base direction u, a near-copy (positive), a moderately-related
+    # vector (hard negative band), and an orthogonal one (ignored)
+    dim = 8
+    u = [1.0] + [0.0] * (dim - 1)
+    near = [0.99] + [0.01] * (dim - 1)
+    related = [0.6, 0.6] + [0.35] * (dim - 2)   # cos ~0.6-0.7 vs u
+    ortho = [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, u), (2, near), (3, related), (4, ortho)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.contrastive_pairs(
+        df, pos_threshold=0.95, neg_lo=0.4, neg_hi=0.9, dim=dim
+    )
+    kinds = {(r.id_a, r.id_b): r.kind for r in out.collect()}
+    assert kinds.get((1, 2)) == "positive"
+    # the orthogonal vector never pairs as positive or hard negative
+    assert all(4 not in pair or kinds[pair] is None for pair in kinds)
+    if (1, 3) in kinds:  # same LSH bucket -> must land in the band
+        assert kinds[(1, 3)] == "hard_negative"
