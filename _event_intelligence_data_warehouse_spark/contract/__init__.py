@@ -301,6 +301,7 @@ _DRIVER_SAMPLE_TAIL = [
     "text_ccnet_buckets",
     "sample_stratified_exact",
     "embedding_contrastive_pairs",
+    "governance_stats_drift",
 ]
 
 

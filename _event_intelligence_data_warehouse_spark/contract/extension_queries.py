@@ -3907,3 +3907,76 @@ def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.contrastive_pairs(
         corpus, pos_threshold=0.92, neg_lo=0.25, neg_hi=0.4
     )
+
+
+def _duck_colstats(src: str, cols: list[str]) -> str:
+    """DuckDB replica of operators.text.column_stats over ``src``."""
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM {src}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "governance_stats_drift",
+    f"""
+    WITH bsrc AS (SELECT * FROM documents WHERE doc_id < 250),
+    bstats AS ({_duck_colstats('bsrc', ['lang', 'source', 'n_chars'])}),
+    astats AS (
+        {_duck_colstats('documents', ['source', 'n_chars', 'doc_id'])}
+    ), j AS (
+        SELECT coalesce(b.column_name, a.column_name) AS column_name,
+               b.n_rows AS b_rows, b.n_nulls AS b_nulls,
+               b.n_distinct AS b_distinct, b.min_str AS b_min,
+               b.max_str AS b_max,
+               a.n_rows AS a_rows, a.n_nulls AS a_nulls,
+               a.n_distinct AS a_distinct, a.min_str AS a_min,
+               a.max_str AS a_max
+        FROM bstats b FULL OUTER JOIN astats a USING (column_name)
+    ), scored AS (
+        SELECT column_name,
+               coalesce(b_distinct, 0) AS b_distinct,
+               coalesce(a_distinct, 0) AS a_distinct,
+               (b_rows IS NULL OR a_rows IS NULL) AS schema_change,
+               CAST(CASE WHEN a_rows IS NULL OR a_rows = 0 THEN 0
+                    ELSE (CAST(a_nulls AS HUGEINT) * 1000000) // a_rows
+                    END AS BIGINT)
+               - CAST(CASE WHEN b_rows IS NULL OR b_rows = 0 THEN 0
+                      ELSE (CAST(b_nulls AS HUGEINT) * 1000000) // b_rows
+                      END AS BIGINT) AS d_null,
+               coalesce(b_min IS NOT NULL AND a_min IS NOT NULL
+                        AND (b_min <> a_min OR b_max <> a_max), FALSE)
+                   AS envelope_moved
+        FROM j
+    )
+    SELECT column_name, b_distinct, a_distinct,
+           CAST(CASE WHEN schema_change THEN 0 ELSE d_null END AS BIGINT)
+               AS null_delta_ppm,
+           envelope_moved,
+           CASE WHEN schema_change THEN 'schema'
+                WHEN envelope_moved OR NOT (d_null BETWEEN -999 AND 999)
+                THEN 'drift'
+                ELSE 'stable' END AS verdict
+    FROM scored
+    """,
+)
+def governance_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch profile drift screen: column_stats of the first
+    half of the corpus vs the full corpus (with one column dropped and
+    one added to exercise schema drift) joined into a per-column
+    verdict — the screen that catches an upstream feed silently
+    changing shape before a month of it lands."""
+    docs = load(spark, sf_dir, "documents")
+    before = tx.column_stats(
+        docs.filter(F.col("doc_id") < 250), ["lang", "source", "n_chars"]
+    )
+    after = tx.column_stats(docs, ["source", "n_chars", "doc_id"])
+    return tx.stats_drift(before, after)

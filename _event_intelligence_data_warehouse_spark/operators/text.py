@@ -1050,3 +1050,58 @@ def dsir_affinity(
             / F.col("n_feats").cast("double"),
         )
     )
+
+
+def stats_drift(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Batch-over-batch schema/profile drift report: join two
+    ``column_stats`` profiles on column name and report, per column,
+    the null-rate delta (ppm, exact integer arithmetic), the distinct
+    delta, whether the [min, max] envelope moved, and columns that
+    appeared/disappeared (schema drift) — the screen that catches an
+    upstream producer silently changing a feed before the warehouse
+    ingests a month of it. Verdict tiers: 'schema' (column
+    added/removed), 'drift' (null rate moved >= 1000 ppm or envelope
+    moved), 'stable'.
+
+    Scale: both inputs are columns-sized profile frames (each the
+    product of column_stats' ONE corpus pass) — the report join is
+    trivially broadcast; corpus cost is the two profile scans the
+    caller already paid."""
+    b = before.select(
+        F.col("column_name"),
+        F.col("n_rows").alias("b_rows"), F.col("n_nulls").alias("b_nulls"),
+        F.col("n_distinct").alias("b_distinct"),
+        F.col("min_str").alias("b_min"), F.col("max_str").alias("b_max"),
+    )
+    a = after.select(
+        F.col("column_name"),
+        F.col("n_rows").alias("a_rows"), F.col("n_nulls").alias("a_nulls"),
+        F.col("n_distinct").alias("a_distinct"),
+        F.col("min_str").alias("a_min"), F.col("max_str").alias("a_max"),
+    )
+    j = b.join(a, "column_name", "full_outer")
+    null_ppm = lambda n, t: F.expr(  # noqa: E731
+        f"CAST(CASE WHEN {t} IS NULL OR {t} = 0 THEN 0 ELSE "
+        f"(CAST({n} AS DECIMAL(38,0)) * 1000000) div {t} END AS BIGINT)"
+    )
+    d_null = (null_ppm("a_nulls", "a_rows")
+              - null_ppm("b_nulls", "b_rows")).cast("bigint")
+    env_moved = (
+        F.col("b_min").isNotNull() & F.col("a_min").isNotNull()
+        & ((F.col("b_min") != F.col("a_min"))
+           | (F.col("b_max") != F.col("a_max")))
+    )
+    schema_change = F.col("b_rows").isNull() | F.col("a_rows").isNull()
+    return j.select(
+        "column_name",
+        F.coalesce(F.col("b_distinct"), F.lit(0)).cast("bigint")
+        .alias("b_distinct"),
+        F.coalesce(F.col("a_distinct"), F.lit(0)).cast("bigint")
+        .alias("a_distinct"),
+        F.when(schema_change, F.lit(0)).otherwise(d_null)
+        .cast("bigint").alias("null_delta_ppm"),
+        F.coalesce(env_moved, F.lit(False)).alias("envelope_moved"),
+        F.when(schema_change, F.lit("schema"))
+        .when(env_moved | ~d_null.between(-999, 999), F.lit("drift"))
+        .otherwise(F.lit("stable")).alias("verdict"),
+    )

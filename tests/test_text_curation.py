@@ -529,3 +529,22 @@ def test_dsir_affinity_prefers_target_like_documents(spark):
     assert got[1] > got[2] and got[1] > got[3]
     # target-disjoint docs score negative (their buckets are raw-only)
     assert got[2] < 0 and got[3] < 0
+
+
+def test_stats_drift_detects_schema_null_and_envelope_changes(spark):
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)],
+        "id long, name string, v long",
+    )
+    after = spark.createDataFrame(
+        [(4, None, 10, 1.0), (5, None, 99, 2.0), (6, None, 20, 3.0)],
+        "id long, name string, v long, score double",
+    )
+    b = tx.column_stats(before, ["name", "v"])
+    a = tx.column_stats(after, ["name", "v", "score"])
+    got = {r.column_name: r for r in tx.stats_drift(b, a).collect()}
+    assert got["score"].verdict == "schema"       # appeared
+    assert got["name"].verdict == "drift"         # nulls 1/3 -> 3/3
+    assert got["name"].null_delta_ppm == 1000000 - 333333
+    assert got["v"].verdict == "drift"            # max 30 -> 99
+    assert got["v"].envelope_moved
