@@ -302,6 +302,8 @@ _DRIVER_SAMPLE_TAIL = [
     "sample_stratified_exact",
     "embedding_contrastive_pairs",
     "governance_stats_drift",
+    "similarity_pq_topk",
+    "similarity_pq_recall",
 ]
 
 

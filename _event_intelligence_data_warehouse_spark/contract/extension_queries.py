@@ -3980,3 +3980,208 @@ def governance_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     after = tx.column_stats(docs, ["source", "n_chars", "doc_id"])
     return tx.stats_drift(before, after)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — train M per-subspace
+# codebooks, encode the corpus as M small codes, serve top-k by ADC
+# lookup + exact rerank. The oracle replays training/encode/serve
+# exactly: every quantity is an INTEGER below 2^53, so double-domain
+# list_dot_product arithmetic in DuckDB is exact and matches Spark's
+# BIGINT folds bit for bit.
+_PQ_M = 16          # subspaces (64-dim embeddings -> 4 dims each)
+_PQ_SUB = 4
+_PQ_CODES = 64
+_PQ_TRAIN = 1024
+_PQ_RERANK = 50
+
+
+def _pq_l2(a: str, b: str) -> str:
+    """Exact integer squared L2 via double dot products (all values
+    integer-valued and < 2^53)."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _pq_assign(train_src: str, cb_src: str) -> str:
+    """Argmin-code assignment of ``train_src`` (vec_id, sub, svd [, rk])
+    against ``cb_src`` (sub, code, cwd): (vec_id, sub, code, svd)."""
+    return f"""
+    SELECT vec_id, sub, code, svd FROM (
+        SELECT t.vec_id, t.sub, c.code, t.svd,
+               row_number() OVER (
+                   PARTITION BY t.vec_id, t.sub
+                   ORDER BY {_pq_l2('t.svd', 'c.cwd')}, c.code
+               ) AS ark
+        FROM {train_src} t JOIN {cb_src} c USING (sub)
+    ) WHERE ark = 1
+    """
+
+
+def _pq_update(assign_cte: str, prev_cte: str) -> str:
+    """New codebook from an assignment: element-wise sum div count
+    (truncating integer division — Spark `div` semantics); empty codes
+    carry the previous round's word."""
+    return f"""
+    SELECT p.sub, p.code, coalesce(n.cwd, p.cwd) AS cwd
+    FROM {prev_cte} p LEFT JOIN (
+        SELECT sub, code,
+               list(CAST(sx // cnt AS DOUBLE) ORDER BY pos) AS cwd
+        FROM (
+            SELECT sub, code, pos,
+                   CAST(SUM(val) AS BIGINT) AS sx,
+                   COUNT(*) AS cnt
+            FROM (
+                SELECT sub, code,
+                       unnest(generate_series(1, len(svd))) AS pos,
+                       unnest(list_transform(svd,
+                           x -> CAST(x AS BIGINT))) AS val
+                FROM {assign_cte}
+            )
+            GROUP BY sub, code, pos
+        )
+        GROUP BY sub, code
+    ) n ON p.sub = n.sub AND p.code = n.code
+    """
+
+
+_PQ_CTE = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ivecs AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(CAST(floor(x * 1000000 + 0.5)
+                                       AS BIGINT) AS DOUBLE)) AS ivd
+    FROM vecs
+), ranked AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rk
+    FROM vecs
+), subs AS (
+    SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub
+), allsub AS (
+    SELECT i.vec_id, s.sub,
+           list_slice(i.ivd, s.sub * {_PQ_SUB} + 1,
+                      s.sub * {_PQ_SUB} + {_PQ_SUB}) AS svd
+    FROM ivecs i CROSS JOIN subs s
+), tsub AS (
+    SELECT a.vec_id, r.rk, a.sub, a.svd
+    FROM allsub a JOIN ranked r USING (vec_id)
+    WHERE r.rk <= {_PQ_TRAIN}
+), seed AS (
+    SELECT sub, CAST(rk AS INT) AS code, svd AS cwd
+    FROM tsub WHERE rk <= {_PQ_CODES}
+), pa1 AS (
+    {_pq_assign('tsub', 'seed')}
+), pc1 AS (
+    {_pq_update('pa1', 'seed')}
+), pa2 AS (
+    {_pq_assign('tsub', 'pc1')}
+), books AS (
+    {_pq_update('pa2', 'pc1')}
+), codes AS (
+    {_pq_assign('allsub', 'books')}
+), qsub AS (
+    SELECT vec_id AS query_id, sub, svd AS qvd
+    FROM allsub WHERE vec_id < 20
+), lut AS (
+    SELECT q.query_id, b.sub, b.code,
+           list_dot_product(q.qvd, b.cwd) AS pdot
+    FROM qsub q JOIN books b USING (sub)
+), adc AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY l.query_id
+                   ORDER BY SUM(l.pdot) DESC, c.vec_id
+               ) AS adcrk
+        FROM codes c JOIN lut l
+          ON c.sub = l.sub AND c.code = l.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+    ) WHERE adcrk <= {_PQ_RERANK}
+), rescored AS (
+    SELECT a.query_id, a.neighbor_id,
+           list_dot_product(q.v, n.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(n.v, n.v))) AS sim
+    FROM adc a
+    JOIN vecs q ON q.vec_id = a.query_id
+    JOIN vecs n ON n.vec_id = a.neighbor_id
+)
+"""
+
+
+@query(
+    "similarity_pq_topk",
+    _PQ_CTE + """
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM rescored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (train + encode + ADC serve + exact
+    rerank): M=16 codebooks of 64 integer centroids train on a bounded
+    md5-ranked sample (2 Lloyd rounds, exact integer L2, truncating-div
+    centroids); the corpus compresses to 16 codes/vector; each query
+    scores the code stream through a broadcast LUT and exact cosine
+    re-ranks its top 50. All-integer until the final rerank, so the
+    oracle replays every step bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.pq_index_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5,
+        m=_PQ_M, n_codes=_PQ_CODES, max_train=_PQ_TRAIN,
+        rerank=_PQ_RERANK,
+    )
+
+
+@query(
+    "similarity_pq_recall",
+    _PQ_CTE + f"""
+, approx AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM rescored
+    ) WHERE rank <= 5
+), eq AS (
+    SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 20
+), ec AS (
+    SELECT vec_id AS neighbor_id, v AS cv FROM vecs
+), escored AS (
+    SELECT query_id, neighbor_id, {_COS} AS sim
+    FROM ec CROSS JOIN eq
+    WHERE query_id <> neighbor_id
+), exact AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM escored
+    ) WHERE rank <= 5
+)
+{_RECALL_TAIL}
+""",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the PQ path (same configuration as
+    similarity_pq_topk): per-query top-5 overlap and top-1 agreement vs
+    exact search — quantifies what 16x4-dim x 64-code quantization plus
+    a 50-candidate rerank trades away."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return sim.topk_recall(
+        sim.brute_force_topk(emb, q, k=5),
+        sim.pq_index_topk(
+            emb, q, k=5, m=_PQ_M, n_codes=_PQ_CODES,
+            max_train=_PQ_TRAIN, rerank=_PQ_RERANK,
+        ),
+    )

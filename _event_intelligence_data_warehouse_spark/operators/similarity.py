@@ -981,3 +981,267 @@ def contrastive_pairs(
         )
         .filter(F.col("kind").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the 100 TB ANN memory answer: vectors
+# compress to M one-byte codes; serving scores candidates from an
+# M x K lookup table instead of touching raw vectors.
+# ---------------------------------------------------------------------------
+
+def _sub_slices(vec_expr: str, m: int, d_sub: int) -> list[str]:
+    """SQL expressions slicing an int-vector column into M subvectors."""
+    return [
+        f"slice({vec_expr}, {j * d_sub + 1}, {d_sub})" for j in range(m)
+    ]
+
+
+def _l2_int(a: str, b: str) -> str:
+    """Exact integer squared-L2 between two int-array SQL expressions.
+    Pure BIGINT arithmetic — no floats anywhere in PQ training,
+    encoding, or serving, so every step is bit-identical on every
+    engine (the property the contract oracle needs)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def pq_codebooks(
+    df: DataFrame, *, m: int = 8, k: int = 16, max_train: int = 1024,
+    iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace PQ codebooks -> (sub, code, cw) with
+    ``cw: array<bigint>`` (integer-snapped subspace centroids).
+
+    Deterministic and engine-exact by the same construction as
+    :func:`kmeans_centroids`: the training set is the ``max_train``
+    md5-ranked sample (bounded — training cost is independent of
+    corpus size), seeds are the ranking's first ``k`` ids' subvectors,
+    assignment is exact integer squared-L2 argmin with a (dist, code)
+    tie-break, and each round's centroid is the element-wise
+    ``sum div count`` (truncating integer division — verified
+    identical in Spark and DuckDB, including negatives). Empty codes
+    carry forward. All frames in the loop are (max_train x m)- or
+    (m x k)-sized."""
+    sample = _md5_rank_sample(df, max_train, id_col)
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    d_sub = dim_row["d"] // m
+    iv = _int_vec(vec_col)
+    train = cache.persist(
+        df.select(F.col(id_col).alias("vec_id"), iv.alias("iv"))
+        .join(F.broadcast(sample), "vec_id")
+        .select(
+            "vec_id", "rk",
+            F.posexplode(
+                F.array(*[
+                    F.expr(e) for e in _sub_slices("iv", m, d_sub)
+                ])
+            ).alias("sub", "sv"),
+        )
+        # Bounded frame (max_train x m rows), but unlike the single-cell
+        # k-means the per-round join key is the SUBSPACE — partitioning
+        # by it gives m-way parallel training with zero extra shuffles
+        # (each Lloyd join/aggregate is already keyed by sub).
+        .repartition(m, "sub")
+    )
+    cb = train.filter(F.col("rk") <= k).select(
+        "sub", F.col("rk").cast("int").alias("code"),
+        F.col("sv").alias("cw"),
+    )
+    dist = F.expr(_l2_int("sv", "cw"))
+    for _ in range(iters):
+        assign = (
+            train.join(F.broadcast(cb), "sub")
+            .select(
+                "vec_id", "sub", "sv", "code",
+                dist.alias("d2"),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct("d2", "code")).alias("top"),
+                F.first("sv").alias("sv"),
+            )
+            .select("sub", F.col("top.code").alias("code"), "sv")
+        )
+        sums = (
+            assign.select(
+                "sub", "code", F.posexplode("sv").alias("pos", "val")
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("val").alias("sx"), F.count("*").alias("cnt"))
+            .groupBy("sub", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "sx", "cnt"))
+                ).alias("ps")
+            )
+            .select(
+                "sub", "code",
+                F.expr(
+                    "transform(ps, p -> p.sx div p.cnt)"
+                ).alias("ncw"),
+            )
+        )
+        cb = cache.persist(
+            cb.join(sums, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("ncw", "cw").alias("cw"))
+        )
+    return cb
+
+
+def pq_encode(
+    df: DataFrame, codebooks: DataFrame, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as M one-byte codes (long form:
+    (vec_id, sub, code)) — nearest codebook entry per subspace by
+    exact integer squared-L2, (dist, code) tie-break.
+
+    The trained codebook is a MODEL, and a tiny one (m x k entries of
+    d_sub ints) — it compiles into the plan as literals exactly like
+    the BPE merge list, so encoding is ONE shuffle-free projection
+    over the corpus: no join, no k-way row blow-up, no argmin
+    re-aggregation. `array_position(dists, array_min(dists))` picks
+    the first minimum, which IS the (dist, code) tie-break because
+    each subspace's literal is ordered by code. The encoded table is
+    ~M bytes/vector — what lets a 100 TB embedding corpus fit a
+    serving tier."""
+    rows = sorted(
+        codebooks.collect(), key=lambda r: (r["sub"], r["code"])
+    )
+    m = max(r["sub"] for r in rows) + 1
+    d_sub = len(rows[0]["cw"])
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], []).append(
+            (int(r["code"]), [int(x) for x in r["cw"]])
+        )
+    iv = _int_vec(vec_col)
+    sub_codes = []
+    for j in range(m):
+        entries = by_sub[j]
+        cb_lit = (
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{x}L" for x in cw) + ")"
+                for _code, cw in entries
+            ) + ")"
+        )
+        code_lit = (
+            "array(" + ", ".join(str(code) for code, _cw in entries) + ")"
+        )
+        sv = _sub_slices("iv", m, d_sub)[j]
+        dists = (
+            f"transform({cb_lit}, cwl -> {_l2_int(sv, 'cwl')})"
+        )
+        sub_codes.append(
+            f"element_at({code_lit}, "
+            f"CAST(array_position({dists}, array_min({dists})) AS INT))"
+        )
+    codes_arr = "array(" + ", ".join(sub_codes) + ")"
+    return (
+        df.select(F.col(id_col).alias("vec_id"), iv.alias("iv"))
+        .select("vec_id", F.posexplode(F.expr(codes_arr)).alias("sub", "code"))
+        .select("vec_id", "sub", F.col("code").cast("int").alias("code"))
+    )
+
+
+def pq_topk(
+    codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+    k: int = 5, *, rerank: int = 0, corpus: DataFrame | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query builds an
+    (m x n_codes) integer dot-product lookup table against the
+    codebooks (queries stay raw, corpus stays compressed — ADC), the
+    corpus code stream joins the broadcast LUT, and a per-(query, vec)
+    sum of M looked-up integers approximates the inner product. Exact
+    BIGINT end to end; ranking ties break on neighbor id.
+
+    ``rerank=C`` adds the production second stage: the ADC scan
+    prunes to each query's top C candidates, then ``corpus`` raw
+    vectors re-rank those C exactly (cosine) — quantization error
+    stops costing recall and only C vectors per query are ever read.
+
+    Output: (query_id, neighbor_id, rank). Scale: the only
+    corpus-sized work is one scan of the M-bytes-per-vector code
+    table; raw vectors are touched for rerank candidates only (never
+    at all with rerank=0)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _int_vec(vec_col).alias("qiv")
+    )
+    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    d_sub = codebooks.select(F.size("cw")).first()[0]
+    qsub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.expr(e) for e in _sub_slices("qiv", m, d_sub)])
+        ).alias("sub", "qv"),
+    )
+    dot_int = F.expr(
+        "aggregate(zip_with(qv, cw, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    lut = qsub.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "sub", "code", dot_int.alias("pdot")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank if rerank else k))
+    )
+    if not rerank:
+        return adc.select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    if corpus is None:
+        raise ValueError("rerank > 0 needs the raw `corpus` frame")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _vec_double(vec_col).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _vec_double(vec_col).alias("qv")
+    )
+    rescored = (
+        adc.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_index_topk(
+    df: DataFrame, queries: DataFrame, k: int = 5, *,
+    m: int = 8, n_codes: int = 16, max_train: int = 1024,
+    iters: int = 2, rerank: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Train + encode + serve in one call (the contract-query shape);
+    production splits these at the pq_codebooks/pq_encode boundary and
+    persists the code table."""
+    cb = pq_codebooks(
+        df, m=m, k=n_codes, max_train=max_train, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(df, cb, id_col=id_col, vec_col=vec_col)
+    return pq_topk(codes, cb, queries, k, rerank=rerank, corpus=df,
+                   id_col=id_col, vec_col=vec_col)

@@ -43,6 +43,7 @@ HEADLINE = [
     "text_decontaminate",
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
+    "similarity_pq_topk",
     "text_metrics",
     "text_winnowing_fingerprints",
     "dedup_semantic",
@@ -99,6 +100,10 @@ def main() -> None:
             # amortized across batches in production; the apply phase
             # (pairs + components + election) is the per-corpus cost.
             _bench_semantic_split(spark, sf_dir, timings)
+            total += timings[name]
+            continue
+        if name == "similarity_pq_topk":
+            _bench_pq_split(spark, sf_dir, timings)
             total += timings[name]
             continue
         if name == "quality_five_checks":
@@ -205,6 +210,40 @@ def _bench_semantic_split(spark, sf_dir: str, timings: dict[str, float]) -> None
     timings["dedup_semantic_build"] = build
     timings["dedup_semantic_apply"] = apply_
     timings["dedup_semantic"] = round(build + apply_, 3)
+
+
+def _bench_pq_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """PQ build (codebook training + corpus encode — amortized across
+    query batches in production) vs serve (ADC LUT scan + exact rerank
+    of 50 candidates)."""
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark import cache
+    from _event_intelligence_data_warehouse_spark.contract import (
+        extension_queries as ext,
+    )
+    from _event_intelligence_data_warehouse_spark.contract import load
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    cb = sim.pq_codebooks(
+        emb, m=ext._PQ_M, k=ext._PQ_CODES, max_train=ext._PQ_TRAIN
+    )
+    codes = cache.persist(sim.pq_encode(emb, cb))
+    codes.write.mode("overwrite").format("noop").save()
+    build = round(time.time() - t0, 3)
+    t0 = time.time()
+    sim.pq_topk(
+        codes, cb, emb.filter(F.col("vec_id") < 20), k=5,
+        rerank=ext._PQ_RERANK, corpus=emb,
+    ).write.mode("overwrite").format("noop").save()
+    serve = round(time.time() - t0, 3)
+    timings["similarity_pq_build"] = build
+    timings["similarity_pq_serve"] = serve
+    timings["similarity_pq_topk"] = round(build + serve, 3)
 
 
 def _bench_quality_split(spark, sf_dir: str, timings: dict[str, float]) -> None:

@@ -788,3 +788,28 @@ def test_contrastive_pairs_bands_and_bounded_search(spark):
     assert all(4 not in pair or kinds[pair] is None for pair in kinds)
     if (1, 3) in kinds:  # same LSH bucket -> must land in the band
         assert kinds[(1, 3)] == "hard_negative"
+
+
+def test_pq_recall_floor_and_compression(spark):
+    """PQ + 50-candidate exact rerank holds >= 0.9 recall@5 at the
+    contract configuration, and the code table is M small ints per
+    vector (the 100 TB memory story)."""
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    cb = sim.pq_codebooks(emb, m=16, k=64, max_train=1024)
+    codes = sim.pq_encode(emb, cb)
+    # compression: M rows per vector, codes in [1, 64] (seed rks)
+    n_vec = emb.count()
+    assert codes.count() == 16 * n_vec
+    cr = codes.agg(F.min("code"), F.max("code")).first()
+    assert cr[0] >= 1 and cr[1] <= 64
+    approx = sim.pq_topk(codes, cb, q, k=5, rerank=50, corpus=emb)
+    rec = sim.topk_recall(sim.brute_force_topk(emb, q, k=5), approx)
+    r = rec.agg(F.sum("n_overlap"), F.sum("n_exact")).first()
+    assert r[0] / r[1] >= 0.9, f"PQ recall@5 {r[0]/r[1]} below floor"
