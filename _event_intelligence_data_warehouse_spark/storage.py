@@ -679,9 +679,25 @@ class Warehouse:
         # collapses the table to one group, bounding the union width.
         groups: dict[str, list[str]] = {}
         for rel in files:
-            parts = rel.split(os.sep)
-            root = os.path.join(base, *parts[:2]) if parts[0] == "data" else base
-            groups.setdefault(root, []).append(os.path.join(base, rel))
+            # Normalize first: a shallow clone's entries reach into the
+            # source table ("../src/data/s*/..."), and basePath must be
+            # an ancestor of the resolved file or Spark rejects it.
+            full = os.path.normpath(os.path.join(base, rel))
+            nparts = os.path.relpath(full, base).split(os.sep)
+            if nparts[0] == "data" and len(nparts) >= 2:
+                root = os.path.join(base, *nparts[:2])
+            elif ".." in nparts:
+                # borrowed file: group by ITS snapshot root (or its
+                # table dir) so partition recovery still works
+                fparts = full.split(os.sep)
+                if "data" in fparts:
+                    di = len(fparts) - 1 - fparts[::-1].index("data")
+                    root = os.sep.join(fparts[: di + 2])
+                else:
+                    root = os.path.dirname(full)
+            else:
+                root = base
+            groups.setdefault(root, []).append(full)
         # mergeSchema only where schemas CAN be heterogeneous: the
         # legacy-adopted base-root group (files from many historical
         # writes). Files inside one data/s* snapshot dir come from a
@@ -1350,3 +1366,91 @@ class Warehouse:
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried), "rows_matched": n_matched,
                 "rows_inserted": n_inserted, "files_rewritten": len(new)}
+
+    def clone(
+        self, src: str, dst: str, *, version: int | None = None,
+    ) -> dict:
+        """Zero-copy SHALLOW clone (manifest mode): publish ``dst``
+        whose manifest references ``src``'s live (or time-traveled
+        ``version``) files in place — no data moves, so branching a
+        100 TB table for an experiment costs one metadata write.
+        Writes to the clone land in the clone's own snapshot dirs
+        (copy-on-write), leaving the source untouched.
+
+        Caveat (same as Delta/Iceberg shallow clones): the clone
+        borrows the source's files, so ``vacuum(src)`` — or retention
+        expiring the cloned version — can delete files the clone still
+        references. Pin the source version or re-materialize
+        (``overwrite(dst, read(dst))``) before vacuuming the source.
+        ``vacuum(dst)`` is always safe: it only walks the clone's own
+        directory, where borrowed files don't live."""
+        if not self.manifest:
+            raise ValueError("clone requires Warehouse(manifest=True)")
+        if self.exists(dst):
+            raise ValueError(f"clone target {dst!r} already exists")
+        m = (
+            self._manifest(src, version) if version is not None
+            else self._adopt_if_legacy(src)
+        )
+        if version is not None and version not in self._committed_chain(src):
+            raise FileNotFoundError(
+                f"table {src!r} version {version} is not on the "
+                "committed chain"
+            )
+        rel_src = os.path.relpath(self.path(src), self.path(dst))
+        files = [os.path.join(rel_src, f) for f in m["files"]]
+        stats = {
+            os.path.join(rel_src, f): st
+            for f, st in m.get("stats", {}).items()
+        }
+        man = self._publish(
+            dst, files, m.get("partition_col"),
+            f"clone:{src}@v{m['version']}", stats=stats,
+        )
+        return {"version": man["version"], "files": len(files),
+                "source_version": m["version"]}
+
+    def fsck(self, table: str) -> dict:
+        """Integrity report for a manifest-mode table: manifest entries
+        whose data files are MISSING on disk (a reader would fail —
+        e.g. a source table vacuumed out from under a shallow clone)
+        and on-disk parquet files referenced by NO retained manifest
+        (space leaks a vacuum would reclaim). Read-only; pairs with
+        ``vacuum`` the way fsck pairs with gc."""
+        if not self.manifest:
+            raise ValueError("fsck requires Warehouse(manifest=True)")
+        base = self.path(table)
+        referenced: set[str] = set()
+        for v in self._versions_on_disk(table):
+            try:
+                referenced |= {
+                    os.path.normpath(f)
+                    for f in self._manifest(table, v)["files"]
+                }
+            except (OSError, json.JSONDecodeError, KeyError):
+                continue
+        missing = [
+            f for f in sorted(referenced)
+            if not os.path.isfile(os.path.join(base, f))
+        ]
+        on_disk: set[str] = set()
+        for root, dirs, fs in os.walk(base):
+            dirs[:] = [d for d in dirs if d != "_manifests"]
+            for f in fs:
+                if f.endswith(".parquet"):
+                    on_disk.add(
+                        os.path.normpath(
+                            os.path.relpath(os.path.join(root, f), base)
+                        )
+                    )
+        unreferenced = sorted(on_disk - referenced)
+        live = {
+            os.path.normpath(f) for f in self._manifest(table)["files"]
+        }
+        return {
+            "live_files": len(live),
+            "missing": missing,
+            "missing_live": sorted(set(missing) & live),
+            "unreferenced": unreferenced,
+            "ok": not (set(missing) & live),
+        }

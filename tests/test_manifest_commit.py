@@ -940,3 +940,63 @@ def test_constraints_reject_bad_batch_before_any_write(spark, tmp_path):
     # untracked tables are unaffected
     wh.append("other", bad)
     assert wh.read("other").count() == 3
+
+
+# -- shallow clone + fsck --------------------------------------------------
+
+def test_shallow_clone_is_zero_copy_and_diverges_on_write(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    src_rows = wh.read("t").count()
+    res = wh.clone("t", "t_exp")
+    assert res["files"] == 4 and res["source_version"] >= 1
+
+    # zero-copy: no parquet files under the clone's own dir
+    clone_files = [
+        f for _r, _d, fs in os.walk(wh.path("t_exp")) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert clone_files == []
+    assert wh.read("t_exp").count() == src_rows
+    assert sorted(r.id for r in wh.read("t_exp").collect()) == \
+        sorted(r.id for r in wh.read("t").collect())
+
+    # copy-on-write divergence: DML on the clone never touches src
+    wh.delete_where("t_exp", [("id", ">=", 0), ("id", "<", 100)])
+    assert wh.read("t_exp").count() == src_rows - 100
+    assert wh.read("t").count() == src_rows
+    # and fsck on both is clean
+    assert wh.fsck("t")["ok"] and wh.fsck("t_exp")["ok"]
+
+
+def test_clone_time_travel_and_existing_target_guard(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.overwrite("t", spark.range(10).toDF("id"))
+    v1 = wh._current_version("t")
+    wh.overwrite("t", spark.range(50).toDF("id"))
+    wh2 = Warehouse(spark, wh.root, manifest=True, retain_versions=5)
+    res = wh2.clone("t", "t_v1", version=v1)
+    assert wh2.read("t_v1").count() == 10
+    assert res["source_version"] == v1
+    with pytest.raises(ValueError, match="already exists"):
+        wh2.clone("t", "t_v1")
+
+
+def test_fsck_reports_missing_and_unreferenced(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    rep = wh.fsck("t")
+    assert rep["ok"] and rep["live_files"] == 4
+    assert rep["missing"] == [] and rep["unreferenced"] == []
+
+    # plant an orphan parquet + delete a live file
+    orphan = os.path.join(wh.path("t"), "data", "stray", "x.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    open(orphan, "wb").write(b"junk")
+    live = wh._manifest("t")["files"][0]
+    os.remove(os.path.join(wh.path("t"), live))
+
+    rep2 = wh.fsck("t")
+    assert not rep2["ok"]
+    assert rep2["missing_live"] == [os.path.normpath(live)]
+    assert rep2["unreferenced"] == [os.path.join("data", "stray", "x.parquet")]
