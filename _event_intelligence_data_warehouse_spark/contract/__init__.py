@@ -304,6 +304,7 @@ _DRIVER_SAMPLE_TAIL = [
     "governance_stats_drift",
     "similarity_pq_topk",
     "similarity_pq_recall",
+    "text_lang_fertility",
 ]
 
 

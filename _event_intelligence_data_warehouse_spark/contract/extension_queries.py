@@ -4185,3 +4185,50 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_train=_PQ_TRAIN, rerank=_PQ_RERANK,
         ),
     )
+
+
+@query(
+    "text_lang_fertility",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id, len(w) AS nc,
+               len({_bpe_apply_duckdb(_BPE_MERGES)}) AS nt
+        FROM w
+    )
+    SELECT d.lang,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.nc) AS BIGINT) AS n_chars,
+           CAST(SUM(t.nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(t.nc) AS DOUBLE) / SUM(t.nt) AS chars_per_token
+    FROM t JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def text_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: pooled chars-per-token of the
+    fixed BPE merge list per language — the multilingual-equity metric
+    (a tokenizer trained on English spends ~2-4x more tokens per
+    character on underrepresented scripts, which silently taxes their
+    training budget). Pooled from integer totals; one double division
+    per language."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = tx.bpe_encode_stats(docs, _BPE_MERGES)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
