@@ -305,6 +305,7 @@ _DRIVER_SAMPLE_TAIL = [
     "similarity_pq_topk",
     "similarity_pq_recall",
     "text_lang_fertility",
+    "curation_pipeline_v3",
 ]
 
 

@@ -4232,3 +4232,102 @@ def text_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+@query(
+    "curation_pipeline_v3",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), occ3 AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> struct_pack(
+                h1 := CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT),
+                h2 := CAST(('0x' || substr(md5(t[i+1]), 1, 8)) AS BIGINT))
+        )) AS g
+        FROM toks WHERE len(t) >= 2
+    ), pairs3 AS (
+        SELECT doc_id, g.h1 AS h1, g.h2 AS h2 FROM occ3
+    ), c23 AS (
+        SELECT h1, h2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM pairs3 GROUP BY h1, h2
+    ), c13 AS (
+        SELECT h1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c23 GROUP BY h1
+    ), doc3 AS (
+        SELECT p.doc_id,
+               CAST(SUM((CAST(c1 AS HUGEINT) * 1000000) // c2) AS BIGINT)
+                   AS st,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM pairs3 p JOIN c23 USING (h1, h2) JOIN c13 USING (h1)
+        GROUP BY p.doc_id
+    ), gated AS (
+        -- keep each source's most-predictable half (percentile gate)
+        SELECT doc_id, source FROM (
+            SELECT d.doc_id, dd.source,
+                   percent_rank() OVER (
+                       PARTITION BY dd.source
+                       ORDER BY CAST(d.st AS DOUBLE) / d.nb, d.doc_id
+                   ) AS pr
+            FROM doc3 d JOIN documents dd USING (doc_id)
+        ) WHERE pr <= 0.5
+    ), counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS stratum_n
+        FROM gated GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(stratum_n) AS BIGINT) AS N FROM counts
+    ), q3 AS (
+        SELECT source, stratum_n,
+               CAST((CAST(200 AS HUGEINT) * stratum_n) // N AS BIGINT)
+                   AS base,
+               CAST((CAST(200 AS HUGEINT) * stratum_n) % N AS BIGINT) AS rem
+        FROM counts CROSS JOIN tot
+    ), r3 AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank,
+               200 - SUM(base) OVER () AS leftover
+        FROM q3
+    ), quotas3 AS (
+        SELECT source, stratum_n,
+               least(stratum_n, base + CASE WHEN rrank <= leftover
+                     THEN 1 ELSE 0 END) AS quota
+        FROM r3
+    ), sel3 AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS srank
+        FROM gated
+    )
+    SELECT s.doc_id, s.source, CAST(q.quota AS BIGINT) AS quota,
+           q.stratum_n
+    FROM sel3 s JOIN quotas3 q USING (source)
+    WHERE s.srank <= q.quota
+    """,
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation chain, one plan end to end: bigram-LM surprise
+    scores every document (the model trains in-plan), each source
+    keeps its most-predictable half (within-source percentile gate —
+    calibrated, so no source is wiped out by a global threshold), and
+    a 200-document budget is apportioned exactly across sources by
+    largest remainder with md5-rank membership."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = tx.lm_bigram_surprise(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    gated = (
+        smp.group_percentile(
+            scored, "surprise_mean", ["source"], tiebreak_col="doc_id"
+        )
+        .filter(F.col("pct_rank") <= 0.5)
+        .select("doc_id", "source")
+    )
+    out = smp.allocate_stratified(
+        gated, ["source"], 200, tiebreak_col="doc_id"
+    )
+    return out.select("doc_id", "source", "quota", "stratum_n")

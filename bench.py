@@ -56,6 +56,7 @@ HEADLINE = [
     "curation_dsir_affinity",
     "curation_pipeline",
     "curation_pipeline_v2",
+    "curation_pipeline_v3",
     "window_tumbling_hourly",
     "window_sessionize",
 ]
