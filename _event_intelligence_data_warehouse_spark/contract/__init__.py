@@ -306,6 +306,7 @@ _DRIVER_SAMPLE_TAIL = [
     "similarity_pq_recall",
     "text_lang_fertility",
     "curation_pipeline_v3",
+    "similarity_ivfpq_topk",
 ]
 
 

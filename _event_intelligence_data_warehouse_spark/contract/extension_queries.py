@@ -4047,44 +4047,54 @@ def _pq_update(assign_cte: str, prev_cte: str) -> str:
     """
 
 
-_PQ_CTE = f"""
-WITH vecs AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), ivecs AS (
+def _pq_core(p: str) -> str:
+    """PQ training + corpus-encode CTEs with ``p``-prefixed names, so
+    the standalone PQ queries (p='') and the IVF x PQ composition
+    (p='pq_', where IVF already owns `ivecs`/`seed`) share one
+    definition. Requires upstream CTEs ``vecs`` and ``ranked``."""
+    return f"""
+, {p}ivecs AS (
     SELECT vec_id,
            list_transform(v, x -> CAST(CAST(floor(x * 1000000 + 0.5)
                                        AS BIGINT) AS DOUBLE)) AS ivd
     FROM vecs
+), {p}subs AS (
+    SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub
+), {p}allsub AS (
+    SELECT i.vec_id, s.sub,
+           list_slice(i.ivd, s.sub * {_PQ_SUB} + 1,
+                      s.sub * {_PQ_SUB} + {_PQ_SUB}) AS svd
+    FROM {p}ivecs i CROSS JOIN {p}subs s
+), {p}tsub AS (
+    SELECT a.vec_id, r.rk, a.sub, a.svd
+    FROM {p}allsub a JOIN ranked r USING (vec_id)
+    WHERE r.rk <= {_PQ_TRAIN}
+), {p}seed AS (
+    SELECT sub, CAST(rk AS INT) AS code, svd AS cwd
+    FROM {p}tsub WHERE rk <= {_PQ_CODES}
+), {p}pa1 AS (
+    {_pq_assign(f'{p}tsub', f'{p}seed')}
+), {p}pc1 AS (
+    {_pq_update(f'{p}pa1', f'{p}seed')}
+), {p}pa2 AS (
+    {_pq_assign(f'{p}tsub', f'{p}pc1')}
+), {p}books AS (
+    {_pq_update(f'{p}pa2', f'{p}pc1')}
+), {p}codes AS (
+    {_pq_assign(f'{p}allsub', f'{p}books')}
+)"""
+
+
+_PQ_CTE = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), ranked AS (
     SELECT vec_id,
            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                               vec_id) AS rk
     FROM vecs
-), subs AS (
-    SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub
-), allsub AS (
-    SELECT i.vec_id, s.sub,
-           list_slice(i.ivd, s.sub * {_PQ_SUB} + 1,
-                      s.sub * {_PQ_SUB} + {_PQ_SUB}) AS svd
-    FROM ivecs i CROSS JOIN subs s
-), tsub AS (
-    SELECT a.vec_id, r.rk, a.sub, a.svd
-    FROM allsub a JOIN ranked r USING (vec_id)
-    WHERE r.rk <= {_PQ_TRAIN}
-), seed AS (
-    SELECT sub, CAST(rk AS INT) AS code, svd AS cwd
-    FROM tsub WHERE rk <= {_PQ_CODES}
-), pa1 AS (
-    {_pq_assign('tsub', 'seed')}
-), pc1 AS (
-    {_pq_update('pa1', 'seed')}
-), pa2 AS (
-    {_pq_assign('tsub', 'pc1')}
-), books AS (
-    {_pq_update('pa2', 'pc1')}
-), codes AS (
-    {_pq_assign('allsub', 'books')}
-), qsub AS (
+){_pq_core('')}
+, qsub AS (
     SELECT vec_id AS query_id, sub, svd AS qvd
     FROM allsub WHERE vec_id < 20
 ), lut AS (
@@ -4331,3 +4341,73 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated, ["source"], 200, tiebreak_col="doc_id"
     )
     return out.select("doc_id", "source", "quota", "stratum_n")
+
+
+_IVFPQ_RERANK = 10
+
+
+@query(
+    "similarity_ivfpq_topk",
+    _IVF_CELLS_CTE + _pq_core("pq_") + f"""
+, xp_probes AS (
+    SELECT vec_id AS query_id, cell FROM cell_scores
+    WHERE cell_rank <= 2 AND vec_id < 20
+), xp_assign AS (
+    SELECT vec_id AS neighbor_id, cell FROM cell_scores
+    WHERE cell_rank = 1
+), xp_cand AS (
+    SELECT p.query_id, a.neighbor_id
+    FROM xp_assign a JOIN xp_probes p USING (cell)
+    WHERE p.query_id <> a.neighbor_id
+), xp_qsub AS (
+    SELECT vec_id AS query_id, sub, svd AS qvd
+    FROM pq_allsub WHERE vec_id < 20
+), xp_lut AS (
+    SELECT q.query_id, b.sub, b.code,
+           list_dot_product(q.qvd, b.cwd) AS pdot
+    FROM xp_qsub q JOIN pq_books b USING (sub)
+), xp_adc AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY SUM(l.pdot) DESC, cd.neighbor_id
+               ) AS adcrk
+        FROM xp_cand cd
+        JOIN pq_codes c ON c.vec_id = cd.neighbor_id
+        JOIN xp_lut l ON l.query_id = cd.query_id
+                     AND l.sub = c.sub AND l.code = c.code
+        GROUP BY cd.query_id, cd.neighbor_id
+    ) WHERE adcrk <= {_IVFPQ_RERANK}
+), xp_rescored AS (
+    SELECT a.query_id, a.neighbor_id,
+           list_dot_product(q.v, n.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(n.v, n.v))) AS sim
+    FROM xp_adc a
+    JOIN vecs q ON q.vec_id = a.query_id
+    JOIN vecs n ON n.vec_id = a.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM xp_rescored
+) WHERE rank <= 5
+""",
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ — the full 100 TB ANN serving composition: the coarse
+    quantizer bounds WHICH vectors a query considers (nprobe=2 of 16
+    cells), PQ bounds WHAT is read per considered vector (16 codes
+    through the query's integer ADC LUT), and exact cosine reranks the
+    surviving 10. Both quantizers train on the same bounded md5-ranked
+    sample; the oracle replays cell training, codebook training,
+    encode, probe, ADC and rerank end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5,
+        n_cells=_IVF_N_CELLS, nprobe=2,
+        m=_PQ_M, n_codes=_PQ_CODES, max_train=_PQ_TRAIN,
+        rerank=_IVFPQ_RERANK,
+    )

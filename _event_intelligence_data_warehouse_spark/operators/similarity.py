@@ -1245,3 +1245,96 @@ def pq_index_topk(
     codes = pq_encode(df, cb, id_col=id_col, vec_col=vec_col)
     return pq_topk(codes, cb, queries, k, rerank=rerank, corpus=df,
                    id_col=id_col, vec_col=vec_col)
+
+
+def ivf_pq_topk(
+    df: DataFrame, queries: DataFrame, k: int = 5, *,
+    n_cells: int = 16, nprobe: int = 2,
+    m: int = 16, n_codes: int = 64, max_train: int = 1024,
+    rerank: int = 50,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF x PQ — the full 100 TB serving composition: the IVF coarse
+    quantizer bounds WHICH vectors each query considers (its ``nprobe``
+    nearest cells), PQ bounds WHAT is read per considered vector (M
+    ints of codes through the query's ADC lookup table), and exact
+    cosine reranks only the surviving ``rerank`` candidates. Per-query
+    cost: ~nprobe/n_cells of the code table scanned, ``rerank`` raw
+    vectors read. Both quantizers train on the same bounded md5-ranked
+    sample with fixed sizes, so build cost stays corpus-independent.
+
+    Output: (query_id, neighbor_id, rank) — identical contract to the
+    other ANN paths, so topk_recall audits it directly."""
+    centroids, assign = ivf_index(
+        df, n_cells=n_cells, max_train=max_train,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cb = pq_codebooks(
+        df, m=m, k=n_codes, max_train=max_train,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(df, cb, id_col=id_col, vec_col=vec_col)
+
+    qv = queries.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
+    probes = rank_cells(qv, centroids).filter(
+        F.col("cell_rank") <= nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    d_sub = cb.select(F.size("cw")).first()[0]
+    mm = cb.agg(F.max("sub")).first()[0] + 1
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"), _int_vec(vec_col).alias("qiv")
+    ).select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.expr(e) for e in _sub_slices("qiv", mm, d_sub)])
+        ).alias("sub", "qv"),
+    )
+    dot_int = F.expr(
+        "aggregate(zip_with(qv, cw, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", dot_int.alias("pdot")
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+                  "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdot").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  _vec_double(vec_col).alias("cv"))
+    q2 = queries.select(F.col(id_col).alias("query_id"),
+                        _vec_double(vec_col).alias("qv2"))
+    rescored = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q2), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv2"), F.col("cv")).alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -813,3 +813,28 @@ def test_pq_recall_floor_and_compression(spark):
     rec = sim.topk_recall(sim.brute_force_topk(emb, q, k=5), approx)
     r = rec.agg(F.sum("n_overlap"), F.sum("n_exact")).first()
     assert r[0] / r[1] >= 0.9, f"PQ recall@5 {r[0]/r[1]} below floor"
+
+
+def test_ivfpq_equals_ivf_when_rerank_covers_cells(spark):
+    """With rerank >= probed-cell membership, IVF x PQ and plain IVF
+    return IDENTICAL results: both end in an exact rerank over the same
+    candidate set, so PQ compression costs nothing — the property that
+    justifies serving from codes instead of raw vectors."""
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    big_rerank = emb.count()  # covers every probed cell fully
+    a = sorted(
+        tuple(r) for r in sim.ivf_pq_topk(
+            emb, q, k=5, m=8, n_codes=16, rerank=big_rerank
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in sim.ivf_topk(emb, q, k=5, nprobe=2).collect()
+    )
+    assert a == b, "PQ shortlist dropped candidates the rerank needed"
