@@ -307,6 +307,7 @@ _DRIVER_SAMPLE_TAIL = [
     "text_lang_fertility",
     "curation_pipeline_v3",
     "similarity_ivfpq_topk",
+    "dedup_containment_pairs",
 ]
 
 

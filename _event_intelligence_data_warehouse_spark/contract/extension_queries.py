@@ -4411,3 +4411,111 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M, n_codes=_PQ_CODES, max_train=_PQ_TRAIN,
         rerank=_IVFPQ_RERANK,
     )
+
+
+def _bands_sql_k(n_bands: int) -> str:
+    """Banding bucket SQL for an explicit band count (mirrors
+    dd.minhash_lsh_candidates(bands=n_bands))."""
+    rows_per_band = dd.MINHASH_K // n_bands
+    selects = []
+    for b in range(n_bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(concat_ws(',', " + ", ".join(
+            f"CAST({c} AS VARCHAR)" for c in cols
+        ) + "))"
+        selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs"
+        )
+    return "\n    UNION ALL\n    ".join(selects)
+
+
+# Containment corpus: every 7th document contributes an 8-token QUOTE
+# (its tokenized prefix) — near-zero Jaccard vs its source, containment
+# 1.0. The construction is identical on both engines.
+_DOCS_QUOTE_CTE = f"""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           array_to_string(list_slice({_TOKS}, 1, 8), ' ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+@query(
+    "dedup_containment_pairs",
+    _DOCS_QUOTE_CTE + _TOKEN_HASH_CTE + _SIGS_CTE + f"""
+, buckets AS (
+    {_bands_sql_k(32)}
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM th GROUP BY doc_id
+), inter AS (
+    SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS inter
+    FROM th ta JOIN th tb ON ta.th = tb.th AND ta.doc_id < tb.doc_id
+    JOIN cands c ON c.doc_a = ta.doc_id AND c.doc_b = tb.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard, containment_a_in_b, containment_b_in_a
+FROM (
+    SELECT sc.*,
+           row_number() OVER (
+               PARTITION BY CASE WHEN doc_a >= 200000 THEN doc_a
+                                 ELSE doc_b END
+               ORDER BY greatest(containment_a_in_b,
+                                 containment_b_in_a) DESC,
+                        jaccard DESC, doc_a, doc_b
+           ) AS crk
+    FROM (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.inter AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard,
+               CAST(i.inter AS DOUBLE) / sa.sz AS containment_a_in_b,
+               CAST(i.inter AS DOUBLE) / sb.sz AS containment_b_in_a
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE (CAST(i.inter AS DOUBLE) / sa.sz >= 0.8
+               OR CAST(i.inter AS DOUBLE) / sb.sz >= 0.8)
+          AND (i.doc_a >= 200000 OR i.doc_b >= 200000)
+    ) sc
+) WHERE crk <= 3
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: an 8-token quote planted from
+    every 7th document scores near-zero Jaccard against its source
+    (symmetric dedup is blind to it) but containment 1.0. Banding runs
+    at 16 one-row bands — containment search needs candidate recall at
+    LOW Jaccard, which threshold-tuned banding deliberately suppresses."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(tx.tokens("text"), 1, 8), " ").alias("text"),
+    )
+    from pyspark.sql import Window
+
+    corpus = docs.unionByName(quotes)
+    pairs = dd.containment_pairs(corpus, threshold=0.8, bands=32).filter(
+        (F.col("doc_a") >= 200000) | (F.col("doc_b") >= 200000)
+    )
+    # the small synthetic vocabulary makes containment ubiquitous among
+    # real docs; the report keeps each quote's 3 strongest containers
+    quote = F.when(
+        F.col("doc_a") >= 200000, F.col("doc_a")
+    ).otherwise(F.col("doc_b"))
+    w = Window.partitionBy(quote).orderBy(
+        F.greatest(
+            F.col("containment_a_in_b"), F.col("containment_b_in_a")
+        ).desc(),
+        F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"),
+    )
+    return (
+        pairs.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= 3)
+        .drop("crk")
+    )

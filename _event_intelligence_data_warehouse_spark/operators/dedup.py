@@ -959,3 +959,59 @@ def connected_components_incremental(
     return untouched.select("doc_id", "component_id").unionByName(
         sub.select("doc_id", "component_id")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bands: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A in B) =
+    |A ∩ B| / |A| — the measure Jaccard misses. A short document quoted
+    wholesale inside a long one scores near-zero Jaccard (the union is
+    dominated by B) but containment ~1; this is how a pipeline catches
+    quotations, supersets, and chunk-of-larger-doc duplicates that
+    symmetric dedup is blind to.
+
+    Output: (doc_a, doc_b, jaccard, containment_a_in_b,
+    containment_b_in_a) for candidate pairs where EITHER direction
+    reaches ``threshold``. Candidates come from the same tuned MinHash
+    banding as symmetric dedup — one extra projection, no new shuffle
+    shape. (Banding recall tracks Jaccard, so extreme-size-ratio pairs
+    with low Jaccard can escape candidacy: production containment
+    search over very long docs pairs this with the ExactSubstr span
+    path, which has no such bias.)"""
+    sets_ = doc_token_sets(df, text_col, id_col)
+    sigs = cache.persist(minhash_signatures(sets_))
+    cands = minhash_lsh_candidates(
+        sigs, bands=bands or bands_for_threshold(threshold)
+    )
+    inter = F.size(F.array_intersect("ths_a", "ths_b"))
+    scored = (
+        cands.join(
+            sets_.select(F.col("doc_id").alias("doc_a"),
+                         F.col("ths").alias("ths_a")),
+            "doc_a",
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("doc_b"),
+                         F.col("ths").alias("ths_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b",
+            (inter.cast("double")
+             / (F.size("ths_a") + F.size("ths_b") - inter).cast("double")
+             ).alias("jaccard"),
+            (inter.cast("double") / F.size("ths_a").cast("double"))
+            .alias("containment_a_in_b"),
+            (inter.cast("double") / F.size("ths_b").cast("double"))
+            .alias("containment_b_in_a"),
+        )
+    )
+    return scored.filter(
+        (F.col("containment_a_in_b") >= threshold)
+        | (F.col("containment_b_in_a") >= threshold)
+    )

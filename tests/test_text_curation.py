@@ -548,3 +548,29 @@ def test_stats_drift_detects_schema_null_and_envelope_changes(spark):
     assert got["name"].null_delta_ppm == 1000000 - 333333
     assert got["v"].verdict == "drift"            # max 30 -> 99
     assert got["v"].envelope_moved
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """A short quote inside a long document: Jaccard far below any
+    dedup threshold, containment(quote in doc) = 1.0."""
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    quote = " ".join(f"tok{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, quote),
+         (3, "completely disjoint vocabulary here entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in dd.containment_pairs(df, threshold=0.8, bands=32).collect()
+    }
+    assert (1, 2) in got, "quote pair not surfaced"
+    r = got[(1, 2)]
+    assert r.containment_b_in_a == 1.0
+    assert r.jaccard < 0.2, "fixture failed to make Jaccard small"
+    # symmetric dedup at the same threshold misses it
+    sym = dd.minhash_dedup(df, threshold=0.8)
+    assert not any(
+        (p.doc_a, p.doc_b) == (1, 2) for p in sym.collect()
+    )
+    assert (1, 3) not in got and (2, 3) not in got
