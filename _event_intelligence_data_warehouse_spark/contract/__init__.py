@@ -308,6 +308,7 @@ _DRIVER_SAMPLE_TAIL = [
     "curation_pipeline_v3",
     "similarity_ivfpq_topk",
     "dedup_containment_pairs",
+    "embedding_trimmed_centroids",
 ]
 
 

@@ -4519,3 +4519,35 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crk") <= 3)
         .drop("crk")
     )
+
+
+@query(
+    "embedding_trimmed_centroids",
+    """
+    WITH tex AS (
+        SELECT label, vec_id AS vid,
+               unnest(generate_series(1, len(embedding))) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), tr AS (
+        SELECT label, dim, v,
+               row_number() OVER (PARTITION BY label, dim
+                                  ORDER BY v, vid) AS rk,
+               COUNT(*) OVER (PARTITION BY label, dim) AS n
+        FROM tex
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+               AS avg_val_trimmed
+    FROM tr
+    WHERE rk > (n * 1) // 10 AND rk <= n - (n * 1) // 10
+    GROUP BY label, dim
+    """,
+)
+def embedding_trimmed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-label centroids: each (label, dim) drops its lowest
+    and highest 10% of values by exact integer rank before the decimal
+    average — one poisoned embedding can move a mean centroid
+    arbitrarily far; a trimmed mean it cannot."""
+    return sim.trimmed_label_centroids(load(spark, sf_dir, "embeddings"))

@@ -1338,3 +1338,59 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def trimmed_label_centroids(
+    df: DataFrame, *, trim_num: int = 1, trim_den: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Robust per-label centroids: for every (label, dim), drop the
+    lowest and highest ``trim_num/trim_den`` fraction of component
+    values by EXACT integer rank before averaging — one poisoned or
+    corrupted embedding can move a mean centroid arbitrarily far, a
+    trimmed mean it cannot (the robust-aggregation guard for centroid
+    stores and drift baselines). Output: (label, dim, n_kept,
+    avg_val_trimmed).
+
+    Engine-exact: the trim fraction is a rational, cut ranks are
+    integer arithmetic (floor(n * num / den) via integer div), rank
+    order is (value, vec_id) — total, so both engines drop identical
+    rows — and the kept values average through the decimal domain.
+
+    Scale: one posexplode + one rank window per (label, dim) partition
+    + one hash aggregate. The window sorts n_label rows per (label,
+    dim) group — the same shuffle key as the aggregate, so no extra
+    exchange beyond the centroid computation Spark already needs."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(_vec_double(vec_col)).alias("dim", "v"),
+    )
+    w = Window.partitionBy("label", "dim").orderBy(
+        F.col("v"), F.col("vid")
+    )
+    wn = Window.partitionBy("label", "dim")
+    cut = F.expr(f"CAST((n * {int(trim_num)}) div {int(trim_den)} AS BIGINT)")
+    return (
+        ex.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn("cut", cut)
+        .filter(
+            (F.col("rk") > F.col("cut"))
+            & (F.col("rk") <= F.col("n") - F.col("cut"))
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            (
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("avg_val_trimmed"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+            "n_kept", "avg_val_trimmed",
+        )
+    )

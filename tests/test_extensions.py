@@ -838,3 +838,30 @@ def test_ivfpq_equals_ivf_when_rerank_covers_cells(spark):
         tuple(r) for r in sim.ivf_topk(emb, q, k=5, nprobe=2).collect()
     )
     assert a == b, "PQ shortlist dropped candidates the rerank needed"
+
+
+def test_trimmed_centroid_ignores_poisoned_embedding(spark):
+    """One adversarial vector moves the mean centroid arbitrarily; the
+    10% trim drops it entirely."""
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [(i, [1.0, 2.0], 0) for i in range(19)]
+    rows.append((99, [1e6, -1e6], 0))  # the poison
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r.label, r.dim): r
+        for r in sim.trimmed_label_centroids(df).collect()
+    }
+    # n=20, cut=2: poison (rank 20 on dim 0, rank 1 on dim 1) is gone
+    assert got[(0, 0)].n_kept == 16
+    assert got[(0, 0)].avg_val_trimmed == 1.0
+    assert got[(0, 1)].avg_val_trimmed == 2.0
+    # the plain mean would have been wrecked
+    mean0 = df.select(F.avg(F.element_at("embedding", 1))).first()[0]
+    assert abs(mean0 - 1.0) > 1000
