@@ -112,6 +112,9 @@ class Warehouse:
         # Writer-side CHECK constraints: {table: [validate.Rule, ...]}
         # enforced by check_constraints before any write lands.
         self.constraints = constraints or {}
+        # Commit annotations staged by commit_metadata(); drained into
+        # the next manifests this Warehouse publishes.
+        self._commit_meta: dict | None = None
         os.makedirs(root, exist_ok=True)
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
 
@@ -357,6 +360,7 @@ class Warehouse:
 
         manifest = {
             "version": v,
+            **({"meta": self._commit_meta} if self._commit_meta else {}),
             # committed-chain lineage: orphan manifests from crashed
             # writers occupy version numbers but are never anyone's
             # parent, so history()/time travel walk parent links and
@@ -390,6 +394,30 @@ class Warehouse:
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer(table))
         return manifest
+
+    def commit_metadata(self, **meta):
+        """Context manager stamping every manifest published inside the
+        block with ``meta`` — the provenance hook: record which input
+        table versions, code revision, or run id produced a commit, and
+        ``history()`` plays it back. The reproducibility loop closes:
+        ``read(out, version=N)`` gives the exact bytes,
+        ``history(out)[k]['meta']`` says what made them.
+
+            with wh.commit_metadata(inputs={"documents": 7}, run="r42"):
+                wh.overwrite("curated", df)
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            prev = self._commit_meta
+            self._commit_meta = {**(prev or {}), **meta}
+            try:
+                yield self
+            finally:
+                self._commit_meta = prev
+
+        return _cm()
 
     def _write_snapshot(
         self, table: str, df: DataFrame, partition_col: str | None = None
@@ -787,6 +815,7 @@ class Warehouse:
                 "partition_col": m.get("partition_col"),
                 "n_files": len(m["files"]),
                 "bytes": nbytes,
+                "meta": m.get("meta"),
             })
         return out
 

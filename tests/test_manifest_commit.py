@@ -1000,3 +1000,25 @@ def test_fsck_reports_missing_and_unreferenced(spark, tmp_path):
     assert not rep2["ok"]
     assert rep2["missing_live"] == [os.path.normpath(live)]
     assert rep2["unreferenced"] == [os.path.join("data", "stray", "x.parquet")]
+
+
+def test_commit_metadata_provenance_in_history(spark, tmp_path):
+    """commit_metadata stamps manifests published inside the block;
+    history() plays the provenance back; commits outside stay clean."""
+    wh = _mwh(spark, tmp_path)
+    with wh.commit_metadata(inputs={"documents": 7}, run="r42"):
+        wh.overwrite("curated", spark.range(5).toDF("id"))
+        wh.append("curated", spark.range(5, 8).toDF("id"))
+    wh.append("curated", spark.range(8, 9).toDF("id"))
+
+    h = wh.history("curated")  # newest first
+    assert h[0]["meta"] is None, "post-block commit leaked provenance"
+    assert h[1]["meta"] == {"inputs": {"documents": 7}, "run": "r42"}
+    assert h[2]["meta"] == {"inputs": {"documents": 7}, "run": "r42"}
+    # nested blocks merge
+    with wh.commit_metadata(run="r43"):
+        with wh.commit_metadata(stage="dedup"):
+            wh.append("curated", spark.range(9, 10).toDF("id"))
+    assert wh.history("curated")[0]["meta"] == {
+        "run": "r43", "stage": "dedup"
+    }
