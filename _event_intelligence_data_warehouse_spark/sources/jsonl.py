@@ -116,3 +116,44 @@ def write_jsonl_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.json(path)
+
+
+def export_report(spark, path: str) -> DataFrame:
+    """Dataset-release report over a sharded JSONL export: one row per
+    part file with (file, n_records, n_bytes) plus the shard value when
+    the layout is ``shard=N/`` — the manifest a consumer checks before
+    trusting a release. Scales: record counts come from one distributed
+    text scan grouped by ``input_file_name()`` (never a driver-side
+    read); byte sizes from the file listing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path)
+    counts = (
+        df.groupBy(F.input_file_name().alias("file_uri"))
+        .agg(F.count("*").cast("bigint").alias("n_records"))
+    )
+    sizes = []
+    for root, _dirs, fs in os.walk(path):
+        for f in fs:
+            if f.startswith(("part-", "_")) and not f.endswith(".crc"):
+                if f.startswith("_"):
+                    continue
+                p = os.path.join(root, f)
+                sizes.append((
+                    "file:///" + os.path.abspath(p).lstrip("/"),
+                    os.path.getsize(p),
+                ))
+    sz = spark.createDataFrame(sizes, "file_uri string, n_bytes long")
+    shard = F.regexp_extract(F.col("file_uri"), r"shard=(\d+)", 1)
+    return (
+        counts.join(sz, "file_uri", "left")
+        .select(
+            F.regexp_extract(F.col("file_uri"), r"([^/]+)$", 1)
+            .alias("file"),
+            F.when(shard != "", shard.cast("long")).alias("shard"),
+            "n_records",
+            "n_bytes",
+        )
+    )

@@ -268,3 +268,20 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         "PushedFilters"
     )[1].split("]")[0], "grp filter not pushed to the ORC scan"
     assert filtered.count() == 20
+
+
+def test_jsonl_export_report_counts_every_shard(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.sources import jsonl
+
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("doc"), F.col("id")).alias("text")
+    )
+    out = str(tmp_path / "release")
+    jsonl.write_jsonl_shards(df, out, order_col="id", n_shards=4)
+    rep = jsonl.export_report(spark, out)
+    rows = rep.collect()
+    assert sum(r.n_records for r in rows) == 100
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+    assert all(r.n_bytes and r.n_bytes > 0 for r in rows)
