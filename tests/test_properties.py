@@ -451,3 +451,111 @@ def test_duplicate_spans_are_within_bounds_and_disjoint(spark, shared, tails):
             assert b1 < a2, "overlapping spans not merged"
         for a, b in ss:
             assert 0 <= a < b <= n_toks[i]
+
+
+# -- copy-on-write DML vs the DataFrame reference semantics ---------------
+
+_dml_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.none(), st.floats(
+            min_value=-100, max_value=100, allow_nan=False, width=32
+        )),
+    ),
+    min_size=1, max_size=25, unique_by=lambda t: t[0],
+)
+
+
+@PROP
+@given(rows=_dml_rows, lo=st.integers(0, 400), span=st.integers(0, 200))
+def test_delete_where_matches_filter_semantics(
+    spark, tmp_path_factory, rows, lo, span
+):
+    """delete_where == read().filter(NOT coalesce(pred, False)) for any
+    table content and range predicate, including NULL columns."""
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(
+        spark, str(tmp_path_factory.mktemp("dmlprop")), manifest=True
+    )
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    # several snapshots so pruning has file boundaries to work with
+    wh.append("t", df.filter(F.col("id") < 200))
+    wh.append("t", df.filter(F.col("id") >= 200))
+    hi = lo + span
+    want = sorted(
+        (r.id, r.g, r.score)
+        for r in df.filter(
+            ~((F.col("id") >= lo) & (F.col("id") < hi))
+        ).collect()
+    )
+    res = wh.delete_where("t", [("id", ">=", lo), ("id", "<", hi)])
+    got = sorted((r.id, r.g, r.score) for r in wh.read("t").collect())
+    assert got == want
+    assert res["rows_deleted"] == len(rows) - len(want)
+
+
+@PROP
+@given(
+    base=_dml_rows,
+    src=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["x", "y"]),
+            st.floats(min_value=-5, max_value=5, allow_nan=False,
+                      width=32),
+        ),
+        min_size=0, max_size=15, unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_into_matches_upsert_semantics(
+    spark, tmp_path_factory, base, src
+):
+    """merge_into == anti-join survivors + source, for any base/source."""
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(
+        spark, str(tmp_path_factory.mktemp("mergeprop")), manifest=True
+    )
+    bdf = spark.createDataFrame(base, "id long, g string, score double")
+    sdf = spark.createDataFrame(src, "id long, g string, score double")
+    wh.append("t", bdf)
+    res = wh.merge_into("t", sdf, ["id"])
+    want = sorted(
+        (r.id, r.g, r.score)
+        for r in bdf.join(sdf, "id", "left_anti").unionByName(sdf).collect()
+    )
+    got = sorted((r.id, r.g, r.score) for r in wh.read("t").collect())
+    assert got == want
+    if src:
+        src_ids = {t[0] for t in src}
+        base_ids = {t[0] for t in base}
+        assert res["rows_matched"] == len(src_ids & base_ids)
+        assert res["rows_inserted"] == len(src_ids - base_ids)
+
+
+@PROP
+@given(
+    sizes=st.lists(st.integers(1, 60), min_size=1, max_size=6),
+    budget=st.integers(1, 120),
+)
+def test_allocate_stratified_budget_exact(
+    spark, sizes, budget
+):
+    """Largest-remainder quotas sum to exactly min(budget, N) for any
+    strata shape, and membership is within-stratum deterministic."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    rows = [
+        (g * 1000 + i, f"g{g}")
+        for g, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string")
+    n_total = sum(sizes)
+    out = smp.allocate_stratified(
+        df, ["g"], min(budget, n_total), tiebreak_col="id"
+    )
+    assert out.count() == min(budget, n_total)
