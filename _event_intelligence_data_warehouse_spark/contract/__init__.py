@@ -309,6 +309,7 @@ _DRIVER_SAMPLE_TAIL = [
     "similarity_ivfpq_topk",
     "dedup_containment_pairs",
     "embedding_trimmed_centroids",
+    "dedup_similarity_histogram",
 ]
 
 

@@ -4551,3 +4551,51 @@ def embedding_trimmed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     average — one poisoned embedding can move a mean centroid
     arbitrarily far; a trimmed mean it cannot."""
     return sim.trimmed_label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "dedup_similarity_histogram",
+    _DOCS_NEAR_CTE + _LSH_PAIR_CTES + """
+SELECT CAST((10 * i.inter) // (sa.sz + sb.sz - i.inter) AS BIGINT)
+           AS sim_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+GROUP BY 1
+""",
+)
+def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair similarity histogram — the threshold-tuning
+    artifact: how much pair mass sits in each Jaccard decile among the
+    0.8-tuned banding's candidates. A fat bucket just under the dedup
+    threshold is the signature of a threshold set slightly too high
+    (or a corpus of systematic near-misses). Deciles are computed in
+    exact integer arithmetic ((10*inter) div union), so the report is
+    engine-identical."""
+    docs = _docs_near(spark, sf_dir)
+    sets_ = dd.doc_token_sets(docs)
+    sigs = dd.minhash_signatures(sets_)
+    cands = dd.minhash_lsh_candidates(
+        sigs, bands=dd.bands_for_threshold(0.8)
+    )
+    inter = F.size(F.array_intersect("ths_a", "ths_b"))
+    return (
+        cands.join(
+            sets_.select(F.col("doc_id").alias("doc_a"),
+                         F.col("ths").alias("ths_a")), "doc_a",
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("doc_b"),
+                         F.col("ths").alias("ths_b")), "doc_b",
+        )
+        .select(
+            F.expr(
+                "CAST((10 * size(array_intersect(ths_a, ths_b))) div "
+                "(size(ths_a) + size(ths_b) "
+                "- size(array_intersect(ths_a, ths_b))) AS BIGINT)"
+            ).alias("sim_decile")
+        )
+        .groupBy("sim_decile")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
