@@ -2,12 +2,17 @@
 payloads with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture here is real and tested — schema, partition
-strategy, UDF signatures, batch shapes. The *codec* step is stubbed:
-image/audio libraries are not in this container, so ``decode_images``
-raises ``NotImplementedError`` unless the deterministic fake decoder is
-requested (``fake=True``), which produces reproducible pseudo-pixels from
-the payload bytes. Swapping the fake for PIL/ffmpeg changes one inner
-function, not the plan.
+strategy, UDF signatures, batch shapes. Codecs come in three tiers:
+
+- REAL, library-free: binary PPM/PGM images decode and resize with
+  numpy alone (``decode_ppm_images`` / ``resize_ppm_images`` — header
+  parsing, true pixel histograms, exact nearest-neighbor resize).
+- Deterministic fake (``fake=True``): reproducible pseudo-pixels from
+  payload bytes — the oracle-checkable stand-in for formats whose
+  codecs aren't in this container.
+- PIL/ffmpeg formats (JPEG/PNG/audio/video): ``fake=False`` fails fast
+  with ``NotImplementedError`` at plan-build time; swapping in the
+  real library changes one inner function, not the plan.
 
 Scale notes: payloads never pass through Python row-by-row — Arrow moves
 whole columns; ``repartition`` before decode sizes batches to keep
@@ -237,3 +242,160 @@ def media_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
         F.col("media_id").alias("vec_id"),
         F.col("features").alias("embedding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: PPM (P6) / PGM (P5) — raw binary image formats fully
+# decodable with numpy alone, no PIL. The plumbing (mapInPandas, Arrow
+# batches, schemas) is byte-identical to the fake path; only the inner
+# decode differs. JPEG/PNG still fail fast until PIL exists.
+# ---------------------------------------------------------------------------
+
+def encode_ppm(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) — or (h, w)
+    as PGM (P5)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"need (h,w,3) or (h,w) uint8, got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Decode binary PPM/PGM to an (h, w, 3) or (h, w) uint8 array.
+    Handles the whitespace/comment grammar of the netpbm header."""
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    chans = 3 if buf[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    need = w * h * chans
+    arr = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos)
+    return arr.reshape((h, w, 3) if chans == 3 else (h, w))
+
+
+def synthetic_ppm(spark: SparkSession, n: int = 32, *,
+                  width: int = 24, height: int = 16) -> DataFrame:
+    """Media table whose payloads are REAL binary PPM images:
+    deterministic md5-seeded gradient+noise patterns, so every test and
+    oracle sees identical pixels."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        seed = hashlib.md5(f"ppm{i}".encode()).digest()
+        base = np.frombuffer(
+            (seed * ((width * height * 3) // len(seed) + 1))
+            [: width * height * 3], dtype=np.uint8,
+        ).reshape(height, width, 3).copy()
+        # horizontal gradient keeps resize behavior visually meaningful
+        base[:, :, 0] = np.linspace(0, 255, width, dtype=np.uint8)[None, :]
+        rows.append((i, "image", bytearray(encode_ppm(base)),
+                     ("ppm", width, height, None, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _ppm_decode_batch(pdf):
+    import numpy as np
+    import pandas as pd
+
+    widths, heights, feats = [], [], []
+    for payload in pdf["payload"]:
+        img = decode_ppm(bytes(payload))
+        h, w = img.shape[0], img.shape[1]
+        widths.append(w)
+        heights.append(h)
+        # luminance histogram over REAL pixels
+        lum = (
+            img.mean(axis=2) if img.ndim == 3 else img
+        ).astype(np.float64)
+        hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0, 256))
+        total = hist.sum() or 1
+        feats.append((hist / total).astype("float32").tolist())
+    return pd.DataFrame({
+        "media_id": pdf["media_id"],
+        "kind": pdf["kind"],
+        "width": pd.array(widths, dtype="int32"),
+        "height": pd.array(heights, dtype="int32"),
+        "n_bytes": pdf["payload"].map(len),
+        "features": feats,
+    })
+
+
+def decode_ppm_images(
+    df: DataFrame, *, rows_per_batch: int = 256
+) -> DataFrame:
+    """REAL decode of PPM/PGM payloads (numpy, no PIL): width/height
+    come from the image HEADER (not trusted metadata) and features are
+    a luminance histogram over actual pixels. Same mapInPandas shape,
+    batch contract, and output schema as the fake path — swapping
+    codecs never touches the plan."""
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for start in range(0, len(pdf), rows_per_batch):
+                yield _ppm_decode_batch(
+                    pdf.iloc[start:start + rows_per_batch]
+                )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_ppm_images(
+    df: DataFrame, *, width: int = 16, height: int = 16,
+    rows_per_batch: int = 256,
+) -> DataFrame:
+    """REAL nearest-neighbor resize of PPM payloads (numpy index
+    arithmetic), re-encoded as PPM — deterministic, library-free, and
+    exactly reproducible for the round-trip test."""
+    import numpy as np
+    import pandas as pd
+
+    def _resize(payload: bytes) -> bytes:
+        img = decode_ppm(bytes(payload))
+        h, w = img.shape[0], img.shape[1]
+        ys = (np.arange(height) * h) // height
+        xs = (np.arange(width) * w) // width
+        return encode_ppm(img[ys][:, xs])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for start in range(0, len(pdf), rows_per_batch):
+                b = pdf.iloc[start:start + rows_per_batch]
+                resized = b["payload"].map(_resize)
+                yield pd.DataFrame({
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "target_w": pd.array([width] * len(b), dtype="int32"),
+                    "target_h": pd.array([height] * len(b), dtype="int32"),
+                    "payload": resized.map(bytearray),
+                    "n_bytes": resized.map(len),
+                })
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
