@@ -197,7 +197,7 @@ class Warehouse:
             )
             stats = {**m.get("stats", {}), **self._collect_minmax(table, new)}
             self._publish(table, m["files"] + new, pcol, "append",
-                          stats=stats)
+                          stats=stats, expect_version=m["version"])
             return
         df.write.mode("append").parquet(self.path(table))
 
@@ -267,7 +267,8 @@ class Warehouse:
                 **self._collect_minmax(table, new),
             }
             self._publish(table, kept + new, partition_col,
-                          "overwrite_partitions", stats=stats)
+                          "overwrite_partitions", stats=stats,
+                          expect_version=m["version"])
             return
         (
             df.write.mode("overwrite")
@@ -334,15 +335,31 @@ class Warehouse:
     def _publish(
         self, table: str, files: list[str], partition_col: str | None,
         operation: str | None = None, *, stats: dict | None = None,
+        expect_version: int | None = None,
     ) -> dict:
         """Commit a new table version: write the immutable manifest file
         (O_EXCL — the optimistic lock), then atomically replace the
         CURRENT pointer. A crash before the pointer replace leaves an
         orphan manifest/snapshot that no reader resolves; a concurrent
         committed writer surfaces as ConcurrentWriteError, never as a
-        silently merged or torn image."""
+        silently merged or torn image.
+
+        ``expect_version`` extends the lock back to the MANIFEST READ:
+        read-modify-write operations (DML, MERGE, append's file-list
+        carry, maintenance rewrites) derived their output from a
+        specific version — publishing on top of anything newer would
+        silently drop the interleaved writer's files. Full
+        ``overwrite`` intentionally omits it (replace-everything is
+        last-writer-wins by definition)."""
         os.makedirs(self._mdir(table), exist_ok=True)
         base_v = self._current_version(table)
+        if expect_version is not None and base_v != expect_version:
+            raise ConcurrentWriteError(
+                f"table {table!r}: derived from version "
+                f"{expect_version} but {base_v} is now current — "
+                "another writer committed in between; retry from the "
+                "new version"
+            )
         v = base_v + 1
         while True:
             mpath = os.path.join(self._mdir(table), f"v{v:08d}.json")
@@ -889,9 +906,11 @@ class Warehouse:
             .sortWithinPartitions("__z")
             .drop("__z")
         )
+        base_v = self._current_version(table)
         files = self._write_snapshot(table, clustered)
         self._publish(table, files, None, "cluster_by",
-                      stats=self._collect_minmax(table, files))
+                      stats=self._collect_minmax(table, files),
+                      expect_version=base_v)
         self.vacuum(table)
         files_after, _ = self.file_stats(table)
         return {
@@ -1085,9 +1104,11 @@ class Warehouse:
         n_out = max(1, -(-total // max(1, target_file_bytes)))
         df = self.read(table)
         if self.manifest:
+            base_v = self._current_version(table)
             files = self._write_snapshot(table, df.coalesce(n_out))
             self._publish(table, files, None, "compact",
-                          stats=self._collect_minmax(table, files))
+                          stats=self._collect_minmax(table, files),
+                          expect_version=base_v)
             self.vacuum(table)
         else:
             live = self.path(table)
@@ -1120,9 +1141,11 @@ class Warehouse:
         df = self.read(table)
         compacted = df.repartition(F.col(partition_col))
         if self.manifest:
+            base_v = self._current_version(table)
             files = self._write_snapshot(table, compacted, partition_col)
             self._publish(table, files, partition_col, "compact_partitions",
-                          stats=self._collect_minmax(table, files))
+                          stats=self._collect_minmax(table, files),
+                          expect_version=base_v)
             self.vacuum(table)
         else:
             live = self.path(table)
@@ -1208,7 +1231,7 @@ class Warehouse:
             **self._collect_minmax(table, new),
         }
         man = self._publish(table, carried + new, pcol, "delete_where",
-                            stats=stats)
+                            stats=stats, expect_version=m["version"])
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried),
                 "rows_deleted": n_cand - kept_rows,
@@ -1283,7 +1306,7 @@ class Warehouse:
             **self._collect_minmax(table, new),
         }
         man = self._publish(table, carried + new, pcol, "update_where",
-                            stats=stats)
+                            stats=stats, expect_version=m["version"])
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried), "rows_updated": n_updated,
                 "files_rewritten": len(new)}
@@ -1391,7 +1414,7 @@ class Warehouse:
             **self._collect_minmax(table, new),
         }
         man = self._publish(table, carried + new, pcol, "merge_into",
-                            stats=stats)
+                            stats=stats, expect_version=m["version"])
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried), "rows_matched": n_matched,
                 "rows_inserted": n_inserted, "files_rewritten": len(new)}

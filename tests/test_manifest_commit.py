@@ -1022,3 +1022,65 @@ def test_commit_metadata_provenance_in_history(spark, tmp_path):
     assert wh.history("curated")[0]["meta"] == {
         "run": "r43", "stage": "dedup"
     }
+
+
+def test_crash_before_dml_publish_preserves_old_image(
+    spark, tmp_path, monkeypatch
+):
+    """Kill delete_where after its rewritten files are on disk but
+    before the pointer replace: readers still see every pre-delete row;
+    vacuum collects the orphan; the retry commits."""
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+
+    real_replace = os.replace
+
+    def crash_on_pointer(src, dst):
+        if os.path.basename(dst) == "CURRENT":
+            raise OSError("injected crash before DML publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_on_pointer)
+    with pytest.raises(OSError, match="injected crash"):
+        wh.delete_where("t", [("id", ">=", 120), ("id", "<", 180)])
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    rd = Warehouse(spark, wh.root, manifest=True)
+    assert rd.read("t").count() == 400, "torn DML visible to readers"
+    rd.vacuum("t", grace_seconds=0)
+    assert rd.read("t").count() == 400
+    res = rd.delete_where("t", [("id", ">=", 120), ("id", "<", 180)])
+    assert res["rows_deleted"] == 60
+    assert rd.read("t").count() == 340
+
+
+def test_concurrent_dml_writers_detected(spark, tmp_path, monkeypatch):
+    """Two DML writers racing the same base version: the loser raises
+    ConcurrentWriteError instead of silently clobbering the winner."""
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+
+    real = Warehouse._write_snapshot
+    state = {"armed": True}
+
+    def racing_snapshot(self, table, df, partition_col=None):
+        if state["armed"] and table == "t":
+            # another writer commits while this writer's snapshot is
+            # still being written — after its candidate read, before
+            # its publish
+            state["armed"] = False
+            other = Warehouse(spark, wh.root, manifest=True)
+            other.update_where(
+                "t", [("id", "==", 0)], {"val": F.lit("other")}
+            )
+        return real(self, table, df, partition_col)
+
+    monkeypatch.setattr(Warehouse, "_write_snapshot", racing_snapshot)
+    with pytest.raises(ConcurrentWriteError):
+        wh.delete_where("t", [("id", ">=", 0), ("id", "<", 10)])
+    monkeypatch.setattr(Warehouse, "_write_snapshot", real)
+
+    rd = Warehouse(spark, wh.root, manifest=True)
+    rows = {r.id: r.val for r in rd.read("t").collect()}
+    assert len(rows) == 400, "loser's delete must not have applied"
+    assert rows[0] == "other", "winner's update lost"
