@@ -411,3 +411,71 @@ def stream_curate_documents(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_merge_into(
+    spark: SparkSession, wh, src_dir: str, table: str, keys: list[str],
+    schema, checkpoint_dir: str, *, max_files_per_trigger: int = 16,
+    newer_col: str | None = None,
+) -> None:
+    """Continuous key-MERGE of a file stream into a manifest table:
+    each micro-batch upserts through ``Warehouse.merge_into`` — the
+    storage layer's pruned, atomic, snapshot-isolated MERGE — after an
+    in-batch latest-per-key dedupe (MERGE requires unique source keys;
+    a micro-batch can legitimately carry several versions of one key).
+
+    Exactly-once composition: the checkpoint deduplicates INPUT files,
+    merge_into deduplicates KEYS, and the manifest pointer publish
+    makes each batch atomic — so replays after a checkpoint loss
+    converge to the same table instead of double-applying. Per-batch
+    cost is the source-envelope-pruned candidate rewrite, steady-state
+    proportional to the increment.
+
+    ``newer_col`` makes convergence ORDER-independent: batch rows
+    whose version is not >= the target's current version for that key
+    are dropped before the merge, so an out-of-order replay (or a
+    late-arriving old file) can never clobber newer state — the
+    conditional-matched-update every CDC MERGE needs."""
+    from pyspark.sql.window import Window
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in batch_df.columns if c not in keys]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if newer_col is not None and wh.exists(table):
+            tgt = wh.read(table).select(
+                *keys, F.col(newer_col).alias("_tgt_v")
+            )
+            latest = (
+                latest.join(tgt, keys, "left")
+                .filter(
+                    F.col("_tgt_v").isNull()
+                    | (F.col(newer_col) >= F.col("_tgt_v"))
+                )
+                .drop("_tgt_v")
+            )
+        if latest.isEmpty():
+            return
+        with wh.commit_metadata(stream_batch=batch_id):
+            wh.merge_into(table, latest, keys)
+
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -154,3 +154,88 @@ def test_stream_fact_merge_crash_restart_is_exactly_once(
     # A further drain with nothing new processes nothing.
     jobs.stream_facts_from_bronze(spark, wh, ckpt, max_files_per_trigger=1)
     assert wh.read("fact_events").count() == n0 + 30
+
+
+def test_stream_merge_into_exactly_once_and_replay_safe(spark, tmp_path):
+    """File stream -> Warehouse.merge_into per micro-batch: keys
+    converge to their latest version, a second drain is a no-op, and a
+    checkpoint loss replay converges instead of double-applying."""
+    import shutil
+
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), manifest=True)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, ver long, val string"
+
+    spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1")], schema
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, 2, "a2"), (3, 1, "c1")], schema
+    ).write.mode("append").parquet(src)
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    sschema = StructType([
+        StructField("id", LongType()), StructField("ver", LongType()),
+        StructField("val", StringType()),
+    ])
+    jobs.stream_merge_into(
+        spark, wh, src, "gold", ["id"], sschema, ckpt,
+        max_files_per_trigger=1,
+    )
+    want = {1: "a2", 2: "b1", 3: "c1"}
+    got = {r.id: r.val for r in wh.read("gold").collect()}
+    assert got == want
+    # provenance stamped per batch
+    metas = [h["meta"] for h in wh.history("gold") if h["meta"]]
+    assert metas and all("stream_batch" in m for m in metas)
+
+    # second drain: nothing new -> table unchanged
+    v = wh._current_version("gold")
+    jobs.stream_merge_into(
+        spark, wh, src, "gold", ["id"], sschema, ckpt,
+    )
+    assert wh._current_version("gold") == v
+
+    # checkpoint loss: full replay converges to the same image
+    shutil.rmtree(ckpt)
+    jobs.stream_merge_into(
+        spark, wh, src, "gold", ["id"], sschema, ckpt,
+    )
+    got2 = {r.id: r.val for r in wh.read("gold").collect()}
+    assert got2 == want and wh.read("gold").count() == 3
+
+
+def test_stream_merge_newer_col_blocks_stale_replay(spark, tmp_path):
+    """With newer_col, an out-of-order replay of an OLD file cannot
+    clobber newer target state — convergence is order-independent."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), manifest=True)
+    schema = "id long, ver long, val string"
+    wh.overwrite("gold", spark.createDataFrame([(1, 2, "a2")], schema))
+
+    src = str(tmp_path / "old_src")
+    spark.createDataFrame([(1, 1, "a1"), (4, 1, "d1")], schema) \
+        .write.mode("append").parquet(src)
+    sschema = StructType([
+        StructField("id", LongType()), StructField("ver", LongType()),
+        StructField("val", StringType()),
+    ])
+    jobs.stream_merge_into(
+        spark, wh, src, "gold", ["id"], sschema,
+        str(tmp_path / "ck2"), newer_col="ver",
+    )
+    got = {r.id: (r.ver, r.val) for r in wh.read("gold").collect()}
+    assert got[1] == (2, "a2"), "stale version clobbered newer state"
+    assert got[4] == (1, "d1"), "fresh key must still insert"
