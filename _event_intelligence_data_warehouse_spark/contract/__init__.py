@@ -310,6 +310,7 @@ _DRIVER_SAMPLE_TAIL = [
     "dedup_containment_pairs",
     "embedding_trimmed_centroids",
     "dedup_similarity_histogram",
+    "text_langid_confusion",
 ]
 
 

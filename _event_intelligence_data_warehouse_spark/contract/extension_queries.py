@@ -4599,3 +4599,54 @@ def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sim_decile")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+@query(
+    "text_langid_confusion",
+    """
+WITH docs2 AS (SELECT doc_id, text, lang FROM documents)
+"""
+    + _LANG_VOTE_SQL
+    + """
+, pred AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN (CASE WHEN length(d.text) > 0 THEN
+                     CAST(length(regexp_replace(d.text, '[^一-鿿]', '',
+                          'g')) AS DOUBLE) / length(d.text)
+                ELSE 0.0 END) > 0.2 THEN 'zh'
+                WHEN greatest(v.v_de, v.v_en, v.v_es, v.v_fr) <= 0
+                    THEN 'und'
+                WHEN v.v_de = greatest(v.v_de, v.v_en, v.v_es, v.v_fr)
+                    THEN 'de'
+                WHEN v.v_en = greatest(v.v_de, v.v_en, v.v_es, v.v_fr)
+                    THEN 'en'
+                WHEN v.v_es = greatest(v.v_de, v.v_en, v.v_es, v.v_fr)
+                    THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM docs2 d JOIN votes v USING (doc_id)
+)
+SELECT lang AS lang_true, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (lang = lang_pred) AS is_correct
+FROM pred
+GROUP BY lang, lang_pred
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-engine model evaluation: the language-ID confusion matrix
+    (true lang x predicted lang x count) over the whole corpus in one
+    aggregate — the artifact that says WHERE a classifier fails, not
+    just how often. The pattern generalizes to any cheap in-plan
+    classifier evaluated against labels."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            tx.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn(
+            "is_correct", F.col("lang_true") == F.col("lang_pred")
+        )
+    )
