@@ -515,12 +515,16 @@ class Warehouse:
                         else max(maxs[name], st.max)
                     )
             entry: dict = {c: [mins[c], maxs[c]] for c in mins}
+            # per-file row count (same footer read): lets COUNT(*) and
+            # pruned counts answer from the manifest alone
+            entry[self._ROWS_KEY] = md.num_rows
             blooms = self._collect_blooms(table, rel)
             if blooms:
                 entry[self._BLOOM_KEY] = blooms
-            if entry:
-                out[rel] = entry
+            out[rel] = entry
         return out
+
+    _ROWS_KEY = "__rows__"
 
     # Reserved stats key for per-file bloom filters (never a filter
     # column name, so the bounds lookup in _file_may_match skips it).
@@ -1160,6 +1164,74 @@ class Warehouse:
             "files_after": files_after,
             "bytes": total,
         }
+
+    def stats_count(
+        self, table: str, filters: list[tuple] | None = None,
+    ) -> int | None:
+        """COUNT(*) answered from the MANIFEST when it can be exact —
+        zero data files touched. Unfiltered: the sum of per-file row
+        counts (every live file must carry one; files from pre-rows
+        manifests return None -> caller falls back to a real count).
+        With ``filters``: exact only when every surviving file is
+        FULLY inside the predicate (its [min, max] satisfies the
+        filters at both endpoints) and every pruned file is fully
+        outside — the Delta/Iceberg stats-only fast path; anything
+        partial returns None rather than an estimate."""
+        if not self.manifest:
+            raise ValueError("stats_count requires Warehouse(manifest=True)")
+        m = self._adopt_if_legacy(table)
+        stats = m.get("stats", {})
+        if filters:
+            keep, _total = self.pruned_files(table, filters)
+            total = 0
+            for rel in keep:
+                st = stats.get(rel, {})
+                rows = st.get(self._ROWS_KEY)
+                if rows is None:
+                    return None
+                for col, op, value in filters:
+                    b = st.get(col)
+                    if b is None:
+                        return None
+                    lo, hi = b
+                    try:
+                        inside = {
+                            "==": lo == value and hi == value,
+                            "<": hi < value, "<=": hi <= value,
+                            ">": lo > value, ">=": lo >= value,
+                        }[op]
+                    except TypeError:
+                        return None
+                    if not inside:
+                        return None
+                total += rows
+            return total
+        total = 0
+        for rel in m["files"]:
+            rows = stats.get(rel, {}).get(self._ROWS_KEY)
+            if rows is None:
+                return None
+            total += rows
+        return total
+
+    def stats_minmax(self, table: str, col: str) -> tuple | None:
+        """(min, max) of ``col`` answered from the manifest when EVERY
+        live file carries bounds for it (a single bounds-less file
+        could hide the true extremum -> None, never a guess)."""
+        if not self.manifest:
+            raise ValueError(
+                "stats_minmax requires Warehouse(manifest=True)"
+            )
+        m = self._adopt_if_legacy(table)
+        stats = m.get("stats", {})
+        lo = hi = None
+        for rel in m["files"]:
+            b = stats.get(rel, {}).get(col)
+            if b is None:
+                return None
+            lo = b[0] if lo is None else min(lo, b[0])
+            hi = b[1] if hi is None else max(hi, b[1])
+        return None if lo is None else (lo, hi)
 
     # -- copy-on-write row-level DML ---------------------------------------
     @staticmethod

@@ -1084,3 +1084,31 @@ def test_concurrent_dml_writers_detected(spark, tmp_path, monkeypatch):
     rows = {r.id: r.val for r in rd.read("t").collect()}
     assert len(rows) == 400, "loser's delete must not have applied"
     assert rows[0] == "other", "winner's update lost"
+
+
+def test_stats_only_count_and_minmax(spark, tmp_path):
+    """COUNT(*) / MIN / MAX answer from the manifest without touching
+    data files — exact or None, never an estimate."""
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+
+    assert wh.stats_count("t") == 400
+    # file-aligned predicate: every surviving file fully inside
+    assert wh.stats_count(
+        "t", [("id", ">=", 100), ("id", "<=", 199)]
+    ) == 100
+    # misaligned predicate: partial file -> honest None
+    assert wh.stats_count("t", [("id", ">=", 150)]) is None
+    assert wh.stats_minmax("t", "id") == (0, 399)
+    assert wh.stats_minmax("t", "quality") == (0.0, 39.9)
+    assert wh.stats_minmax("t", "nope") is None
+
+    # DML keeps the fast path consistent
+    wh.delete_where("t", [("id", ">=", 100), ("id", "<", 200)])
+    assert wh.stats_count("t") == 300
+    assert wh.stats_count("t") == wh.read("t").count()
+
+    # a legacy-adopted table has no row counts -> None, not a guess
+    legacy = Warehouse(spark, str(tmp_path / "lg"), manifest=True)
+    spark.range(10).toDF("id").write.parquet(legacy.path("t"))
+    assert legacy.stats_count("t") in (None, 10)  # adopt collects stats
