@@ -290,9 +290,16 @@ _DRIVER_SAMPLE_TAIL = [
     # dedup_cc_incremental) — frees the slot for text_lm_surprise (new
     # mechanism: corpus-trained model scored by join-back)
     "dedup_cluster_sizes",
-    # round-4 late additions: full local oracles this round, queued for
-    # next round's rotation (precedent: every round's tail additions
-    # earned driver rows one round later)
+    # round-4 LATE additions (after this round's head rotation was
+    # fixed): every one carries a full local oracle, and the family
+    # list below is the ready-made round-5 rotation slate — percentile
+    # calibration, skew profiling, JL projection, BPE serving path,
+    # DSIR affinity, CCNet buckets, exact stratified allocation,
+    # contrastive mining, profile drift, PQ + IVFxPQ ANN (recall
+    # audited), tokenizer fertility, curation v3, containment dedup,
+    # trimmed centroids, similarity histogram, lang-ID confusion.
+    # (text_lm_surprise, the 17th, took a head slot directly — see the
+    # dedup_cluster_sizes demotion above.)
     "curation_quality_percentile",
     "profile_key_skew",
     "embedding_random_projection",

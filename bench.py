@@ -44,6 +44,7 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
     "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     "text_metrics",
     "text_winnowing_fingerprints",
     "dedup_semantic",
