@@ -1534,6 +1534,63 @@ class Warehouse:
         return {"version": man["version"], "files": len(files),
                 "source_version": m["version"]}
 
+    def restore(self, table: str, version: int) -> dict:
+        """Restore the table to a still-retained ``version`` — published
+        as a NEW commit referencing the old version's files (nothing
+        rewrites, nothing is lost: the bad commits stay in history and
+        time travel still reaches them until vacuum retention expires
+        them). The undo button a bad pipeline run needs."""
+        if not self.manifest:
+            raise ValueError("restore requires Warehouse(manifest=True)")
+        if version not in self._committed_chain(table):
+            raise FileNotFoundError(
+                f"table {table!r} version {version} is not on the "
+                "committed chain"
+            )
+        cur = self._current_version(table)
+        m = self._manifest(table, version)
+        man = self._publish(
+            table, m["files"], m.get("partition_col"),
+            f"restore:v{version}", stats=m.get("stats", {}),
+            expect_version=cur,
+        )
+        return {"version": man["version"], "restored_from": version}
+
+    def partition_profile(self, table: str) -> list[dict]:
+        """Per-partition profile from the MANIFEST alone (no data
+        files touched): files, rows (None when any file predates row
+        stats), bytes — the skew/small-file triage view for a partitioned
+        100 TB table. Unpartitioned tables return one row with
+        partition=None."""
+        if not self.manifest:
+            raise ValueError(
+                "partition_profile requires Warehouse(manifest=True)"
+            )
+        m = self._adopt_if_legacy(table)
+        stats = m.get("stats", {})
+        pcol = m.get("partition_col")
+        base = self.path(table)
+        prof: dict[object, dict] = {}
+        for rel in m["files"]:
+            pv = self._partition_of(rel, pcol) if pcol else None
+            e = prof.setdefault(
+                pv, {"partition": pv, "files": 0, "rows": 0, "bytes": 0}
+            )
+            e["files"] += 1
+            rows = stats.get(rel, {}).get(self._ROWS_KEY)
+            if rows is None or e["rows"] is None:
+                e["rows"] = None
+            else:
+                e["rows"] += rows
+            try:
+                e["bytes"] += os.path.getsize(os.path.join(base, rel))
+            except OSError:
+                e["bytes"] = -1
+        return sorted(
+            prof.values(), key=lambda d: (d["partition"] is None,
+                                          str(d["partition"]))
+        )
+
     def fsck(self, table: str) -> dict:
         """Integrity report for a manifest-mode table: manifest entries
         whose data files are MISSING on disk (a reader would fail —

@@ -1112,3 +1112,40 @@ def test_stats_only_count_and_minmax(spark, tmp_path):
     legacy = Warehouse(spark, str(tmp_path / "lg"), manifest=True)
     spark.range(10).toDF("id").write.parquet(legacy.path("t"))
     assert legacy.stats_count("t") in (None, 10)  # adopt collects stats
+
+
+def test_restore_is_a_new_commit_preserving_history(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "rwh"), manifest=True,
+                   retain_versions=10)
+    wh.overwrite("t", spark.range(10).toDF("id"))
+    good_v = wh._current_version("t")
+    wh.overwrite("t", spark.range(2).toDF("id"))  # the bad run
+    bad_v = wh._current_version("t")
+
+    res = wh.restore("t", good_v)
+    assert res["restored_from"] == good_v
+    assert wh.read("t").count() == 10
+    # nothing lost: the bad version is still readable
+    assert wh.read("t", version=bad_v).count() == 2
+    ops = [h["operation"] for h in wh.history("t")]
+    assert ops[0] == f"restore:v{good_v}"
+    with pytest.raises(FileNotFoundError):
+        wh.restore("t", 999)
+
+
+def test_partition_profile_stats_only(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "id long, bucket int"
+    )
+    wh.overwrite("t", df, partition_col="bucket")
+    wh.append("t", spark.createDataFrame([(100, 0)], "id long, bucket int"))
+    prof = {p["partition"]: p for p in wh.partition_profile("t")}
+    assert set(prof) == {"0", "1", "2"}
+    assert prof["0"]["rows"] == 21 and prof["1"]["rows"] == 20
+    assert prof["0"]["files"] >= 2  # the append added a file
+    assert all(p["bytes"] > 0 for p in prof.values())
+    # unpartitioned: single row
+    wh.overwrite("u", spark.range(5).toDF("id"))
+    up = wh.partition_profile("u")
+    assert len(up) == 1 and up[0]["partition"] is None and up[0]["rows"] == 5
