@@ -1107,7 +1107,13 @@ def pq_encode(
     the first minimum, which IS the (dist, code) tie-break because
     each subspace's literal is ordered by code. The encoded table is
     ~M bytes/vector — what lets a 100 TB embedding corpus fit a
-    serving tier."""
+    serving tier.
+
+    Literal compilation is the right call while the codebook is small
+    (m x k x d_sub ints; ~1.5 MB task binary at the contract config,
+    ~10 MB at a production 16x256x24). Past that, switch to the
+    broadcast-join + argmin-aggregate form (the shape pq_topk's LUT
+    join already uses) — same results, one extra shuffle."""
     rows = sorted(
         codebooks.collect(), key=lambda r: (r["sub"], r["code"])
     )
