@@ -318,6 +318,7 @@ _DRIVER_SAMPLE_TAIL = [
     "embedding_trimmed_centroids",
     "dedup_similarity_histogram",
     "text_langid_confusion",
+    "clean_mad_outliers",
 ]
 
 

@@ -4650,3 +4650,64 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_correct", F.col("lang_true") == F.col("lang_pred")
         )
     )
+
+
+@query(
+    "clean_mad_outliers",
+    """
+    WITH vals AS (
+        SELECT event_id, event_type,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ), med AS (
+        SELECT event_type, v AS group_median FROM (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v, event_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM vals
+        ) WHERE rk = (n + 1) // 2
+    ), dev AS (
+        SELECT x.event_id, x.event_type, x.v, m.group_median,
+               abs(x.v - m.group_median) AS d
+        FROM vals x JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, d AS group_mad FROM (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d, event_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE rk = (n + 1) // 2
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(d.v AS DOUBLE) AS value,
+           CAST(d.group_median AS DOUBLE) AS group_median,
+           CAST(a.group_mad AS DOUBLE) AS group_mad,
+           (d.d > 3 * a.group_mad) AS is_outlier
+    FROM dev d JOIN mad a USING (event_type)
+    """,
+)
+def clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier flags on event values per type — the robust
+    detector (50% breakdown point) whose own statistics the outliers
+    cannot drag, unlike the z-test's mean/stddev. Lower-median rank
+    selections and decimal arithmetic keep every flag engine-exact."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    out = smp.mad_outliers(
+        e, "v", ["event_type"], k=3, tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_id", "event_type",
+        F.col("v").cast("double").alias("value"),
+        F.col("group_median").cast("double").alias("group_median"),
+        F.col("group_mad").cast("double").alias("group_mad"),
+        "is_outlier",
+    )

@@ -431,3 +431,54 @@ def allocate_stratified(
         .filter(F.col("_srank") <= F.col("quota"))
         .drop("_srank")
     )
+
+
+def mad_outliers(
+    df: DataFrame, value_col: str, group_cols: list[str], *,
+    k: int = 3, tiebreak_col: str,
+) -> DataFrame:
+    """Robust outlier flagging via the median/MAD rule: a value is an
+    outlier when |v - median| > k * MAD (median absolute deviation) —
+    the detector that still works after the z-test's own mean/stddev
+    have been dragged by the outliers it is looking for (50% breakdown
+    point vs 0%). Flagging complements ``winsorize``'s clamping.
+
+    Engine-exact: both medians are LOWER-median rank selections
+    (element at rank (n+1) div 2 in (value, tiebreak) order — a picked
+    element, never an interpolated average), deviations stay in the
+    value's decimal type, and the comparison is exact decimal
+    arithmetic. Ties in |deviation| rank by (deviation value,
+    tiebreak), identical on every engine.
+
+    Output: input rows + (group_median, group_mad, is_outlier).
+
+    Scale: two rank windows + two joins of group-sized frames — same
+    shuffle key throughout; the group stats frames broadcast."""
+    v = F.col(value_col)
+    w = Window.partitionBy(*group_cols).orderBy(v, F.col(tiebreak_col))
+    wn = Window.partitionBy(*group_cols)
+    med = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(F.col("_rk") == F.expr("(_n + 1) div 2"))
+        .select(*group_cols, v.alias("group_median"))
+    )
+    dev = df.join(med, group_cols).withColumn(
+        "_dev", F.abs(v - F.col("group_median"))
+    )
+    wd = Window.partitionBy(*group_cols).orderBy(
+        F.col("_dev"), F.col(tiebreak_col)
+    )
+    mad = (
+        dev.withColumn("_rk", F.row_number().over(wd))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(F.col("_rk") == F.expr("(_n + 1) div 2"))
+        .select(*group_cols, F.col("_dev").alias("group_mad"))
+    )
+    return (
+        dev.join(mad, group_cols)
+        .withColumn(
+            "is_outlier", F.col("_dev") > F.lit(int(k)) * F.col("group_mad")
+        )
+        .drop("_dev")
+    )

@@ -323,3 +323,29 @@ def test_allocate_stratified_exact_budget_and_caps(spark):
     by = {r.g: r["count"] for r in out2.groupBy("g").count().collect()}
     assert sum(by.values()) == 50
     assert by["x"] == 1  # floor(50*2/102)=0 + largest-remainder top-up
+
+
+def test_mad_outliers_survive_what_breaks_the_z_test(spark):
+    """A cluster of extreme values drags mean/stddev enough for a
+    z-test to miss them; median/MAD still flags every one."""
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    vals = [10.0 + (i % 5) * 0.1 for i in range(20)] + [500.0, 510.0, 520.0]
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)],
+        "id long, g string, v double",
+    ).withColumn("v", F.col("v").cast("decimal(18,2)"))
+    got = {r.id: r for r in smp.mad_outliers(
+        df, "v", ["g"], k=3, tiebreak_col="id"
+    ).collect()}
+    flagged = {i for i, r in got.items() if r.is_outlier}
+    assert flagged == {20, 21, 22}
+    assert float(got[0].group_median) < 11
+    # the z-test misses: mean ~75, std ~150 -> |500-75|/150 < 3
+    import statistics
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(500.0 - mu) / sd < 3.0, "fixture should break the z-test"
