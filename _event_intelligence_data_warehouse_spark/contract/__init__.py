@@ -319,6 +319,7 @@ _DRIVER_SAMPLE_TAIL = [
     "dedup_similarity_histogram",
     "text_langid_confusion",
     "clean_mad_outliers",
+    "dedup_cluster_density",
 ]
 
 

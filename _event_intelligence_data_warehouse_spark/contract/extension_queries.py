@@ -4711,3 +4711,48 @@ def clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_mad").cast("double").alias("group_mad"),
         "is_outlier",
     )
+
+
+@query(
+    "dedup_cluster_density",
+    _CC_CTES + """
+, gm AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+    )
+), gv AS (
+    SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM comp c JOIN gm USING (doc_id) GROUP BY 1
+), ge AS (
+    SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM pairs p JOIN comp c ON c.doc_id = p.doc_a GROUP BY 1
+), gt AS (
+    SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ) t JOIN comp c ON c.doc_id = t.x
+    GROUP BY 1
+)
+SELECT v.component_id, v.n_vertices, e.n_edges,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST((CAST(2 AS HUGEINT) * e.n_edges * 1000000)
+            // (v.n_vertices * (v.n_vertices - 1)) AS BIGINT)
+           AS density_ppm
+FROM gv v JOIN ge e USING (component_id)
+LEFT JOIN gt t USING (component_id)
+""",
+)
+def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural audit of every dup cluster: vertex/edge/triangle
+    counts and exact-ppm edge density — near-clique components are
+    true duplicate groups; sparse, triangle-poor chains are the
+    transitive-closure artifacts of a too-loose threshold and should
+    not be collapsed to one survivor."""
+    docs = _docs_near(spark, sf_dir)
+    pairs = dd.minhash_dedup(docs, threshold=0.8)
+    labels = dd.connected_components(docs.select("doc_id"), pairs)
+    return dd.graph_cluster_stats(pairs, labels)

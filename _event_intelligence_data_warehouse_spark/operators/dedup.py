@@ -1015,3 +1015,63 @@ def containment_pairs(
         (F.col("containment_a_in_b") >= threshold)
         | (F.col("containment_b_in_a") >= threshold)
     )
+
+
+def graph_cluster_stats(
+    pairs: DataFrame, labels: DataFrame, *,
+    src_col: str = "doc_a", dst_col: str = "doc_b",
+) -> DataFrame:
+    """Structural quality of each dup cluster: vertex/edge/triangle
+    counts and edge density (ppm) per connected component — the
+    diagnostic that separates a TRUE duplicate cluster (near-clique:
+    density -> 1e6, triangle-rich) from a transitive CHAIN of
+    borderline pairs (density -> 2/V, triangle-free), which is what an
+    over-loose threshold produces and what canonical-election then
+    silently merges. Feed the sparse components back to a human or a
+    higher threshold instead of electing one survivor across them.
+
+    Triangle counting uses the ordered-edge join (a<b<c): each
+    triangle is produced exactly once, cost O(sum of deg^2) on id
+    pairs only. Density is exact integer ppm: (2E * 1e6) div (V(V-1)).
+    ``labels`` is the connected_components output."""
+    e = pairs.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct()
+    lab = labels.select("doc_id", "component_id")
+    members = (
+        e.select(F.col("a").alias("doc_id"))
+        .unionByName(e.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    vstat = (
+        members.join(lab, "doc_id")
+        .groupBy("component_id")
+        .agg(F.count("*").cast("bigint").alias("n_vertices"))
+    )
+    estat = (
+        e.join(lab, e.a == lab.doc_id)
+        .groupBy("component_id")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tstat = (
+        tri.join(lab, tri.x == lab.doc_id)
+        .groupBy("component_id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return (
+        vstat.join(estat, "component_id")
+        .join(tstat, "component_id", "left")
+        .select(
+            "component_id", "n_vertices", "n_edges",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+            F.expr(
+                "CAST((CAST(2 AS DECIMAL(38,0)) * n_edges * 1000000) div "
+                "(n_vertices * (n_vertices - 1)) AS BIGINT)"
+            ).alias("density_ppm"),
+        )
+    )

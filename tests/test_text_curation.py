@@ -574,3 +574,24 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
         (p.doc_a, p.doc_b) == (1, 2) for p in sym.collect()
     )
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_cluster_density_separates_clique_from_chain(spark):
+    """A 4-clique scores density 1e6 with 4 triangles; a 4-chain scores
+    500000 with none — the structural signal that stops canonical
+    election from collapsing threshold artifacts."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    pairs = spark.createDataFrame(
+        clique + chain, "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13]], "doc_id long"
+    )
+    labels = dd.connected_components(verts, pairs)
+    got = {r.component_id: r
+           for r in dd.graph_cluster_stats(pairs, labels).collect()}
+    assert got[1].n_vertices == 4 and got[1].n_edges == 6
+    assert got[1].n_triangles == 4 and got[1].density_ppm == 1000000
+    assert got[10].n_vertices == 4 and got[10].n_edges == 3
+    assert got[10].n_triangles == 0 and got[10].density_ppm == 500000
