@@ -297,8 +297,9 @@ _DRIVER_SAMPLE_TAIL = [
     # DSIR affinity, CCNet buckets, exact stratified allocation,
     # contrastive mining, profile drift, PQ + IVFxPQ ANN (recall
     # audited), tokenizer fertility, curation v3, containment dedup,
-    # trimmed centroids, similarity histogram, lang-ID confusion.
-    # (text_lm_surprise, the 17th, took a head slot directly — see the
+    # trimmed centroids, similarity histogram, lang-ID confusion,
+    # MAD outlier flags, cluster-density audit.
+    # (text_lm_surprise took a head slot directly — see the
     # dedup_cluster_sizes demotion above.)
     "curation_quality_percentile",
     "profile_key_skew",
