@@ -559,3 +559,99 @@ def test_allocate_stratified_budget_exact(
         df, ["g"], min(budget, n_total), tiebreak_col="id"
     )
     assert out.count() == min(budget, n_total)
+
+
+# -- late-round-4 operator invariants -------------------------------------
+
+_ctexts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1, max_size=12,
+    ).map(" ".join),
+    min_size=2, max_size=8,
+)
+
+
+@PROP
+@given(texts=_ctexts)
+def test_containment_bounds_and_jaccard_relation(spark, texts):
+    """For every emitted pair: 0 < containment <= 1 and
+    jaccard <= min(containment_a_in_b, containment_b_in_a)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd2,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = dd2.containment_pairs(
+        df, threshold=0.5, bands=32
+    ).collect()
+    for r in rows:
+        assert 0 < r.containment_a_in_b <= 1.0
+        assert 0 < r.containment_b_in_a <= 1.0
+        assert r.jaccard <= min(
+            r.containment_a_in_b, r.containment_b_in_a
+        ) + 1e-12
+        assert max(r.containment_a_in_b, r.containment_b_in_a) >= 0.5
+
+
+@PROP
+@given(
+    words=st.lists(
+        st.text(alphabet="abct", min_size=1, max_size=8),
+        min_size=1, max_size=10,
+    ),
+    n_merges=st.integers(0, 4),
+)
+def test_bpe_encode_monotone_in_merges(spark, words, n_merges):
+    """Zero merges tokenizes to characters exactly; every added merge
+    can only reduce (never increase) the token count."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx2,
+    )
+
+    merge_ladder = [("a", "b"), ("ab", "c"), ("c", "a"), ("t", "t")]
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    prev = None
+    for k in range(n_merges + 1):
+        got = tx2.bpe_encode_stats(df, merge_ladder[:k]).collect()
+        if not got:  # no [a-z]+ words in the text
+            return
+        r = got[0]
+        if k == 0:
+            assert r.n_tokens == r.n_chars
+        if prev is not None:
+            assert r.n_tokens <= prev
+        prev = r.n_tokens
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.integers(-1000, 1000), min_size=1, max_size=30
+    )
+)
+def test_group_percentile_bounds_and_monotonicity(spark, vals):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "id long, g string, score long",
+    )
+    rows = smp.group_percentile(
+        df, "score", ["g"], tiebreak_col="id"
+    ).collect()
+    by_rank = sorted(rows, key=lambda r: (r.score, r.id))
+    last = -1.0
+    for r in by_rank:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert r.pct_rank >= last
+        last = r.pct_rank
+    assert by_rank[0].pct_rank == 0.0
+    if len(vals) > 1:
+        assert by_rank[-1].pct_rank == 1.0
