@@ -1117,6 +1117,11 @@ def pq_encode(
     rows = sorted(
         codebooks.collect(), key=lambda r: (r["sub"], r["code"])
     )
+    if not rows:
+        raise ValueError(
+            "pq_encode got an empty codebook — train pq_codebooks on a "
+            "non-empty corpus first"
+        )
     m = max(r["sub"] for r in rows) + 1
     d_sub = len(rows[0]["cw"])
     by_sub: dict[int, list] = {}

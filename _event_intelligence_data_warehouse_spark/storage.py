@@ -1429,6 +1429,21 @@ class Warehouse:
                 "would apply a row twice; dedupe the source first "
                 "(e.g. operators.upsert.latest_per_key)"
             )
+        # Whole-row upsert: a source missing target columns would
+        # silently NULL matched rows' data through the
+        # allowMissingColumns union — fail loud instead.
+        if when_matched == "update" and self.exists(table):
+            missing = [
+                c for c in self._m_read(table).columns
+                if c not in source.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"merge_into source is missing target columns "
+                    f"{missing}: a whole-row update would overwrite "
+                    "them with NULL; select them into the source or "
+                    "use update_where for partial updates"
+                )
         # Source key envelope -> candidate files. A key column without
         # usable bounds simply doesn't prune (correctness first).
         env = source.agg(*[

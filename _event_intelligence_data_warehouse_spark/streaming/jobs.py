@@ -447,8 +447,15 @@ def stream_merge_into(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # latest-per-key: order by the version column when declared
+        # (exact CDC semantics), else by every non-key column (a stable
+        # deterministic pick for orderable schemas)
+        order_cols = (
+            [newer_col] if newer_col is not None
+            else [c for c in batch_df.columns if c not in keys]
+        )
         w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in batch_df.columns if c not in keys]
+            *[F.col(c).desc() for c in order_cols]
         )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))

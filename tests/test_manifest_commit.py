@@ -1149,3 +1149,19 @@ def test_partition_profile_stats_only(spark, tmp_path):
     wh.overwrite("u", spark.range(5).toDF("id"))
     up = wh.partition_profile("u")
     assert len(up) == 1 and up[0]["partition"] is None and up[0]["rows"] == 5
+
+
+def test_merge_into_rejects_narrower_source(spark, tmp_path):
+    """A source missing target columns must fail loud — the whole-row
+    update would silently NULL matched rows' data otherwise."""
+    wh = _mwh(spark, tmp_path)
+    _dml_table(spark, wh)
+    narrow = spark.createDataFrame([(150, "u")], "id long, val string")
+    with pytest.raises(ValueError, match="missing target columns"):
+        wh.merge_into("t", narrow, ["id"])
+    # delete-mode needs only the keys: still fine
+    res = wh.merge_into(
+        "t", narrow.select("id"), ["id"],
+        when_matched="delete", insert_not_matched=False,
+    )
+    assert res["rows_matched"] == 1
