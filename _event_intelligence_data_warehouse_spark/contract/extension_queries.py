@@ -4738,7 +4738,8 @@ def clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
 )
 SELECT v.component_id, v.n_vertices, e.n_edges,
-       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN e.n_edges <= 50000
+            THEN coalesce(t.n_triangles, 0) END AS BIGINT) AS n_triangles,
        CAST((CAST(2 AS HUGEINT) * e.n_edges * 1000000)
             // (v.n_vertices * (v.n_vertices - 1)) AS BIGINT)
            AS density_ppm

@@ -1020,6 +1020,7 @@ def containment_pairs(
 def graph_cluster_stats(
     pairs: DataFrame, labels: DataFrame, *,
     src_col: str = "doc_a", dst_col: str = "doc_b",
+    max_triangle_edges: int = 50_000,
 ) -> DataFrame:
     """Structural quality of each dup cluster: vertex/edge/triangle
     counts and edge density (ppm) per connected component — the
@@ -1032,8 +1033,15 @@ def graph_cluster_stats(
 
     Triangle counting uses the ordered-edge join (a<b<c): each
     triangle is produced exactly once, cost O(sum of deg^2) on id
-    pairs only. Density is exact integer ppm: (2E * 1e6) div (V(V-1)).
-    ``labels`` is the connected_components output."""
+    pairs only — which is exactly why it is CAPPED: a single
+    million-edge near-clique holds ~10^9 triangles and counting them
+    proves nothing density didn't already. Components above
+    ``max_triangle_edges`` report n_triangles = NULL (density, from
+    V and E alone, stays exact and cheap at any size); the diagnostic
+    targets the small-to-medium clusters where chain-vs-clique is
+    actually ambiguous. Density is exact integer ppm:
+    (2E * 1e6) div (V(V-1)). ``labels`` is the connected_components
+    output."""
     e = pairs.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).distinct()
@@ -1053,9 +1061,18 @@ def graph_cluster_stats(
         .groupBy("component_id")
         .agg(F.count("*").cast("bigint").alias("n_edges"))
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    # edges restricted to capped components before any self-join
+    small = estat.filter(
+        F.col("n_edges") <= max_triangle_edges
+    ).select("component_id")
+    ce = (
+        e.join(lab, e.a == lab.doc_id)
+        .join(F.broadcast(small), "component_id")
+        .select("a", "b")
+    )
+    e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ce.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ce.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
     tstat = (
         tri.join(lab, tri.x == lab.doc_id)
@@ -1067,8 +1084,10 @@ def graph_cluster_stats(
         .join(tstat, "component_id", "left")
         .select(
             "component_id", "n_vertices", "n_edges",
-            F.coalesce("n_triangles", F.lit(0)).cast("bigint")
-            .alias("n_triangles"),
+            F.when(
+                F.col("n_edges") <= max_triangle_edges,
+                F.coalesce("n_triangles", F.lit(0)),
+            ).cast("bigint").alias("n_triangles"),
             F.expr(
                 "CAST((CAST(2 AS DECIMAL(38,0)) * n_edges * 1000000) div "
                 "(n_vertices * (n_vertices - 1)) AS BIGINT)"
