@@ -290,37 +290,63 @@ _DRIVER_SAMPLE_TAIL = [
     # dedup_cc_incremental) — frees the slot for text_lm_surprise (new
     # mechanism: corpus-trained model scored by join-back)
     "dedup_cluster_sizes",
-    # round-4 LATE additions (after this round's head rotation was
-    # fixed): every one carries a full local oracle, and the family
-    # list below is the ready-made round-5 rotation slate — percentile
-    # calibration, skew profiling, JL projection, BPE serving path,
-    # DSIR affinity, CCNet buckets, exact stratified allocation,
-    # contrastive mining, profile drift, PQ + IVFxPQ ANN (recall
-    # audited), tokenizer fertility, curation v3, containment dedup,
-    # trimmed centroids, similarity histogram, lang-ID confusion,
-    # MAD outlier flags, cluster-density audit.
-    # (text_lm_surprise took a head slot directly — see the
-    # dedup_cluster_sizes demotion above.)
-    "curation_quality_percentile",
-    "profile_key_skew",
-    "embedding_random_projection",
-    "text_bpe_encode",
-    "curation_dsir_affinity",
+    # round-4 LATE additions still tail-resident after the round-5
+    # rotation (each has a full local oracle; remaining r6 slate):
     "text_ccnet_buckets",
     "sample_stratified_exact",
     "embedding_contrastive_pairs",
     "governance_stats_drift",
-    "similarity_pq_topk",
-    "similarity_pq_recall",
     "text_lang_fertility",
-    "curation_pipeline_v3",
-    "similarity_ivfpq_topk",
-    "dedup_containment_pairs",
     "embedding_trimmed_centroids",
     "dedup_similarity_histogram",
     "text_langid_confusion",
     "clean_mad_outliers",
-    "dedup_cluster_density",
+    # Round-5 rotation (r4 verdict item 1): the never-driver-verified
+    # PQ/IVF-PQ ANN serving family and late-r4 additions move INTO the
+    # 50-sample — similarity_pq_topk, similarity_pq_recall,
+    # similarity_ivfpq_topk, text_bpe_encode, curation_dsir_affinity,
+    # curation_pipeline_v3, curation_quality_percentile,
+    # profile_key_skew, embedding_random_projection,
+    # dedup_containment_pairs, dedup_cluster_density — plus the new
+    # dedup_semantic_incremental (r4 verdict item 6). Moving out, every
+    # one r4-driver-green with its SURVEY §2 id / mechanism still
+    # head-covered:
+    # - kpi_anomalous_days: V2 KPI family stays via kpi_events_by_category,
+    #   kpi_weekend_vs_weekday, kpi_pipeline_health
+    # - cdc_snapshot_diff: storage family has 54 unit tests incl. crash
+    #   injection; the manifest MERGE stays exercised by
+    #   upsert_merge_latest_state
+    # - embedding_batch_drift: drift screen; stateless projection family
+    #   stays via embedding_random_projection (promoted)
+    # - text_url_host_stats: URL column algebra stays sampled via
+    #   text_url_canonicalize
+    # - split_kfold_leakage_safe: split-per-component machinery stays via
+    #   split_leakage_safe
+    # - curation_mixture_plan: int64-exact planning feeds
+    #   curation_mixture_sample, which stays sampled
+    # - governance_validate_rules: single-scan rule folding also runs
+    #   inside storage constraint enforcement (unit) and quality_five_checks
+    # - text_winnowing_fingerprints: gram-hash machinery stays via
+    #   text_decontaminate; overlap variant r03-green in tail
+    # - dedup_exact: sha2-groupBy mechanism re-exercised inside
+    #   curation_pipeline_v3 (promoted) and dedup_latest_per_key
+    # - similarity_ivf_topk / similarity_ivf_recall: IVF training+serve
+    #   and the recall-audit mechanism stay sampled via
+    #   similarity_ivfpq_topk + similarity_pq_recall (promoted)
+    # - curation_pipeline_v2: superseded composition; v3 (promoted)
+    #   composes the same stages plus DSIR/percentile gating
+    "kpi_anomalous_days",
+    "cdc_snapshot_diff",
+    "embedding_batch_drift",
+    "text_url_host_stats",
+    "split_kfold_leakage_safe",
+    "curation_mixture_plan",
+    "governance_validate_rules",
+    "text_winnowing_fingerprints",
+    "dedup_exact",
+    "similarity_ivf_topk",
+    "similarity_ivf_recall",
+    "curation_pipeline_v2",
 ]
 
 
