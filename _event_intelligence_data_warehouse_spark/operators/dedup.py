@@ -150,11 +150,64 @@ def band_buckets(
              F.col("bb.bkey").alias("bkey"))
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K
+# Per-(band, bkey) membership cap for the LSH candidate self-join. A
+# degenerate corpus (mass-produced template pages that survive exact
+# dedup but share every band key) can put n docs in ONE bucket, and the
+# self-join would emit O(n^2) candidate pairs before the verify step can
+# bound anything. Capping membership bounds any bucket's contribution to
+# max_bucket^2 / 2 pairs; near-dups dropped from one hot bucket still
+# collide in any of the other bands' (smaller) buckets, so only
+# pathological corpora lose pairs — exactly the corpora where the
+# uncapped join dies instead. 1000 is far above any bucket the testdata
+# or the threshold-tuned banding produces on real text (sf0.1 sweep max
+# observed bucket: <100 docs); mirror of winnowing's df<=10 fingerprint
+# cap and ngram_jaccard's hot-gram guard.
+HOT_BUCKET_CAP = 1000
+
+
+def lsh_hot_buckets(
+    signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K,
+    max_bucket: int = HOT_BUCKET_CAP,
 ) -> DataFrame:
-    """Candidate pairs (doc_a < doc_b) sharing at least one band bucket."""
+    """Telemetry for the hot-bucket guard: (band, bkey, n_docs) for every
+    band bucket whose membership exceeds ``max_bucket`` — i.e. the
+    buckets :func:`minhash_lsh_candidates` truncates. Empty on healthy
+    corpora; a non-empty result is the signal to investigate templated
+    near-identical content upstream (or raise the cap deliberately)."""
+    return (
+        band_buckets(signatures, bands, k)
+        .groupBy("band", "bkey")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def _cap_hot_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Keep at most ``max_bucket`` docs per (band, bkey) — deterministic
+    (lowest doc_ids win). The row_number partitioning matches the
+    downstream self-join's equi-keys, so its exchange is the same
+    (band, bkey) hash the join needs anyway."""
+    w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    return (
+        buckets.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= max_bucket)
+        .drop("__rn__")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K,
+    *, max_bucket: int | None = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing at least one band bucket.
+
+    Buckets larger than ``max_bucket`` are truncated to their
+    ``max_bucket`` lowest doc_ids before the self-join (see
+    HOT_BUCKET_CAP rationale above); ``max_bucket=None`` disables the
+    guard. :func:`lsh_hot_buckets` reports which buckets were capped."""
     buckets = band_buckets(signatures, bands, k)
+    if max_bucket is not None:
+        buckets = _cap_hot_buckets(buckets, max_bucket)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (

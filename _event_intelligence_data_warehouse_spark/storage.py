@@ -243,6 +243,7 @@ class Warehouse:
         the replaced partitions' entries while keeping every untouched
         partition's — readers resolve the pointer and never observe a mix.
         """
+        self.check_constraints(table, df)
         if self.manifest:
             m = self._adopt_if_legacy(table)
             bad = [
@@ -484,11 +485,35 @@ class Warehouse:
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
             dead: set[str] = set()
+            nulls: dict[str, int] = {}
+            nulls_dead: set[str] = set()
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):
                     col = md.row_group(rg).column(ci)
                     name = col.path_in_schema
-                    if name in dead or "." in name:
+                    if "." in name:
+                        continue
+                    # Null counts are tracked independently of min/max
+                    # viability (a NULL-heavy column can still report
+                    # exact null counts): any row group without one
+                    # poisons the column — a partial sum would
+                    # understate and break the stats-only count path.
+                    if name not in nulls_dead:
+                        try:
+                            st0 = col.statistics
+                            nc = (
+                                st0.null_count
+                                if st0 is not None and st0.has_null_count
+                                else None
+                            )
+                        except Exception:
+                            nc = None
+                        if nc is None:
+                            nulls_dead.add(name)
+                            nulls.pop(name, None)
+                        else:
+                            nulls[name] = nulls.get(name, 0) + int(nc)
+                    if name in dead:
                         continue
                     try:
                         # pyarrow raises for types it can't extract
@@ -518,6 +543,14 @@ class Warehouse:
             # per-file row count (same footer read): lets COUNT(*) and
             # pruned counts answer from the manifest alone
             entry[self._ROWS_KEY] = md.num_rows
+            # per-file per-column null counts (same footer read):
+            # parquet min/max exclude NULLs, so a file "fully inside" a
+            # predicate may still hold NULL rows that fail it — the
+            # filtered stats-only count is exact only when the filter
+            # columns are null-free in every surviving file (the same
+            # precondition Delta/Iceberg apply).
+            if nulls:
+                entry[self._NULLS_KEY] = nulls
             blooms = self._collect_blooms(table, rel)
             if blooms:
                 entry[self._BLOOM_KEY] = blooms
@@ -525,6 +558,10 @@ class Warehouse:
         return out
 
     _ROWS_KEY = "__rows__"
+
+    # Reserved stats key for per-file per-column null counts (never a
+    # real filter column name, so bounds lookups skip it).
+    _NULLS_KEY = "__nulls__"
 
     # Reserved stats key for per-file bloom filters (never a filter
     # column name, so the bounds lookup in _file_may_match skips it).
@@ -1174,9 +1211,12 @@ class Warehouse:
         manifests return None -> caller falls back to a real count).
         With ``filters``: exact only when every surviving file is
         FULLY inside the predicate (its [min, max] satisfies the
-        filters at both endpoints) and every pruned file is fully
-        outside — the Delta/Iceberg stats-only fast path; anything
-        partial returns None rather than an estimate."""
+        filters at both endpoints) AND its filter columns are
+        null-free (parquet min/max exclude NULLs, so a fully-inside
+        file may still carry NULL rows that fail the predicate) and
+        every pruned file is fully outside — the Delta/Iceberg
+        stats-only fast path; anything partial returns None rather
+        than an estimate."""
         if not self.manifest:
             raise ValueError("stats_count requires Warehouse(manifest=True)")
         m = self._adopt_if_legacy(table)
@@ -1189,9 +1229,16 @@ class Warehouse:
                 rows = st.get(self._ROWS_KEY)
                 if rows is None:
                     return None
+                nulls = st.get(self._NULLS_KEY, {})
                 for col, op, value in filters:
                     b = st.get(col)
                     if b is None:
+                        return None
+                    # min/max exclude NULLs: a file judged fully inside
+                    # can still hold NULL rows that fail the predicate.
+                    # Exact only when the footer proved the filter
+                    # column null-free in this file.
+                    if nulls.get(col) != 0:
                         return None
                     lo, hi = b
                     try:
@@ -1369,6 +1416,11 @@ class Warehouse:
         )
         n_updated = out.filter(F.col("__hit__")).count()
         out = out.drop("__hit__")
+        # An assignment can mint values the table contract forbids;
+        # enforce declared constraints on the rewritten candidate frame
+        # before any file lands (carried files hold only unchanged,
+        # previously-admitted rows).
+        self.check_constraints(table, out)
         new = self._write_snapshot(
             table, out, pcol if pcol and pcol in out.columns else None
         )
@@ -1406,7 +1458,12 @@ class Warehouse:
         only.
 
         Returns {version, candidates, carried, rows_matched,
-        rows_inserted, files_rewritten}."""
+        rows_inserted, files_rewritten}. ``rows_matched`` counts
+        matched TARGET rows (replaced or removed — more than the
+        matched source-key count if pre-manifest appends left duplicate
+        key tuples in the target); ``rows_inserted`` is computed
+        directly (source rows with no candidate target key), never
+        derived by subtraction from rows_matched."""
         if not self.manifest:
             raise ValueError("merge_into requires Warehouse(manifest=True)")
         if when_matched not in ("update", "delete"):
@@ -1469,6 +1526,19 @@ class Warehouse:
             cdf = None
             survivors = None
             n_matched = 0
+        # Pruning guarantee: non-candidate files hold no key inside
+        # the source envelope, so target keys that can match live in
+        # candidate files alone — never read the full table. `fresh`
+        # is the true insert set, and counting IT (not n_src -
+        # rows_matched, which conflates source keys with target rows
+        # and goes wrong when the target holds duplicate key tuples)
+        # keeps rows_inserted exact.
+        if cdf is not None:
+            fresh = source.join(
+                cdf.select(*keys).distinct(), keys, "left_anti"
+            )
+        else:
+            fresh = source
         parts = []
         if survivors is not None:
             parts.append(survivors)
@@ -1476,19 +1546,10 @@ class Warehouse:
         if when_matched == "update":
             # matched keys re-enter as source rows alongside inserts
             parts.append(source)
-            n_inserted = n_src - n_matched
+            n_inserted = n_src if cdf is None else fresh.count()
         elif insert_not_matched:
-            # Pruning guarantee: non-candidate files hold no key inside
-            # the source envelope, so target keys that can match live
-            # in candidate files alone — never read the full table.
-            if cdf is not None:
-                fresh = source.join(
-                    cdf.select(*keys).distinct(), keys, "left_anti"
-                )
-            else:
-                fresh = source
             parts.append(fresh)
-            n_inserted = n_src - n_matched
+            n_inserted = n_src if cdf is None else fresh.count()
         out = parts[0]
         for p_df in parts[1:]:
             out = out.unionByName(p_df, allowMissingColumns=True)
@@ -1574,8 +1635,10 @@ class Warehouse:
     def partition_profile(self, table: str) -> list[dict]:
         """Per-partition profile from the MANIFEST alone (no data
         files touched): files, rows (None when any file predates row
-        stats), bytes — the skew/small-file triage view for a partitioned
-        100 TB table. Unpartitioned tables return one row with
+        stats), bytes (None when any file's size is unreadable — a
+        partial sum would be indistinguishable from a real total) —
+        the skew/small-file triage view for a partitioned 100 TB
+        table. Unpartitioned tables return one row with
         partition=None."""
         if not self.manifest:
             raise ValueError(
@@ -1597,10 +1660,13 @@ class Warehouse:
                 e["rows"] = None
             else:
                 e["rows"] += rows
-            try:
-                e["bytes"] += os.path.getsize(os.path.join(base, rel))
-            except OSError:
-                e["bytes"] = -1
+            if e["bytes"] is not None:
+                try:
+                    e["bytes"] += os.path.getsize(os.path.join(base, rel))
+                except OSError:
+                    # None sentinel, sticky (mirrors rows): a partial
+                    # sum would read as a real total.
+                    e["bytes"] = None
         return sorted(
             prof.values(), key=lambda d: (d["partition"] is None,
                                           str(d["partition"]))

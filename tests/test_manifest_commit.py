@@ -1165,3 +1165,131 @@ def test_merge_into_rejects_narrower_source(spark, tmp_path):
         when_matched="delete", insert_not_matched=False,
     )
     assert res["rows_matched"] == 1
+
+
+# -- round-5 advisor fixes --------------------------------------------------
+
+def test_stats_count_filtered_requires_null_free_filter_columns(
+    spark, tmp_path
+):
+    """Parquet min/max stats exclude NULLs, so a file whose [min, max]
+    sits fully inside the predicate can still hold NULL rows that FAIL
+    it — the stats-only filtered count must refuse (None), not
+    overcount. Null-free filter columns keep the exact fast path."""
+    wh = _mwh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, 5 if i % 3 else None) for i in range(90)],
+        "id long, c long",
+    ).coalesce(1)
+    wh.overwrite("t", df)
+
+    # c's bounds are [5, 5]: ('c','==',5) judges the file fully inside,
+    # but 30 NULL rows fail the predicate — None, never 90.
+    assert wh.stats_count("t", [("c", "==", 5)]) is None
+    # null-free filter column: exact from the footer alone
+    assert wh.stats_count("t", [("id", ">=", 0)]) == 90
+    assert wh.stats_count("t") == 90
+
+
+def test_update_where_enforces_declared_constraints(spark, tmp_path):
+    """An UPDATE assignment minting contract-violating values must be
+    rejected before any file lands — same gate append/overwrite apply."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        validate as val,
+    )
+    from _event_intelligence_data_warehouse_spark.storage import (
+        ConstraintViolation,
+    )
+
+    wh = Warehouse(
+        spark, str(tmp_path / "uwh"), manifest=True,
+        constraints={"t": [val.value_range("score_range", "score", 0.0, 1.0)]},
+    )
+    wh.append("t", spark.createDataFrame(
+        [(1, 0.5), (2, 0.9)], "id long, score double"
+    ))
+    v = wh._current_version("t")
+    with pytest.raises(ConstraintViolation):
+        wh.update_where("t", [("id", "==", 1)], {"score": F.lit(5.0)})
+    assert wh._current_version("t") == v
+    assert {r.score for r in wh.read("t").collect()} == {0.5, 0.9}
+    # a contract-respecting update still goes through
+    res = wh.update_where("t", [("id", "==", 1)], {"score": F.lit(1.0)})
+    assert res["rows_updated"] == 1
+
+
+def test_overwrite_partitions_enforces_declared_constraints(
+    spark, tmp_path
+):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        validate as val,
+    )
+    from _event_intelligence_data_warehouse_spark.storage import (
+        ConstraintViolation,
+    )
+
+    wh = Warehouse(
+        spark, str(tmp_path / "owh"), manifest=True,
+        constraints={"t": [val.not_null("id_not_null", "id")]},
+    )
+    good = spark.createDataFrame(
+        [(1, 0), (2, 1)], "id long, bucket int"
+    )
+    wh.overwrite("t", good, partition_col="bucket")
+    bad = spark.createDataFrame([(None, 0)], "id long, bucket int")
+    with pytest.raises(ConstraintViolation):
+        wh.overwrite_partitions("t", bad, "bucket")
+    assert wh.read("t").filter(F.col("id").isNull()).count() == 0
+
+
+def test_merge_into_counts_exact_with_duplicate_target_keys(
+    spark, tmp_path
+):
+    """rows_matched counts matched TARGET rows; rows_inserted is the
+    anti-joined source count — NOT n_src - rows_matched, which goes
+    wrong (even negative) when pre-manifest appends left duplicate key
+    tuples in the target."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, val string"
+    ))
+    src = spark.createDataFrame(
+        [(1, "z"), (3, "n")], "id long, val string"
+    )
+    res = wh.merge_into("t", src, ["id"])
+    assert res["rows_matched"] == 2      # both id=1 target rows replaced
+    assert res["rows_inserted"] == 1     # id=3 only (old math said 0)
+    rows = {(r.id, r.val) for r in wh.read("t").collect()}
+    assert rows == {(1, "z"), (2, "c"), (3, "n")}
+
+
+def test_partition_profile_unreadable_bytes_is_none_not_garbage(
+    spark, tmp_path, monkeypatch
+):
+    """One unreadable file poisons that partition's byte total to None
+    (sticky, mirroring rows) — a partial positive sum would read as a
+    real total."""
+    wh = _mwh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "id long, bucket int"
+    )
+    wh.overwrite("t", df, partition_col="bucket")
+    wh.append("t", spark.createDataFrame(
+        [(100, 0)], "id long, bucket int"
+    ))
+
+    real_getsize = os.path.getsize
+    broken: list[str] = []
+
+    def fake_getsize(p):
+        # break exactly one bucket=0 file (the partition has >= 2)
+        if "bucket=0" in str(p) and not broken:
+            broken.append(str(p))
+            raise OSError("unreadable")
+        return real_getsize(p)
+
+    monkeypatch.setattr(os.path, "getsize", fake_getsize)
+    prof = {p["partition"]: p for p in wh.partition_profile("t")}
+    assert broken, "fixture must hit a bucket=0 file"
+    assert prof["0"]["bytes"] is None
+    assert prof["1"]["bytes"] and prof["1"]["bytes"] > 0

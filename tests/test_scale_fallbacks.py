@@ -152,3 +152,49 @@ def test_connected_components_auto_threshold_disables_broadcast(spark):
     comp = {r["doc_id"]: r["component_id"] for r in out}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7,
                     8: 8, 9: 8, 10: 10, 11: 10}
+
+
+def test_lsh_hot_bucket_guard_bounds_template_corpus(spark):
+    """Adversarial template corpus: 300 docs with IDENTICAL token sets
+    (mass-produced pages) share every band bucket, so the uncapped
+    self-join would emit C(300,2)=44850 candidate pairs. With
+    max_bucket=50 every band's bucket truncates to the 50 lowest ids:
+    candidates are bounded by C(50,2), and the telemetry view names the
+    capped buckets."""
+    docs = spark.createDataFrame(
+        [(i, "the same template page body repeated verbatim") for i in range(300)],
+        "doc_id long, text string",
+    )
+    sets_ = dedup.doc_token_sets(docs)
+    sigs = dedup.minhash_signatures(sets_)
+
+    capped = dedup.minhash_lsh_candidates(sigs, max_bucket=50)
+    n = capped.count()
+    assert n == 50 * 49 // 2, n  # all bands keep the same 50-id prefix
+
+    hot = dedup.lsh_hot_buckets(sigs, max_bucket=50).collect()
+    assert len(hot) == dedup.MINHASH_BANDS  # every band has one hot bucket
+    assert all(r["n_docs"] == 300 for r in hot)
+
+    # deterministic truncation: lowest doc_ids win
+    ids = {r for row in capped.select("doc_a", "doc_b").collect()
+           for r in (row["doc_a"], row["doc_b"])}
+    assert ids == set(range(50))
+
+    # healthy corpus: the guard is a no-op (same pairs with and without)
+    healthy = spark.createDataFrame(
+        [(i, f"doc {i} unique words alpha{i} beta{i % 7} gamma{i % 3}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    hsigs = dedup.minhash_signatures(dedup.doc_token_sets(healthy))
+    with_guard = set(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(hsigs).collect()
+    )
+    without = set(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(hsigs, max_bucket=None).collect()
+    )
+    assert with_guard == without
+    assert dedup.lsh_hot_buckets(hsigs).count() == 0
