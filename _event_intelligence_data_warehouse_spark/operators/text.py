@@ -706,7 +706,8 @@ def cut_spans(
 
 
 def bpe_train(
-    df: DataFrame, *, n_merges: int = 10, text_col: str = "text"
+    df: DataFrame, *, n_merges: int = 10, batch_k: int = 1,
+    text_col: str = "text",
 ) -> list[tuple[str, str, int]]:
     """Iterative BPE merge training (Sennrich et al. 2016): learn the
     top ``n_merges`` merges over the corpus. Returns
@@ -715,13 +716,31 @@ def bpe_train(
     Scale shape: the ONE corpus-sized operation is the initial word
     count; every merge iteration then operates on the VOCABULARY frame
     (words as symbol arrays, weighted by frequency) — pair counting is a
-    vocab-sized explode+sum, the argmax is a 2-row-bounded
+    vocab-sized explode+sum, the argmax is a bounded
     TakeOrderedAndProject, and applying a merge is an array fold per
     vocab word. The driver loop is over n_merges (a parameter, typically
     tens of thousands in production but never corpus-sized); each
     round's vocab frame is localCheckpoint-truncated so lineage stays
     flat. This is exactly how production BPE trainers are structured —
-    corpus once, vocabulary thereafter."""
+    corpus once, vocabulary thereafter.
+
+    ``batch_k`` accepts up to k merges per Spark round (cutting the
+    sequential job count ~k x for a production 30k-merge vocabulary): a
+    round's candidates are taken from ONE pair-count snapshot in
+    (count desc, l, r) order, and a candidate is accepted only if it
+    shares no symbol with any merge already accepted this round and
+    names no symbol CREATED this round. Disjointness makes each
+    accepted pair's snapshot count exactly its sequential count
+    (applying a disjoint merge cannot change it), and the created-symbol
+    exclusion keeps the single-pass fold identical to applying the
+    accepted merges one at a time. The one divergence from strict
+    sequential training: a brand-new pair minted by an earlier merge in
+    the SAME round (it involves that round's created symbol) can rank
+    above a later accepted candidate but is not seen until the next
+    snapshot, so its merge can land a few positions later than
+    one-at-a-time training would place it — the standard trade of
+    parallel BPE trainers. ``batch_k=1`` is byte-identical to
+    one-at-a-time training."""
     spark = df.sparkSession
     words = df.select(
         F.explode(
@@ -734,7 +753,9 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        room = n_merges - len(merges)
+        k = min(batch_k, room)
         pairs = vocab.filter(F.size("syms") >= 2).select(
             F.explode(
                 F.expr(
@@ -744,26 +765,48 @@ def bpe_train(
             ).alias("p"),
             "wn",
         )
+        # over-fetch: conflicting candidates are skipped driver-side,
+        # so pull a few extra rows (still a bounded TakeOrdered)
         top = (
             pairs.groupBy("p")
             .agg(F.sum("wn").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
-            .limit(1)
+            .limit(max(k * 4, k))
             .collect()
         )
         if not top:
             break
-        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
-        merges.append((left, right, int(top[0]["cnt"])))
-        # apply the merge: left-to-right fold over each word's symbols
-        # (greedy, non-overlapping — matches the reference algorithm)
-        merged = F.expr(
-            "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
-            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        created: set[str] = set()
+        for row in top:
+            if len(accepted) >= k:
+                break
+            left, right = row["p"]["l"], row["p"]["r"]
+            if (
+                left in used or right in used
+                or left in created or right in created
+            ):
+                continue
+            accepted.append((left, right, int(row["cnt"])))
+            used.update((left, right))
+            created.add(left + right)
+        merges.extend(accepted)
+        # apply the batch: ONE left-to-right fold over each word's
+        # symbols (greedy, non-overlapping — matches the reference
+        # algorithm); rule order inside the CASE is immaterial because
+        # accepted pairs are symbol-disjoint and never reference a
+        # symbol another rule creates.
+        rules = " ".join(
+            f"WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
             f"AND s = '{right}' "
             f"THEN concat(slice(acc, 1, size(acc) - 1), "
-            f"array('{left}{right}')) "
-            "ELSE concat(acc, array(s)) END)"
+            f"array('{left}{right}'))"
+            for left, right, _cnt in accepted
+        )
+        merged = F.expr(
+            "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
+            f"CASE {rules} ELSE concat(acc, array(s)) END)"
         )
         vocab = vocab.select(
             merged.alias("syms"), "wn"

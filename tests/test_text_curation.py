@@ -595,3 +595,64 @@ def test_cluster_density_separates_clique_from_chain(spark):
     assert got[1].n_triangles == 4 and got[1].density_ppm == 1000000
     assert got[10].n_vertices == 4 and got[10].n_edges == 3
     assert got[10].n_triangles == 0 and got[10].density_ppm == 500000
+
+
+def test_bpe_train_batched_matches_sequential(spark):
+    """batch_k > 1 accepts only symbol-disjoint candidates per round, so
+    the merge list (pairs AND counts) matches one-at-a-time training on
+    corpora without within-round new-pair promotion. Two-symbol words
+    merge to a single symbol and can never mint a promoted pair, so
+    equality here is exact for every k. Fewer driver rounds is the
+    whole point: ceil(n/k) snapshots instead of n."""
+    texts = [" ".join(["ab"] * 9 + ["cd"] * 7 + ["ef"] * 5 + ["gh"] * 3)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = tx.bpe_train(df, n_merges=4)
+    assert seq == [("a", "b", 9), ("c", "d", 7), ("e", "f", 5),
+                   ("g", "h", 3)]
+    for k in (2, 3, 4):
+        batched = tx.bpe_train(df, n_merges=4, batch_k=k)
+        assert batched == seq, f"batch_k={k}: {batched} != {seq}"
+
+
+def test_bpe_train_batched_divergence_is_bounded_rank_swap(spark):
+    """The ONE way batching diverges from sequential training: a pair
+    minted by an earlier merge in the same round (('t','he') after
+    ('h','e')) is invisible until the next snapshot, so its merge lands
+    a few positions later. The merge SET over the window is identical
+    and every count is the true sequential count — assert exactly
+    that."""
+    texts = [
+        "the theme of the thesis is these themes",
+        "there the theory goes thence",
+        "banana bandana and an anthem",
+        "quick brown foxes jump over lazy dogs daily",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = tx.bpe_train(df, n_merges=8)
+    batched = tx.bpe_train(df, n_merges=8, batch_k=2)
+    assert set(batched) == set(seq)  # same merges, same counts
+    assert batched != seq            # ('t','he') demoted one rank
+    # the swapped-in pair names a symbol created in its round
+    moved = [m for m, s in zip(batched, seq) if m != s]
+    assert any(len(l) > 1 or len(r) > 1 for l, r, _ in moved)
+
+
+def test_bpe_train_batched_skips_conflicting_candidates(spark):
+    """A candidate sharing a symbol with an earlier accepted merge in
+    the same round must wait for the next snapshot (its count changed);
+    the guard keeps every returned count exactly the sequential count."""
+    # 'aa' dominates; ('a','a') and then ('aa','a')-style chains force
+    # symbol conflicts inside a round
+    texts = ["aaaa aaaa aaa aa", "aaab aab ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = tx.bpe_train(df, n_merges=5)
+    batched = tx.bpe_train(df, n_merges=5, batch_k=3)
+    # chained merges serialize: batched equals sequential here too, and
+    # every accepted pair carries its true (sequential) count
+    assert batched == seq, f"{batched} != {seq}"
