@@ -2748,6 +2748,89 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(_sem_corpus(spark, sf_dir), threshold=_SEM_TAU)
 
 
+# Incremental semantic dedup split (mirror of dedup_minhash_incremental):
+# 90% of vec_ids (vec_id % 10 != 0) are the stored corpus the quantizer
+# trained on; the batch is the vec_id % 10 == 0 slice plus exact copies
+# (+100000) of every 7th corpus vector — planting guaranteed
+# batch-vs-corpus pairs at sim = 1.0. The oracle trains centroids on the
+# CORPUS ONLY (exactly what the frozen stored quantizer is), assigns
+# corpus AND batch against them, and keeps within-cell pairs touching
+# the batch.
+_SEM_CORPUS_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 10 != 0"""
+
+_SEM_BATCH_PRED = "({0} % 10 = 0 OR {0} >= 100000)"
+
+_SEM_INCR_COS = (
+    "list_dot_product(x.v, y.v)"
+    " / (sqrt(list_dot_product(x.v, x.v))"
+    " * sqrt(list_dot_product(y.v, y.v)))"
+)
+
+_SEM_INCR_SQL = (
+    _ivf_train_cte(_SEM_CORPUS_SRC)
+    + f"""
+, allv AS (
+    SELECT * FROM vecs
+    UNION ALL
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 10 != 0 AND vec_id % 7 = 0
+), scores AS (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+               list_dot_product(x.v, c.centroid)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(c.centroid, c.centroid)))
+                   DESC, c.cell) AS rk
+    FROM allv x CROSS JOIN cents c
+), assign AS (
+    SELECT vec_id, cell FROM scores WHERE rk = 1
+), m AS (
+    SELECT a.vec_id, a.cell, v.v FROM assign a JOIN allv v USING (vec_id)
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       CAST(x.cell AS BIGINT) AS cell,
+       {_SEM_INCR_COS} AS sim
+FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE {_SEM_INCR_COS} >= {_SEM_TAU}
+  AND ({_SEM_BATCH_PRED.format("x.vec_id")}
+       OR {_SEM_BATCH_PRED.format("y.vec_id")})
+"""
+)
+
+
+@query("dedup_semantic_incremental", _SEM_INCR_SQL)
+def dedup_semantic_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Steady-state SemDeDup: the batch is assigned against the STORED
+    corpus-trained centroids and scored only against the touched cells'
+    stored members (plus batch-vs-batch) — the corpus is never
+    re-assigned or re-trained, so per-batch cost scales with the
+    increment. Must equal a same-centroid full pass's within-cell
+    pairs restricted to those touching the batch (the oracle computes
+    exactly that)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0).unionByName(
+        corpus.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    centroids, cells = sim.ivf_cells(corpus)
+    corpus_assign = cells.filter(F.col("cell_rank") == 1).select(
+        "vec_id", "cell"
+    )
+    return sim.semantic_dedup_incremental(
+        batch, centroids, corpus_assign, corpus, threshold=_SEM_TAU
+    ).select(
+        "id_a", "id_b", F.col("cell").cast("bigint").alias("cell"), "sim"
+    )
+
+
 # Boilerplate-line corpus: header / footer lines planted on most docs
 # (document frequency far above the threshold), one rare promo line far
 # below it — mirrored verbatim in the oracle. ELSE '' keeps || away from

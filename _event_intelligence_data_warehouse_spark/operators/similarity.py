@@ -672,6 +672,86 @@ def semantic_dedup_prebuilt(
     )
 
 
+def semantic_dedup_incremental(
+    new_vecs: DataFrame,
+    centroids: DataFrame,
+    corpus_assign: DataFrame,
+    corpus_vecs: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Steady-state SemDeDup: assign only the NEW batch to the STORED
+    centroids and score batch-vs-corpus plus batch-vs-batch cosine
+    within shared cells — exactly the near-dup pairs a same-centroid
+    full pass over corpus+batch would emit that touch the batch. The
+    semantic twin of :func:`~.dedup.incremental_minhash_dedup`: per-day
+    cost scales with the increment (batch assignment is one broadcast
+    pass over the batch; the pair join reads only the touched cells'
+    stored members), never with the accumulated corpus, and the corpus
+    contributes its persisted assignment + vectors (read, not
+    recomputed or re-assigned). Centroids stay FROZEN between
+    retrainings — the standard serving trade (SemDeDup retrains cells
+    offline; batches in between assign against the stored quantizer).
+
+    ``corpus_assign`` is (vec_id, cell) — e.g. the persisted
+    ``semantic_dedup`` assignment or :func:`ivf_index` output renamed;
+    ``corpus_vecs`` the stored corpus vectors. Batch ids must be
+    disjoint from corpus ids (enforced upstream by ingest keys).
+    Returns (id_a < id_b, cell, sim >= threshold)."""
+    from _event_intelligence_data_warehouse_spark import cache
+
+    nv = new_vecs.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
+    nassign = cache.persist(
+        rank_cells(nv, centroids)
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cell")
+    )
+    nm = nassign.join(nv, "vec_id")
+    cv = corpus_vecs.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
+    cm = corpus_assign.select("vec_id", "cell").join(cv, "vec_id")
+    # cosine is orientation-independent bit-for-bit (elementwise
+    # products summed in index order; commutative multiplies), so
+    # least/greatest relabeling cannot perturb the score.
+    new_vs_corpus = (
+        nm.alias("a")
+        .join(
+            cm.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("id_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+    )
+    new_vs_new = (
+        nm.alias("a")
+        .join(
+            nm.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+    )
+    return (
+        new_vs_corpus.unionByName(new_vs_new)
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Per-query agreement between an exact top-k result and an
     approximate one (both shaped (query_id, neighbor_id, rank)) — the

@@ -915,3 +915,77 @@ def test_ppm_resize_matches_numpy_reference(spark):
         got = mm.decode_ppm(bytes(r.payload))
         assert got.shape == (8, 8, 3)
         assert (got == want).all(), "resize is not exact nearest-neighbor"
+
+
+def test_semantic_dedup_incremental_equals_full_same_centroid_pass(spark):
+    """The incremental path (batch assigned against stored centroids,
+    scored only vs touched cells' stored members + itself) must emit
+    exactly the within-cell pairs a full same-centroid pass over
+    corpus+batch emits that touch the batch — no pair lost to the
+    incremental restructuring, none invented."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    corpus_rows = []
+    for i in range(40):
+        v = [rnd.uniform(-1, 1) for _ in range(6)]
+        corpus_rows.append((i, v))
+    # batch: 10 fresh vectors + exact copies of 5 corpus vectors
+    batch_rows = [
+        (100 + i, [rnd.uniform(-1, 1) for _ in range(6)]) for i in range(10)
+    ] + [(200 + i, corpus_rows[i][1]) for i in range(5)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+
+    tau = 0.9
+    centroids, cells = sim.ivf_cells(corpus, n_cells=4, max_train=40)
+    corpus_assign = cells.filter(F.col("cell_rank") == 1).select(
+        "vec_id", "cell"
+    )
+    incr = sim.semantic_dedup_incremental(
+        batch, centroids, corpus_assign, corpus, threshold=tau
+    )
+    got = {(r.id_a, r.id_b) for r in incr.collect()}
+
+    # full same-centroid reference: assign EVERYTHING against the same
+    # stored centroids, emit all within-cell pairs >= tau, keep those
+    # touching the batch
+    allv = corpus.unionByName(batch)
+    v = allv.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    full_assign = (
+        sim.rank_cells(v.select("vec_id", "v"), centroids)
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cell")
+    )
+    m = full_assign.join(v, "vec_id")
+    full = (
+        m.alias("a")
+        .join(
+            m.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .filter(F.col("sim") >= tau)
+    )
+    batch_ids = {r[0] for r in batch_rows}
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == want and len(want) >= 5  # the 5 planted copies at least
