@@ -68,6 +68,14 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Diagnostic subset filter (e.g. re-running an older round's exact
+    # suite to attribute drift to suite growth vs code): comma-separated
+    # query names; unset runs the full HEADLINE.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    suite = (
+        [q for q in HEADLINE if q in set(only.split(","))]
+        if only else HEADLINE
+    )
     from _event_intelligence_data_warehouse_spark.contract import QUERIES
     from _event_intelligence_data_warehouse_spark.session import get_spark
 
@@ -90,7 +98,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in suite:
         if name == "similarity_ivf_topk":
             # Split build (train quantizer + assign corpus, amortized
             # across query batches in production) from serve (probe +

@@ -315,3 +315,14 @@ def test_late_round4_operator_plans(spark):
         load(spark, SF, "events"), ["user_id"], top_n=10
     ))
     assert "TakeOrderedAndProject" in skew_plan
+
+
+def test_incremental_dedup_prunes_index_read_with_semi_join(spark):
+    """The contract's steady-state incremental dedup runs with
+    prune_index_read=True: the stored token-set read must be narrowed
+    to collision ids via a LeftSemi join before the verify join, so
+    untouched corpus docs' hash arrays never enter the shuffle."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["dedup_minhash_incremental"](spark, SF))
+    assert "LeftSemi" in plan
