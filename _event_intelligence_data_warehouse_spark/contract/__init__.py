@@ -347,6 +347,14 @@ _DRIVER_SAMPLE_TAIL = [
     "similarity_ivf_topk",
     "similarity_ivf_recall",
     "curation_pipeline_v2",
+    # round-5 NEW additions (Gopher rule battery, temperature mixture,
+    # SSL-prototypes pruning): full local oracles from day one; they
+    # join the round-6 rotation slate rather than displacing the §2
+    # warehouse entries at the head's end (dim_date_attributes,
+    # keys_md5_concat_split, json_extract_props)
+    "text_gopher_filters",
+    "curation_mixture_temperature",
+    "curation_prototypes",
 ]
 
 

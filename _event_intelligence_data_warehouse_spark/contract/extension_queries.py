@@ -4845,3 +4845,211 @@ def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_dedup(docs, threshold=0.8)
     labels = dd.connected_components(docs.select("doc_id"), pairs)
     return dd.graph_cluster_stats(pairs, labels)
+
+
+# -- round-5 additions ------------------------------------------------------
+
+_GOPHER_DOCS_CTE = """
+WITH docs2 AS (
+    -- plant structural variety the rules can discriminate: every 5th
+    -- doc gets bullet lines, every 9th an ellipsis tail, every 11th a
+    -- symbol-heavy suffix, every 13th is truncated to a short stub
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN substr(text, 1, 80)
+                ELSE text
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || '- bullet one' || chr(10)
+                               || '- bullet two' ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0
+                          THEN chr(10) || 'to be continued...' ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' ## ## ## ## ## ## ## ##' ELSE '' END
+           END AS text
+    FROM documents
+)
+"""
+
+_GOPHER_SQL = _GOPHER_DOCS_CTE + """
+, toks AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x != '') AS tk,
+           string_split(text, chr(10)) AS lines
+    FROM docs2
+), m AS (
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+                AS BIGINT) AS tot_len,
+           CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                AS BIGINT) AS alpha_words,
+           CAST(len(list_filter(['the','be','to','of','and','that',
+                                 'have','with'],
+                                w -> list_contains(tk, w)))
+                AS BIGINT) AS n_stop,
+           CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+               AS n_hash,
+           CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+               AS n_ellipsis,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines,
+                    l -> regexp_matches(ltrim(l), '^[-*•]')))
+                AS BIGINT) AS bullet_lines,
+           CAST(len(list_filter(lines,
+                    l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                AS BIGINT) AS ellipsis_lines
+    FROM toks
+), r AS (
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0
+                THEN CAST(tot_len AS DOUBLE) / n_words END AS mean_word_len,
+           CASE WHEN n_words > 0
+                THEN CAST(n_hash + n_ellipsis AS DOUBLE) / n_words
+                ELSE 0.0 END AS symbol_word_ratio,
+           CASE WHEN n_lines > 0
+                THEN CAST(bullet_lines AS DOUBLE) / n_lines
+                ELSE 0.0 END AS bullet_line_ratio,
+           CASE WHEN n_lines > 0
+                THEN CAST(ellipsis_lines AS DOUBLE) / n_lines
+                ELSE 0.0 END AS ellipsis_line_ratio,
+           CASE WHEN n_words > 0
+                THEN CAST(alpha_words AS DOUBLE) / n_words
+                ELSE 0.0 END AS alpha_word_ratio,
+           n_stop AS n_required_stopwords
+    FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+       n_required_stopwords,
+       coalesce(n_words >= 50 AND n_words <= 100000, FALSE)
+           AS pass_word_count,
+       coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+           AS pass_mean_word_len,
+       coalesce(symbol_word_ratio <= 0.1, FALSE) AS pass_symbol_ratio,
+       coalesce(bullet_line_ratio <= 0.9, FALSE) AS pass_bullet_lines,
+       coalesce(ellipsis_line_ratio <= 0.3, FALSE) AS pass_ellipsis_lines,
+       coalesce(alpha_word_ratio >= 0.8, FALSE) AS pass_alpha_words,
+       coalesce(n_required_stopwords >= 2, FALSE) AS pass_stopwords,
+       (coalesce(n_words >= 50 AND n_words <= 100000, FALSE)
+        AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        AND coalesce(symbol_word_ratio <= 0.1, FALSE)
+        AND coalesce(bullet_line_ratio <= 0.9, FALSE)
+        AND coalesce(ellipsis_line_ratio <= 0.3, FALSE)
+        AND coalesce(alpha_word_ratio >= 0.8, FALSE)
+        AND coalesce(n_required_stopwords >= 2, FALSE)) AS pass_gopher
+FROM r
+"""
+
+
+@query("text_gopher_filters", _GOPHER_SQL)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (Rae et al. 2021): the seven published
+    structural quality rules as one shuffle-free column-algebra pass.
+    The corpus is decorated with planted bullet blocks, ellipsis tails,
+    symbol runs and short stubs so every rule discriminates (mirrored
+    verbatim in the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.substring("text", 1, 80)
+        ).otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.lit("\n- bullet one\n- bullet two"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 9 == 0,
+                    F.lit("\nto be continued..."),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.lit(" ## ## ## ## ## ## ## ##"),
+                ).otherwise(F.lit("")),
+            )
+        ).alias("text"),
+    )
+    return tx.gopher_quality_filters(decorated)
+
+
+_TEMP_BUDGET = 4000
+
+_TEMP_MIX_SQL = f"""
+WITH ttoks AS (
+    SELECT source, len({_TOKS}) AS nt FROM documents
+), tagg AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM ttoks GROUP BY source
+), tsqrt AS (
+    -- exact isqrt: double-sqrt seed corrected ±1 with integer compares
+    SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sd
+    FROM tagg
+), tw AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(CASE WHEN (sd + 1) * (sd + 1) <= n_tokens THEN sd + 1
+                     WHEN sd * sd <= n_tokens THEN sd
+                     ELSE sd - 1 END AS BIGINT) AS weight
+    FROM tsqrt
+), tt AS (
+    SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS wsum FROM tw
+)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(CASE WHEN wsum = 0 THEN 0
+            ELSE (CAST({_TEMP_BUDGET} AS HUGEINT) * weight) // wsum END
+            AS BIGINT) AS target_tokens,
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(least(1000000, CAST(
+                 ((CAST({_TEMP_BUDGET} AS HUGEINT) * weight) // wsum
+                      * 1000000) // n_tokens AS BIGINT)) AS BIGINT)
+       END AS rate_ppm
+FROM tt
+"""
+
+
+@query("curation_mixture_temperature", _TEMP_MIX_SQL)
+def curation_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-smoothed (alpha=0.5) mixture plan: source shares
+    proportional to sqrt(n_tokens) — the multilingual rebalancing rule
+    that up-weights small sources. The isqrt is exact on both engines
+    (double seed, integer ±1 correction), so the whole plan is pure
+    int64/int128 arithmetic."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return smp.mixture_plan_temperature(docs, _TEMP_BUDGET, alpha=0.5)
+
+
+_PROTO_SQL = _IVF_CELLS_CTE + """
+, passign AS (
+    SELECT vec_id, cell, cs FROM cell_scores WHERE cell_rank = 1
+), pr AS (
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, cs AS cell_sim,
+           CAST(row_number() OVER (PARTITION BY cell
+                                   ORDER BY cs DESC, vec_id)
+                AS BIGINT) AS proto_rank,
+           CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+    FROM passign
+)
+SELECT vec_id, cell, cell_sim, proto_rank,
+       proto_rank > (n_cell * 200000) // 1000000 AS is_kept
+FROM pr
+"""
+
+
+@query("curation_prototypes", _PROTO_SQL)
+def curation_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised-prototypes density pruning (Sorscher et al.
+    2022): drop the most centroid-prototypical 20% of every k-means
+    cell — the abundant-data pruning rule. No pairwise work: train is
+    sample-bounded, assignment broadcasts the centroids, the cutoff is
+    one window per cell with an exact integer threshold."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.prototype_prune(emb, prune_ppm=200_000)

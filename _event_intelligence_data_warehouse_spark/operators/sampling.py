@@ -195,6 +195,86 @@ def mixture_plan(
     )
 
 
+def mixture_plan_temperature(
+    df: DataFrame,
+    token_budget: int,
+    *,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-smoothed mixture plan: each source's share of the
+    token budget is proportional to ``n_tokens ** alpha`` — the
+    multilingual/multi-domain rebalancing rule (alpha < 1 up-weights
+    small sources; XLM-R and mT5 train with alpha around 0.3-0.5,
+    GPT-3's mix is hand-tuned but equivalent in form). Where
+    :func:`mixture_plan` takes editorial integer weights, this derives
+    them from corpus statistics alone.
+
+    ``alpha`` is restricted to {1.0, 0.5, 0.25}: those powers compute
+    as exact integer square roots (one or two isqrt passes — floor(
+    sqrt(n)) seeded from the double sqrt and corrected ±1 integerly),
+    so weights, targets and rates stay pure int64/decimal arithmetic,
+    bit-identical on every engine. Output mirrors mixture_plan:
+    (source, n_docs, n_tokens, weight, target_tokens, rate_ppm) with
+    ``weight = floor(n_tokens ** alpha)``.
+
+    Scale: one wordcount-shaped aggregate into a sources-sized frame;
+    the weight sum rides through a window total (sources are few)."""
+    passes = {1.0: 0, 0.5: 1, 0.25: 2}.get(alpha)
+    if passes is None:
+        raise ValueError(
+            f"alpha must be one of 1.0, 0.5, 0.25 (exact-integer "
+            f"powers); got {alpha}"
+        )
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_count,
+    )
+
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("n_tokens"),
+    )
+
+    def isqrt(col: str) -> Column:
+        # floor(sqrt(n)) exactly: double-sqrt seed, then integer ±1
+        # correction (the seed is within 1 of truth for n < 2^52)
+        seed = F.floor(F.sqrt(F.col(col).cast("double"))).cast("bigint")
+        up = seed + 1
+        down = seed - 1
+        return (
+            F.when(up * up <= F.col(col), up)
+            .when(seed * seed <= F.col(col), seed)
+            .otherwise(down)
+            .cast("bigint")
+        )
+
+    out = agg.withColumn("weight", F.col("n_tokens"))
+    for _ in range(passes):
+        out = out.withColumn("weight", isqrt("weight"))
+    w_all = Window.partitionBy()
+    out = out.withColumn(
+        "wsum", F.sum("weight").over(w_all).cast("bigint")
+    )
+    target = F.when(F.col("wsum") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            f"CAST((CAST({int(token_budget)} AS DECIMAL(38,0)) * weight) "
+            "div wsum AS BIGINT)"
+        )
+    )
+    out = out.withColumn("target_tokens", target)
+    rate = F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(PPM).cast("bigint"),
+            F.expr(
+                f"CAST((CAST(target_tokens AS DECIMAL(38,0)) * {PPM}) "
+                "div n_tokens AS BIGINT)"
+            ),
+        )
+    )
+    return out.withColumn("rate_ppm", rate).drop("wsum")
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, int],

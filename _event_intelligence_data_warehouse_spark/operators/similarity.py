@@ -672,6 +672,59 @@ def semantic_dedup_prebuilt(
     )
 
 
+def prototype_prune(
+    df: DataFrame,
+    *,
+    prune_ppm: int = 200_000,
+    n_cells: int = 16,
+    max_train: int = 1024,
+    train_iters: int = 2,
+    init: str = "md5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-based data pruning via self-supervised prototypes
+    (Sorscher et al. 2022, arXiv:2206.14486): k-means cells define
+    prototypes, each vector's cosine to its own centroid is its
+    prototypicality, and the most prototypical ``prune_ppm``/1e6
+    fraction of every cell is dropped — the paper's finding is that
+    with abundant data, EASY (prototypical) examples are the redundant
+    ones, so pruning them beats random or hard-example pruning.
+
+    Returns (vec_id, cell, cell_sim, proto_rank, is_kept):
+    ``proto_rank`` 1 = most prototypical in its cell; ``is_kept`` uses
+    an exact integer cutoff floor(n_cell * prune_ppm / 1e6), so results
+    are engine-stable. Scale: training is max_train-bounded, assignment
+    is one broadcast pass, and the rank is one window per cell — no
+    pairwise work at all (contrast semantic_dedup), which is why
+    prototype pruning is the cheapest of the embedding curation
+    family."""
+    _, cells = ivf_cells(
+        df, n_cells=n_cells, max_train=max_train,
+        train_iters=train_iters, init=init, id_col=id_col, vec_col=vec_col,
+    )
+    assign = cells.filter(F.col("cell_rank") == 1).select(
+        "vec_id", "cell", "cell_sim"
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("cell_sim"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cell")
+    return (
+        assign.withColumn(
+            "proto_rank", F.row_number().over(w).cast("bigint")
+        )
+        .withColumn("_n_cell", F.count("*").over(wc).cast("bigint"))
+        .withColumn(
+            "is_kept",
+            F.col("proto_rank")
+            > F.expr(f"CAST((_n_cell * {int(prune_ppm)}) div 1000000 "
+                     "AS BIGINT)"),
+        )
+        .drop("_n_cell")
+    )
+
+
 def semantic_dedup_incremental(
     new_vecs: DataFrame,
     centroids: DataFrame,

@@ -5,6 +5,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Queries execute through the `noop` sink so the full plan runs (column
 pruning can cheat a bare count) without driver-side materialization cost.
+
+Drift attribution (r4 verdict item 5, measured 2026-08-14): re-running the
+r3 28-query suite ALONE on round-5 code via SPARK_GRAFT_BENCH_ONLY gives
+50.2 s vs 61.3 s recorded in r3 and 68.1 s for the same queries inside
+r4's 46-query session — every per-query delta reverses sign when the
+suite shrinks back. The r3->r4 sub-second drift was therefore
+session-accumulated overhead (GC/cached-state pressure growing with suite
+size), not code regression; cross-round totals stay comparable because
+consecutive rounds run near-identical suites. One intentional exception:
+dedup_minhash_incremental 5.4 -> 6.2 s, the round-5 switch to
+prune_index_read=True (the steady-state config, now oracle-checked; the
+prune's extra pass is visible here because the contract's index is live
+lineage, not a stored table — see incremental_minhash_dedup's docstring).
 """
 
 from __future__ import annotations

@@ -989,3 +989,40 @@ def test_semantic_dedup_incremental_equals_full_same_centroid_pass(spark):
         if r.id_a in batch_ids or r.id_b in batch_ids
     }
     assert got == want and len(want) >= 5  # the 5 planted copies at least
+
+
+def test_prototype_prune_drops_most_prototypical_fraction(spark):
+    """Per cell, exactly floor(n * ppm/1e6) members are dropped and the
+    dropped ones are the HIGHEST centroid-cosine (most prototypical)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    import math
+    import random
+
+    rnd = random.Random(11)
+    # two well-separated blobs of 20 around orthogonal axes
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, rnd.uniform(0, 0.3), 0.0, 0.0]))
+    for i in range(20, 40):
+        rows.append((i, [0.0, rnd.uniform(0, 0.3), 1.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.prototype_prune(
+        df, prune_ppm=250_000, n_cells=2, max_train=40
+    ).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(out) == 40
+    for cell, members in by_cell.items():
+        n = len(members)
+        dropped = [m for m in members if not m.is_kept]
+        assert len(dropped) == math.floor(n * 0.25)
+        # dropped = top-ranked (most prototypical)
+        max_dropped_rank = max(m.proto_rank for m in dropped)
+        min_kept_rank = min(
+            m.proto_rank for m in members if m.is_kept
+        )
+        assert max_dropped_rank < min_kept_rank

@@ -349,3 +349,55 @@ def test_mad_outliers_survive_what_breaks_the_z_test(spark):
     import statistics
     mu, sd = statistics.mean(vals), statistics.pstdev(vals)
     assert abs(500.0 - mu) / sd < 3.0, "fixture should break the z-test"
+
+
+def test_mixture_plan_temperature_upweights_small_sources(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    rows = []
+    for i in range(90):
+        rows.append((i, "big", "alpha beta gamma delta"))
+    for i in range(90, 100):
+        rows.append((i, "small", "alpha beta gamma delta"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    flat = {r.source: r for r in smp.mixture_plan_temperature(
+        df, 100_000, alpha=1.0).collect()}
+    smooth = {r.source: r for r in smp.mixture_plan_temperature(
+        df, 100_000, alpha=0.5).collect()}
+    # alpha=1: proportional (9:1). alpha=0.5: sqrt(360):sqrt(40) = 3:1
+    assert flat["big"].target_tokens == 90_000
+    assert flat["small"].target_tokens == 10_000
+    assert smooth["small"].target_tokens == 25_000
+    assert smooth["big"].target_tokens == 75_000
+    # exact isqrt: weights are floor(sqrt(360)) = 18, floor(sqrt(40)) = 6
+    assert smooth["big"].weight == 18 and smooth["small"].weight == 6
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        smp.mixture_plan_temperature(df, 10, alpha=0.7)
+
+
+def test_mixture_plan_temperature_isqrt_exact_at_boundaries(spark):
+    """floor(sqrt(n)) must be exact at perfect squares and off-by-one
+    neighbors, where the double seed is most likely to round wrong."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    # one doc per source, token counts 15, 16, 17 (around 4^2)
+    rows = [
+        (1, "s15", " ".join(["w"] * 15)),
+        (2, "s16", " ".join(["w"] * 16)),
+        (3, "s17", " ".join(["w"] * 17)),
+        (4, "s25", " ".join(["w"] * 25)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r.weight for r in smp.mixture_plan_temperature(
+        df, 1000, alpha=0.5).collect()}
+    assert got == {"s15": 3, "s16": 4, "s17": 4, "s25": 5}
+    # alpha=0.25: isqrt twice
+    got2 = {r.source: r.weight for r in smp.mixture_plan_temperature(
+        df, 1000, alpha=0.25).collect()}
+    assert got2 == {"s15": 1, "s16": 2, "s17": 2, "s25": 2}

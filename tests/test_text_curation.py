@@ -656,3 +656,40 @@ def test_bpe_train_batched_skips_conflicting_candidates(spark):
     # chained merges serialize: batched equals sequential here too, and
     # every accepted pair carries its true (sequential) count
     assert batched == seq, f"{batched} != {seq}"
+
+
+def test_gopher_filters_rules_discriminate(spark):
+    """Each published Gopher rule must fire on the construction built to
+    violate it and pass on a clean document."""
+    clean = (
+        "the results of this study show that scientists have found "
+        "strong evidence to be consistent with the standard model and "
+        "that further work with larger samples would help " * 3
+    )
+    rows = [
+        (1, clean),
+        (2, "short stub"),                                  # word count
+        (3, " ".join(["a"] * 60)),                          # mean len < 3
+        (4, clean + " " + "## " * 30),                      # symbol ratio
+        (5, "\n".join(["- item " + str(i) for i in range(10)])),  # bullets
+        (6, "\n".join(["tail..." for _ in range(10)])),     # ellipses
+        (7, " ".join(["123"] * 60)),                        # alpha words
+        (8, " ".join(["zorp"] * 60)),                       # stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.gopher_quality_filters(df).collect()}
+    assert got[1].pass_gopher
+    assert not got[2].pass_word_count
+    assert not got[3].pass_mean_word_len
+    assert not got[4].pass_symbol_ratio
+    assert not got[5].pass_bullet_lines
+    assert not got[6].pass_ellipsis_lines
+    assert not got[7].pass_alpha_words
+    assert not got[8].pass_stopwords
+    assert all(not got[i].pass_gopher for i in range(2, 9))
+    # empty text: every ratio defined, nothing passes, nothing NULL
+    e = tx.gopher_quality_filters(
+        spark.createDataFrame([(9, "")], "doc_id long, text string")
+    ).collect()[0]
+    assert e.n_words == 0 and e.pass_gopher is False
+    assert e.symbol_word_ratio == 0.0 and e.alpha_word_ratio == 0.0
