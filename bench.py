@@ -65,6 +65,7 @@ HEADLINE = [
     "text_boilerplate_lines",
     "text_bpe_pair_stats",
     "sketch_bloom_membership",
+    "text_gopher_filters",
     "text_lm_surprise",
     "text_bpe_encode",
     "curation_dsir_affinity",
