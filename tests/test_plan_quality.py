@@ -326,3 +326,37 @@ def test_incremental_dedup_prunes_index_read_with_semi_join(spark):
 
     plan = _plan(QUERIES["dedup_minhash_incremental"](spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_round5_operator_plans(spark):
+    """Scale claims of the round-5 operators, plan-asserted: the Gopher
+    battery is one shuffle-free scan projection; temperature mixture is
+    one aggregate into a sources-sized frame; prototype pruning never
+    does pairwise work (no corpus self-join); the capped LSH candidate
+    join keeps its bucket exchange count."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES, load
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+    docs = load(spark, SF, "documents")
+    emb = load(spark, SF, "embeddings")
+
+    g_plan = _plan(tx.gopher_quality_filters(docs))
+    assert "Exchange" not in g_plan, "gopher rules gained a shuffle"
+    assert "BatchEvalPython" not in g_plan
+
+    t_plan = _plan(QUERIES["curation_mixture_temperature"](spark, SF))
+    assert "BatchEvalPython" not in t_plan
+
+    # prototype pruning: NO pairwise corpus work — the corpus meets
+    # only the broadcast fixed-K centroid frame (BroadcastNestedLoop /
+    # cross with IdentityBroadcast), never itself. The tiny per-cell
+    # SMJs inside k-means training join <= n_cells-row frames and AQE
+    # shrinks them at runtime; a CartesianProduct (non-broadcast cross)
+    # is the failure mode asserted against.
+    p_plan = _plan(sim.prototype_prune(emb, n_cells=4, max_train=64))
+    assert "CartesianProduct" not in p_plan
+    assert "BatchEvalPython" not in p_plan
+    assert "Window" in p_plan  # the per-cell rank cutoff

@@ -7,7 +7,8 @@ sf0.01; this proves the Spark side stays healthy at larger SFs without
 waiting on DuckDB (whose recursive-CTE oracles are the bottleneck at
 sf0.1 — see memory/SCALE.md).
 
-Usage: python tools/scale_sweep.py [sf_dir]
+Usage: python tools/scale_sweep.py [sf_dir] [query ...]
+(no query names = sweep every registered query)
 """
 
 from __future__ import annotations
@@ -33,8 +34,13 @@ def main() -> None:
 
     from _event_intelligence_data_warehouse_spark import cache
 
+    wanted = sys.argv[2:]
+    if wanted:
+        unknown = [q for q in wanted if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
     results = []
-    for name in sorted(QUERIES):
+    for name in (sorted(wanted) if wanted else sorted(QUERIES)):
         t0 = time.time()
         try:
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
