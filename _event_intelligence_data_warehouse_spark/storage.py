@@ -1222,6 +1222,7 @@ class Warehouse:
         m = self._adopt_if_legacy(table)
         stats = m.get("stats", {})
         if filters:
+            pcol = m.get("partition_col")
             keep, _total = self.pruned_files(table, filters)
             total = 0
             for rel in keep:
@@ -1231,15 +1232,25 @@ class Warehouse:
                     return None
                 nulls = st.get(self._NULLS_KEY, {})
                 for col, op, value in filters:
-                    b = st.get(col)
-                    if b is None:
-                        return None
-                    # min/max exclude NULLs: a file judged fully inside
-                    # can still hold NULL rows that fail the predicate.
-                    # Exact only when the footer proved the filter
-                    # column null-free in this file.
-                    if nulls.get(col) != 0:
-                        return None
+                    if pcol is not None and col == pcol:
+                        # Partition values are path-encoded, exact and
+                        # null-free by construction: every row in the
+                        # file has exactly this value, so lo = hi = pv.
+                        pv = self._partition_of(rel, pcol)
+                        if pv is None:
+                            return None
+                        coerced = _parse_part(pv, value)
+                        b = [coerced, coerced]
+                    else:
+                        b = st.get(col)
+                        if b is None:
+                            return None
+                        # min/max exclude NULLs: a file judged fully
+                        # inside can still hold NULL rows that fail the
+                        # predicate. Exact only when the footer proved
+                        # the filter column null-free in this file.
+                        if nulls.get(col) != 0:
+                            return None
                     lo, hi = b
                     try:
                         inside = {

@@ -1293,3 +1293,30 @@ def test_partition_profile_unreadable_bytes_is_none_not_garbage(
     assert broken, "fixture must hit a bucket=0 file"
     assert prof["0"]["bytes"] is None
     assert prof["1"]["bytes"] and prof["1"]["bytes"] > 0
+
+
+def test_stats_count_filtered_on_partition_column(spark, tmp_path):
+    """Partition values are path-encoded — exact and null-free by
+    construction — so a filtered stats-only count on the partition
+    column answers from the manifest even though parquet footers carry
+    no stats for it."""
+    wh = _mwh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "id long, bucket int"
+    )
+    wh.overwrite("t", df, partition_col="bucket")
+    assert wh.stats_count("t", [("bucket", "==", 0)]) == 30
+    assert wh.stats_count("t", [("bucket", ">=", 1)]) == 60
+    assert wh.stats_count("t", [("bucket", "==", 9)]) == 0
+    # combined with a data-column filter: exact when the surviving
+    # files' id bounds align with the predicate, honest None otherwise
+    # — never a wrong number
+    combined = wh.stats_count("t", [("bucket", "==", 0), ("id", ">=", 45)])
+    real = wh.read("t").filter(
+        (F.col("bucket") == 0) & (F.col("id") >= 45)
+    ).count()
+    assert combined is None or combined == real
+    # matches the real count
+    assert wh.stats_count("t", [("bucket", "==", 1)]) == (
+        wh.read("t").filter(F.col("bucket") == 1).count()
+    )
