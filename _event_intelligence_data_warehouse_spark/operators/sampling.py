@@ -275,6 +275,44 @@ def mixture_plan_temperature(
     return out.withColumn("rate_ppm", rate).drop("wsum")
 
 
+def mixture_sample_temperature(
+    df: DataFrame,
+    token_budget: int,
+    *,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`mixture_plan_temperature`: keep a document iff its
+    per-source md5 bucket in [0, PPM) falls under the source's derived
+    rate_ppm — the same stable-membership application as
+    :func:`mixture_sample`, with the plan derived from corpus statistics
+    (n_tokens^alpha) instead of editorial weights. Corpus never
+    shuffles; the plan frame broadcasts."""
+    plan = mixture_plan_temperature(
+        df, token_budget, alpha=alpha,
+        source_col=source_col, text_col=text_col,
+    ).select(F.col("source").alias("_mx_source"), "rate_ppm")
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_hash,
+    )
+
+    bucket = token_hash(
+        F.concat(
+            F.col(source_col).cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        )
+    ) % PPM
+    return (
+        df.join(F.broadcast(plan), F.col(source_col) == F.col("_mx_source"))
+        .filter(bucket < F.col("rate_ppm"))
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(source_col).alias("source"))
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, int],

@@ -198,6 +198,86 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_ratio(num: Column, den: Column) -> Column:
+    return F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def _gopher_metrics(t: Column) -> dict[str, Column]:
+    """The raw per-document Gopher counters as named Columns — shared
+    by the metrics frame and the inline pass-filter so the two can
+    never drift."""
+    tk = tokens(t)
+    lines = F.split(t, "\n")
+    n_words = F.size(tk).cast("bigint")
+    tot_len = F.aggregate(
+        F.transform(tk, F.length), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )
+    return {
+        "n_words": n_words,
+        "tot_len": tot_len,
+        "mean_word_len": F.when(
+            n_words > 0, tot_len.cast("double") / n_words.cast("double")
+        ),
+        "alpha_words": F.size(
+            F.filter(tk, lambda x: x.rlike("[a-z]"))
+        ).cast("bigint"),
+        "n_stop": F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+                lambda w: F.array_contains(tk, w),
+            )
+        ).cast("bigint"),
+        "n_hash": (
+            F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+        ).cast("bigint"),
+        "n_ellipsis": F.regexp_count(t, F.lit(r"\.\.\.")).cast("bigint"),
+        "n_lines": F.size(lines).cast("bigint"),
+        "bullet_lines": F.size(
+            F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+        ).cast("bigint"),
+        "ellipsis_lines": F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+        ).cast("bigint"),
+    }
+
+
+def gopher_structural_pass(text: Column | str) -> Column:
+    """Boolean column: the six STRUCTURAL Gopher rules (word count,
+    mean word length, symbol ratio, bullet lines, ellipsis lines,
+    alphabetic words) as one inline predicate — the stopword-presence
+    rule is language-specific and configured separately (gate on
+    ``n_required_stopwords`` from :func:`gopher_quality_filters` for
+    English corpora). Being a pure column expression, the gate composes
+    into any plan with zero joins — filter pushdown reaches the scan."""
+    m = _gopher_metrics(_col(text))
+    r = _gopher_ratio
+    return (
+        F.coalesce(
+            (m["n_words"] >= 50) & (m["n_words"] <= 100_000), F.lit(False)
+        )
+        & F.coalesce(
+            (m["mean_word_len"] >= 3.0) & (m["mean_word_len"] <= 10.0),
+            F.lit(False),
+        )
+        & F.coalesce(
+            r(m["n_hash"] + m["n_ellipsis"], m["n_words"]) <= 0.1,
+            F.lit(False),
+        )
+        & F.coalesce(
+            r(m["bullet_lines"], m["n_lines"]) <= 0.9, F.lit(False)
+        )
+        & F.coalesce(
+            r(m["ellipsis_lines"], m["n_lines"]) <= 0.3, F.lit(False)
+        )
+        & F.coalesce(
+            r(m["alpha_words"], m["n_words"]) >= 0.8, F.lit(False)
+        )
+    )
+
+
 def gopher_quality_filters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -218,43 +298,17 @@ def gopher_quality_filters(
 
     Ratios are exact-integer divisions cast to double, so the output is
     engine-stable for oracle comparison."""
-    t = F.col(text_col)
-    tk = tokens(t)
-    lines = F.split(t, "\n")
-    n_words = F.size(tk).cast("bigint")
-    tot_len = F.aggregate(
-        F.transform(tk, F.length), F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x.cast("bigint"),
-    )
-    alpha_words = F.size(
-        F.filter(tk, lambda x: x.rlike("[a-z]"))
-    ).cast("bigint")
-    n_stop = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(tk, w),
-        )
-    ).cast("bigint")
-    n_hash = (
-        F.length(t) - F.length(F.regexp_replace(t, "#", ""))
-    ).cast("bigint")
-    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\.")).cast("bigint")
-    n_lines = F.size(lines).cast("bigint")
-    bullet_lines = F.size(
-        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
-    ).cast("bigint")
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
-    ).cast("bigint")
-
-    def ratio(num, den):
-        return F.when(
-            den > 0, num.cast("double") / den.cast("double")
-        ).otherwise(F.lit(0.0))
-
-    mean_wl = F.when(
-        n_words > 0, tot_len.cast("double") / n_words.cast("double")
-    )
+    m = _gopher_metrics(F.col(text_col))
+    n_words = m["n_words"]
+    n_stop = m["n_stop"]
+    ratio = _gopher_ratio
+    mean_wl = m["mean_word_len"]
+    alpha_words = m["alpha_words"]
+    n_hash = m["n_hash"]
+    n_ellipsis = m["n_ellipsis"]
+    n_lines = m["n_lines"]
+    bullet_lines = m["bullet_lines"]
+    ellipsis_lines = m["ellipsis_lines"]
     out = df.select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),
