@@ -355,6 +355,7 @@ _DRIVER_SAMPLE_TAIL = [
     "text_gopher_filters",
     "curation_mixture_temperature",
     "curation_prototypes",
+    "curation_pipeline_v4",
 ]
 
 

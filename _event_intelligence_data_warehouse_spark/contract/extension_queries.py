@@ -5053,3 +5053,105 @@ def curation_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window per cell with an exact integer threshold."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.prototype_prune(emb, prune_ppm=200_000)
+
+
+_V4_BUDGET = 3000
+
+# v4 oracle: structural Gopher gate (stopword rule recorded but not
+# gated — this synthetic corpus has no English function words, the same
+# per-corpus configuration any non-English deployment makes) ->
+# temperature-smoothed plan over the survivors -> per-source md5-bucket
+# application. Composes the gopher and temperature CTE machinery over
+# RAW documents (no decoration).
+_V4_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, text,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x != '') AS tk,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+), m AS (
+    SELECT doc_id, source, tk,
+           CAST(len(tk) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+                AS BIGINT) AS tot_len,
+           CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                AS BIGINT) AS alpha_words,
+           CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+               AS n_hash,
+           CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+               AS n_ellipsis,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines,
+                    l -> regexp_matches(ltrim(l), '^[-*•]')))
+                AS BIGINT) AS bullet_lines,
+           CAST(len(list_filter(lines,
+                    l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                AS BIGINT) AS ellipsis_lines
+    FROM toks
+), surv AS (
+    SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS nt
+    FROM m
+    WHERE coalesce(n_words >= 50 AND n_words <= 100000, FALSE)
+      AND coalesce(CAST(tot_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0,
+                   FALSE)
+      AND coalesce(CASE WHEN n_words > 0
+                        THEN CAST(n_hash + n_ellipsis AS DOUBLE) / n_words
+                        ELSE 0.0 END <= 0.1, FALSE)
+      AND coalesce(CASE WHEN n_lines > 0
+                        THEN CAST(bullet_lines AS DOUBLE) / n_lines
+                        ELSE 0.0 END <= 0.9, FALSE)
+      AND coalesce(CASE WHEN n_lines > 0
+                        THEN CAST(ellipsis_lines AS DOUBLE) / n_lines
+                        ELSE 0.0 END <= 0.3, FALSE)
+      AND coalesce(CASE WHEN n_words > 0
+                        THEN CAST(alpha_words AS DOUBLE) / n_words
+                        ELSE 0.0 END >= 0.8, FALSE)
+), tagg AS (
+    SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM surv GROUP BY source
+), tsqrt AS (
+    SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sd
+    FROM tagg
+), tw AS (
+    SELECT source, n_tokens,
+           CAST(CASE WHEN (sd + 1) * (sd + 1) <= n_tokens THEN sd + 1
+                     WHEN sd * sd <= n_tokens THEN sd
+                     ELSE sd - 1 END AS BIGINT) AS weight
+    FROM tsqrt
+), tt AS (
+    SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS wsum FROM tw
+), rates AS (
+    SELECT source,
+           CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(least(1000000, CAST(
+                     ((CAST({_V4_BUDGET} AS HUGEINT) * weight) // wsum
+                          * 1000000) // n_tokens AS BIGINT)) AS BIGINT)
+           END AS rate_ppm
+    FROM tt
+)
+SELECT s.doc_id, s.source
+FROM surv s JOIN rates r USING (source)
+WHERE CAST(('0x' || substr(md5(s.source || '|'
+               || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 < r.rate_ppm
+"""
+
+
+@query("curation_pipeline_v4", _V4_SQL)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation v4, one plan end-to-end: the inline Gopher
+    STRUCTURAL gate (pure predicate — pushdown reaches the scan; the
+    English-stopword rule is recorded by the battery but not gated on
+    this synthetic corpus, the standard per-corpus configuration) ->
+    temperature-smoothed (alpha=0.5) mixture plan over the survivors ->
+    deterministic per-source md5-bucket sampling at the planned ppm
+    rate. The corpus never shuffles: the gate is a filter, the plan
+    frame is sources-sized and broadcasts."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    surv = docs.filter(tx.gopher_structural_pass(F.col("text")))
+    return smp.mixture_sample_temperature(surv, _V4_BUDGET, alpha=0.5)

@@ -360,3 +360,15 @@ def test_round5_operator_plans(spark):
     assert "CartesianProduct" not in p_plan
     assert "BatchEvalPython" not in p_plan
     assert "Window" in p_plan  # the per-cell rank cutoff
+
+
+def test_curation_v4_gate_is_a_pushed_filter_not_a_join(spark):
+    """v4's Gopher gate is an inline predicate: the plan must contain
+    NO self-join of the corpus (the metrics-frame-then-join shape) and
+    only the broadcast of the sources-sized plan frame."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["curation_pipeline_v4"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") <= 2  # corpus read for gate+plan, not N times
