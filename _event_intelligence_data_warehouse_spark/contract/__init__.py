@@ -356,6 +356,7 @@ _DRIVER_SAMPLE_TAIL = [
     "curation_mixture_temperature",
     "curation_prototypes",
     "curation_pipeline_v4",
+    "timeseries_gapfill_daily",
 ]
 
 

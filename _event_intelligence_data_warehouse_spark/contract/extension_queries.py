@@ -5155,3 +5155,54 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     surv = docs.filter(tx.gopher_structural_pass(F.col("text")))
     return smp.mixture_sample_temperature(surv, _V4_BUDGET, alpha=0.5)
+
+
+# Gap planting for the gap-fill query: whole (day-of-month, type-length)
+# cells are excluded by a deterministic predicate (constant per cell, so
+# entire (type, day) combos vanish) — mirrored verbatim in the oracle.
+_GAP_PRED = (
+    "(EXTRACT(day FROM ts) * 31 + length(event_type)) % 11 >= 2"
+)
+
+_GAPFILL_SQL = f"""
+WITH ev AS (
+    SELECT * FROM events WHERE {_GAP_PRED}
+), daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ev GROUP BY 1, 2
+), span AS (
+    SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+    FROM ev
+), days AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM span
+), keys AS (
+    SELECT DISTINCT event_type FROM daily
+)
+SELECT k.event_type, d.day,
+       CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(a.n_users, 0) AS BIGINT) AS n_users,
+       a.n_events IS NULL AS is_gap
+FROM keys k CROSS JOIN days d
+LEFT JOIN daily a ON a.event_type = k.event_type AND a.day = d.day
+"""
+
+
+@query("timeseries_gapfill_daily", _GAPFILL_SQL)
+def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: a dense (event_type, day) spine over the
+    table's full span with zeroed measures and an explicit is_gap flag
+    — the contract every moving-average / day-over-day / z-score
+    consumer assumes. Gaps are planted by deterministically excluding
+    whole (day, type) cells. The corpus is scanned once; spine and key
+    frames are broadcast-sized."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as tss,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.expr(f"(EXTRACT(day FROM ts) * 31 + length(event_type)) % 11 >= 2")
+    )
+    return tss.gapfill_daily(ev)

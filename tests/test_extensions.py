@@ -1082,3 +1082,37 @@ def test_wav_codec_roundtrip_and_features(spark):
     bad = b"RIFF" + b"\x00" * 4 + b"WAVE"
     with _pt.raises(ValueError):
         mm.decode_wav(bad)
+
+
+def test_gapfill_daily_fills_missing_days_with_zero(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as tss,
+    )
+
+    import datetime as dt
+
+    rows = [
+        # type a: days 1, 3 present (day 2 is the gap)
+        (1, dt.datetime(2024, 1, 1, 5), 10, "a"),
+        (2, dt.datetime(2024, 1, 1, 6), 11, "a"),
+        (3, dt.datetime(2024, 1, 3, 7), 10, "a"),
+        # type b: only day 2 present (days 1, 3 gaps)
+        (4, dt.datetime(2024, 1, 2, 8), 12, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r.event_type, str(r.day)): r
+           for r in tss.gapfill_daily(df).collect()}
+    # dense spine: 2 types x 3 days
+    assert len(out) == 6
+    assert out[("a", "2024-01-01")].n_events == 2
+    assert out[("a", "2024-01-01")].n_users == 2
+    assert not out[("a", "2024-01-01")].is_gap
+    gap = out[("a", "2024-01-02")]
+    assert gap.n_events == 0 and gap.n_users == 0 and gap.is_gap
+    assert out[("b", "2024-01-01")].is_gap and out[("b", "2024-01-03")].is_gap
+    assert out[("b", "2024-01-02")].n_events == 1
+    # without a user column
+    nou = tss.gapfill_daily(df, user_col=None).columns
+    assert "n_users" not in nou and "is_gap" in nou
