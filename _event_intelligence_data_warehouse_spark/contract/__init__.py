@@ -357,6 +357,7 @@ _DRIVER_SAMPLE_TAIL = [
     "curation_prototypes",
     "curation_pipeline_v4",
     "timeseries_gapfill_daily",
+    "stats_numeric_correlations",
 ]
 
 

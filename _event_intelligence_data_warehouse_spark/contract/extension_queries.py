@@ -5206,3 +5206,66 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(EXTRACT(day FROM ts) * 31 + length(event_type)) % 11 >= 2")
     )
     return tss.gapfill_daily(ev)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORR_SQL = """
+-- Integer-scaled exact arithmetic (see numeric_correlations docstring):
+-- inputs x100 rounded to integers, DECIMAL(38,0) sums in HUGEINT; the
+-- only roundings are per-value scale-0 casts to double, identical on
+-- both engines. corr is invariant under the scaling.
+WITH base AS (
+    SELECT CAST(round(l_quantity * 100) AS DECIMAL(38,0)) AS l_quantity,
+           CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS l_extendedprice,
+           CAST(round(l_discount * 100) AS DECIMAL(38,0)) AS l_discount,
+           CAST(round(l_tax * 100) AS DECIMAL(38,0)) AS l_tax
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(l_quantity) AS s_q, SUM(l_quantity * l_quantity) AS ss_q,
+           SUM(l_extendedprice) AS s_p,
+           SUM(l_extendedprice * l_extendedprice) AS ss_p,
+           SUM(l_discount) AS s_d, SUM(l_discount * l_discount) AS ss_d,
+           SUM(l_tax) AS s_t, SUM(l_tax * l_tax) AS ss_t,
+           SUM(l_quantity * l_extendedprice) AS sp_qp,
+           SUM(l_quantity * l_discount) AS sp_qd,
+           SUM(l_quantity * l_tax) AS sp_qt,
+           SUM(l_extendedprice * l_discount) AS sp_pd,
+           SUM(l_extendedprice * l_tax) AS sp_pt,
+           SUM(l_discount * l_tax) AS sp_dt
+    FROM base
+), pairs(col_a, col_b, sx, sxx, sy, syy, sxy, n) AS (
+    SELECT 'l_quantity', 'l_extendedprice', s_q, ss_q, s_p, ss_p, sp_qp, n FROM s
+    UNION ALL SELECT 'l_quantity', 'l_discount', s_q, ss_q, s_d, ss_d, sp_qd, n FROM s
+    UNION ALL SELECT 'l_quantity', 'l_tax', s_q, ss_q, s_t, ss_t, sp_qt, n FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', s_p, ss_p, s_d, ss_d, sp_pd, n FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', s_p, ss_p, s_t, ss_t, sp_pt, n FROM s
+    UNION ALL SELECT 'l_discount', 'l_tax', s_d, ss_d, s_t, ss_t, sp_dt, n FROM s
+)
+SELECT col_a, col_b, n AS n_rows,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr
+FROM pairs
+"""
+
+
+@query("stats_numeric_correlations", _CORR_SQL)
+def stats_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures in
+    one scan: every accumulated sum is an exact DECIMAL (partition
+    order cannot perturb it), only the final corr formula runs in
+    double — so both engines produce bit-identical coefficients."""
+    li = load(spark, sf_dir, "lineitem")
+    return tx.numeric_correlations(li, _CORR_COLS)

@@ -994,6 +994,79 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def numeric_correlations(
+    df: DataFrame, cols: list[str], *, int_scale: int = 2
+) -> DataFrame:
+    """Pearson correlation matrix over numeric columns in ONE pass —
+    the ANALYZE companion a cost-based optimizer or feature-selection
+    screen consumes. Rows with a NULL in ANY requested column are
+    excluded first (pairwise-complete variants hide mixed populations).
+
+    Engine-stable by construction: inputs are scaled by 10^int_scale
+    and rounded to INTEGERS (corr is invariant under linear scaling,
+    and the testdata measures are exact 2-decimal values, so
+    int_scale=2 loses nothing); every accumulated quantity (n, Sx,
+    Sxx, Sxy) is then an exact scale-0 DECIMAL sum — no float
+    accumulation, no fractional-scale decimal→double cast (which
+    double-rounds through the 10^s division DIFFERENTLY across
+    engines — measured: DuckDB drifts in the 12th digit). The final
+    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx²)(n*Syy - Sy²)) is a
+    single double-precision evaluation of exact integers, identical
+    on every engine. Zero-variance columns yield NULL corr (0/0),
+    never NaN-by-accident.
+
+    Output: (col_a, col_b, n_rows, corr) for every unordered pair
+    col_a < col_b. One scan regardless of column count; the aggregate
+    is k + k + k(k-1)/2 expressions wide. decimal(18,0) per-row
+    values keep products at (37,0) — inside 38 digits, exact on both
+    engines (38-wide inputs would force engine-specific
+    precision-loss truncation)."""
+    mult = 10 ** int_scale
+    base = df.dropna(subset=cols).select(
+        *[
+            F.round(F.col(c) * mult).cast("decimal(18,0)").alias(c)
+            for c in cols
+        ]
+    )
+    aggs = [F.count("*").cast("bigint").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__ss_{c}"))
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols)) for j in range(i + 1, len(cols))
+    ]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, n_rows bigint, corr double"
+        )
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__sp_{a}_{b}"))
+    one = base.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("__n").cast("double")
+        sx = F.col(f"__s_{a}").cast("double")
+        sy = F.col(f"__s_{b}").cast("double")
+        sxx = F.col(f"__ss_{a}").cast("double")
+        syy = F.col(f"__ss_{b}").cast("double")
+        sxy = F.col(f"__sp_{a}_{b}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return F.when(den > 0, num / den)
+
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col("__n").alias("n_rows"), corr_expr(a, b).alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return one.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.col_a", "r.col_b", "r.n_rows", "r.corr")
+
+
 def ngram_novelty(
     df: DataFrame, *, n: int = 3, text_col: str = "text",
     id_col: str = "doc_id",

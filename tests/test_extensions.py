@@ -1116,3 +1116,29 @@ def test_gapfill_daily_fills_missing_days_with_zero(spark):
     # without a user column
     nou = tss.gapfill_daily(df, user_col=None).columns
     assert "n_users" not in nou and "is_gap" in nou
+
+
+def test_numeric_correlations_reference_values(spark):
+    """corr matches numpy's corrcoef on a known fixture; perfectly
+    correlated / anticorrelated / constant columns behave exactly."""
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+    rows = [(float(i), float(2 * i), float(-3 * i + 7), 5.0,
+             float((i * 37) % 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double, w double")
+    out = {(r.col_a, r.col_b): r for r in tx.numeric_correlations(
+        df, ["x", "y", "z", "c", "w"], int_scale=0).collect()}
+    assert abs(out[("x", "y")].corr - 1.0) < 1e-12
+    assert abs(out[("x", "z")].corr + 1.0) < 1e-12
+    assert out[("x", "c")].corr is None  # zero variance -> NULL, not NaN
+    xs = np.array([r[0] for r in rows]); ws = np.array([r[4] for r in rows])
+    want = np.corrcoef(xs, ws)[0, 1]
+    assert abs(out[("x", "w")].corr - want) < 1e-9
+    assert out[("x", "y")].n_rows == 40
+    # single column -> empty frame with the contract schema
+    empty = tx.numeric_correlations(df, ["x"])
+    assert empty.count() == 0 and empty.columns == [
+        "col_a", "col_b", "n_rows", "corr"
+    ]
