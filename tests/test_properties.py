@@ -655,3 +655,81 @@ def test_group_percentile_bounds_and_monotonicity(spark, vals):
     assert by_rank[0].pct_rank == 0.0
     if len(vals) > 1:
         assert by_rank[-1].pct_rank == 1.0
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-1000, 1000), st.integers(-1000, 1000),
+            st.integers(-1000, 1000),
+        ),
+        min_size=2, max_size=30,
+    )
+)
+def test_correlation_matrix_bounds_and_symmetry_inputs(spark, rows):
+    """corr is always in [-1, 1] (or NULL for zero variance), n_rows is
+    the full null-free count, and scaling invariance holds: int_scale=0
+    over integers equals numpy's corrcoef to double precision."""
+    import math
+
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in rows],
+        "x double, y double, z double",
+    )
+    out = tx.numeric_correlations(df, ["x", "y", "z"], int_scale=0).collect()
+    assert len(out) == 3
+    arr = np.array(rows, dtype=float)
+    for r in out:
+        assert r.n_rows == len(rows)
+        i = {"x": 0, "y": 1, "z": 2}
+        a, b = arr[:, i[r.col_a]], arr[:, i[r.col_b]]
+        if np.std(a) == 0 or np.std(b) == 0:
+            assert r.corr is None
+        else:
+            assert -1.0 - 1e-12 <= r.corr <= 1.0 + 1e-12
+            want = np.corrcoef(a, b)[0, 1]
+            assert math.isclose(r.corr, want, rel_tol=0, abs_tol=1e-9)
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 9),      # day offset
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 5),      # user
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_gapfill_spine_dense_and_totals_preserved(spark, events):
+    """The filled frame is a DENSE (key, day) grid over the span, row
+    totals are preserved exactly, and is_gap marks exactly the zero
+    rows."""
+    import datetime as dt
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as tss,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1 + d, 12), u, k)
+        for i, (d, k, u) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = tss.gapfill_daily(df).collect()
+    days = {r[1].date() for r in rows}
+    span = (max(days) - min(days)).days + 1
+    keys = {r[3] for r in rows}
+    assert len(out) == span * len(keys)
+    assert sum(r.n_events for r in out) == len(rows)
+    for r in out:
+        assert r.is_gap == (r.n_events == 0)
+        assert r.n_users <= r.n_events
