@@ -1163,6 +1163,72 @@ class Warehouse:
             "bytes": total,
         }
 
+    def compact_partitions_where(
+        self, table: str, partition_col: str, *, min_files: int = 2,
+    ) -> dict:
+        """PARTIAL compaction (manifest mode): rewrite only partitions
+        holding >= ``min_files`` live files into one file each; every
+        other partition's files carry into the new version verbatim —
+        zero bytes moved for them. The trickle-append maintenance op at
+        100 TB: a streaming workload fragments a handful of HOT
+        partitions while thousands of cold ones stay pristine;
+        ``compact_partitions`` rewrites the whole table, this rewrites
+        just the fragmented slice, and the single pointer publish keeps
+        the rewrite atomic and time-travelable.
+
+        Returns {partitions_rewritten, files_before, files_after,
+        carried, version} (version None when nothing is fragmented)."""
+        if not self.manifest:
+            raise ValueError(
+                "compact_partitions_where requires Warehouse(manifest=True)"
+            )
+        m = self._adopt_if_legacy(table)
+        pcol = m.get("partition_col")
+        if pcol != partition_col:
+            raise ValueError(
+                f"table {table!r} is partitioned by {pcol!r}, "
+                f"not {partition_col!r}"
+            )
+        groups: dict[object, list[str]] = {}
+        for f in m["files"]:
+            groups.setdefault(self._partition_of(f, pcol), []).append(f)
+        frag = [
+            f
+            for pv, fs in groups.items()
+            if pv is not None and len(fs) >= min_files
+            for f in fs
+        ]
+        if not frag:
+            return {"partitions_rewritten": 0,
+                    "files_before": len(m["files"]),
+                    "files_after": len(m["files"]),
+                    "carried": len(m["files"]), "version": None}
+        n_parts = sum(
+            1 for pv, fs in groups.items()
+            if pv is not None and len(fs) >= min_files
+        )
+        cdf = self._read_file_list(self.path(table), frag)
+        # one task per partition value -> one output file per rewritten
+        # partition (hash collisions co-locate two partitions in a task
+        # but the partitioned write still splits them by directory)
+        new = self._write_snapshot(
+            table, cdf.repartition(F.col(pcol)), pcol
+        )
+        carried = [f for f in m["files"] if f not in set(frag)]
+        old_stats = m.get("stats", {})
+        stats = {
+            **{f: old_stats[f] for f in carried if f in old_stats},
+            **self._collect_minmax(table, new),
+        }
+        man = self._publish(table, carried + new, pcol,
+                            "compact_partitions_where", stats=stats,
+                            expect_version=m["version"])
+        self.vacuum(table)
+        return {"partitions_rewritten": n_parts,
+                "files_before": len(m["files"]),
+                "files_after": len(carried) + len(new),
+                "carried": len(carried), "version": man["version"]}
+
     def compact_partitions(
         self, table: str, partition_col: str
     ) -> dict:

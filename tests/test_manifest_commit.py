@@ -1320,3 +1320,47 @@ def test_stats_count_filtered_on_partition_column(spark, tmp_path):
     assert wh.stats_count("t", [("bucket", "==", 1)]) == (
         wh.read("t").filter(F.col("bucket") == 1).count()
     )
+
+
+def test_compact_partitions_where_rewrites_only_fragmented(spark, tmp_path):
+    """Partitions under the file threshold carry their files VERBATIM
+    (same relative paths, zero bytes moved); fragmented ones collapse
+    to a single file; content and time travel survive."""
+    wh = Warehouse(spark, str(tmp_path / "pcw"), manifest=True,
+                   retain_versions=10)  # keep history for time travel
+    base = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, bucket int"
+    ).repartition(F.col("bucket"))  # one file per partition to start
+    wh.overwrite("t", base, partition_col="bucket")
+    # fragment buckets 0 and 1 with appends; bucket 2 stays single-file
+    for i in (100, 101, 102):
+        wh.append("t", spark.createDataFrame(
+            [(i, 0)], "id long, bucket int"
+        ))
+    wh.append("t", spark.createDataFrame([(200, 1)], "id long, bucket int"))
+    m0 = wh._adopt_if_legacy("t")
+    before = {r.id for r in wh.read("t").collect()}
+    b2_before = sorted(
+        f for f in m0["files"] if wh._partition_of(f, "bucket") == "2"
+    )
+    v0 = m0["version"]
+
+    res = wh.compact_partitions_where("t", "bucket", min_files=2)
+    assert res["partitions_rewritten"] == 2  # buckets 0 and 1
+    m1 = wh._adopt_if_legacy("t")
+    by_part = {}
+    for f in m1["files"]:
+        by_part.setdefault(wh._partition_of(f, "bucket"), []).append(f)
+    assert len(by_part["0"]) == 1 and len(by_part["1"]) == 1
+    # untouched partition carried verbatim
+    assert sorted(by_part["2"]) == b2_before
+    assert {r.id for r in wh.read("t").collect()} == before
+    # time travel to the pre-compaction version still works
+    assert {r.id for r in wh.read("t", version=v0).collect()} == before
+
+    # idempotent: nothing fragmented now -> no-op, no new version
+    res2 = wh.compact_partitions_where("t", "bucket", min_files=2)
+    assert res2["version"] is None and res2["partitions_rewritten"] == 0
+    # wrong partition column fails loud
+    with pytest.raises(ValueError, match="partitioned by"):
+        wh.compact_partitions_where("t", "nope")
