@@ -358,6 +358,7 @@ _DRIVER_SAMPLE_TAIL = [
     "curation_pipeline_v4",
     "timeseries_gapfill_daily",
     "stats_numeric_correlations",
+    "text_c4_line_filter",
 ]
 
 

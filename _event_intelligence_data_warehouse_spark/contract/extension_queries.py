@@ -5269,3 +5269,98 @@ def stats_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     double — so both engines produce bit-identical coefficients."""
     li = load(spark, sf_dir, "lineitem")
     return tx.numeric_correlations(li, _CORR_COLS)
+
+
+# C4 corpus decoration: sentences with terminal punctuation planted on
+# most docs, short/unpunctuated/javascript lines planted modularly so
+# every rule discriminates — mirrored verbatim in the oracle.
+_C4_DOCS_CTE = """
+WITH c4docs AS (
+    SELECT doc_id,
+           'This is a clean first sentence. Another full sentence here.'
+           || chr(10) || 'A third sentence with enough words, surely.'
+           || chr(10) || 'Sentence four is present. Sentence five too.'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'no terminal punctuation line' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || 'Too short.' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN chr(10)
+                        || 'Please enable Javascript to view comments.' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(10) || 'if (x) { return 1; } it said.' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN chr(10) || 'Lorem ipsum dolor sit amet, filler.' ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+_C4_SQL = _C4_DOCS_CTE + """
+, lf AS (
+    SELECT doc_id,
+           string_split(text, chr(10)) AS lines,
+           list_filter(string_split(text, chr(10)),
+               l -> regexp_matches(rtrim(l), '[.!?"]$')
+                    AND len(list_filter(
+                            regexp_split_to_array(trim(l), '\\s+'),
+                            x -> x != '')) >= 3
+                    AND NOT contains(lower(l), 'javascript')) AS kept
+    FROM c4docs
+), rec AS (
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_removed
+    FROM lf
+)
+SELECT doc_id, clean_text, n_lines, n_removed,
+       contains(clean_text, '{') AS has_brace,
+       contains(lower(clean_text), 'lorem ipsum') AS has_lorem,
+       CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT)
+           AS n_sentences,
+       (NOT contains(clean_text, '{')
+        AND NOT contains(lower(clean_text), 'lorem ipsum')
+        AND len(regexp_extract_all(clean_text, '[.!?]')) >= 5)
+           AS keep_doc
+FROM rec
+"""
+
+
+@query("text_c4_line_filter", _C4_SQL)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning rules (Raffel et al. 2020 §2.2): terminal
+    punctuation, >= 3 words, no javascript warnings per line; brace /
+    lorem-ipsum / sentence-count page flags. One shuffle-free pass over
+    a corpus decorated so every rule fires (mirrored in the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    nl = "\n"
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "This is a clean first sentence. Another full sentence"
+                " here.\nA third sentence with enough words, surely."
+                "\nSentence four is present. Sentence five too."
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(nl + "no terminal punctuation line"),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(nl + "Too short."))
+            .otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(nl + "Please enable Javascript to view comments."),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(nl + "if (x) { return 1; } it said."),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(nl + "Lorem ipsum dolor sit amet, filler."),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return tx.c4_line_filter(decorated)

@@ -690,6 +690,65 @@ def pack_sequences(
     )
 
 
+def c4_line_filter(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4's line- and page-level cleaning rules (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2) as one shuffle-free pass — the row-local
+    complement to CCNet's corpus-frequency boilerplate removal:
+
+    - keep only lines ending in terminal punctuation (. ! ? ");
+    - drop lines with fewer than 3 words;
+    - drop lines containing the word "javascript" (cookie/JS warnings);
+    - page flags: curly brace (code), "lorem ipsum" (placeholder), and
+      a sentence count; keep_doc = no flags and >= ``min_sentences``.
+
+    Returns (doc_id, clean_text, n_lines, n_removed, has_brace,
+    has_lorem, n_sentences, keep_doc). Pure array algebra over the
+    line split — zero shuffles, zero UDFs."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    keep_line = (
+        lambda l: F.rtrim(l).rlike('[.!?"]$')
+        & (
+            F.size(
+                F.filter(
+                    F.split(F.trim(l), r"\s+"), lambda x: x != ""
+                )
+            )
+            >= 3
+        )
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    clean = F.concat_ws("\n", kept)
+    n_lines = F.size(lines).cast("bigint")
+    n_removed = (F.size(lines) - F.size(kept)).cast("bigint")
+    has_brace = F.col("clean_text").contains("{")
+    has_lorem = F.lower(F.col("clean_text")).contains("lorem ipsum")
+    n_sent = F.regexp_count(
+        F.col("clean_text"), F.lit(r"[.!?]")
+    ).cast("bigint")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            clean.alias("clean_text"),
+            n_lines.alias("n_lines"),
+            n_removed.alias("n_removed"),
+        )
+        .withColumn("has_brace", has_brace)
+        .withColumn("has_lorem", has_lorem)
+        .withColumn("n_sentences", n_sent)
+        .withColumn(
+            "keep_doc",
+            ~F.col("has_brace")
+            & ~F.col("has_lorem")
+            & (F.col("n_sentences") >= min_sentences),
+        )
+    )
+
+
 def boilerplate_line_filter(
     df: DataFrame,
     *,

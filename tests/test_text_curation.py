@@ -693,3 +693,30 @@ def test_gopher_filters_rules_discriminate(spark):
     ).collect()[0]
     assert e.n_words == 0 and e.pass_gopher is False
     assert e.symbol_word_ratio == 0.0 and e.alpha_word_ratio == 0.0
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule fires exactly: terminal punctuation, >= 3 words,
+    javascript lines; page flags for braces / lorem ipsum / sentence
+    count."""
+    good = ("One full sentence right here. Two full sentences now."
+            "\nThree sentences present today. Four sentences written down."
+            "\nFive sentences to finish off.")
+    rows = [
+        (1, good),
+        (2, good + "\nno terminal punctuation"),
+        (3, good + "\nShort one."),
+        (4, good + "\nPlease enable JavaScript to continue reading."),
+        (5, good + "\nThe code if (x) { stop; } stays inline."),
+        (6, good + "\nLorem Ipsum dolor sit amet today."),
+        (7, "Only two sentences here. Not enough of them."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.c4_line_filter(df).collect()}
+    assert got[1].keep_doc and got[1].n_removed == 0
+    assert got[2].n_removed == 1 and got[2].clean_text == good
+    assert got[3].n_removed == 1          # < 3 words
+    assert got[4].n_removed == 1          # javascript line
+    assert got[5].has_brace and not got[5].keep_doc
+    assert got[6].has_lorem and not got[6].keep_doc
+    assert got[7].n_sentences == 2 and not got[7].keep_doc
