@@ -461,7 +461,11 @@ def decode_wav(payload: bytes):
         cid = buf[pos:pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
         body = buf[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk body")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

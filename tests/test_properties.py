@@ -733,3 +733,50 @@ def test_gapfill_spine_dense_and_totals_preserved(spark, events):
     for r in out:
         assert r.is_gap == (r.n_events == 0)
         assert r.n_users <= r.n_events
+
+
+@PROP
+@given(
+    n=st.integers(0, 300),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_total(spark, n, ch, rate, seed):
+    """encode->decode is the identity for ANY int16 signal shape,
+    including zero-length clips."""
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+    arr, r = mm.decode_wav(mm.encode_wav(a, rate))
+    assert r == rate and arr.shape == (n, ch)
+    assert np.array_equal(arr, a)
+
+
+@PROP
+@given(junk=st.binary(max_size=200))
+def test_codec_parsers_reject_garbage_loudly(spark, junk):
+    """Arbitrary bytes never crash the parsers with anything but
+    ValueError — no silent partial decode, no index errors leaking."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    for fn in (mm.decode_wav, mm.decode_ppm, mm.decode_ppm_stream):
+        try:
+            out = fn(junk)
+        except ValueError:
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"{fn.__name__} leaked {type(e).__name__} on garbage"
+            ) from e
+        # decode_ppm_stream legitimately returns [] for empty input
+        assert junk[:4] in (b"RIFF",) or junk[:2] in (b"P6", b"P5") or (
+            out == [] and junk == b""
+        ), f"{fn.__name__} accepted garbage"
