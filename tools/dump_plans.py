@@ -111,6 +111,29 @@ SHOWCASE = [
         "document-frequency aggregate (never line text); reconstruction "
         "is one group-bounded collect per document.",
     ),
+    (
+        "text_gopher_filters",
+        "Gopher rule battery (r5): all seven structural rules in ONE "
+        "shuffle-free scan projection — no Exchange anywhere.",
+    ),
+    (
+        "dedup_semantic_incremental",
+        "Incremental SemDeDup (r5): the batch assigns against the "
+        "broadcast stored centroids; pair joins hit only touched "
+        "cells' members — the corpus is never re-assigned.",
+    ),
+    (
+        "curation_pipeline_v4",
+        "Composed curation v4 (r5): the Gopher gate is an inline "
+        "predicate pushed at the scan (no metrics-frame self-join); "
+        "the temperature plan broadcasts onto the corpus stream.",
+    ),
+    (
+        "stats_numeric_correlations",
+        "Correlation matrix (r5): one multi-aggregate scan; exact "
+        "integer-scaled DECIMAL sums; coefficients explode from a "
+        "single 1-row frame.",
+    ),
 ]
 
 
