@@ -137,6 +137,10 @@ def main() -> None:
             _bench_density_split(spark, sf_dir, timings)
             total += timings[name]
             continue
+        if name == "dedup_minhash_incremental":
+            _bench_incr_dedup_split(spark, sf_dir, timings)
+            total += timings[name]
+            continue
         if name == "quality_five_checks":
             # Same split for the most expensive warehouse query: it
             # legitimately contains the full star build plus 5 checks —
@@ -275,6 +279,43 @@ def _bench_pq_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
     timings["similarity_pq_build"] = build
     timings["similarity_pq_serve"] = serve
     timings["similarity_pq_topk"] = round(build + serve, 3)
+
+
+def _bench_incr_dedup_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """The headline dedup_minhash_incremental entry runs the CONTRACT
+    config (prune_index_read=True since r5 — the steady-state mode, now
+    oracle-checked); the _unpruned attribution entry times the same
+    query with the prune off, so the +~1s cost of the prune's extra
+    pass over live-lineage index sets stays visible and attributable
+    instead of reading as drift (r5 bench-guard flag)."""
+    from _event_intelligence_data_warehouse_spark.contract import (
+        QUERIES, load,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    QUERIES["dedup_minhash_incremental"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings["dedup_minhash_incremental"] = round(time.time() - t0, 3)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        )
+    )
+    t0 = time.time()
+    sets_, sigs = dd.minhash_index(corpus)
+    dd.incremental_minhash_dedup(
+        batch, sets_, sigs, threshold=0.8, prune_index_read=False
+    ).write.mode("overwrite").format("noop").save()
+    timings["dedup_minhash_incr_unpruned"] = round(time.time() - t0, 3)
 
 
 def _bench_density_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
