@@ -285,9 +285,12 @@ def _bench_incr_dedup_split(spark, sf_dir: str, timings: dict[str, float]) -> No
     """The headline dedup_minhash_incremental entry runs the CONTRACT
     config (prune_index_read=True since r5 — the steady-state mode, now
     oracle-checked); the _unpruned attribution entry times the same
-    query with the prune off, so the +~1s cost of the prune's extra
-    pass over live-lineage index sets stays visible and attributable
-    instead of reading as drift (r5 bench-guard flag)."""
+    query with the prune off, so the cost of the prune's extra pass
+    over live-lineage index sets stays visible and attributable instead
+    of reading as drift (r5 bench-guard flag). The unpruned entry runs
+    second and reuses the batch-signature cache the first run persisted
+    (the suite's documented continuity behavior), so the delta is an
+    UPPER bound on the prune's marginal cost, not an isolated A/B."""
     from _event_intelligence_data_warehouse_spark.contract import (
         QUERIES, load,
     )
