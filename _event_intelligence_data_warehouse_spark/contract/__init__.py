@@ -359,6 +359,7 @@ _DRIVER_SAMPLE_TAIL = [
     "timeseries_gapfill_daily",
     "stats_numeric_correlations",
     "text_c4_line_filter",
+    "similarity_ivfpq_residual_topk",
 ]
 
 

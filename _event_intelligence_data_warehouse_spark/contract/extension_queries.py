@@ -5364,3 +5364,116 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tx.c4_line_filter(decorated)
+
+
+_RPQ_RERANK = 10
+
+# Residual IVFADC oracle: IVF cell training + full-corpus assignment
+# (shared CTEs), then integer mean centroids (sum div count per cell),
+# residual vectors (iv - mc)/1e6 as the PQ training source (the /1e6
+# round-trips exactly through _pq_core's x*1e6+0.5 snap on both
+# engines), the standard PQ train/encode core over `rvecs`, and serving
+# with a per-(query, cell) integer-L2 LUT ranked ascending before the
+# exact cosine rerank.
+_RPQ_SQL = (
+    _IVF_CELLS_CTE
+    + """
+, r_assign AS (
+    SELECT vec_id, cell FROM cell_scores WHERE cell_rank = 1
+), r_mc AS (
+    SELECT cell, list(CAST(sx // cnt AS BIGINT) ORDER BY pos) AS mcv
+    FROM (
+        SELECT a.cell, t.pos, CAST(SUM(t.val) AS BIGINT) AS sx,
+               COUNT(*) AS cnt
+        FROM r_assign a JOIN (
+            SELECT vec_id,
+                   unnest(generate_series(1, len(iv))) AS pos,
+                   unnest(iv) AS val
+            FROM ivecs
+        ) t USING (vec_id)
+        GROUP BY a.cell, t.pos
+    )
+    GROUP BY cell
+), rvecs AS (
+    SELECT i.vec_id,
+           list_transform(generate_series(1, len(i.iv)),
+               j -> (i.iv[j] - m.mcv[j]) / 1000000.0) AS v
+    FROM ivecs i
+    JOIN r_assign a USING (vec_id)
+    JOIN r_mc m USING (cell)
+)"""
+    + _pq_core("rpq_").replace("FROM vecs", "FROM rvecs")
+    + f"""
+, rq_probes AS (
+    SELECT vec_id AS query_id, cell FROM cell_scores
+    WHERE cell_rank <= 2 AND vec_id < 20
+), rq_cand AS (
+    SELECT p.query_id, p.cell, a.vec_id AS neighbor_id
+    FROM r_assign a JOIN rq_probes p USING (cell)
+    WHERE p.query_id <> a.vec_id
+), rq_qres AS (
+    SELECT p.query_id, p.cell,
+           list_transform(generate_series(1, len(i.iv)),
+               j -> CAST(i.iv[j] - m.mcv[j] AS DOUBLE)) AS qrv
+    FROM rq_probes p
+    JOIN ivecs i ON i.vec_id = p.query_id
+    JOIN r_mc m USING (cell)
+), rq_qsub AS (
+    SELECT q.query_id, q.cell, s.sub,
+           list_slice(q.qrv, s.sub * {_PQ_SUB} + 1,
+                      s.sub * {_PQ_SUB} + {_PQ_SUB}) AS qvd
+    FROM rq_qres q CROSS JOIN rpq_subs s
+), rq_lut AS (
+    SELECT q.query_id, q.cell, b.sub, b.code,
+           {_pq_l2('q.qvd', 'b.cwd')} AS pl2
+    FROM rq_qsub q JOIN rpq_books b USING (sub)
+), rq_adc AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY SUM(l.pl2) ASC, cd.neighbor_id
+               ) AS adcrk
+        FROM rq_cand cd
+        JOIN rpq_codes c ON c.vec_id = cd.neighbor_id
+        JOIN rq_lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+                     AND l.sub = c.sub AND l.code = c.code
+        GROUP BY cd.query_id, cd.neighbor_id
+    ) WHERE adcrk <= {_RPQ_RERANK}
+), rq_rescored AS (
+    SELECT a.query_id, a.neighbor_id,
+           list_dot_product(q.v, n.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(n.v, n.v))) AS sim
+    FROM rq_adc a
+    JOIN vecs q ON q.vec_id = a.query_id
+    JOIN vecs n ON n.vec_id = a.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM rq_rescored
+) WHERE rank <= 5
+"""
+)
+
+
+@query("similarity_ivfpq_residual_topk", _RPQ_SQL)
+def similarity_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """True IVFADC (Jégou et al. 2011): PQ over RESIDUALS x - mean(cell)
+    — the Faiss IVFxPQ(residual) configuration; squared-L2 residual ADC
+    (cross-cell consistent by construction) prunes to 10 candidates,
+    exact cosine reranks. The oracle replays cell training, the
+    full-corpus assignment, integer mean centroids, residual codebook
+    training, encode, the per-(query, cell) LUT probe and the rerank
+    end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5,
+        n_cells=_IVF_N_CELLS, nprobe=2,
+        m=_PQ_M, n_codes=_PQ_CODES, max_train=_PQ_TRAIN,
+        rerank=_RPQ_RERANK,
+    )

@@ -672,6 +672,153 @@ def semantic_dedup_prebuilt(
     )
 
 
+def ivf_pq_residual_topk(
+    df: DataFrame, queries: DataFrame, k: int = 5, *,
+    n_cells: int = 16, nprobe: int = 2,
+    m: int = 16, n_codes: int = 64, max_train: int = 1024,
+    rerank: int = 50,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """True IVFADC (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): PQ encodes RESIDUALS x - mean(cell)
+    instead of raw vectors — residuals have far less variance than the
+    vectors themselves, so the same codebook budget spends its
+    precision where the data actually varies; this is the Faiss
+    IVFxPQ(residual) configuration. The ADC metric is squared L2 on
+    residuals, which is CROSS-CELL consistent by construction
+    (||q - x||^2 = ||(q - c) - (x - c)||^2 for each probed cell's own
+    c), ranked ascending; exact cosine reranks the shortlist so the
+    output contract matches every other ANN path.
+
+    Engine-exact by the same constructions as the non-residual
+    composition: integer-snapped vectors, integer mean centroids
+    (element-wise sum div count over the full corpus assignment),
+    integer-L2 LUTs; the only doubles are the /1e6 residual embedding
+    round-trip (exact — see inline note) and the final rerank cosines.
+
+    Scale: build adds ONE corpus pass (the mean-centroid aggregate and
+    the residual projection fuse into the encode scan); serving is
+    identical to ivf_pq_topk — ~nprobe/n_cells of the code table per
+    query, ``rerank`` raw vectors read — with the LUT keyed per
+    (query, cell) instead of per query (nprobe x larger, still tiny
+    and broadcast)."""
+    centroids, cells = ivf_cells(
+        df, n_cells=n_cells, max_train=max_train,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign = cells.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    iv = df.select(F.col(id_col).alias("vec_id"), _int_vec(vec_col).alias("iv"))
+    memb = assign.join(iv, "vec_id")
+    # integer mean centroid per cell: element-wise sum div count
+    # (truncating div — the PQ codebook update's verified construction)
+    mc = cache.persist(
+        memb.select("cell", F.posexplode("iv").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum("val").cast("bigint").alias("sx"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.expr("sx div cnt").alias("mv"))
+                    )
+                ),
+                lambda s: s["mv"],
+            ).alias("mcv")
+        )
+    )
+    # Residual embeddings as doubles/1e6: pq_codebooks/pq_encode apply
+    # _int_vec (floor(x*1e6 + 0.5)) internally, and r/1e6 round-trips
+    # to exactly r for |r| << 2^52 (r + 0.5 +- 1e-9 never crosses an
+    # integer), so the PQ pipeline trains on the exact integer
+    # residuals on both engines.
+    rv = memb.join(F.broadcast(mc), "cell").select(
+        "vec_id",
+        F.expr(
+            "transform(zip_with(iv, mcv, (a, b) -> a - b), "
+            "x -> x / 1000000.0D)"
+        ).alias("embedding"),
+    )
+    cb = pq_codebooks(
+        rv, m=m, k=n_codes, max_train=max_train,
+        id_col="vec_id", vec_col="embedding",
+    )
+    codes = pq_encode(rv, cb, id_col="vec_id", vec_col="embedding")
+
+    qv = queries.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
+    probes = rank_cells(qv, centroids).filter(
+        F.col("cell_rank") <= nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "cell", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    d_sub = cb.select(F.size("cw")).first()[0]
+    mm = cb.agg(F.max("sub")).first()[0] + 1
+    qiv = queries.select(
+        F.col(id_col).alias("query_id"), _int_vec(vec_col).alias("qiv")
+    )
+    qres = (
+        probes.join(qiv, "query_id")
+        .join(F.broadcast(mc), "cell")
+        .select(
+            "query_id", "cell",
+            F.expr("zip_with(qiv, mcv, (a, b) -> a - b)").alias("qrv"),
+        )
+    )
+    qsub = qres.select(
+        "query_id", "cell",
+        F.posexplode(
+            F.array(*[F.expr(e) for e in _sub_slices("qrv", mm, d_sub)])
+        ).alias("sub", "qv"),
+    )
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id", "cell", "sub", "code",
+        F.expr(_l2_int("qv", "cw")).alias("pl2"),
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+                  "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "cell", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pl2").cast("bigint").alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  _vec_double(vec_col).alias("cv"))
+    q2 = queries.select(F.col(id_col).alias("query_id"),
+                        _vec_double(vec_col).alias("qv2"))
+    rescored = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q2), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv2"), F.col("cv")).alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def prototype_prune(
     df: DataFrame,
     *,

@@ -1182,3 +1182,29 @@ def test_ppm_stream_codec_and_frame_sampling(spark):
 
     with _pt.raises(ValueError, match="truncated"):
         mm.decode_ppm_stream(stream[:-5])
+
+
+def test_residual_ivfpq_equals_ivf_when_rerank_covers_cells(spark):
+    """Same pinning as the raw-vector composition: with rerank covering
+    every probed cell, residual IVFADC ends in the identical exact
+    rerank over the identical candidate set, so it must equal plain IVF
+    — residual encoding changes only which candidates an UNDERSIZED
+    shortlist keeps, never the covered case."""
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    big_rerank = emb.count()
+    a = sorted(
+        tuple(r) for r in sim.ivf_pq_residual_topk(
+            emb, q, k=5, m=8, n_codes=16, rerank=big_rerank
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in sim.ivf_topk(emb, q, k=5, nprobe=2).collect()
+    )
+    assert a == b, "residual shortlist dropped candidates the rerank needed"
