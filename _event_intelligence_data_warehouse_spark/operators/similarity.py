@@ -735,19 +735,19 @@ def ivf_pq_residual_topk(
     # to exactly r for |r| << 2^52 (r + 0.5 +- 1e-9 never crosses an
     # integer), so the PQ pipeline trains on the exact integer
     # residuals on both engines.
-    # Persisted: the residual frame feeds codebook training, the
-    # encode pass and the training-sample join — without a barrier the
-    # IVF-assignment + mean-join lineage would recompute per consumer
-    # (measured 50 s -> materialize once at sf0.1). The production
-    # analog writes residual codes to storage, as Faiss does.
-    rv = cache.persist(
-        memb.join(F.broadcast(mc), "cell").select(
-            "vec_id",
-            F.expr(
-                "transform(zip_with(iv, mcv, (a, b) -> a - b), "
-                "x -> x / 1000000.0D)"
-            ).alias("embedding"),
-        )
+    # NOT persisted — measured both ways at sf0.01/sf0.1: caching the
+    # computed residual arrays costs more ((de)serializing 64-double
+    # rows) than recomputing the assignment-join lineage for the two
+    # consumers (codebook training reads only the bounded sample;
+    # encode streams the corpus once). Same finding as minhash_dedup's
+    # signature-vs-set persist note. The production analog materializes
+    # residual CODES to storage (as Faiss does), never raw residuals.
+    rv = memb.join(F.broadcast(mc), "cell").select(
+        "vec_id",
+        F.expr(
+            "transform(zip_with(iv, mcv, (a, b) -> a - b), "
+            "x -> x / 1000000.0D)"
+        ).alias("embedding"),
     )
     cb = pq_codebooks(
         rv, m=m, k=n_codes, max_train=max_train,
