@@ -119,6 +119,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Registration happens at import: each submodule decorates its queries.
 from _event_intelligence_data_warehouse_spark.contract import (  # noqa: E402,F401
     analytics_queries,
+    enrichment_queries,
     extension_queries,
     governance_queries,
     relational_queries,
@@ -360,6 +361,15 @@ _DRIVER_SAMPLE_TAIL = [
     "stats_numeric_correlations",
     "text_c4_line_filter",
     "similarity_ivfpq_residual_topk",
+    # round-5 LATE additions (link analysis, record linkage, BM25,
+    # k-anonymity, Markov transitions, Heaps growth): full local oracles
+    # from day one; round-6 rotation slate
+    "graph_pagerank",
+    "join_fuzzy_blocked",
+    "text_bm25_search",
+    "governance_k_anonymity",
+    "events_markov_transitions",
+    "text_vocab_growth",
 ]
 
 

@@ -1,0 +1,227 @@
+"""Link-analysis operators over entity graphs: fixed-iteration PageRank
+and blocked fuzzy entity matching.
+
+PageRank is the standard crawl-prioritization / host-authority signal in
+web-corpus curation (CommonCrawl ranks hosts with harmonic/PageRank
+centrality; quality classifiers use link authority as a feature). The
+implementation here is the classic synchronous power iteration expressed
+as DataFrame joins — one shuffle per iteration, partitioned by vertex id
+— with the numerics done in integer parts-per-billion so the result is
+bit-exact across engines and partition orders (same discipline as the
+bigram-LM surprise scorer in operators/text.py).
+
+Why integer ppb instead of doubles: a floating-point PageRank sums
+incoming contributions in partition order, so two runs (or two engines)
+legitimately differ in the last ulp, which a hash-comparing oracle
+cannot tolerate. With rank held in int64 billionths and every division a
+floor division of non-negative values, Spark's `div` and DuckDB's `//`
+agree exactly, sums are order-independent, and the fixpoint is
+reproducible. Total mass leaks a few ppb per iteration to flooring —
+irrelevant for ranking, and the leak itself is deterministic.
+
+Scale: vertices and edges stay distributed end-to-end; each iteration is
+one (edges ⋈ ranks) shuffle-hash join on src plus a groupBy(dst) — the
+same shape GraphX/Pregel lowers to. The edge table is hash-partitioned
+once and reused via localCheckpoint (outputPartitioning preserved), so
+per-iteration movement is O(|V|) rank rows, not O(|E|). Dangling mass is
+a 1-row aggregate broadcast into the update expression.
+
+Fuzzy blocked matching is the entity-resolution primitive (record
+linkage): a cheap deterministic blocking key bounds the candidate space,
+then an exact edit-distance verify runs only within blocks — the same
+two-phase shape as the MinHash/LSH dedup family in operators/dedup.py,
+with the same hot-block cap to bound the quadratic worst case.
+
+Reference parity note: the reference warehouse (scripts/run_pipeline.py,
+transform/transform_events.sql) has no graph operators; these extend the
+engine for training-data curation per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPB = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    vertices: DataFrame | None = None,
+    id_col: str = "node_id",
+) -> DataFrame:
+    """Fixed-iteration PageRank with int64 parts-per-billion arithmetic.
+
+    Returns (node_id, rank_ppb) for every vertex. The vertex set is the
+    union of edge endpoints unless an explicit ``vertices`` frame is
+    given (isolated vertices then participate and collect the teleport +
+    dangling share).
+
+    Per iteration, for damping d = damping_pct/100 over n vertices::
+
+        contrib(v)   = rank_ppb(v) div outdeg(v)        # per out-edge
+        dangling     = sum(rank_ppb(v) for outdeg(v)=0) div n
+        rank'_ppb(u) = ((100-d)*PPB div 100) div n
+                       + d * (sum_in(contrib) + dangling) div 100
+
+    Every division floors non-negative int64s, so the sequence is exact
+    and engine-portable. ``iterations`` is fixed (no convergence probe)
+    so an external oracle can unroll the identical recurrence.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    ).distinct()
+    if vertices is None:
+        verts = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+        )
+    else:
+        verts = vertices.select(F.col(id_col).cast("bigint").alias("node_id")).distinct()
+    # Hash-partition edges by src ONCE; localCheckpoint preserves the
+    # partitioning so each iteration's rank join reuses it and only the
+    # O(|V|) rank frame shuffles per round.
+    e = e.repartition(F.col("src")).localCheckpoint()
+    verts = verts.localCheckpoint()
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank_ppb", F.lit(0).cast("bigint"))
+
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    teleport = (100 - damping_pct) * PPB // 100 // n
+
+    ranks = verts.withColumn("rank_ppb", F.lit(PPB // n).cast("bigint"))
+    for _ in range(iterations):
+        ranked = ranks.join(outdeg, ranks.node_id == outdeg.src, "left").select(
+            "node_id", "rank_ppb", "outdeg"
+        )
+        # Dangling mass: one tiny aggregate, crossed into the update as
+        # a broadcast-1-row frame (never a driver collect of vertex data).
+        dang = ranked.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg").isNull(), F.col("rank_ppb"))),
+                F.lit(0),
+            ).alias("_dangling")
+        ).select(F.expr(f"_dangling div {n}").cast("bigint").alias("_dang_share"))
+        contrib = (
+            e.join(
+                ranked.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("node_id").alias("src"),
+                    F.expr("rank_ppb div outdeg").alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+            .withColumnRenamed("dst", "node_id")
+        )
+        ranks = (
+            verts.join(contrib, "node_id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node_id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(in_sum, 0)"
+                        f" + _dang_share)) div 100"
+                    )
+                ).cast("bigint").alias("rank_ppb"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+    block: Column | str | None = None,
+    max_distance: int = 4,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Blocked fuzzy entity matching: candidate pairs share a blocking
+    key, survivors have ``levenshtein(name_a, name_b) <= max_distance``.
+
+    Returns (id_a, id_b, name_a, name_b, distance) with id_a < id_b.
+
+    The blocking key defaults to the last whitespace token of the
+    lowercased name (for "modifier noun" entity names the noun is the
+    stable part; swap in soundex/prefix/q-gram keys per domain). The
+    self-join is an equi-join on the key, so candidates are
+    sum-over-blocks(|b|²) instead of n² — the record-linkage analogue of
+    LSH banding.
+
+    Hot-block guard (same rationale as minhash_lsh_candidates'
+    membership cap): a degenerate corpus where one key covers the whole
+    table would regenerate the quadratic blow-up blocking exists to
+    prevent, so blocks above ``max_block_size`` members are dropped from
+    the candidate join and surfaced via the ``fuzzy_hot_blocks``
+    accessor on the returned frame's attached telemetry — at 100 TB you
+    route those to a sharded q-gram pass instead of silently stalling.
+    """
+    if block is None:
+        blk = F.element_at(F.split(F.lower(F.trim(F.col(name_col))), r"\s+"), -1)
+    elif isinstance(block, str):
+        blk = F.col(block)
+    else:
+        blk = block
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(name_col).alias("name"),
+        blk.alias("bkey"),
+    ).filter(F.col("bkey").isNotNull() & (F.col("bkey") != ""))
+    sizes = base.groupBy("bkey").agg(F.count("*").alias("_bn"))
+    keep = sizes.filter(F.col("_bn") <= max_block_size).select("bkey")
+    bounded = base.join(F.broadcast(keep) if max_block_size <= 1_000_000 else keep, "bkey")
+    a = bounded.select(
+        "bkey", F.col("id").alias("id_a"), F.col("name").alias("name_a")
+    )
+    b = bounded.select(
+        "bkey", F.col("id").alias("id_b"), F.col("name").alias("name_b")
+    )
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )
+
+
+def fuzzy_hot_blocks(
+    df: DataFrame,
+    *,
+    name_col: str,
+    block: Column | str | None = None,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Telemetry companion to fuzzy_blocked_pairs: the blocking keys
+    whose membership exceeded the cap (and were therefore excluded from
+    the candidate join), with their sizes."""
+    if block is None:
+        blk = F.element_at(F.split(F.lower(F.trim(F.col(name_col))), r"\s+"), -1)
+    elif isinstance(block, str):
+        blk = F.col(block)
+    else:
+        blk = block
+    return (
+        df.select(blk.alias("bkey"))
+        .filter(F.col("bkey").isNotNull() & (F.col("bkey") != ""))
+        .groupBy("bkey")
+        .agg(F.count("*").alias("block_size"))
+        .filter(F.col("block_size") > max_block_size)
+    )

@@ -1423,3 +1423,172 @@ def stats_drift(before: DataFrame, after: DataFrame) -> DataFrame:
         .when(env_moved | ~d_null.between(-999, 999), F.lit("drift"))
         .otherwise(F.lit("stable")).alias("verdict"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a fixed bag of query terms —
+    the lexical-retrieval baseline every RAG / data-curation stack keeps
+    next to its ANN index (Robertson & Zaragoza 2009, the Okapi BM25
+    formulation with the +1-smoothed idf Lucene uses).
+
+    Returns (doc_id, rank, n_tokens, matched_terms, total_tf): the rank
+    plus exact-integer evidence columns are the contract; the float
+    score stays internal (ln is libm-dependent in the last ulp, but
+    equal (tf, df, dl) triples score identically on every engine and
+    distinct triples separate far beyond ulp — same discipline as
+    tfidf_top_terms).
+
+    Scale shape: the query-term list is a literal broadcast (a handful
+    of terms); tf is a wordcount-shaped partial aggregate over only the
+    matching tokens (the isin filter prunes before the shuffle); df and
+    avgdl are O(|terms|) and O(1) aggregates crossed in as broadcast
+    1-frames. The corpus text never moves after tokenize; the only
+    per-doc shuffle is the final top-k, which TakeOrderedAndProject
+    bounds at k rows per partition."""
+    from pyspark.sql.window import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    toks = base.select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        # Quantize each term's score to fixed-point BEFORE the per-doc
+        # sum: a raw double sum is accumulation-order-dependent (ties in
+        # the final ranking could then flip between engines/partitions);
+        # a DECIMAL sum of 6-dp term scores is exact and commutative.
+        .withColumn(
+            "ts_fix", F.round(F.col("term_score").cast("decimal(20,10)"), 6)
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "dl").agg(
+        F.sum("ts_fix").alias("score"),
+        F.count("*").alias("matched_terms"),
+        F.sum("tf").alias("total_tf"),
+    )
+    # Distributed top-k FIRST (TakeOrderedAndProject keeps k rows per
+    # partition, then k total) so the rank window only ever sees k rows
+    # — a bare row_number() over the full corpus would single-partition
+    # every matched document.
+    topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("dl").cast("long").alias("n_tokens"),
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+        )
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: per document (in id order) the
+    number of never-before-seen terms and the running vocabulary size —
+    the corpus-saturation diagnostic that tells a crawl pipeline when
+    additional data stops adding lexical novelty.
+
+    Returns (doc_id, n_tokens, new_terms, cum_tokens, vocab_size), all
+    exact int64.
+
+    Scale shape: "first seen" is min(doc_id) per term (wordcount-shaped,
+    no window over the corpus); the running totals use a two-level
+    prefix sum — per-doc deltas roll up into id-range buckets
+    (``doc_id div bucket_width``), the O(#buckets) bucket totals take a
+    single-partition cumulative window (bounded: 100 TB / 1M-id buckets
+    is a few thousand rows), and the within-bucket window is partitioned
+    by bucket. No global single-partition pass ever sees per-doc rows —
+    the naive SUM() OVER (ORDER BY doc_id) would."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        tokens(text_col).alias("toks"),
+    ).select("doc_id", F.size("toks").alias("n_tokens"), "toks")
+    first_seen = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("new_terms"))
+    )
+    per_doc = (
+        base.select("doc_id", "n_tokens")
+        .join(first_seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("new_terms"), F.lit(0)).cast("bigint")
+            .alias("new_terms"),
+            F.expr(f"doc_id div {bucket_width}").alias("_bucket"),
+        )
+    )
+    bucket_tot = per_doc.groupBy("_bucket").agg(
+        F.sum("n_tokens").alias("_bt"), F.sum("new_terms").alias("_bv")
+    )
+    wb = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_prefix = bucket_tot.select(
+        "_bucket",
+        F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_pt"),
+        F.coalesce(F.sum("_bv").over(wb), F.lit(0)).alias("_pv"),
+    )
+    wi = Window.partitionBy("_bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_doc.join(F.broadcast(bucket_prefix), "_bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "new_terms",
+            (F.col("_pt") + F.sum("n_tokens").over(wi)).cast("bigint")
+            .alias("cum_tokens"),
+            (F.col("_pv") + F.sum("new_terms").over(wi)).cast("bigint")
+            .alias("vocab_size"),
+        )
+    )

@@ -134,3 +134,37 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    standard re-identification screen (Sweeney 2002) a governance layer
+    runs before releasing or training on user-adjacent tables.
+
+    Returns one row per equivalence class (distinct quasi-identifier
+    combination): the QI columns, ``group_size``, ``is_k_anonymous``
+    (group_size >= k), and ``risk_ppm`` = 1_000_000 div group_size (the
+    re-identification probability 1/|class| in exact integer ppm).
+
+    Scale shape: a single wordcount aggregate on the QI tuple — partial
+    map-side combine, one shuffle on the composite key; no windows, no
+    driver collection. Suppression/generalization decisions downstream
+    consume this frame as a broadcast (classes, not rows)."""
+    if not quasi_identifiers:
+        raise ValueError("quasi_identifiers must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            *quasi_identifiers,
+            F.col("group_size").cast("bigint").alias("group_size"),
+            (F.col("group_size") >= k).alias("is_k_anonymous"),
+            F.expr("1000000 div group_size").cast("bigint").alias("risk_ppm"),
+        )
+    )

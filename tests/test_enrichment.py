@@ -1,0 +1,160 @@
+"""Unit tests for the round-5 enrichment operators: integer-ppb
+PageRank (hand-computed recurrence, dangling mass, cycle fixpoint),
+blocked fuzzy matching (+ hot-block guard), k-anonymity, BM25 top-k
+(distributed-top-k plan shape) and Heaps vocabulary growth (bucketed
+prefix sum == single-bucket reference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.operators import graph as g
+from _event_intelligence_data_warehouse_spark.operators import text as tx
+from _event_intelligence_data_warehouse_spark.operators import validate as vl
+
+PPB = 1_000_000_000
+
+
+def _pagerank_ref(edges, iters, damp):
+    """Independent pure-Python replay of the integer recurrence."""
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: PPB // n for v in nodes}
+    teleport = (100 - damp) * PPB // 100 // n
+    for _ in range(iters):
+        dang = sum(rank[v] for v in nodes if v not in out) // n
+        in_sum = {v: 0 for v in nodes}
+        for s, d in edges:
+            in_sum[d] += rank[s] // out[s]
+        rank = {
+            v: teleport + damp * (in_sum[v] + dang) // 100 for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_chain_with_dangling_matches_reference(spark):
+    # 1 -> 2 -> 3, 3 dangling: its whole mass redistributes each round.
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node_id: r.rank_ppb
+        for r in g.pagerank(df, iterations=4, damping_pct=85).collect()
+    }
+    assert got == _pagerank_ref(edges, 4, 85)
+    # mass is conserved up to deterministic flooring leakage
+    assert 0 < sum(got.values()) <= PPB
+
+
+def test_pagerank_cycle_is_uniform_fixpoint(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node_id: r.rank_ppb
+        for r in g.pagerank(df, iterations=3, damping_pct=85).collect()
+    }
+    # symmetric cycle: every node keeps the uniform rank exactly
+    assert len(set(got.values())) == 1
+    assert got[1] == _pagerank_ref(edges, 3, 85)[1]
+
+
+def test_pagerank_explicit_isolated_vertex(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (9,)], "node_id long")
+    got = {
+        r.node_id: r.rank_ppb
+        for r in g.pagerank(
+            edges, vertices=verts, iterations=2, damping_pct=85
+        ).collect()
+    }
+    ref = _pagerank_ref([(1, 2)] + [(9, 9)], 0, 85)  # just for node set
+    assert set(got) == {1, 2, 9}
+    # isolated vertex 9 is dangling: gets teleport + damped dangling share
+    assert got[9] > 0
+
+
+def test_fuzzy_blocked_pairs_and_hot_block_guard(spark):
+    rows = [
+        (1, "small ring"),
+        (2, "red ring"),
+        (3, "small gear"),
+        (4, "huge widget"),
+        (5, "smal ring"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = g.fuzzy_blocked_pairs(
+        df, id_col="id", name_col="name", max_distance=4
+    ).collect()
+    got = {(r.id_a, r.id_b): r.distance for r in pairs}
+    # within the "ring" block: 1-5 dist 1, 2-5 dist 4; 1-2 is dist 5 (cut)
+    assert got == {(1, 5): 1, (2, 5): 4}
+    # hot-block guard: cap of 2 drops the 3-member "ring" block entirely
+    capped = g.fuzzy_blocked_pairs(
+        df, id_col="id", name_col="name", max_distance=4, max_block_size=2
+    ).collect()
+    assert capped == []
+    hot = g.fuzzy_hot_blocks(df, name_col="name", max_block_size=2).collect()
+    assert [(r.bkey, r.block_size) for r in hot] == [("ring", 3)]
+
+
+def test_k_anonymity_classes_and_risk(spark):
+    rows = [
+        ("US", "A"), ("US", "A"), ("US", "A"),
+        ("DE", "B"), ("DE", "B"),
+        ("FR", "C"),
+    ]
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    got = {
+        (r.nation, r.seg): (r.group_size, r.is_k_anonymous, r.risk_ppm)
+        for r in vl.k_anonymity(df, ["nation", "seg"], k=2).collect()
+    }
+    assert got == {
+        ("US", "A"): (3, True, 333333),
+        ("DE", "B"): (2, True, 500000),
+        ("FR", "C"): (1, False, 1000000),
+    }
+
+
+def test_bm25_topk_prefers_higher_tf_and_bounds_k(spark):
+    rows = [
+        (1, "spark spark spark filler filler"),
+        (2, "spark filler filler filler filler"),
+        (3, "filler filler filler filler filler"),
+        (4, "spark spark filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.bm25_topk(df, ["spark"], k=2)
+    rows_out = out.collect()
+    assert [r.doc_id for r in sorted(rows_out, key=lambda r: r.rank)] == [1, 4]
+    assert all(r.matched_terms == 1 for r in rows_out)
+    # plan shape: the top-k is a distributed TakeOrderedAndProject, not a
+    # single-partition global window over the corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_growth_bucketing_invariant(spark):
+    rows = [
+        (1, "a b c"),
+        (2, "a b d"),
+        (3, ""),
+        (4, "d e f g"),
+        (7, "a h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    small = {
+        r.doc_id: (r.n_tokens, r.new_terms, r.cum_tokens, r.vocab_size)
+        for r in tx.vocab_growth(df, bucket_width=2).collect()
+    }
+    one = {
+        r.doc_id: (r.n_tokens, r.new_terms, r.cum_tokens, r.vocab_size)
+        for r in tx.vocab_growth(df, bucket_width=1_000_000).collect()
+    }
+    assert small == one
+    assert small[1] == (3, 3, 3, 3)
+    assert small[2] == (3, 1, 6, 4)   # only "d" is new
+    assert small[3] == (0, 0, 6, 4)   # empty doc holds the curve flat
+    assert small[4] == (4, 3, 10, 7)  # e f g new (d seen)
+    assert small[7] == (2, 1, 12, 8)  # h new
