@@ -77,6 +77,10 @@ HEADLINE = [
     # the slowest registered query (r4 verdict item 3): benched so the
     # regression guard watches it, split into pairs+CC build vs audit
     "dedup_cluster_density",
+    # late-r5 link-analysis family: 5 fixed iterations over the ~500k-edge
+    # sf0.1 shipment graph — benched so the per-iteration join shape
+    # stays under the guard
+    "graph_pagerank",
 ]
 
 
