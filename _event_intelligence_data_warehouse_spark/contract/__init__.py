@@ -370,6 +370,7 @@ _DRIVER_SAMPLE_TAIL = [
     "governance_k_anonymity",
     "events_markov_transitions",
     "text_vocab_growth",
+    "multimodal_phash_dedup",
 ]
 
 

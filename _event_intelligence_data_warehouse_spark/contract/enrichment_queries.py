@@ -321,3 +321,69 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed SUM is semantically identical."""
     docs = load(spark, sf_dir, "documents")
     return tx.vocab_growth(docs, bucket_width=64)
+
+
+@query(
+    "multimodal_phash_dedup",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+    d AS (SELECT i, md5('media' || CAST(i AS VARCHAR)) AS h FROM ids),
+    js AS (SELECT unnest(generate_series(0, 60)) AS j),
+    bytes AS (
+        SELECT d.i, js.j,
+               CAST(('0x' || substr(d.h, 2 * (js.j % 16) + 1, 2))
+                    AS INTEGER) AS byte
+        FROM d CROSS JOIN js
+    ),
+    bits AS (
+        SELECT a.i, a.j,
+               CASE WHEN a.byte < b.byte THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS bit
+        FROM bytes a JOIN bytes b ON b.i = a.i AND b.j = a.j + 1
+        WHERE a.j < 60
+    ),
+    base_h AS (
+        SELECT i, CAST(SUM(bit << j) AS BIGINT) AS dhash
+        FROM bits GROUP BY i
+    ),
+    b01 AS (
+        SELECT i,
+               CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS b0,
+               CAST(('0x' || substr(h, 3, 2)) AS INTEGER) AS b1
+        FROM d
+    ),
+    near_h AS (
+        SELECT b01.i,
+               CAST(bh.dhash - (bh.dhash & 1)
+                    + (CASE WHEN (b01.b0 + 1) % 256 < b01.b1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS dhash
+        FROM b01 JOIN base_h bh ON bh.i = b01.i
+    ),
+    corpus AS (
+        SELECT i AS media_id, dhash FROM base_h
+        UNION ALL SELECT i + 64 AS media_id, dhash FROM base_h
+        UNION ALL SELECT i + 128 AS media_id, dhash FROM near_h
+    )
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM corpus a JOIN corpus b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary media: dHash
+    via Arrow-batched mapInPandas (fake codec: payload bytes are the
+    pixels — closed-form from md5, so the oracle rebuilds every hash in
+    SQL), then Hamming-LSH banding (4 x 15-bit bands). At max_hamming=3
+    the pigeonhole bound makes band-join + bit_count verify EXACTLY
+    equal to the brute-force Hamming join the oracle runs — recall loss
+    starts only beyond n_bands-1 flips. Planted corpus: exact copies
+    (Hamming 0) and first-byte near-misses (Hamming <= 1) over 64 base
+    images."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    media = mm.synthetic_media_near_dups(spark, 64)
+    hashes = mm.dhash_images(media, fake=True)
+    return mm.phash_near_dups(hashes, max_hamming=3, n_bands=4, band_bits=15)

@@ -708,3 +708,146 @@ def sample_ppm_stream_frames(
                     })
 
     return df.mapInPandas(run, schema=PPM_FRAMES_SCHEMA)
+
+
+DHASH_BITS = 60  # < 63 so the packed hash stays a positive BIGINT
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def dhash_images(
+    df: DataFrame, *, fake: bool = False, rows_per_batch: int = 256
+) -> DataFrame:
+    """Perceptual difference-hash over decoded pixels: bit j is
+    ``pixel[j] < pixel[j+1]`` for the first ``DHASH_BITS`` adjacent
+    pairs, packed little-endian into one positive int64 — the standard
+    near-duplicate image fingerprint (dHash), reduced to its gradient
+    essence so the fake codec keeps it closed-form (payload bytes ARE
+    the pixels; a production codec feeds the same packing its resized
+    grayscale rows).
+
+    Payloads shorter than DHASH_BITS+1 bytes hash their available pairs
+    only (missing high bits are 0), so truncated media still bucket
+    deterministically rather than erroring mid-job.
+
+    Scale: one Arrow pass, numpy-vectorized inside the batch; output is
+    16 bytes/row however large the payload — the hash table, not the
+    media, is what downstream dedup shuffles."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decoding needs PIL, which is not installed here; "
+            "pass fake=True to hash the payload bytes as pixels (or feed "
+            "decode_ppm_images output through a custom hasher)"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for start in range(0, len(pdf), rows_per_batch):
+                b = pdf.iloc[start:start + rows_per_batch]
+                hashes = []
+                for payload in b["payload"]:
+                    arr = np.frombuffer(
+                        bytes(payload)[: DHASH_BITS + 1], dtype=np.uint8
+                    ).astype(np.int64)
+                    bits = (arr[:-1] < arr[1:]).astype(np.int64)
+                    hashes.append(int((bits << np.arange(len(bits))).sum()))
+                yield pd.DataFrame(
+                    {
+                        "media_id": b["media_id"],
+                        "dhash": hashes,
+                        "n_bytes": b["payload"].map(len),
+                    }
+                )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def phash_near_dups(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-duplicate pairs from perceptual hashes via Hamming-LSH
+    banding: two hashes within ``max_hamming`` of each other must agree
+    exactly on at least one of the ``n_bands`` bit-slices whenever
+    ``max_hamming < n_bands`` bands differ — the pigeonhole guarantee
+    (candidates are recall-complete for max_hamming <= n_bands - 1 bit
+    flips spread one-per-band; wider radii trade recall, same as MinHash
+    banding). Candidates equi-join on (band, slice); the exact
+    ``bit_count(xor)`` verify runs only on collisions.
+
+    Returns (media_id_a, media_id_b, hamming), a < b, distinct.
+
+    Scale: identical shape to minhash_lsh_candidates — O(collisions)
+    never O(n^2); the banded join shuffles 16-byte rows; a degenerate
+    all-same-hash corpus is bounded upstream by exact-dedup on the hash
+    itself (group identical hashes first; this operator's job is the
+    near-miss tail)."""
+    h = hashes.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("dhash").cast("bigint").alias("dhash"),
+    )
+    bands = None
+    mask = (1 << band_bits) - 1
+    for k in range(n_bands):
+        part = h.select(
+            "media_id",
+            "dhash",
+            F.lit(k).alias("band"),
+            F.expr(
+                f"shiftright(dhash, {k * band_bits}) & {mask}"
+            ).alias("slice"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(
+        "band", "slice",
+        F.col("media_id").alias("media_id_a"), F.col("dhash").alias("h_a"),
+    )
+    b = bands.select(
+        "band", "slice",
+        F.col("media_id").alias("media_id_b"), F.col("dhash").alias("h_b"),
+    )
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select(
+            "media_id_a", "media_id_b",
+            F.bit_count(F.expr("h_a ^ h_b")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def synthetic_media_near_dups(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Fixture corpus for perceptual-hash dedup: for each base id i,
+    three medias — the base (payload = md5 digest of ``media{i}`` tiled
+    to 512+(i%7)*64 bytes), an exact copy at id i+n (Hamming 0), and a
+    near-miss at id i+2n whose FIRST byte only is bumped by one
+    (mod 256), flipping at most dHash bit 0 (Hamming <= 1). Cross-id
+    hashes differ in ~half their bits, so a small Hamming threshold
+    recovers exactly the planted groups. Closed-form by construction —
+    the oracle rebuilds every payload from md5 hex."""
+    rows = []
+    for i in range(n):
+        digest = hashlib.md5(f"media{i}".encode()).digest()
+        payload = (digest * 64)[: 512 + (i % 7) * 64]
+        near = bytes([(payload[0] + 1) % 256]) + payload[1:]
+        meta = ("png", 32 + i % 16, 24 + i % 9, None, None)
+        rows.append((i, "image", bytearray(payload), meta))
+        rows.append((i + n, "image", bytearray(payload), meta))
+        rows.append((i + 2 * n, "image", bytearray(near), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -158,3 +158,68 @@ def test_vocab_growth_bucketing_invariant(spark):
     assert small[3] == (0, 0, 6, 4)   # empty doc holds the curve flat
     assert small[4] == (4, 3, 10, 7)  # e f g new (d seen)
     assert small[7] == (2, 1, 12, 8)  # h new
+
+
+def test_dhash_matches_python_reference(spark):
+    import hashlib
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    media = mm.synthetic_media(spark, 8)
+    got = {r.media_id: r.dhash for r in
+           mm.dhash_images(media, fake=True).collect()}
+
+    def ref(i):
+        digest = hashlib.md5(f"media{i}".encode()).digest()
+        payload = (digest * 64)[: 512 + (i % 7) * 64][:61]
+        return sum(
+            (1 << j) for j in range(60) if payload[j] < payload[j + 1]
+        )
+
+    assert got == {i: ref(i) for i in range(8)}
+    assert all(0 <= h < (1 << 60) for h in got.values())
+
+
+def test_phash_near_dups_recall_complete_within_pigeonhole(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    # base hash + variants with 1, 3 and 5 deterministic bit flips:
+    # <= n_bands-1 flips MUST be found; 5 flips may or may not be.
+    h0 = 0x0123456789ABCDE
+    rows = [
+        (0, h0),
+        (1, h0 ^ (1 << 2)),                            # 1 flip
+        (2, h0 ^ (1 << 3) ^ (1 << 20) ^ (1 << 50)),    # 3 flips, 3 bands
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in mm.phash_near_dups(df, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 1
+    assert pairs[(0, 2)] == 3
+    assert (1, 2) not in pairs  # 4 flips apart > 3 -> excluded
+    assert all(v <= 3 for v in pairs.values())
+
+
+def test_phash_planted_corpus_groups(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    media = mm.synthetic_media_near_dups(spark, 8)
+    hashes = mm.dhash_images(media, fake=True)
+    pairs = mm.phash_near_dups(hashes, max_hamming=3).collect()
+    groups = {(r.media_id_a % 8, r.media_id_b % 8) for r in pairs}
+    # every surviving pair links two variants of the SAME base image
+    assert groups == {(i, i) for i in range(8)}
+    # and every base contributes its full triangle (copy + near-miss)
+    per_base = {}
+    for r in pairs:
+        per_base.setdefault(r.media_id_a % 8, 0)
+        per_base[r.media_id_a % 8] += 1
+    assert all(v == 3 for v in per_base.values())
