@@ -371,6 +371,7 @@ _DRIVER_SAMPLE_TAIL = [
     "events_markov_transitions",
     "text_vocab_growth",
     "multimodal_phash_dedup",
+    "window_session_native",
 ]
 
 

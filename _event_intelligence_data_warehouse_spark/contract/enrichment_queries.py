@@ -387,3 +387,64 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.synthetic_media_near_dups(spark, 64)
     hashes = mm.dhash_images(media, fake=True)
     return mm.phash_near_dups(hashes, max_hamming=3, n_bands=4, band_bits=15)
+
+
+@query(
+    "window_session_native",
+    """
+    WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               lag(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+               ) AS prev
+        FROM events
+    ), f AS (
+        SELECT *, CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) >= 21600000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ), s AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization through Spark's NATIVE ``session_window``
+    aggregate (6-hour inactivity gap) — the merging-sessions physical
+    operator Structured Streaming uses for watermarked session state,
+    here exercised in batch where it is oracle-checkable. Semantics
+    pinned by the oracle: a session extends while the next event starts
+    STRICTLY inside prev_ts + gap (an event exactly at the boundary
+    opens a new session), and session_end = last_ts + gap. Complements
+    window_sessionize (the lag-gap formulation): same grouping, computed
+    by the engine's own session-merge machinery instead of a window
+    function chain."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "6 hours")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
