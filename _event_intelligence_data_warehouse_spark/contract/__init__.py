@@ -372,6 +372,8 @@ _DRIVER_SAMPLE_TAIL = [
     "text_vocab_growth",
     "multimodal_phash_dedup",
     "window_session_native",
+    "entity_resolution_clusters",
+    "graph_pagerank_incremental",
 ]
 
 

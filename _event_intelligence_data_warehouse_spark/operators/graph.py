@@ -54,6 +54,7 @@ def pagerank(
     damping_pct: int = 85,
     vertices: DataFrame | None = None,
     id_col: str = "node_id",
+    start_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank with int64 parts-per-billion arithmetic.
 
@@ -72,6 +73,14 @@ def pagerank(
     Every division floors non-negative int64s, so the sequence is exact
     and engine-portable. ``iterations`` is fixed (no convergence probe)
     so an external oracle can unroll the identical recurrence.
+
+    ``start_ranks`` (node_id, rank_ppb) warm-starts the iteration from a
+    previously computed fixpoint — the steady-state path when the graph
+    changes incrementally (same pattern as the incremental MinHash / CC
+    / semantic-dedup variants): ranks are already near the new fixpoint,
+    so a couple of refinement iterations replace a full cold run. Nodes
+    absent from ``start_ranks`` (new pages) initialize to the uniform
+    share; departed nodes drop out with the vertex set.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -101,7 +110,25 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     teleport = (100 - damping_pct) * PPB // 100 // n
 
-    ranks = verts.withColumn("rank_ppb", F.lit(PPB // n).cast("bigint"))
+    if start_ranks is None:
+        ranks = verts.withColumn("rank_ppb", F.lit(PPB // n).cast("bigint"))
+    else:
+        ranks = (
+            verts.join(
+                start_ranks.select(
+                    F.col("node_id").cast("bigint").alias("node_id"),
+                    F.col("rank_ppb").cast("bigint").alias("_warm"),
+                ),
+                "node_id",
+                "left",
+            )
+            .select(
+                "node_id",
+                F.coalesce(F.col("_warm"), F.lit(PPB // n))
+                .cast("bigint").alias("rank_ppb"),
+            )
+            .localCheckpoint()
+        )
     for _ in range(iterations):
         ranked = ranks.join(outdeg, ranks.node_id == outdeg.src, "left").select(
             "node_id", "rank_ppb", "outdeg"

@@ -223,3 +223,42 @@ def test_phash_planted_corpus_groups(spark):
         per_base.setdefault(r.media_id_a % 8, 0)
         per_base[r.media_id_a % 8] += 1
     assert all(v == 3 for v in per_base.values())
+
+
+def test_pagerank_warm_start_composes_with_cold_run(spark):
+    # k cold iterations then j warm iterations on the SAME graph must
+    # equal k+j cold iterations — the recurrence is memoryless beyond
+    # the rank vector, so warm-starting is exact, not approximate.
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stored = g.pagerank(df, iterations=2, damping_pct=85)
+    warm = {
+        r.node_id: r.rank_ppb
+        for r in g.pagerank(
+            df, iterations=3, damping_pct=85, start_ranks=stored
+        ).collect()
+    }
+    cold = {
+        r.node_id: r.rank_ppb
+        for r in g.pagerank(df, iterations=5, damping_pct=85).collect()
+    }
+    assert warm == cold
+
+
+def test_pagerank_warm_start_new_nodes_get_uniform_share(spark):
+    base = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    stored = g.pagerank(base, iterations=2, damping_pct=85)
+    grown = spark.createDataFrame(
+        [(1, 2), (2, 1), (5, 1)], "src long, dst long"
+    )
+    got = {
+        r.node_id: r.rank_ppb
+        for r in g.pagerank(
+            grown, iterations=0, damping_pct=85, start_ranks=stored
+        ).collect()
+    }
+    # zero iterations exposes the init: stored nodes keep their ranks,
+    # the new node 5 starts at PPB // n of the GROWN vertex set
+    prev = {r.node_id: r.rank_ppb for r in stored.collect()}
+    assert got[1] == prev[1] and got[2] == prev[2]
+    assert got[5] == PPB // 3
