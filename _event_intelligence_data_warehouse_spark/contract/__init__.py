@@ -374,6 +374,9 @@ _DRIVER_SAMPLE_TAIL = [
     "window_session_native",
     "entity_resolution_clusters",
     "graph_pagerank_incremental",
+    "json_variant_stats",
+    "join_lateral_topk",
+    "agg_unpivot_metrics",
 ]
 
 

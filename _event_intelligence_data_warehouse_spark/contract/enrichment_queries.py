@@ -608,3 +608,119 @@ def graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.pagerank(
         edges(10), iterations=2, damping_pct=_PR_DAMP, start_ranks=stored
     )
+
+
+@query(
+    "json_variant_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark's VARIANT type (parse_json +
+    try_variant_get) instead of a fixed from_json schema — the
+    open-schema ingestion path for event property bags whose keys drift:
+    VARIANT keeps the full document binary-encoded and shreds typed
+    fields at query time, so new keys need no DDL. Aggregates stay
+    exact-integer."""
+    ev = load(spark, sf_dir, "events")
+    k = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return k.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "join_lateral_topk",
+    """
+    SELECT n.n_name, l.c_custkey, l.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) l
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per
+    nation — the dependent-join formulation (each nation row drives its
+    own ordered-limit scan) that Spark 4 plans as a LateralJoin;
+    semantically the windowed top-k, expressed the way BI tools and
+    migrated warehouse SQL actually write it."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.c_acctbal
+        FROM lat_nation n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM lat_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) l
+        """
+    )
+
+
+@query(
+    "agg_unpivot_metrics",
+    """
+    WITH a AS (
+        SELECT
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_disc,
+            CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax
+        FROM lineitem
+    )
+    SELECT 'sum_qty' AS metric, sum_qty AS total FROM a
+    UNION ALL SELECT 'sum_price' AS metric, sum_price AS total FROM a
+    UNION ALL SELECT 'sum_disc' AS metric, sum_disc AS total FROM a
+    UNION ALL SELECT 'sum_tax' AS metric, sum_tax AS total FROM a
+    """,
+)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping through the native UNPIVOT operator (the
+    inverse of the pivot query): one exact-decimal aggregate row melts
+    into (metric, total) pairs — the Expand-based plan, no union of
+    self-scans. Long form is what metric stores and drift monitors
+    ingest."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double").alias("sum_disc"),
+        F.sum(F.col("l_tax").cast("decimal(18,2)"))
+        .cast("double").alias("sum_tax"),
+    )
+    return agg.unpivot(
+        [], ["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        "metric", "total",
+    )
