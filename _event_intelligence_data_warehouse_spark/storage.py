@@ -197,7 +197,8 @@ class Warehouse:
             )
             stats = {**m.get("stats", {}), **self._collect_minmax(table, new)}
             self._publish(table, m["files"] + new, pcol, "append",
-                          stats=stats, expect_version=m["version"])
+                          stats=stats, expect_version=m["version"],
+                          dvs=m.get("dv_files"))
             return
         df.write.mode("append").parquet(self.path(table))
 
@@ -269,7 +270,8 @@ class Warehouse:
             }
             self._publish(table, kept + new, partition_col,
                           "overwrite_partitions", stats=stats,
-                          expect_version=m["version"])
+                          expect_version=m["version"],
+                          dvs=m.get("dv_files"))
             return
         (
             df.write.mode("overwrite")
@@ -336,7 +338,7 @@ class Warehouse:
     def _publish(
         self, table: str, files: list[str], partition_col: str | None,
         operation: str | None = None, *, stats: dict | None = None,
-        expect_version: int | None = None,
+        expect_version: int | None = None, dvs: list[str] | None = None,
     ) -> dict:
         """Commit a new table version: write the immutable manifest file
         (O_EXCL — the optimistic lock), then atomically replace the
@@ -388,6 +390,11 @@ class Warehouse:
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "partition_col": partition_col,
             "files": sorted(files),
+            # merge-on-read deletion vectors: parquet file sets of
+            # (file_key, row_index) rows every read anti-joins away;
+            # an operation that omits dvs has materialized (or never
+            # had) them
+            **({"dv_files": sorted(dvs)} if dvs else {}),
             "stats": stats or {},
         }
         with os.fdopen(fd, "w") as f:
@@ -712,7 +719,11 @@ class Warehouse:
         if not keep:
             df = self.read(table, schema, version=version).limit(0)
         else:
-            df = self._read_file_list(self.path(table), keep)
+            m = (
+                self._manifest(table, version) if version is not None
+                else self._manifest(table)
+            )
+            df = self._read_files_dv(table, m, keep)
         for col, op, value in filters:
             if col not in df.columns:
                 # Schema evolution corner: pruning kept only files that
@@ -757,9 +768,53 @@ class Warehouse:
                     f"table {table!r} missing and no schema given"
                 )
             return self.spark.createDataFrame([], schema)
-        return self._read_file_list(self.path(table), m["files"])
+        return self._read_files_dv(table, m, m["files"])
 
-    def _read_file_list(self, base: str, files: list[str]) -> DataFrame:
+    # Deletion-vector row identity: (file key, parquet row index). The
+    # key is the path suffix below the LAST /data/ component — stable
+    # across warehouse moves and shallow clones (a borrowed file keeps
+    # its source snapshot-dir name), and snapshot dirs are uuid-named so
+    # suffixes never collide. Legacy-adopted root files have no /data/
+    # component and are not DV-addressable (delete_where(mode="dv")
+    # rejects them with the migration fix).
+    _DV_KEY = "__dv_key"
+    _DV_POS = "__dv_pos"
+
+    @staticmethod
+    def _dv_key_of_rel(rel: str) -> str | None:
+        posix = "/" + os.path.normpath(rel).replace(os.sep, "/")
+        if "/data/" not in posix:
+            return None
+        return posix.rsplit("/data/", 1)[1]
+
+    def _read_files_dv(
+        self, table: str, m: dict, files: list[str]
+    ) -> DataFrame:
+        """Read a subset of ``m``'s files with ``m``'s deletion vectors
+        applied — THE read path for any manifest carrying dv_files: a
+        left-anti join against the (file_key, row_index) set, whose cost
+        is a scan of the tiny DV tables, not of the data. Files outside
+        the subset contribute no anti-join hits (their keys simply don't
+        occur), so candidate-subset reads (DML, partial compaction)
+        apply cleanly."""
+        base = self.path(table)
+        dvs = m.get("dv_files") or []
+        if not files:
+            return self._read_file_list(base, files)
+        if not dvs:
+            return self._read_file_list(base, files)
+        df = self._read_file_list(base, files, rowpos=True)
+        dv = self._read_file_list(base, dvs)
+        cond = (F.col(self._DV_KEY) == dv["file_key"]) & (
+            F.col(self._DV_POS) == dv["row_index"]
+        )
+        return df.join(dv, cond, "left_anti").drop(
+            self._DV_KEY, self._DV_POS
+        )
+
+    def _read_file_list(
+        self, base: str, files: list[str], *, rowpos: bool = False
+    ) -> DataFrame:
         # Group by snapshot root so partition values recover from the
         # <col>=<val>/ path components under each basePath; compaction
         # collapses the table to one group, bounding the union width.
@@ -796,6 +851,19 @@ class Warehouse:
             .parquet(*sorted(fs))
             for root, fs in sorted(groups.items())
         ]
+        if rowpos:
+            # row identity for deletion vectors, resolved per group
+            # while _metadata is still bound to the scan
+            dfs = [
+                d.select(
+                    "*",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/data/"), -1
+                    ).alias(self._DV_KEY),
+                    F.col("_metadata.row_index").alias(self._DV_POS),
+                )
+                for d in dfs
+            ]
         out = dfs[0]
         # Schema evolution across snapshots: an append that added a
         # column leaves older snapshots without it — surface those rows
@@ -1025,9 +1093,10 @@ class Warehouse:
         inflight_refs: set[str] = set()  # files of fresh >current manifests
         for v in self._versions_on_disk(table):
             try:
+                mv = self._manifest(table, v)
                 files = {
                     os.path.normpath(f)
-                    for f in self._manifest(table, v)["files"]
+                    for f in mv["files"] + mv.get("dv_files", [])
                 }
             except (OSError, json.JSONDecodeError, KeyError):
                 continue
@@ -1207,7 +1276,7 @@ class Warehouse:
             1 for pv, fs in groups.items()
             if pv is not None and len(fs) >= min_files
         )
-        cdf = self._read_file_list(self.path(table), frag)
+        cdf = self._read_files_dv(table, m, frag)
         # one task per partition value -> one output file per rewritten
         # partition (hash collisions co-locate two partitions in a task
         # but the partitioned write still splits them by directory)
@@ -1222,7 +1291,8 @@ class Warehouse:
         }
         man = self._publish(table, carried + new, pcol,
                             "compact_partitions_where", stats=stats,
-                            expect_version=m["version"])
+                            expect_version=m["version"],
+                            dvs=m.get("dv_files"))
         self.vacuum(table)
         return {"partitions_rewritten": n_parts,
                 "files_before": len(m["files"]),
@@ -1286,6 +1356,11 @@ class Warehouse:
         if not self.manifest:
             raise ValueError("stats_count requires Warehouse(manifest=True)")
         m = self._adopt_if_legacy(table)
+        if m.get("dv_files"):
+            # merge-on-read deletes: per-file row counts no longer
+            # reflect live rows; fall back to a real count until a
+            # compaction materializes the vectors
+            return None
         stats = m.get("stats", {})
         if filters:
             pcol = m.get("partition_col")
@@ -1379,25 +1454,38 @@ class Warehouse:
             }[op]
         return df, pred
 
-    def delete_where(self, table: str, filters: list[tuple]) -> dict:
-        """Copy-on-write row-level DELETE (manifest mode): rows matching
-        ALL ``(col, op, value)`` filters are removed; rows where the
+    def delete_where(
+        self, table: str, filters: list[tuple], *, mode: str = "rewrite",
+    ) -> dict:
+        """Row-level DELETE (manifest mode): rows matching ALL
+        ``(col, op, value)`` filters are removed; rows where the
         predicate is NULL (NULL column value, or a file predating the
         column) are KEPT — SQL DELETE's three-valued logic.
 
-        Scale: the write cost is proportional to the files that CAN
-        contain a match, not the table — candidate files come from the
-        same manifest min/max + partition pruning as ``scan()``, every
-        other file carries into the new version verbatim (path and
-        stats entry reused, zero bytes moved), and one pointer publish
-        makes the delete atomic. A predicate that prunes to nothing is
-        a no-op and publishes no version. Deleted-row accounting runs
-        on candidate files only.
+        ``mode="rewrite"`` is copy-on-write: candidate files (manifest
+        min/max + partition pruning, same as ``scan()``) are rewritten
+        without the matches, every other file carries verbatim, one
+        pointer publish. Write cost ~ candidate bytes.
+
+        ``mode="dv"`` is merge-on-read (Delta deletion vectors /
+        Iceberg v3 position deletes): instead of rewriting candidates,
+        the matched rows' (file_key, row_index) positions are written
+        as a tiny deletion-vector file set and the manifest's
+        ``dv_files`` grows by one entry — write cost ~ DELETED rows,
+        not candidate files; every read applies the vectors with an
+        anti-join. The trade: reads pay the (small) DV join until a
+        compaction/cluster_by/overwrite materializes and clears them;
+        stats-only counts disable themselves while DVs exist. Point
+        deletes in huge files (GDPR erasure) want "dv"; bulk predicate
+        deletes want "rewrite".
 
         Returns {version, candidates, carried, rows_deleted,
-        files_rewritten}; ``version`` is None for the no-op case."""
+        files_rewritten}; ``version`` is None for the no-op case (no
+        candidate files, or — dv mode — no newly matched rows)."""
         if not self.manifest:
             raise ValueError("delete_where requires Warehouse(manifest=True)")
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         m = self._adopt_if_legacy(table)
         cands, _total = self.pruned_files(table, filters)
         carried = [f for f in m["files"] if f not in set(cands)]
@@ -1405,14 +1493,54 @@ class Warehouse:
             return {"version": None, "candidates": 0,
                     "carried": len(carried), "rows_deleted": 0,
                     "files_rewritten": 0}
-        cdf = self._read_file_list(self.path(table), cands)
+        pcol = m.get("partition_col")
+        if mode == "dv":
+            bad = [f for f in cands if self._dv_key_of_rel(f) is None]
+            if bad:
+                raise ValueError(
+                    f"table {table!r} has legacy-adopted files outside "
+                    f"a data/ snapshot (e.g. {bad[0]!r}) — not "
+                    "DV-addressable; run compact()/overwrite() to "
+                    "migrate, or use mode='rewrite'"
+                )
+            # existing DVs applied first, so re-deleting an already
+            # deleted row is a no-op rather than a recount
+            raw = self._read_file_list(self.path(table), cands, rowpos=True)
+            old_dvs = m.get("dv_files") or []
+            if old_dvs:
+                dv = self._read_file_list(self.path(table), old_dvs)
+                raw = raw.join(
+                    dv,
+                    (F.col(self._DV_KEY) == dv["file_key"])
+                    & (F.col(self._DV_POS) == dv["row_index"]),
+                    "left_anti",
+                )
+            aug, pred = self._filters_pred(raw, filters)
+            matched = aug.filter(F.coalesce(pred, F.lit(False))).select(
+                F.col(self._DV_KEY).alias("file_key"),
+                F.col(self._DV_POS).cast("bigint").alias("row_index"),
+            )
+            rows_deleted = matched.count()
+            if rows_deleted == 0:
+                return {"version": None, "candidates": len(cands),
+                        "carried": len(carried), "rows_deleted": 0,
+                        "files_rewritten": 0}
+            new_dv = self._write_snapshot(table, matched)
+            man = self._publish(
+                table, m["files"], pcol, "delete_where_dv",
+                stats=m.get("stats", {}), expect_version=m["version"],
+                dvs=old_dvs + new_dv,
+            )
+            return {"version": man["version"], "candidates": len(cands),
+                    "carried": len(carried), "rows_deleted": rows_deleted,
+                    "files_rewritten": 0}
+        cdf = self._read_files_dv(table, m, cands)
         base_cols = list(cdf.columns)
         aug, pred = self._filters_pred(cdf, filters)
         keep_df = aug.filter(~F.coalesce(pred, F.lit(False))).select(
             *base_cols
         )
         n_cand = cdf.count()
-        pcol = m.get("partition_col")
         new = self._write_snapshot(
             table, keep_df,
             pcol if pcol and pcol in keep_df.columns else None,
@@ -1427,7 +1555,8 @@ class Warehouse:
             **self._collect_minmax(table, new),
         }
         man = self._publish(table, carried + new, pcol, "delete_where",
-                            stats=stats, expect_version=m["version"])
+                            stats=stats, expect_version=m["version"],
+                            dvs=m.get("dv_files"))
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried),
                 "rows_deleted": n_cand - kept_rows,
@@ -1464,7 +1593,7 @@ class Warehouse:
             return {"version": None, "candidates": 0,
                     "carried": len(carried), "rows_updated": 0,
                     "files_rewritten": 0}
-        cdf = self._read_file_list(self.path(table), cands)
+        cdf = self._read_files_dv(table, m, cands)
         base_cols = list(cdf.columns)
         unknown = [c for c in assignments if c not in base_cols]
         if unknown:
@@ -1507,6 +1636,7 @@ class Warehouse:
             **self._collect_minmax(table, new),
         }
         man = self._publish(table, carried + new, pcol, "update_where",
+                            dvs=m.get("dv_files"),
                             stats=stats, expect_version=m["version"])
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried), "rows_updated": n_updated,
@@ -1592,7 +1722,7 @@ class Warehouse:
         cands, _total = self.pruned_files(table, filters)
         carried = [f for f in m["files"] if f not in set(cands)]
         if cands:
-            cdf = self._read_file_list(self.path(table), cands)
+            cdf = self._read_files_dv(table, m, cands)
             survivors = cdf.join(
                 F.broadcast(source.select(*keys)) if n_src <= 100_000
                 else source.select(*keys),
@@ -1639,7 +1769,8 @@ class Warehouse:
             **self._collect_minmax(table, new),
         }
         man = self._publish(table, carried + new, pcol, "merge_into",
-                            stats=stats, expect_version=m["version"])
+                            stats=stats, expect_version=m["version"],
+                            dvs=m.get("dv_files"))
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried), "rows_matched": n_matched,
                 "rows_inserted": n_inserted, "files_rewritten": len(new)}
@@ -1680,9 +1811,10 @@ class Warehouse:
             os.path.join(rel_src, f): st
             for f, st in m.get("stats", {}).items()
         }
+        dvs = [os.path.join(rel_src, f) for f in m.get("dv_files", [])]
         man = self._publish(
             dst, files, m.get("partition_col"),
-            f"clone:{src}@v{m['version']}", stats=stats,
+            f"clone:{src}@v{m['version']}", stats=stats, dvs=dvs,
         )
         return {"version": man["version"], "files": len(files),
                 "source_version": m["version"]}
@@ -1705,7 +1837,7 @@ class Warehouse:
         man = self._publish(
             table, m["files"], m.get("partition_col"),
             f"restore:v{version}", stats=m.get("stats", {}),
-            expect_version=cur,
+            expect_version=cur, dvs=m.get("dv_files"),
         )
         return {"version": man["version"], "restored_from": version}
 
@@ -1762,9 +1894,10 @@ class Warehouse:
         referenced: set[str] = set()
         for v in self._versions_on_disk(table):
             try:
+                mv = self._manifest(table, v)
                 referenced |= {
                     os.path.normpath(f)
-                    for f in self._manifest(table, v)["files"]
+                    for f in mv["files"] + mv.get("dv_files", [])
                 }
             except (OSError, json.JSONDecodeError, KeyError):
                 continue

@@ -1,0 +1,181 @@
+"""Merge-on-read deletion vectors: delete_where(mode="dv") writes
+(file_key, row_index) position deletes instead of rewriting candidate
+files; every read path (read, scan, time travel, DML candidate reads,
+partial compaction, clone, diff) applies them; maintenance rewrites
+(compact, cluster_by, overwrite) materialize and clear them; vacuum and
+fsck treat DV files as referenced."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+
+@pytest.fixture()
+def mwh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "mwh"), manifest=True,
+                     retain_versions=10)
+
+
+def _seed(spark, mwh, n=100):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 2).alias("val"),
+    )
+    mwh.overwrite("t", df.repartition(4))
+    return df
+
+
+def _ks(mwh, table="t"):
+    return sorted(r.k for r in mwh.read(table).collect())
+
+
+def test_dv_delete_removes_rows_without_rewriting_files(spark, mwh):
+    _seed(spark, mwh)
+    files_before = sorted(mwh._manifest("t")["files"])
+    res = mwh.delete_where("t", [("grp", "==", 3)], mode="dv")
+    assert res["rows_deleted"] == 10
+    assert res["files_rewritten"] == 0
+    m = mwh._manifest("t")
+    assert sorted(m["files"]) == files_before, "dv delete must not rewrite"
+    assert m["dv_files"], "manifest must carry the vector"
+    assert _ks(mwh) == sorted(k for k in range(100) if k % 10 != 3)
+    # re-deleting the same predicate is a no-op (no new matches)
+    res2 = mwh.delete_where("t", [("grp", "==", 3)], mode="dv")
+    assert res2["version"] is None and res2["rows_deleted"] == 0
+
+
+def test_dv_deletes_accumulate_and_time_travel_sees_through(spark, mwh):
+    _seed(spark, mwh)
+    v0 = mwh._manifest("t")["version"]
+    mwh.delete_where("t", [("grp", "==", 1)], mode="dv")
+    v1 = mwh._manifest("t")["version"]
+    mwh.delete_where("t", [("k", "<", 5)], mode="dv")
+    assert _ks(mwh) == sorted(
+        k for k in range(5, 100) if k % 10 != 1
+    )
+    # pre-delete version: full image; mid version: only grp==1 gone
+    assert len(mwh.read("t", version=v0).collect()) == 100
+    assert sorted(r.k for r in mwh.read("t", version=v1).collect()) == \
+        sorted(k for k in range(100) if k % 10 != 1)
+
+
+def test_scan_and_stats_count_respect_dvs(spark, mwh):
+    _seed(spark, mwh)
+    assert mwh.stats_count("t") == 100
+    mwh.delete_where("t", [("grp", "==", 0)], mode="dv")
+    got = sorted(r.k for r in mwh.scan("t", [("grp", "==", 0)]).collect())
+    assert got == [], "scan resurrected dv-deleted rows"
+    got2 = sorted(r.k for r in mwh.scan("t", [("k", "<", 20)]).collect())
+    assert got2 == [k for k in range(1, 20) if k % 10 != 0]
+    # stats-only counts must refuse while vectors exist
+    assert mwh.stats_count("t") is None
+    assert mwh.read("t").count() == 90
+
+
+def test_rewrite_dml_on_dv_table_does_not_resurrect(spark, mwh):
+    _seed(spark, mwh)
+    mwh.delete_where("t", [("k", "==", 7)], mode="dv")
+    # rewrite-mode delete of a different slice must keep 7 dead
+    mwh.delete_where("t", [("grp", "==", 5)])
+    ks = _ks(mwh)
+    assert 7 not in ks and all(k % 10 != 5 for k in ks)
+    # update keeps it dead too
+    mwh.update_where("t", [("k", "==", 8)], {"val": F.lit(0)})
+    ks2 = _ks(mwh)
+    assert 7 not in ks2
+    vals = {r.k: r.val for r in mwh.read("t").collect()}
+    assert vals[8] == 0
+
+
+def test_merge_into_on_dv_table(spark, mwh):
+    _seed(spark, mwh)
+    mwh.delete_where("t", [("k", "==", 3)], mode="dv")
+    src = spark.createDataFrame(
+        [(3, 99, 111), (200, 0, 222)], "k long, grp long, val long"
+    )
+    res = mwh.merge_into("t", src, ["k"])
+    ks = _ks(mwh)
+    # deleted key 3 re-enters as an INSERT (it was dead); 200 is new
+    assert 3 in ks and 200 in ks
+    assert res["rows_inserted"] == 2
+    vals = {r.k: r.val for r in mwh.read("t").collect()}
+    assert vals[3] == 111 and vals[200] == 222
+
+
+def test_compact_materializes_and_clears_dvs(spark, mwh):
+    _seed(spark, mwh)
+    mwh.delete_where("t", [("grp", "==", 2)], mode="dv")
+    before = _ks(mwh)
+    mwh.compact("t")
+    m = mwh._manifest("t")
+    assert "dv_files" not in m or not m["dv_files"]
+    assert _ks(mwh) == before
+    assert mwh.stats_count("t") == 90  # fast path live again
+
+
+def test_append_carries_dvs_and_partial_compaction_applies_them(
+    spark, mwh
+):
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+    )
+    mwh.overwrite("p", df, partition_col="grp")
+    mwh.delete_where("p", [("k", "<", 8)], mode="dv")
+    more = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+    )
+    mwh.append("p", more)
+    ks = sorted(r.k for r in mwh.read("p").collect())
+    assert ks == list(range(8, 40)) + list(range(100, 110))
+    res = mwh.compact_partitions_where("p", "grp", min_files=2)
+    assert res["version"] is not None
+    ks2 = sorted(r.k for r in mwh.read("p").collect())
+    assert ks2 == ks, "partial compaction resurrected or lost rows"
+
+
+def test_clone_and_diff_see_dv_applied_image(spark, mwh):
+    _seed(spark, mwh)
+    v0 = mwh._manifest("t")["version"]
+    mwh.delete_where("t", [("grp", "==", 9)], mode="dv")
+    mwh.clone("t", "t2")
+    assert sorted(r.k for r in mwh.read("t2").collect()) == _ks(mwh)
+    d = mwh.diff("t", v0, None, ["k"])
+    changes = {(r.k, r.change) for r in d.collect()}
+    assert changes == {(k, "delete") for k in range(100) if k % 10 == 9}
+
+
+def test_vacuum_and_fsck_keep_dv_files(spark, mwh):
+    _seed(spark, mwh)
+    mwh.delete_where("t", [("grp", "==", 4)], mode="dv")
+    rep = mwh.fsck("t")
+    assert rep["ok"] and not rep["missing"]
+    # dv parquet files must not be flagged unreferenced
+    assert not any("data/" in u for u in rep["unreferenced"])
+    mwh.vacuum("t", retain_versions=1, grace_seconds=0)
+    assert _ks(mwh) == sorted(k for k in range(100) if k % 10 != 4)
+
+
+def test_dv_requires_snapshot_files(spark, tmp_path):
+    # legacy-adopted root files are not DV-addressable: clear error
+    wh = Warehouse(spark, str(tmp_path / "lg"))
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    wh.overwrite("t", df)
+    mwh2 = Warehouse(spark, str(tmp_path / "lg"), manifest=True)
+    with pytest.raises(ValueError, match="not.*DV-addressable|DV-addressable"):
+        mwh2.delete_where("t", [("k", "==", 1)], mode="dv")
+
+
+def test_restore_carries_vectors(spark, mwh):
+    _seed(spark, mwh)
+    mwh.delete_where("t", [("grp", "==", 6)], mode="dv")
+    v_dv = mwh._manifest("t")["version"]
+    mwh.delete_where("t", [("grp", "==", 7)], mode="dv")
+    mwh.restore("t", v_dv)
+    ks = _ks(mwh)
+    assert all(k % 10 != 6 for k in ks)
+    assert any(k % 10 == 7 for k in ks), "restore lost the 7s"
