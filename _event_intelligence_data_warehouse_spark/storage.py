@@ -642,6 +642,8 @@ class Warehouse:
             return True  # no recorded bounds: cannot prune
         lo, hi = bounds[col]
         try:
+            if op == "in":
+                return any(lo <= v <= hi for v in value)
             if op == "==":
                 return lo <= value <= hi
             if op == "<":
@@ -681,8 +683,11 @@ class Warehouse:
             for col, op, value in filters:
                 if pcol is not None and col == pcol:
                     pv = self._partition_of(rel, pcol)
+                    like = (
+                        value[0] if op == "in" and len(value) else value
+                    )
                     if pv is not None and not self._file_may_match(
-                        {col: [_parse_part(pv, value), _parse_part(pv, value)]},
+                        {col: [_parse_part(pv, like), _parse_part(pv, like)]},
                         col, op, value,
                     ):
                         ok = False
@@ -692,6 +697,12 @@ class Warehouse:
                     break
                 if op == "==" and not self._bloom_may_contain(
                     stats.get(rel), col, value
+                ):
+                    ok = False
+                    break
+                if op == "in" and not any(
+                    self._bloom_may_contain(stats.get(rel), col, v)
+                    for v in value
                 ):
                     ok = False
                     break
@@ -731,14 +742,17 @@ class Warehouse:
                 # they can never be pruned on it). read().filter() sees
                 # those rows with a NULL column and drops them — mirror
                 # that instead of raising UNRESOLVED_COLUMN.
+                probe = value[0] if op == "in" and len(value) else value
                 df = df.withColumn(
-                    col, F.lit(None).cast(_lit_sql_type(value))
+                    col, F.lit(None).cast(_lit_sql_type(probe))
                 )
             c = F.col(col)
-            df = df.filter({
-                "==": c == value, "<": c < value, "<=": c <= value,
-                ">": c > value, ">=": c >= value,
-            }[op])
+            df = df.filter(
+                c.isin(*value) if op == "in" else {
+                    "==": c == value, "<": c < value, "<=": c <= value,
+                    ">": c > value, ">=": c >= value,
+                }[op]
+            )
         return df
 
     @staticmethod
@@ -1444,14 +1458,17 @@ class Warehouse:
                 # Schema evolution: files predating the column see NULL
                 # — comparisons are NULL there, so such rows are never
                 # "matched" by DML (same policy as scan()).
+                probe = value[0] if op == "in" and len(value) else value
                 df = df.withColumn(
-                    col, F.lit(None).cast(_lit_sql_type(value))
+                    col, F.lit(None).cast(_lit_sql_type(probe))
                 )
             c = F.col(col)
-            pred = pred & {
-                "==": c == value, "<": c < value, "<=": c <= value,
-                ">": c > value, ">=": c >= value,
-            }[op]
+            pred = pred & (
+                c.isin(*value) if op == "in" else {
+                    "==": c == value, "<": c < value, "<=": c <= value,
+                    ">": c > value, ">=": c >= value,
+                }[op]
+            )
         return df, pred
 
     def delete_where(

@@ -486,3 +486,64 @@ def stream_merge_into(
         .start()
         .awaitTermination()
     )
+
+
+ERASURE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("requested_at", T.StringType()),
+    ]
+)
+
+
+def stream_gdpr_erasure(
+    spark: SparkSession, wh, input_dir: str, checkpoint_dir: str,
+    *, target_table: str, key_col: str = "user_id",
+    audit_table: str = "erasure_audit",
+) -> None:
+    """Right-to-erasure as a streaming job: deletion requests land as
+    files; each micro-batch folds its requested keys into ONE
+    deletion-vector DELETE against the target table (write cost ~
+    deleted rows, not table size — the point-delete shape DVs exist
+    for) and appends an audit record (key, rows_deleted, table version)
+    so compliance can prove the erasure and time travel can bound when
+    it landed.
+
+    Idempotence: a crash-replayed batch re-requests keys whose rows are
+    already vectored out; the DV delete then matches nothing, publishes
+    no version, and the audit records rows_deleted=0 — at-least-once
+    file delivery never double-counts an erasure. One delete per batch
+    (not per key): the manifest grows by one commit per micro-batch
+    however many users it covers.
+
+    At 100 TB: pair with retention so vectors eventually materialize —
+    compaction/cluster_by clears them; until then reads pay one
+    anti-join against vectors sized by erased rows."""
+    req = spark.readStream.schema(ERASURE_SCHEMA).json(input_dir)
+
+    def erase_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # request stream always carries user_id; key_col names the
+        # TARGET table's column those ids live in
+        keys = [
+            r[0]
+            for r in batch_df.select("user_id").distinct().collect()
+        ]
+        if not keys:
+            return
+        res = wh.delete_where(
+            target_table, [(key_col, "in", sorted(keys))], mode="dv"
+        )
+        audit = spark.createDataFrame(
+            [(batch_id, len(keys), res["rows_deleted"], res["version"])],
+            "batch_id long, n_keys long, rows_deleted long, "
+            "table_version long",
+        )
+        wh.append(audit_table, audit)
+
+    q = (
+        req.writeStream.foreachBatch(erase_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

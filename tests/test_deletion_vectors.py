@@ -179,3 +179,50 @@ def test_restore_carries_vectors(spark, mwh):
     ks = _ks(mwh)
     assert all(k % 10 != 6 for k in ks)
     assert any(k % 10 == 7 for k in ks), "restore lost the 7s"
+
+
+def test_in_filter_delete_scan_and_pruning(spark, mwh):
+    _seed(spark, mwh)
+    got = sorted(r.k for r in mwh.scan("t", [("k", "in", [3, 7, 99])]).collect())
+    assert got == [3, 7, 99]
+    res = mwh.delete_where("t", [("k", "in", [3, 7, 99])], mode="dv")
+    assert res["rows_deleted"] == 3
+    assert not {3, 7, 99} & set(_ks(mwh))
+    # pruning: an in-list entirely outside the bounds keeps no files
+    keep, total = mwh.pruned_files("t", [("k", "in", [5000, 6000])])
+    assert keep == [] and total > 0
+
+
+def test_stream_gdpr_erasure_idempotent(spark, tmp_path, mwh):
+    import json
+    import os
+
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    _seed(spark, mwh)
+    indir = str(tmp_path / "req")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(indir, exist_ok=True)
+    with open(os.path.join(indir, "r1.json"), "w") as f:
+        for uid in (11, 12):
+            f.write(json.dumps(
+                {"user_id": uid, "requested_at": "2026-08-14"}
+            ) + "\n")
+    jobs.stream_gdpr_erasure(
+        spark, mwh, indir, ckpt, target_table="t", key_col="k"
+    )
+    assert not {11, 12} & set(_ks(mwh))
+    audit = mwh.read("erasure_audit").collect()
+    assert len(audit) == 1 and audit[0].rows_deleted == 2
+
+    # replay with a FRESH checkpoint (simulated at-least-once redelivery):
+    # rows already vectored out -> second audit row records 0 deletions
+    jobs.stream_gdpr_erasure(
+        spark, mwh, indir, str(tmp_path / "ck2"),
+        target_table="t", key_col="k",
+    )
+    audit2 = sorted(
+        (r.rows_deleted for r in mwh.read("erasure_audit").collect())
+    )
+    assert audit2 == [0, 2]
+    assert not {11, 12} & set(_ks(mwh))
