@@ -134,6 +134,20 @@ SHOWCASE = [
         "integer-scaled DECIMAL sums; coefficients explode from a "
         "single 1-row frame.",
     ),
+    (
+        "graph_pagerank",
+        "PageRank (late r5): per-iteration shape is one edge-rank join "
+        "on the ONCE-partitioned edge table + a groupBy(dst) partial "
+        "sum; the dangling share rides a 1-row BroadcastExchange; every "
+        "arithmetic node is int64 (bit-exact across retries).",
+    ),
+    (
+        "text_bm25_search",
+        "BM25 (late r5): isin prunes tokens BEFORE the tf shuffle; df "
+        "and avgdl are broadcast 1-frames; DECIMAL-quantized per-term "
+        "scores sum order-independently; the top-k is "
+        "TakeOrderedAndProject, not a global window.",
+    ),
 ]
 
 
