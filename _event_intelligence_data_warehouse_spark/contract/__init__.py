@@ -375,6 +375,8 @@ _DRIVER_SAMPLE_TAIL = [
     "entity_resolution_clusters",
     "graph_pagerank_incremental",
     "json_variant_stats",
+    "governance_masked_read",
+    "stats_bootstrap_mean_ci",
     "join_lateral_topk",
     "agg_unpivot_metrics",
 ]

@@ -724,3 +724,92 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [], ["sum_qty", "sum_price", "sum_disc", "sum_tax"],
         "metric", "total",
     )
+
+
+@query(
+    "governance_masked_read",
+    """
+    SELECT c_custkey,
+           sha256(c_name) AS c_name,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS c_acctbal,
+           c_mktsegment,
+           concat(repeat('*', greatest(length(CAST(c_nationkey AS VARCHAR))
+                                       - 1, 0)),
+                  right(CAST(c_nationkey AS VARCHAR), 1)) AS c_nationkey
+    FROM customer
+    """,
+)
+def governance_masked_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-masked governed read of the customer table: names become
+    sha256 digests (stable join keys, value never leaves), balances
+    generalize to 1000-unit bands, nation keys redact to their last
+    digit — the release-side complement to the k-anonymity audit,
+    served as a view over pure column algebra so the policy rides the
+    plan, not a data copy."""
+    cust = load(spark, sf_dir, "customer")
+    return vl.mask_columns(
+        cust,
+        {
+            "c_name": ("hash",),
+            "c_acctbal": ("band", 1000),
+            "c_nationkey": ("keep_last", 1),
+        },
+    )
+
+
+_BOOT_B = 32
+
+
+@query(
+    "stats_bootstrap_mean_ci",
+    f"""
+    WITH rep AS (
+        SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS replicate
+    ), base AS (
+        SELECT o_orderkey AS id,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ), drawn AS (
+        SELECT r.replicate, b.id, b.cents,
+               CAST(('0x' || substr(md5(CAST(b.id AS VARCHAR) || '|'
+                    || CAST(r.replicate AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 AS u
+        FROM base b CROSS JOIN rep r
+    ), weighted AS (
+        SELECT replicate, cents,
+               CASE WHEN u < 367879 THEN 0
+                    WHEN u < 735759 THEN 1
+                    WHEN u < 919699 THEN 2
+                    WHEN u < 980912 THEN 3
+                    ELSE 4 END AS w
+        FROM drawn
+    )
+    SELECT CAST(replicate AS BIGINT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST((SUM(w * cents) * 10000) // SUM(w) AS BIGINT)
+               AS mean_micro
+    FROM weighted
+    GROUP BY replicate
+    HAVING SUM(w) > 0
+    """,
+)
+def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Poisson bootstrap of mean order value: 32 deterministic
+    replicates in one pass — per-(row, replicate) Poisson(1) weights
+    from the md5 hash bucket (no resampled data copies, reproducible
+    across partitionings and retries), exact integer sums, floor-divided
+    to micro-units. The spread of the 32 replicate means IS the
+    uncertainty estimate a metrics pipeline attaches to its headline
+    aggregates at any scale."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as sp,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return sp.bootstrap_mean_replicates(
+        orders,
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)") * 100,
+        n_replicates=_BOOT_B,
+    )

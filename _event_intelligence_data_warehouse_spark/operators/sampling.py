@@ -600,3 +600,81 @@ def mad_outliers(
         )
         .drop("_dev")
     )
+
+
+# Poisson(1) inverse-CDF thresholds in ppm over a uniform hash draw:
+# P(X=0)=e^-1=.367879..., cumulative .735759, .919699, .980912; the tail
+# (>=4, ~1.9%) is capped at 4. Integer ppm comparisons make the draw
+# bit-identical on every engine — the determinism the float-free house
+# rules require, at the cost of a truncated tail (mean 0.999634 instead
+# of 1; identical on both sides of the oracle, and irrelevant for CI
+# width at B replicates).
+POISSON1_PPM = (367879, 735759, 919699, 980912)
+
+
+def poisson_bootstrap_weight(
+    id_col: Column | str, replicate: Column | str
+) -> Column:
+    """Deterministic Poisson(1) bootstrap weight for (row, replicate):
+    the md5 hash-bucket of "id|replicate" in ppm, cut by the inverse
+    CDF. Stable under re-runs and repartitioning, so a bootstrap is
+    reproducible across the cluster — the online-bootstrap construction
+    (Oza & Russell 2001) that replaces resampling with per-row weights
+    and never moves the data."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    rep = F.col(replicate) if isinstance(replicate, str) else replicate
+    u = hash_bucket(
+        F.concat(idc.cast("string"), F.lit("|"), rep.cast("string")),
+        1_000_000,
+    )
+    t0, t1, t2, t3 = POISSON1_PPM
+    return (
+        F.when(u < t0, 0)
+        .when(u < t1, 1)
+        .when(u < t2, 2)
+        .when(u < t3, 3)
+        .otherwise(4)
+        .cast("bigint")
+    )
+
+
+def bootstrap_mean_replicates(
+    df: DataFrame,
+    id_col: str,
+    value_cents: Column,
+    n_replicates: int = 32,
+) -> DataFrame:
+    """B bootstrap replicates of the mean of an exact-cents value in ONE
+    pass: explode each row into (row, replicate) pairs with
+    deterministic Poisson weights, partial-aggregate per replicate.
+    Returns (replicate, n_eff, mean_micro) where mean_micro is the
+    weighted mean in integer MICRO currency units (floor division of
+    exact integer sums — engine-portable where a decimal quotient's
+    scale rules are not). Downstream takes percentiles of the B rows
+    for a CI: the whole uncertainty estimate costs one
+    B-times-amplified scan and a B-row aggregate, no resampled copies
+    of the data."""
+    if n_replicates < 1:
+        raise ValueError("n_replicates must be >= 1")
+    reps = df.select(
+        F.col(id_col).alias("_id"),
+        value_cents.cast("bigint").alias("_cents"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("replicate"),
+    ).withColumn("_w", poisson_bootstrap_weight("_id", "replicate"))
+    return (
+        reps.groupBy("replicate")
+        .agg(
+            F.sum("_w").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_cents")).alias("_wsum"),
+        )
+        .filter(F.col("n_eff") > 0)
+        .select(
+            F.col("replicate").cast("bigint").alias("replicate"),
+            F.col("n_eff").cast("bigint").alias("n_eff"),
+            F.expr(
+                "(CAST(_wsum AS DECIMAL(38,0)) * 10000) div n_eff"
+            ).cast("bigint").alias("mean_micro"),
+        )
+    )

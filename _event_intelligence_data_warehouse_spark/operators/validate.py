@@ -168,3 +168,58 @@ def k_anonymity(
             F.expr("1000000 div group_size").cast("bigint").alias("risk_ppm"),
         )
     )
+
+
+def mask_columns(df: DataFrame, policies: dict[str, tuple]) -> DataFrame:
+    """Column-level masking for governed reads — the release-side
+    complement to k_anonymity's audit: apply a per-column policy and
+    return the masked frame (serve it as a view; the raw table never
+    leaves the warehouse). Policies:
+
+    - ``("hash",)``          -> sha256 hex of the string value (stable
+      join key across datasets without revealing the value)
+    - ``("band", width)``    -> numeric generalization to
+      floor(v / width) * width (k-anonymity-style coarsening)
+    - ``("null",)``          -> full suppression
+    - ``("keep_last", n)``   -> redact all but the last n characters
+
+    All pure column algebra (codegen, engine-portable); unlisted
+    columns pass through untouched."""
+    out = []
+    for c in df.columns:
+        pol = policies.get(c)
+        if pol is None:
+            out.append(F.col(c))
+            continue
+        kind = pol[0]
+        if kind == "hash":
+            out.append(F.sha2(F.col(c).cast("string"), 256).alias(c))
+        elif kind == "band":
+            width = int(pol[1])
+            if width <= 0:
+                raise ValueError(f"band width must be positive for {c!r}")
+            out.append(
+                (F.floor(F.col(c) / F.lit(width)) * width)
+                .cast("bigint").alias(c)
+            )
+        elif kind == "null":
+            out.append(F.lit(None).cast(dict(df.dtypes)[c]).alias(c))
+        elif kind == "keep_last":
+            n = int(pol[1])
+            if n < 1:
+                raise ValueError(f"keep_last needs n >= 1 for {c!r}")
+            out.append(
+                F.concat(
+                    F.regexp_replace(
+                        F.expr(
+                            f"substring({c}, 1, "
+                            f"greatest(length({c}) - {n}, 0))"
+                        ),
+                        ".", "*",
+                    ),
+                    F.expr(f"right({c}, {n})"),
+                ).alias(c)
+            )
+        else:
+            raise ValueError(f"unknown mask policy {kind!r} for {c!r}")
+    return df.select(*out)

@@ -262,3 +262,47 @@ def test_pagerank_warm_start_new_nodes_get_uniform_share(spark):
     prev = {r.node_id: r.rank_ppb for r in stored.collect()}
     assert got[1] == prev[1] and got[2] == prev[2]
     assert got[5] == PPB // 3
+
+
+def test_mask_columns_policies(spark):
+    import hashlib
+
+    rows = [(1, "alice", 2345.67, "AB123456"), (2, None, -50.0, "X")]
+    df = spark.createDataFrame(
+        rows, "id long, name string, bal double, acct string"
+    )
+    out = {r.id: r for r in vl.mask_columns(df, {
+        "name": ("hash",),
+        "bal": ("band", 1000),
+        "acct": ("keep_last", 2),
+    }).collect()}
+    assert out[1].name == hashlib.sha256(b"alice").hexdigest()
+    assert out[1].bal == 2000 and out[2].bal == -1000  # floor, not trunc
+    assert out[1].acct == "******56" and out[2].acct == "X"
+    assert out[2].name is None  # hash of NULL stays NULL
+    nulled = vl.mask_columns(df, {"name": ("null",)}).collect()
+    assert all(r.name is None for r in nulled)
+
+
+def test_bootstrap_weights_and_replicates(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as sp,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), F.lit(100).alias("cents")
+    )
+    out = sp.bootstrap_mean_replicates(
+        df, "k", F.col("cents"), n_replicates=8
+    ).collect()
+    assert len(out) == 8
+    # constant values: every replicate's weighted mean is exactly 1.00
+    # currency units = 1_000_000 micro
+    assert all(r.mean_micro == 1_000_000 for r in out)
+    # weights behave like Poisson(1): effective n within 20% of n
+    assert all(1600 <= r.n_eff <= 2400 for r in out)
+    # determinism across runs
+    again = sp.bootstrap_mean_replicates(
+        df, "k", F.col("cents"), n_replicates=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
