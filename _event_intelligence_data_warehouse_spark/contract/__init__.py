@@ -377,6 +377,7 @@ _DRIVER_SAMPLE_TAIL = [
     "json_variant_stats",
     "governance_masked_read",
     "stats_bootstrap_mean_ci",
+    "storage_dv_roundtrip",
     "join_lateral_topk",
     "agg_unpivot_metrics",
 ]

@@ -813,3 +813,47 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)") * 100,
         n_replicates=_BOOT_B,
     )
+
+
+@query(
+    "storage_dv_roundtrip",
+    """
+    WITH live AS (
+        SELECT * FROM orders
+        WHERE o_orderstatus != 'F' AND o_orderkey NOT IN (1, 2, 3)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM live GROUP BY 1
+    """,
+)
+def storage_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end deletion-vector round trip through the manifest
+    warehouse: orders lands as a multi-file manifest table, a
+    merge-on-read DELETE vectors out the 'F' status (predicate) and
+    three specific keys (in-list) WITHOUT rewriting any data file, and
+    the aggregate runs over the DV-applied read — the oracle computes
+    the same aggregate over the raw table minus the deleted slices, so
+    the vector write, the manifest carry and the anti-join read are all
+    value-checked, not just unit-tested."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(
+        spark, staging_dir("storage_dv_roundtrip", sf_dir), manifest=True
+    )
+    orders = load(spark, sf_dir, "orders")
+    wh.overwrite("ord", orders.repartition(4))
+    r1 = wh.delete_where(
+        "ord", [("o_orderstatus", "==", "F")], mode="dv"
+    )
+    assert r1["files_rewritten"] == 0
+    wh.delete_where("ord", [("o_orderkey", "in", [1, 2, 3])], mode="dv")
+    live = wh.read("ord")
+    return live.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total_price"),
+    )
