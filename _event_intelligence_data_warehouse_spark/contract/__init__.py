@@ -378,6 +378,8 @@ _DRIVER_SAMPLE_TAIL = [
     "governance_masked_read",
     "stats_bootstrap_mean_ci",
     "storage_dv_roundtrip",
+    "timeseries_ohlc_hourly",
+    "analytics_growth_accounting",
     "join_lateral_topk",
     "agg_unpivot_metrics",
 ]

@@ -857,3 +857,93 @@ def storage_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total_price"),
     )
+
+
+@query(
+    "timeseries_ohlc_hourly",
+    """
+    WITH e AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+               CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        FROM events
+    ), o AS (
+        SELECT event_type, bucket_ts, value,
+               row_number() OVER (
+                   PARTITION BY event_type, bucket_ts
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM e
+    ), c AS (
+        SELECT event_type, bucket_ts, value,
+               row_number() OVER (
+                   PARTITION BY event_type, bucket_ts
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM e
+    ), agg AS (
+        SELECT event_type, bucket_ts,
+               MAX(value) AS high, MIN(value) AS low,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS volume
+        FROM e GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.bucket_ts,
+           o.value AS open, a.high, a.low, c.value AS close,
+           a.n_events, a.volume
+    FROM agg a
+    JOIN o ON o.event_type = a.event_type
+          AND o.bucket_ts = a.bucket_ts AND o.rn = 1
+    JOIN c ON c.event_type = a.event_type
+          AND c.bucket_ts = a.bucket_ts AND c.rn = 1
+    """,
+)
+def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type — the hypertable downsampling
+    rollup. Open/close resolve through ONE struct-min/max aggregate
+    (map-side partial combine; no per-bucket row_number over raw
+    events — the oracle's window formulation is the semantic spec, the
+    engine's aggregate is the scale shape). Volume sums exact
+    DECIMAL."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as tso,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return tso.ohlc(ev, key_cols=["event_type"], bucket="hour")
+
+
+@query(
+    "analytics_growth_accounting",
+    """
+    WITH e AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        FROM events
+    ), a AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active
+        FROM e GROUP BY 1
+    ), n AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_entities FROM (
+            SELECT user_id, MIN(day) AS day FROM e GROUP BY 1
+        ) GROUP BY 1
+    )
+    SELECT a.day, a.active,
+           CAST(COALESCE(n.new_entities, 0) AS BIGINT) AS new_entities,
+           CAST(SUM(COALESCE(n.new_entities, 0))
+                OVER (ORDER BY a.day) AS BIGINT) AS cum_entities
+    FROM a LEFT JOIN n USING (day)
+    """,
+)
+def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting over the event stream: active users,
+    first-ever-seen users and the running total — DAU/new/cumulative.
+    First-seen is min(day) per user (wordcount shape, never a distinct
+    window over raw events); the cumulative window sees only O(#days)
+    rows."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as tso,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return tso.growth_accounting(ev)

@@ -61,3 +61,89 @@ def gapfill_daily(
         )
     out_cols.append(F.col("n_events").isNull().alias("is_gap"))
     return spine.join(daily, [key_col, "day"], "left").select(*out_cols)
+
+
+def ohlc(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    bucket: str = "hour",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """OHLC candle rollup — the hypertable/financial downsampling
+    primitive: per (keys, time bucket) the Opening value (first by time,
+    tiebroken deterministically), High, Low, Close (last), event count
+    and exact DECIMAL volume.
+
+    Open/close use the min/max of a (ts, tiebreak, value) STRUCT — a
+    single aggregate pass with map-side partial combine (struct ordering
+    is lexicographic), no row_number window over the raw events. That is
+    the scale difference: one wordcount-shaped groupBy versus a
+    per-bucket sort; at 100 TB the events stream through partial
+    aggregates and only O(#buckets) rows survive."""
+    keys = key_cols or []
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    v = F.col(value_col)
+    pick = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("tb"),
+        v.alias("v"),
+    )
+    return (
+        df.select(*keys, b, F.col(ts_col), F.col(tiebreak_col), v)
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.min(pick).getField("v").alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(pick).getField("v").alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(v.cast("decimal(18,2)")).cast("double").alias("volume"),
+        )
+    )
+
+
+def growth_accounting(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Daily growth accounting: per day the active entities, the
+    first-ever-seen entities, and the running cumulative entity count —
+    the DAU/new/total triple every product and corpus dashboard leads
+    with. "New" is min(day) per entity (wordcount shape, no distinct
+    window); the cumulative sum windows over O(#days) rows only."""
+    from pyspark.sql.window import Window
+
+    day = F.to_date(F.col(ts_col)).alias("day")
+    active = (
+        df.select(day, F.col(id_col).alias("eid"))
+        .groupBy("day")
+        .agg(F.count_distinct("eid").cast("bigint").alias("active"))
+    )
+    new = (
+        df.select(F.col(id_col).alias("eid"), day)
+        .groupBy("eid")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("new_entities"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        active.join(new, "day", "left")
+        .select(
+            "day",
+            "active",
+            F.coalesce(F.col("new_entities"), F.lit(0)).cast("bigint")
+            .alias("new_entities"),
+        )
+        .withColumn(
+            "cum_entities",
+            F.sum("new_entities").over(w).cast("bigint"),
+        )
+    )
