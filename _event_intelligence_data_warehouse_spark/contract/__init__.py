@@ -380,6 +380,7 @@ _DRIVER_SAMPLE_TAIL = [
     "storage_dv_roundtrip",
     "timeseries_ohlc_hourly",
     "analytics_growth_accounting",
+    "timeseries_seasonal_anomaly",
     "join_lateral_topk",
     "agg_unpivot_metrics",
 ]

@@ -947,3 +947,100 @@ def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return tso.growth_accounting(ev)
+
+
+@query(
+    "timeseries_seasonal_anomaly",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), dowm AS (
+        SELECT dayofweek(day) AS dow,
+               CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT)
+                   AS dow_mean_ppm
+        FROM daily GROUP BY 1
+    ), resid AS (
+        SELECT d.day, d.n,
+               CAST(d.n * 1000000 - m.dow_mean_ppm AS BIGINT)
+                   AS residual_ppm
+        FROM daily d JOIN dowm m ON dayofweek(d.day) = m.dow
+    ), med AS (
+        SELECT residual_ppm AS med FROM (
+            SELECT residual_ppm,
+                   row_number() OVER (ORDER BY residual_ppm, day) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM resid
+        ) WHERE rn = (cnt + 1) // 2
+    ), madt AS (
+        SELECT dev AS mad FROM (
+            SELECT abs(r.residual_ppm - (SELECT med FROM med)) AS dev,
+                   row_number() OVER (
+                       ORDER BY abs(r.residual_ppm - (SELECT med FROM med)),
+                                r.day
+                   ) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM resid r
+        ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT r.day, r.n, r.residual_ppm,
+           abs(r.residual_ppm - (SELECT med FROM med))
+               > 5 * (SELECT mad FROM madt) AS is_anomaly
+    FROM resid r
+    """,
+)
+def timeseries_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly screen on daily event volume: the
+    day-of-week mean (exact integer ppm) is the baseline — a Monday
+    spike is judged against Mondays, where the global-z screen
+    (kpi_anomalous_days) would flag every weekend — and the robust
+    median/MAD fence (rank-based lower median, deterministic tiebreak)
+    flags days beyond 5 MADs. Raw events collapse to O(#days) rows
+    before any window."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    dowm = (
+        daily.groupBy(F.dayofweek("day").alias("dow"))
+        .agg(
+            F.expr("(SUM(n) * 1000000) div COUNT(*)")
+            .cast("bigint").alias("dow_mean_ppm")
+        )
+    )
+    resid = (
+        daily.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(dowm), "dow")
+        .select(
+            "day", "n",
+            (F.col("n") * 1000000 - F.col("dow_mean_ppm"))
+            .cast("bigint").alias("residual_ppm"),
+        )
+    )
+    # O(#days) frame: the unpartitioned windows below are bounded
+    wm = Window.orderBy("residual_ppm", "day")
+    med = (
+        resid.withColumn("rn", F.row_number().over(wm))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy()))
+        .filter(F.expr("rn = (cnt + 1) div 2"))
+        .select(F.col("residual_ppm").alias("med"))
+    )
+    dev = resid.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("residual_ppm") - F.col("med"))
+    )
+    wd = Window.orderBy("dev", "day")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy()))
+        .filter(F.expr("rn = (cnt + 1) div 2"))
+        .select(F.col("dev").alias("mad"))
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day", "n", "residual_ppm",
+        (F.col("dev") > 5 * F.col("mad")).alias("is_anomaly"),
+    )
