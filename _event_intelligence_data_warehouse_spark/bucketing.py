@@ -71,6 +71,15 @@ class BucketedCatalog:
         cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        if mode != "overwrite":
+            # append/ignore/error would silently interact with the
+            # unconditional DROP below (mixed bucket layouts under one
+            # declaration = wrong shuffle-free joins); incremental
+            # maintenance belongs to the manifest warehouse, bucketing
+            # to rebuild-wholesale join fabrics.
+            raise ValueError(
+                "BucketedCatalog.write supports mode='overwrite' only"
+            )
         self.spark.sql(f"DROP TABLE IF EXISTS {_q(table)}")
         w = (
             df.write.mode(mode)

@@ -169,7 +169,11 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     their last token, verified with levenshtein <= 4 — the two-phase
     block-then-verify shape that bounds fuzzy matching at scale (the
     dictionary, not the row table, enters the quadratic phase; the
-    member counts weight the match for downstream merge decisions)."""
+    member counts weight the match for downstream merge decisions).
+    The oracle does not model the engine's hot-block cap: safe here
+    because the dictionary is VOCABULARY-bounded (64 distinct names at
+    every SF — blocks of ~13), orders of magnitude under the 10k cap;
+    a corpus that could trip the cap needs a cap-aware oracle."""
     part = load(spark, sf_dir, "part")
     reps = part.groupBy(F.col("p_name").alias("name")).agg(
         F.min("p_partkey").alias("id"), F.count("*").alias("n_members")

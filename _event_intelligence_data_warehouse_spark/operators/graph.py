@@ -171,6 +171,20 @@ def pagerank(
     return ranks
 
 
+def _block_key(name_col: str, block: Column | str | None) -> Column:
+    """The shared blocking-key expression (default: last whitespace
+    token of the lowercased name) — one definition so the candidate
+    join and the hot-block telemetry can never disagree on what a
+    block is."""
+    if block is None:
+        return F.element_at(
+            F.split(F.lower(F.trim(F.col(name_col))), r"\s+"), -1
+        )
+    if isinstance(block, str):
+        return F.col(block)
+    return block
+
+
 def fuzzy_blocked_pairs(
     df: DataFrame,
     *,
@@ -200,20 +214,19 @@ def fuzzy_blocked_pairs(
     accessor on the returned frame's attached telemetry — at 100 TB you
     route those to a sharded q-gram pass instead of silently stalling.
     """
-    if block is None:
-        blk = F.element_at(F.split(F.lower(F.trim(F.col(name_col))), r"\s+"), -1)
-    elif isinstance(block, str):
-        blk = F.col(block)
-    else:
-        blk = block
+    blk = _block_key(name_col, block)
     base = df.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(name_col).alias("name"),
         blk.alias("bkey"),
     ).filter(F.col("bkey").isNotNull() & (F.col("bkey") != ""))
     sizes = base.groupBy("bkey").agg(F.count("*").alias("_bn"))
-    keep = sizes.filter(F.col("_bn") <= max_block_size).select("bkey")
-    bounded = base.join(F.broadcast(keep) if max_block_size <= 1_000_000 else keep, "bkey")
+    # Exclude via the HOT set, not an inclusion join on the surviving
+    # keys: hot blocks number at most n/max_block_size by construction
+    # (safe to broadcast at any corpus size), whereas the surviving-key
+    # dictionary is unbounded.
+    hot = sizes.filter(F.col("_bn") > max_block_size).select("bkey")
+    bounded = base.join(F.broadcast(hot), "bkey", "left_anti")
     a = bounded.select(
         "bkey", F.col("id").alias("id_a"), F.col("name").alias("name_a")
     )
@@ -239,12 +252,7 @@ def fuzzy_hot_blocks(
     """Telemetry companion to fuzzy_blocked_pairs: the blocking keys
     whose membership exceeded the cap (and were therefore excluded from
     the candidate join), with their sizes."""
-    if block is None:
-        blk = F.element_at(F.split(F.lower(F.trim(F.col(name_col))), r"\s+"), -1)
-    elif isinstance(block, str):
-        blk = F.col(block)
-    else:
-        blk = block
+    blk = _block_key(name_col, block)
     return (
         df.select(blk.alias("bkey"))
         .filter(F.col("bkey").isNotNull() & (F.col("bkey") != ""))

@@ -776,7 +776,7 @@ def dhash_images(
 def phash_near_dups(
     hashes: DataFrame,
     *,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     n_bands: int = 4,
     band_bits: int = 15,
 ) -> DataFrame:
@@ -785,8 +785,10 @@ def phash_near_dups(
     exactly on at least one of the ``n_bands`` bit-slices whenever
     ``max_hamming < n_bands`` bands differ — the pigeonhole guarantee
     (candidates are recall-complete for max_hamming <= n_bands - 1 bit
-    flips spread one-per-band; wider radii trade recall, same as MinHash
-    banding). Candidates equi-join on (band, slice); the exact
+    flips; the default radius is pinned to that bound so defaults never
+    silently trade recall — asking for a wider radius without raising
+    n_bands raises instead of missing pairs whose flips spread across
+    every band). Candidates equi-join on (band, slice); the exact
     ``bit_count(xor)`` verify runs only on collisions.
 
     Returns (media_id_a, media_id_b, hamming), a < b, distinct.
@@ -796,6 +798,12 @@ def phash_near_dups(
     all-same-hash corpus is bounded upstream by exact-dedup on the hash
     itself (group identical hashes first; this operator's job is the
     near-miss tail)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the recall-complete "
+            f"radius n_bands-1={n_bands - 1}; raise n_bands (pairs "
+            "with one flip per band would otherwise be silently missed)"
+        )
     h = hashes.select(
         F.col("media_id").cast("bigint").alias("media_id"),
         F.col("dhash").cast("bigint").alias("dhash"),

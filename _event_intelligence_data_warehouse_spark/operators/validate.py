@@ -188,18 +188,21 @@ def mask_columns(df: DataFrame, policies: dict[str, tuple]) -> DataFrame:
     out = []
     for c in df.columns:
         pol = policies.get(c)
+        # df[c] (not F.col) binds the exact column whatever its name —
+        # dots/spaces/backticks never parse as struct access or SQL
+        col = df[c]
         if pol is None:
-            out.append(F.col(c))
+            out.append(col)
             continue
         kind = pol[0]
         if kind == "hash":
-            out.append(F.sha2(F.col(c).cast("string"), 256).alias(c))
+            out.append(F.sha2(col.cast("string"), 256).alias(c))
         elif kind == "band":
             width = int(pol[1])
             if width <= 0:
                 raise ValueError(f"band width must be positive for {c!r}")
             out.append(
-                (F.floor(F.col(c) / F.lit(width)) * width)
+                (F.floor(col / F.lit(width)) * width)
                 .cast("bigint").alias(c)
             )
         elif kind == "null":
@@ -208,16 +211,16 @@ def mask_columns(df: DataFrame, policies: dict[str, tuple]) -> DataFrame:
             n = int(pol[1])
             if n < 1:
                 raise ValueError(f"keep_last needs n >= 1 for {c!r}")
+            s = col.cast("string")
+            plen = F.greatest(F.length(s) - F.lit(n), F.lit(0))
             out.append(
                 F.concat(
+                    # (?s): redact newlines too — a multi-line value
+                    # must not leak its line structure
                     F.regexp_replace(
-                        F.expr(
-                            f"substring({c}, 1, "
-                            f"greatest(length({c}) - {n}, 0))"
-                        ),
-                        ".", "*",
+                        s.substr(F.lit(1), plen), r"(?s).", "*"
                     ),
-                    F.expr(f"right({c}, {n})"),
+                    s.substr(plen + F.lit(1), F.lit(n)),
                 ).alias(c)
             )
         else:

@@ -196,9 +196,10 @@ class Warehouse:
                 table, df, pcol if pcol and pcol in df.columns else None
             )
             stats = {**m.get("stats", {}), **self._collect_minmax(table, new)}
+            dvs, dvm = self._carry_dvs(m, m["files"] + new)
             self._publish(table, m["files"] + new, pcol, "append",
                           stats=stats, expect_version=m["version"],
-                          dvs=m.get("dv_files"))
+                          dvs=dvs, dv_meta=dvm)
             return
         df.write.mode("append").parquet(self.path(table))
 
@@ -268,10 +269,11 @@ class Warehouse:
                 **{f: old_stats[f] for f in kept if f in old_stats},
                 **self._collect_minmax(table, new),
             }
+            dvs, dvm = self._carry_dvs(m, kept + new)
             self._publish(table, kept + new, partition_col,
                           "overwrite_partitions", stats=stats,
                           expect_version=m["version"],
-                          dvs=m.get("dv_files"))
+                          dvs=dvs, dv_meta=dvm)
             return
         (
             df.write.mode("overwrite")
@@ -339,6 +341,7 @@ class Warehouse:
         self, table: str, files: list[str], partition_col: str | None,
         operation: str | None = None, *, stats: dict | None = None,
         expect_version: int | None = None, dvs: list[str] | None = None,
+        dv_meta: dict | None = None,
     ) -> dict:
         """Commit a new table version: write the immutable manifest file
         (O_EXCL — the optimistic lock), then atomically replace the
@@ -395,6 +398,10 @@ class Warehouse:
             # an operation that omits dvs has materialized (or never
             # had) them
             **({"dv_files": sorted(dvs)} if dvs else {}),
+            # which data-file keys each vector file covers — lets later
+            # rewrites drop vectors whose every target file left the
+            # manifest (restoring the stats-only fast paths)
+            **({"dv_meta": dv_meta} if dvs and dv_meta else {}),
             "stats": stats or {},
         }
         with os.fdopen(fd, "w") as f:
@@ -726,14 +733,21 @@ class Warehouse:
                 f"table {table!r} version {version} is not on the "
                 "committed chain"
             )
-        keep, _total = self.pruned_files(table, filters, version=version)
+        # Resolve ONE manifest snapshot and prune/read from it: pruning
+        # against the pointer and then re-resolving for DV application
+        # could mix a pre-commit file list with a post-commit (e.g.
+        # vector-cleared) manifest under a concurrent writer, silently
+        # resurrecting DV-deleted rows.
+        m = (
+            self._manifest(table, version) if version is not None
+            else self._adopt_if_legacy(table)
+        )
+        keep, _total = self.pruned_files(
+            table, filters, version=m["version"]
+        )
         if not keep:
             df = self.read(table, schema, version=version).limit(0)
         else:
-            m = (
-                self._manifest(table, version) if version is not None
-                else self._manifest(table)
-            )
             df = self._read_files_dv(table, m, keep)
         for col, op, value in filters:
             if col not in df.columns:
@@ -800,6 +814,31 @@ class Warehouse:
         if "/data/" not in posix:
             return None
         return posix.rsplit("/data/", 1)[1]
+
+    def _carry_dvs(
+        self, m: dict, published_files: list[str]
+    ) -> tuple[list[str], dict]:
+        """(dv_files, dv_meta) to carry into a publish whose live file
+        list is ``published_files``: a vector file is dropped once NONE
+        of the data-file keys it covers remains live (a rewrite
+        materialized them all), so DV read/stats overhead clears as
+        rewrites catch up instead of persisting until a full compact.
+        Vectors without recorded coverage (older manifests) carry
+        conservatively."""
+        dvs = m.get("dv_files") or []
+        if not dvs:
+            return [], {}
+        meta = m.get("dv_meta") or {}
+        live = {
+            k for k in (
+                self._dv_key_of_rel(f) for f in published_files
+            ) if k is not None
+        }
+        kept = [
+            rel for rel in dvs
+            if meta.get(rel) is None or set(meta[rel]) & live
+        ]
+        return kept, {r: meta[r] for r in kept if r in meta}
 
     def _read_files_dv(
         self, table: str, m: dict, files: list[str]
@@ -1303,10 +1342,11 @@ class Warehouse:
             **{f: old_stats[f] for f in carried if f in old_stats},
             **self._collect_minmax(table, new),
         }
+        dvs, dvm = self._carry_dvs(m, carried + new)
         man = self._publish(table, carried + new, pcol,
                             "compact_partitions_where", stats=stats,
                             expect_version=m["version"],
-                            dvs=m.get("dv_files"))
+                            dvs=dvs, dv_meta=dvm)
         self.vacuum(table)
         return {"partitions_rewritten": n_parts,
                 "files_before": len(m["files"]),
@@ -1533,20 +1573,32 @@ class Warehouse:
                     "left_anti",
                 )
             aug, pred = self._filters_pred(raw, filters)
+            # materialize the matched positions ONCE: count, coverage
+            # keys and the vector write all reuse it (re-deriving would
+            # re-scan every candidate file per consumer)
             matched = aug.filter(F.coalesce(pred, F.lit(False))).select(
                 F.col(self._DV_KEY).alias("file_key"),
                 F.col(self._DV_POS).cast("bigint").alias("row_index"),
-            )
+            ).localCheckpoint()
             rows_deleted = matched.count()
             if rows_deleted == 0:
                 return {"version": None, "candidates": len(cands),
                         "carried": len(carried), "rows_deleted": 0,
                         "files_rewritten": 0}
+            # bounded collect: one key per touched candidate file
+            covered = sorted(
+                r.file_key
+                for r in matched.select("file_key").distinct().collect()
+            )
             new_dv = self._write_snapshot(table, matched)
+            dv_meta = {
+                **(m.get("dv_meta") or {}),
+                **{rel: covered for rel in new_dv},
+            }
             man = self._publish(
                 table, m["files"], pcol, "delete_where_dv",
                 stats=m.get("stats", {}), expect_version=m["version"],
-                dvs=old_dvs + new_dv,
+                dvs=old_dvs + new_dv, dv_meta=dv_meta,
             )
             return {"version": man["version"], "candidates": len(cands),
                     "carried": len(carried), "rows_deleted": rows_deleted,
@@ -1571,9 +1623,10 @@ class Warehouse:
             **{f: old_stats[f] for f in carried if f in old_stats},
             **self._collect_minmax(table, new),
         }
+        dvs, dvm = self._carry_dvs(m, carried + new)
         man = self._publish(table, carried + new, pcol, "delete_where",
                             stats=stats, expect_version=m["version"],
-                            dvs=m.get("dv_files"))
+                            dvs=dvs, dv_meta=dvm)
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried),
                 "rows_deleted": n_cand - kept_rows,
@@ -1652,8 +1705,9 @@ class Warehouse:
             **{f: old_stats[f] for f in carried if f in old_stats},
             **self._collect_minmax(table, new),
         }
+        _dvs, _dvm = self._carry_dvs(m, carried + new)
         man = self._publish(table, carried + new, pcol, "update_where",
-                            dvs=m.get("dv_files"),
+                            dvs=_dvs, dv_meta=_dvm,
                             stats=stats, expect_version=m["version"])
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried), "rows_updated": n_updated,
@@ -1785,9 +1839,10 @@ class Warehouse:
             **{f: old_stats[f] for f in carried if f in old_stats},
             **self._collect_minmax(table, new),
         }
+        dvs, dvm = self._carry_dvs(m, carried + new)
         man = self._publish(table, carried + new, pcol, "merge_into",
                             stats=stats, expect_version=m["version"],
-                            dvs=m.get("dv_files"))
+                            dvs=dvs, dv_meta=dvm)
         return {"version": man["version"], "candidates": len(cands),
                 "carried": len(carried), "rows_matched": n_matched,
                 "rows_inserted": n_inserted, "files_rewritten": len(new)}
@@ -1829,9 +1884,14 @@ class Warehouse:
             for f, st in m.get("stats", {}).items()
         }
         dvs = [os.path.join(rel_src, f) for f in m.get("dv_files", [])]
+        dvm = {
+            os.path.join(rel_src, r): ks
+            for r, ks in (m.get("dv_meta") or {}).items()
+        }
         man = self._publish(
             dst, files, m.get("partition_col"),
             f"clone:{src}@v{m['version']}", stats=stats, dvs=dvs,
+            dv_meta=dvm or None,
         )
         return {"version": man["version"], "files": len(files),
                 "source_version": m["version"]}
@@ -1855,6 +1915,7 @@ class Warehouse:
             table, m["files"], m.get("partition_col"),
             f"restore:v{version}", stats=m.get("stats", {}),
             expect_version=cur, dvs=m.get("dv_files"),
+            dv_meta=m.get("dv_meta"),
         )
         return {"version": man["version"], "restored_from": version}
 

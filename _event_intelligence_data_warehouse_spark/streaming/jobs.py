@@ -523,10 +523,16 @@ def stream_gdpr_erasure(
 
     def erase_batch(batch_df: DataFrame, batch_id: int) -> None:
         # request stream always carries user_id; key_col names the
-        # TARGET table's column those ids live in
+        # TARGET table's column those ids live in. NULL ids (malformed
+        # request rows under the permissive JSON schema) are dropped,
+        # not crashed on: a poison batch would otherwise replay from
+        # the checkpoint forever.
         keys = [
             r[0]
-            for r in batch_df.select("user_id").distinct().collect()
+            for r in batch_df.select("user_id")
+            .where(F.col("user_id").isNotNull())
+            .distinct()
+            .collect()
         ]
         if not keys:
             return

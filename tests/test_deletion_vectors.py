@@ -226,3 +226,35 @@ def test_stream_gdpr_erasure_idempotent(spark, tmp_path, mwh):
     )
     assert audit2 == [0, 2]
     assert not {11, 12} & set(_ks(mwh))
+
+
+def test_rewrite_covering_all_vectored_files_clears_dvs(spark, mwh):
+    _seed(spark, mwh)
+    mwh.delete_where("t", [("grp", "==", 3)], mode="dv")
+    assert mwh.stats_count("t") is None  # vectors present
+    # rewrite-mode delete with an unbounded predicate: every file is a
+    # candidate, so every vectored file is materialized -> the carry
+    # prunes the now-dead vectors and the stats fast path returns
+    mwh.delete_where("t", [("k", ">=", 0)])
+    m = mwh._manifest("t")
+    assert not m.get("dv_files"), "dead vectors carried past a rewrite"
+    assert mwh.stats_count("t") == 0 or mwh.stats_count("t") is not None
+    assert _ks(mwh) == []
+
+
+def test_partial_rewrite_keeps_vectors_for_untouched_files(spark, mwh):
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+    )
+    mwh.overwrite("q", df, partition_col="grp")
+    # vector out rows living in partitions 0 and 1
+    mwh.delete_where("q", [("k", "in", [0, 1, 4, 5])], mode="dv")
+    # rewrite ONLY partition 0's rows (partition pruning bounds cands)
+    mwh.delete_where("q", [("grp", "==", 0), ("k", "==", 8)])
+    m = mwh._manifest("q")
+    # partition 1 files were untouched: their vectors must survive
+    assert m.get("dv_files"), "live vectors dropped by partial rewrite"
+    ks = sorted(r.k for r in mwh.read("q").collect())
+    assert 1 not in ks and 5 not in ks   # partition-1 deletes held
+    assert 0 not in ks and 4 not in ks   # partition-0 deletes held
+    assert 8 not in ks                   # rewrite delete held
