@@ -81,6 +81,10 @@ HEADLINE = [
     # sf0.1 shipment graph — benched so the per-iteration join shape
     # stays under the guard
     "graph_pagerank",
+    # late-r5 storage + statistics: the deletion-vector write/read round
+    # trip and the 32-replicate bootstrap keep their scan shapes guarded
+    "storage_dv_roundtrip",
+    "stats_bootstrap_mean_ci",
 ]
 
 
