@@ -780,3 +780,149 @@ def test_codec_parsers_reject_garbage_loudly(spark, junk):
         assert junk[:4] in (b"RIFF",) or junk[:2] in (b"P6", b"P5") or (
             out == [] and junk == b""
         ), f"{fn.__name__} accepted garbage"
+
+
+# ---- late-round-5 enrichment invariants -------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=14,
+    unique=True,
+)
+
+
+@PROP
+@given(edges=_edges, iters=st.integers(0, 4))
+def test_pagerank_matches_pure_python_on_random_graphs(spark, edges, iters):
+    """The distributed recurrence equals the single-threaded reference
+    on arbitrary small graphs (dangling nodes, multi-components, cycles
+    all arise from the strategy) — and total mass never exceeds PPB."""
+    from tests.test_enrichment import PPB, _pagerank_ref
+    from _event_intelligence_data_warehouse_spark.operators import graph as g
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node_id: r.rank_ppb
+        for r in g.pagerank(df, iterations=iters, damping_pct=85).collect()
+    }
+    assert got == _pagerank_ref(edges, iters, 85)
+    assert 0 < sum(got.values()) <= PPB
+
+
+@PROP
+@given(
+    base=st.integers(0, (1 << 60) - 1),
+    flips=st.lists(st.integers(0, 59), min_size=0, max_size=3, unique=True),
+)
+def test_phash_pigeonhole_recall_on_random_flips(spark, base, flips):
+    """ANY <= n_bands-1 bit flips must be recovered by the banded join
+    (the pigeonhole guarantee the operator's default radius pins)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    df = spark.createDataFrame(
+        [(0, base), (1, other)], "media_id long, dhash long"
+    )
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in mm.phash_near_dups(df, max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == len(flips) or (
+        len(flips) == 0 and pairs.get((0, 1)) == 0
+    )
+
+
+@PROP
+@given(
+    cents=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+    b=st.integers(1, 6),
+)
+def test_bootstrap_replicate_means_are_weight_consistent(spark, cents, b):
+    """Each replicate's mean_micro equals the floor-divided weighted
+    mean recomputed in pure Python from the SAME deterministic weights
+    — the draw is a pure function of (id, replicate)."""
+    import hashlib
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as sp,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "k long, cents long"
+    )
+    out = {
+        r.replicate: (r.n_eff, r.mean_micro)
+        for r in sp.bootstrap_mean_replicates(
+            df, "k", F.col("cents"), n_replicates=b
+        ).collect()
+    }
+
+    def w(i, r):
+        u = int(
+            hashlib.md5(f"{i}|{r}".encode()).hexdigest()[:8], 16
+        ) % 1_000_000
+        for t, wt in zip(sp.POISSON1_PPM, (0, 1, 2, 3)):
+            if u < t:
+                return wt
+        return 4
+
+    for r in range(b):
+        n_eff = sum(w(i, r) for i in range(len(cents)))
+        if n_eff == 0:
+            assert r not in out
+            continue
+        wsum = sum(w(i, r) * c for i, c in enumerate(cents))
+        assert out[r] == (n_eff, wsum * 10000 // n_eff)
+
+
+@PROP
+@given(
+    names=st.lists(
+        st.sampled_from(
+            ["red ring", "red rng", "blue ring", "blue bolt", "blu bolt",
+             "huge gear", "tiny gear", "x"]
+        ),
+        min_size=2, max_size=8, unique=True,
+    ),
+    maxd=st.integers(1, 5),
+)
+def test_fuzzy_pairs_equal_bruteforce_within_blocks(spark, names, maxd):
+    """The blocked join returns EXACTLY the brute-force levenshtein
+    pairs restricted to equal last tokens (no cap at this size)."""
+    import itertools
+
+    from _event_intelligence_data_warehouse_spark.operators import graph as g
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in g.fuzzy_blocked_pairs(
+            df, id_col="id", name_col="name", max_distance=maxd
+        ).collect()
+    }
+    want = {}
+    for (i, a), (j, b_) in itertools.combinations(rows, 2):
+        if a.split()[-1] != b_.split()[-1]:
+            continue
+        d = lev(a, b_)
+        if d <= maxd:
+            want[(min(i, j), max(i, j))] = d
+    assert got == want
