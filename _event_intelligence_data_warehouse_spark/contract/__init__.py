@@ -381,6 +381,7 @@ _DRIVER_SAMPLE_TAIL = [
     "timeseries_ohlc_hourly",
     "analytics_growth_accounting",
     "timeseries_seasonal_anomaly",
+    "streaming_attribution_outer",
     "join_lateral_topk",
     "agg_unpivot_metrics",
 ]

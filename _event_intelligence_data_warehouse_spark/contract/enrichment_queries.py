@@ -1048,3 +1048,57 @@ def timeseries_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "n", "residual_ppm",
         (F.col("dev") > 5 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@query(
+    "streaming_attribution_outer",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS view_id,
+               CAST(ts AS TIMESTAMP) AS view_ts
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), mx AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
+    )
+    SELECT p.user_id, p.purchase_id, v.view_id, p.purchase_ts, v.view_ts
+    FROM p
+    LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.view_ts < p.purchase_ts
+     AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    WHERE p.purchase_ts <= (SELECT max_ts FROM mx) - INTERVAL 1 DAY
+    """,
+)
+def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join drained with AvailableNow:
+    purchases WITH their attributed views, plus null rows for purchases
+    the watermark PROVED unattributable — the mechanism the inner
+    attribution query doesn't exercise (watermark-driven release of
+    unmatched state). Emission of null rows is watermark-gated, so the
+    contract restricts both sides to the provably-closed region
+    (purchase_ts <= max event time - 1 day, far beyond the 1h watermark
+    + 1h horizon); inside it the drained stream equals the batch left
+    join the oracle runs. Events land as ONE file so the single
+    micro-batch starts at watermark 0 (no late-data drops)."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    tmp = staging_dir("attribution_outer", sf_dir)
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    ev = load(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    bound = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("b")
+    ).first()[0]
+    stream = jobs.read_event_stream(spark, src)
+    joined = jobs.purchase_attribution_outer_stream(
+        stream, horizon="1 hour", watermark="1 hour"
+    )
+    jobs.run_available_now(stream, joined, out, ckpt)
+    return spark.read.parquet(out).filter(
+        F.col("purchase_ts") <= F.lit(bound)
+    )

@@ -553,3 +553,56 @@ def stream_gdpr_erasure(
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_attribution_outer_stream(
+    events: DataFrame, *, horizon: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase, attributed
+    to preceding views within ``horizon`` — or emitted with NULL view
+    columns once the watermark proves no view can still arrive. The
+    outer side is the mechanism the inner join doesn't exercise:
+    unmatched state is held until the watermark closes its join window,
+    then released as a null row — the "purchases with no touchpoint"
+    feed a marketing pipeline needs WITHOUT a second batch reconciliation
+    pass.
+
+    Unlike the inner variant (wide watermark, emission time irrelevant),
+    null-row emission here is watermark-driven: rows whose window is
+    still open when the drain stops are withheld (correct streaming
+    semantics, not data loss — they emit on the next run). Callers
+    comparing against a batch left join must restrict to purchases
+    older than max_event_ts - watermark - horizon (the provably-closed
+    region)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(
+            f"INTERVAL {horizon}"
+        ))
+    )
+    return purchases.join(views, cond, "left_outer").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+        "view_ts",
+    )
