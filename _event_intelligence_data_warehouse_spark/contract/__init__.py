@@ -382,6 +382,7 @@ _DRIVER_SAMPLE_TAIL = [
     "analytics_growth_accounting",
     "timeseries_seasonal_anomaly",
     "streaming_attribution_outer",
+    "sketch_gk_error_audit",
     "join_lateral_topk",
     "agg_unpivot_metrics",
 ]

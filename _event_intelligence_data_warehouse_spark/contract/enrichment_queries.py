@@ -1102,3 +1102,96 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(
         F.col("purchase_ts") <= F.lit(bound)
     )
+
+
+_GK_PROBS = (25, 50, 75, 95)
+_GK_ACC = 100  # GK rank error guarantee: n / accuracy
+
+
+@query(
+    "sketch_gk_error_audit",
+    f"""
+    WITH c AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+        FROM orders
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c
+    ), probs AS (
+        SELECT unnest(ARRAY{list(_GK_PROBS)}) AS prob_pct
+    )
+    SELECT p.prob_pct,
+           (SELECT r.cents FROM ranked r
+            WHERE r.rn = greatest(1,
+                ((SELECT n FROM n) * p.prob_pct + 99) // 100)
+           ) AS exact_cents,
+           TRUE AS within_bound
+    FROM probs p
+    """,
+)
+def sketch_gk_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for Spark's built-in Greenwald-Khanna sketch
+    (approx_percentile): for each probe quantile, the exact rank-based
+    value (deterministic lower quantile at rank ceil(p*n)) plus a
+    within_bound flag asserting the sketch's answer sits within its
+    published n/accuracy rank guarantee of the target rank. The oracle
+    emits the same exact values with within_bound literally TRUE — any
+    sketch answer outside its bound flips the Spark-side flag and
+    hash-fails the contract. Same audit pattern as the ANN recall
+    gates: the approximate path ships WITH the evidence that justifies
+    it."""
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents")
+    )
+    n = cents.count()
+    probs = [p / 100.0 for p in _GK_PROBS]
+    approx = cents.agg(
+        F.percentile_approx("cents", probs, _GK_ACC).alias("a")
+    ).first()["a"]
+    slack = n // _GK_ACC + 1
+    rows = []
+    for p_pct, a in zip(_GK_PROBS, approx):
+        target = max(1, (n * p_pct + 99) // 100)
+        rows.append((p_pct, int(a), target))
+    probe = spark.createDataFrame(
+        rows, "prob_pct long, approx_cents long, target_rank long"
+    )
+    ranked = cents.groupBy("cents").agg(F.count("*").alias("cnt"))
+    # rank of the sketch's answer = #values <= answer (exact, one agg
+    # per probe via a broadcast range join on the tiny probe frame)
+    rank_of = (
+        probe.join(
+            ranked, ranked.cents <= probe.approx_cents, "left"
+        )
+        .groupBy("prob_pct", "approx_cents", "target_rank")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("rank_approx"))
+    )
+    # exact lower quantile at the target rank (the global sort is the
+    # known cost of an EXACT percentile — which is precisely what this
+    # audit buys its approximate sibling out of)
+    from pyspark.sql.window import Window
+
+    exact = (
+        cents.withColumn(
+            "rn", F.row_number().over(Window.orderBy("cents"))
+        )
+        .join(
+            F.broadcast(probe.select("prob_pct", "target_rank")),
+            F.col("rn") == F.col("target_rank"),
+        )
+        .select("prob_pct", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        rank_of.join(F.broadcast(exact), "prob_pct")
+        .select(
+            "prob_pct",
+            "exact_cents",
+            (
+                F.abs(F.col("rank_approx") - F.col("target_rank"))
+                <= F.lit(slack)
+            ).alias("within_bound"),
+        )
+    )
