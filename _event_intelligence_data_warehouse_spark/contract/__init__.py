@@ -383,6 +383,7 @@ _DRIVER_SAMPLE_TAIL = [
     "timeseries_seasonal_anomaly",
     "streaming_attribution_outer",
     "sketch_gk_error_audit",
+    "text_lm_trigram_backoff",
     "join_lateral_topk",
     "agg_unpivot_metrics",
 ]

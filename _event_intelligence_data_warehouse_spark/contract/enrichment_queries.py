@@ -1195,3 +1195,108 @@ def sketch_gk_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "text_lm_trigram_backoff",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), tr AS (
+        SELECT doc_id, t FROM toks WHERE doc_id % 2 = 0
+    ), t_occ AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> struct_pack(
+                h1 := CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT),
+                h2 := CAST(('0x' || substr(md5(t[i+1]), 1, 8)) AS BIGINT),
+                h3 := CAST(('0x' || substr(md5(t[i+2]), 1, 8)) AS BIGINT))
+        )) AS g
+        FROM tr WHERE len(t) >= 3
+    ), c3 AS (
+        SELECT g.h1 AS h1, g.h2 AS h2, g.h3 AS h3,
+               CAST(COUNT(*) AS BIGINT) AS c3
+        FROM t_occ GROUP BY 1, 2, 3
+    ), ch2 AS (
+        SELECT h1, h2, CAST(SUM(c3) AS BIGINT) AS ch2
+        FROM c3 GROUP BY 1, 2
+    ), b_occ AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> struct_pack(
+                h1 := CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT),
+                h2 := CAST(('0x' || substr(md5(t[i+1]), 1, 8)) AS BIGINT))
+        )) AS g
+        FROM tr WHERE len(t) >= 2
+    ), b2 AS (
+        SELECT g.h1 AS h1, g.h2 AS h2, CAST(COUNT(*) AS BIGINT) AS b2
+        FROM b_occ GROUP BY 1, 2
+    ), b1 AS (
+        SELECT h1, CAST(SUM(b2) AS BIGINT) AS b1 FROM b2 GROUP BY 1
+    ), u_occ AS (
+        SELECT CAST(('0x' || substr(md5(unnest(t)), 1, 8)) AS BIGINT) AS h
+        FROM tr
+    ), u1 AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS u1 FROM u_occ GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total FROM u_occ),
+    s_occ AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> struct_pack(
+                h1 := CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT),
+                h2 := CAST(('0x' || substr(md5(t[i+1]), 1, 8)) AS BIGINT),
+                h3 := CAST(('0x' || substr(md5(t[i+2]), 1, 8)) AS BIGINT))
+        )) AS g
+        FROM toks WHERE len(t) >= 3
+    ), scored AS (
+        SELECT s.doc_id,
+               CASE WHEN c3.c3 IS NOT NULL THEN
+                        CAST((CAST(c3.c3 AS HUGEINT) * 1000000)
+                             // ch2.ch2 AS BIGINT)
+                    WHEN b2.b2 IS NOT NULL THEN
+                        CAST((4 * ((CAST(b2.b2 AS HUGEINT) * 1000000)
+                             // b1.b1)) // 10 AS BIGINT)
+                    WHEN u1.u1 IS NOT NULL THEN
+                        CAST((16 * ((CAST(u1.u1 AS HUGEINT) * 1000000)
+                             // (SELECT t_total FROM tot))) // 100
+                             AS BIGINT)
+                    ELSE 0 END AS s,
+               CASE WHEN c3.c3 IS NOT NULL THEN 0
+                    WHEN b2.b2 IS NOT NULL THEN 1
+                    WHEN u1.u1 IS NOT NULL THEN 2
+                    ELSE 3 END AS path
+        FROM s_occ s
+        LEFT JOIN c3 ON c3.h1 = s.g.h1 AND c3.h2 = s.g.h2
+                    AND c3.h3 = s.g.h3
+        LEFT JOIN ch2 ON ch2.h1 = s.g.h1 AND ch2.h2 = s.g.h2
+        LEFT JOIN b2 ON b2.h1 = s.g.h2 AND b2.h2 = s.g.h3
+        LEFT JOIN b1 ON b1.h1 = s.g.h2
+        LEFT JOIN u1 ON u1.h = s.g.h3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN path = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tri_hits,
+           CAST(SUM(CASE WHEN path = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bi_backoffs,
+           CAST(SUM(CASE WHEN path = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_uni_backoffs,
+           CAST(SUM(CASE WHEN path = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(s) AS BIGINT) AS score_total,
+           CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS score_mean
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007) of the WHOLE
+    corpus against a model trained on the even-id half — the backoff
+    mechanism fires for real (held-out docs miss trigrams, fall to the
+    bigram table, then the unigram table, then OOV). Floor-scaled
+    integer MLEs with exact integer alpha damping keep every path
+    engine-portable; the per-doc path counts make the backoff behavior
+    itself part of the contract, not just the total."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    return tx.lm_trigram_backoff(docs, train)

@@ -1592,3 +1592,166 @@ def vocab_growth(
             .alias("vocab_size"),
         )
     )
+
+
+def lm_trigram_backoff(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007) — the
+    higher-order sibling of lm_bigram_surprise, exercising the backoff
+    mechanism: each trigram position scores by the trigram MLE when the
+    trained model has seen the context, else alpha * bigram MLE, else
+    alpha^2 * unigram frequency, else 0 (OOV). ``train`` (default: the
+    scored frame itself) fits the counts; scoring a frame against a
+    DIFFERENT training slice is what makes the backoff paths fire.
+
+    All ratios are floor-scaled integers (MLE * scale) with the alpha
+    damping applied as exact integer multiply/divide, so document
+    scores are bit-identical across engines and partition orders — the
+    same no-float-logs discipline as the bigram scorer.
+
+    Output: (doc_id, n_trigrams, n_tri_hits, n_bi_backoffs,
+    n_uni_backoffs, n_oov, score_total, score_mean).
+
+    Scale shape: wordcount — text explodes once to 32-bit hash triples;
+    the model is three hash aggregates (trigram counts, their context
+    re-aggregate, bigram/unigram counts from the training slice);
+    scoring is equi-joins back. DECIMAL(38,0) guards products past
+    int64 at web-corpus counts."""
+    if train is None:
+        train = df
+    tri = F.expr(
+        "transform(sequence(1, size(toks) - 2), i -> struct("
+        "cast(conv(substr(md5(element_at(toks, i)), 1, 8), 16, 10) "
+        "  as bigint) as h1, "
+        "cast(conv(substr(md5(element_at(toks, i + 1)), 1, 8), 16, 10) "
+        "  as bigint) as h2, "
+        "cast(conv(substr(md5(element_at(toks, i + 2)), 1, 8), 16, 10) "
+        "  as bigint) as h3))"
+    )
+
+    def _tris(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col).alias("doc_id"),
+                tokens(text_col).alias("toks"),
+            )
+            .filter(F.size("toks") >= 3)
+            .select("doc_id", F.explode(tri).alias("g"))
+            .select(
+                "doc_id",
+                F.col("g.h1").alias("h1"),
+                F.col("g.h2").alias("h2"),
+                F.col("g.h3").alias("h3"),
+            )
+        )
+
+    t_occ = _tris(train)
+    c3 = t_occ.groupBy("h1", "h2", "h3").agg(F.count("*").alias("c3"))
+    ch2 = c3.groupBy("h1", "h2").agg(
+        F.sum("c3").cast("bigint").alias("ch2")
+    )
+    # bigram/unigram models over the SAME training slice (all adjacent
+    # pairs, not just trigram prefixes — the standard backoff tables)
+    pair = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct("
+        "cast(conv(substr(md5(element_at(toks, i)), 1, 8), 16, 10) "
+        "  as bigint) as h1, "
+        "cast(conv(substr(md5(element_at(toks, i + 1)), 1, 8), 16, 10) "
+        "  as bigint) as h2))"
+    )
+    b_occ = (
+        train.select(tokens(text_col).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(pair).alias("g"))
+        .select(F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2"))
+    )
+    b2 = b_occ.groupBy("h1", "h2").agg(F.count("*").alias("b2"))
+    b1 = b2.groupBy("h1").agg(F.sum("b2").cast("bigint").alias("b1"))
+    u_occ = (
+        train.select(F.explode(tokens(text_col)).alias("tok"))
+        .select(
+            F.expr(
+                "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
+            ).alias("h")
+        )
+    )
+    u1 = u_occ.groupBy("h").agg(F.count("*").alias("u1"))
+    total = u_occ.agg(F.count("*").alias("t_total"))
+
+    s_occ = _tris(df)
+    scored = (
+        s_occ.join(c3, ["h1", "h2", "h3"], "left")
+        .join(ch2, ["h1", "h2"], "left")
+        .join(
+            b2.select(
+                F.col("h1").alias("h2"), F.col("h2").alias("h3"), "b2"
+            ),
+            ["h2", "h3"],
+            "left",
+        )
+        .join(b1.select(F.col("h1").alias("h2"), "b1"), ["h2"], "left")
+        .join(u1.select(F.col("h").alias("h3"), "u1"), ["h3"], "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "s",
+            F.when(
+                F.col("c3").isNotNull(),
+                F.expr(
+                    f"CAST((CAST(c3 AS DECIMAL(38,0)) * {int(scale)}) "
+                    "div ch2 AS BIGINT)"
+                ),
+            )
+            .when(
+                F.col("b2").isNotNull(),
+                F.expr(
+                    f"CAST(({int(alpha_num)} * ((CAST(b2 AS DECIMAL(38,0))"
+                    f" * {int(scale)}) div b1)) div {int(alpha_den)} "
+                    "AS BIGINT)"
+                ),
+            )
+            .when(
+                F.col("u1").isNotNull(),
+                F.expr(
+                    f"CAST(({int(alpha_num * alpha_num)} * "
+                    f"((CAST(u1 AS DECIMAL(38,0)) * {int(scale)}) div "
+                    f"t_total)) div {int(alpha_den * alpha_den)} "
+                    "AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "path",
+            F.when(F.col("c3").isNotNull(), F.lit(0))
+            .when(F.col("b2").isNotNull(), F.lit(1))
+            .when(F.col("u1").isNotNull(), F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+    )
+    cnt = lambda p: F.sum(  # noqa: E731
+        F.when(F.col("path") == p, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            cnt(0).alias("n_tri_hits"),
+            cnt(1).alias("n_bi_backoffs"),
+            cnt(2).alias("n_uni_backoffs"),
+            cnt(3).alias("n_oov"),
+            F.sum("s").cast("bigint").alias("score_total"),
+        )
+        .withColumn(
+            "score_mean",
+            F.col("score_total").cast("double")
+            / F.col("n_trigrams").cast("double"),
+        )
+    )
