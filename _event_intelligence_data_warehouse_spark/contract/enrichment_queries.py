@@ -1062,7 +1062,11 @@ def timeseries_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ts AS TIMESTAMP) AS purchase_ts
         FROM events WHERE event_type = 'purchase'
     ), mx AS (
-        SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
+        -- the global watermark is the MIN over both inputs' event-time
+        -- maxima (multipleWatermarkPolicy=min), so the provably-closed
+        -- region must key off the LAGGING side, not the overall max
+        SELECT LEAST((SELECT MAX(view_ts) FROM v),
+                     (SELECT MAX(purchase_ts) FROM p)) AS wm_ts
     )
     SELECT p.user_id, p.purchase_id, v.view_id, p.purchase_ts, v.view_ts
     FROM p
@@ -1070,7 +1074,7 @@ def timeseries_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON v.user_id = p.user_id
      AND v.view_ts < p.purchase_ts
      AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
-    WHERE p.purchase_ts <= (SELECT max_ts FROM mx) - INTERVAL 1 DAY
+    WHERE p.purchase_ts <= (SELECT wm_ts FROM mx) - INTERVAL 1 DAY
     """,
 )
 def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,8 +1095,18 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
     ev = load(spark, sf_dir, "events")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
+    # the engine's watermark advances off the LAGGING input's max event
+    # time (min policy) — bound the contract region accordingly
     bound = ev.agg(
-        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("b")
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                ),
+            )
+            - F.expr("INTERVAL 1 DAY")
+        ).alias("b")
     ).first()[0]
     stream = jobs.read_event_stream(spark, src)
     joined = jobs.purchase_attribution_outer_stream(
@@ -1151,7 +1165,10 @@ def sketch_gk_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = cents.agg(
         F.percentile_approx("cents", probs, _GK_ACC).alias("a")
     ).first()["a"]
-    slack = n // _GK_ACC + 1
+    # GK guarantees a rank within eps*n of the target with eps =
+    # 1/accuracy; +2 absorbs the floor/ceil boundary on both the
+    # guarantee's ends (a worst-case-compliant answer must never fail)
+    slack = n // _GK_ACC + 2
     rows = []
     for p_pct, a in zip(_GK_PROBS, approx):
         target = max(1, (n * p_pct + 99) // 100)
@@ -1160,14 +1177,27 @@ def sketch_gk_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "prob_pct long, approx_cents long, target_rank long"
     )
     ranked = cents.groupBy("cents").agg(F.count("*").alias("cnt"))
-    # rank of the sketch's answer = #values <= answer (exact, one agg
-    # per probe via a broadcast range join on the tiny probe frame)
+    # The answer VALUE occupies the rank interval
+    # [count(<)+1, count(<=)] (duplicates widen it); the sketch is
+    # compliant if that interval intersects [target-slack, target+slack]
+    # — judging only count(<=) would penalize a duplicated value.
     rank_of = (
         probe.join(
             ranked, ranked.cents <= probe.approx_cents, "left"
         )
         .groupBy("prob_pct", "approx_cents", "target_rank")
-        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("rank_approx"))
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("rank_max"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cents") < F.col("approx_cents"),
+                        F.col("cnt"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("rank_lt"),
+        )
     )
     # exact lower quantile at the target rank (the global sort is the
     # known cost of an EXACT percentile — which is precisely what this
@@ -1190,8 +1220,8 @@ def sketch_gk_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob_pct",
             "exact_cents",
             (
-                F.abs(F.col("rank_approx") - F.col("target_rank"))
-                <= F.lit(slack)
+                (F.col("rank_lt") + 1 <= F.col("target_rank") + slack)
+                & (F.col("rank_max") >= F.col("target_rank") - slack)
             ).alias("within_bound"),
         )
     )

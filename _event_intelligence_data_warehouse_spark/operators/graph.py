@@ -222,11 +222,12 @@ def fuzzy_blocked_pairs(
     ).filter(F.col("bkey").isNotNull() & (F.col("bkey") != ""))
     sizes = base.groupBy("bkey").agg(F.count("*").alias("_bn"))
     # Exclude via the HOT set, not an inclusion join on the surviving
-    # keys: hot blocks number at most n/max_block_size by construction
-    # (safe to broadcast at any corpus size), whereas the surviving-key
-    # dictionary is unbounded.
+    # keys: the hot set is n/max_block_size at worst (vs the unbounded
+    # surviving-key dictionary) — usually tiny, but still linear in n,
+    # so let AQE pick broadcast vs shuffle instead of forcing the hint
+    # (a skewed 10^12-row corpus could hold 10^8 hot keys).
     hot = sizes.filter(F.col("_bn") > max_block_size).select("bkey")
-    bounded = base.join(F.broadcast(hot), "bkey", "left_anti")
+    bounded = base.join(hot, "bkey", "left_anti")
     a = bounded.select(
         "bkey", F.col("id").alias("id_a"), F.col("name").alias("name_a")
     )

@@ -1157,6 +1157,17 @@ def ngram_novelty(
     )
 
 
+# The one portability-critical 32-bit token hash, as a SQL fragment for
+# use inside transform() lambdas ({i} is the 1-based element index into
+# the `toks` array). Column-side twin of token_hash(); the DuckDB
+# rendering lives in contract._TH. Every n-gram model builds its hash
+# tuples from THIS template so the tables always join.
+_TOKS_H = (
+    "cast(conv(substr(md5(element_at(toks, {i})), 1, 8), 16, 10) "
+    "as bigint)"
+)
+
+
 def lm_bigram_surprise(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     scale: int = 1_000_000,
@@ -1195,10 +1206,8 @@ def lm_bigram_surprise(
     )
     pair = F.expr(
         "transform(sequence(1, size(toks) - 1), i -> struct("
-        "cast(conv(substr(md5(element_at(toks, i)), 1, 8), 16, 10) "
-        "  as bigint) as h1, "
-        "cast(conv(substr(md5(element_at(toks, i + 1)), 1, 8), 16, 10) "
-        "  as bigint) as h2))"
+        + _TOKS_H.format(i="i") + " as h1, "
+        + _TOKS_H.format(i="i + 1") + " as h2))"
     )
     occ = (
         d.filter(F.size("toks") >= 2)
@@ -1629,12 +1638,9 @@ def lm_trigram_backoff(
         train = df
     tri = F.expr(
         "transform(sequence(1, size(toks) - 2), i -> struct("
-        "cast(conv(substr(md5(element_at(toks, i)), 1, 8), 16, 10) "
-        "  as bigint) as h1, "
-        "cast(conv(substr(md5(element_at(toks, i + 1)), 1, 8), 16, 10) "
-        "  as bigint) as h2, "
-        "cast(conv(substr(md5(element_at(toks, i + 2)), 1, 8), 16, 10) "
-        "  as bigint) as h3))"
+        + _TOKS_H.format(i="i") + " as h1, "
+        + _TOKS_H.format(i="i + 1") + " as h2, "
+        + _TOKS_H.format(i="i + 2") + " as h3))"
     )
 
     def _tris(frame: DataFrame) -> DataFrame:
@@ -1662,10 +1668,8 @@ def lm_trigram_backoff(
     # pairs, not just trigram prefixes — the standard backoff tables)
     pair = F.expr(
         "transform(sequence(1, size(toks) - 1), i -> struct("
-        "cast(conv(substr(md5(element_at(toks, i)), 1, 8), 16, 10) "
-        "  as bigint) as h1, "
-        "cast(conv(substr(md5(element_at(toks, i + 1)), 1, 8), 16, 10) "
-        "  as bigint) as h2))"
+        + _TOKS_H.format(i="i") + " as h1, "
+        + _TOKS_H.format(i="i + 1") + " as h2))"
     )
     b_occ = (
         train.select(tokens(text_col).alias("toks"))
@@ -1677,11 +1681,7 @@ def lm_trigram_backoff(
     b1 = b2.groupBy("h1").agg(F.sum("b2").cast("bigint").alias("b1"))
     u_occ = (
         train.select(F.explode(tokens(text_col)).alias("tok"))
-        .select(
-            F.expr(
-                "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
-            ).alias("h")
-        )
+        .select(token_hash(F.col("tok")).alias("h"))
     )
     u1 = u_occ.groupBy("h").agg(F.count("*").alias("u1"))
     total = u_occ.agg(F.count("*").alias("t_total"))

@@ -86,6 +86,9 @@ def ohlc(
     keys = key_cols or []
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
     v = F.col(value_col)
+    # a NULL timestamp has no bucket: drop it rather than emit a
+    # meaningless NULL-bucket candle
+    df = df.filter(F.col(ts_col).isNotNull())
     pick = F.struct(
         F.col(ts_col).alias("t"),
         F.col(tiebreak_col).alias("tb"),

@@ -746,7 +746,17 @@ class Warehouse:
             table, filters, version=m["version"]
         )
         if not keep:
-            df = self.read(table, schema, version=version).limit(0)
+            # empty result, but the SCHEMA must still come from the
+            # pinned snapshot m — re-resolving the pointer here could
+            # surface a concurrent commit's schema for this version
+            if m["files"]:
+                df = self._read_files_dv(table, m, m["files"]).limit(0)
+            elif schema is not None:
+                df = self.spark.createDataFrame([], schema)
+            else:
+                raise FileNotFoundError(
+                    f"table {table!r} empty and no schema given"
+                )
         else:
             df = self._read_files_dv(table, m, keep)
         for col, op, value in filters:

@@ -238,7 +238,8 @@ def test_rewrite_covering_all_vectored_files_clears_dvs(spark, mwh):
     mwh.delete_where("t", [("k", ">=", 0)])
     m = mwh._manifest("t")
     assert not m.get("dv_files"), "dead vectors carried past a rewrite"
-    assert mwh.stats_count("t") == 0 or mwh.stats_count("t") is not None
+    # fast path restored AND correct: the unbounded delete left 0 rows
+    assert mwh.stats_count("t") == 0
     assert _ks(mwh) == []
 
 
