@@ -122,6 +122,7 @@ from _event_intelligence_data_warehouse_spark.contract import (  # noqa: E402,F4
     enrichment_queries,
     extension_queries,
     governance_queries,
+    olap_queries,
     relational_queries,
     warehouse_queries,
 )
@@ -386,6 +387,13 @@ _DRIVER_SAMPLE_TAIL = [
     "text_lm_trigram_backoff",
     "join_lateral_topk",
     "agg_unpivot_metrics",
+    # Late-round-5 OLAP/stats/graph/timeseries additions — queued for the
+    # r6 rotation with the slate above (the r5 head-50 was already
+    # curated when these landed).
+    "olap_pricing_summary",
+    "olap_shipping_priority",
+    "olap_local_supplier_volume",
+    "olap_top_supplier_share",
 ]
 
 

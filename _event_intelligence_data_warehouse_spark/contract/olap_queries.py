@@ -1,0 +1,327 @@
+"""Canonical OLAP join/aggregation topologies (TPC-H-adapted).
+
+The reference warehouse (dashboard/kpi_queries.sql:11-118) exercises
+star-join KPIs over its own fact table; these queries extend the same
+relational surface to the four canonical decision-support shapes every
+warehouse engine is judged on — full-scan aggregate (Q1), selective
+3-way join + top-k (Q3), multi-path snowflake join with a co-location
+predicate (Q5) and agg-then-max-view (Q15) — re-expressed Spark-first
+on the driver's TPC-H-ish testdata.
+
+Numeric portability (house rules + memory notes):
+- money doubles are exact 2-decimal values -> cast to DECIMAL before any
+  product/sum; cast the final aggregate to DOUBLE;
+- averages use HUGEINT/DECIMAL(38,0) floor division in ppm (DuckDB
+  ``//`` on HUGEINT and Spark ``div`` on DECIMAL are both exact), never
+  float division;
+- top-k cutoffs order by the exact DECIMAL revenue with an integer key
+  tiebreak so both engines select the same rows.
+
+Scale notes (100 TB):
+- Q1 is a pure map-side-combinable scan: 6 output groups, no join.
+- Q3/Q5 let AQE pick the join strategy; only provably tiny sides
+  (region: 5 rows, nation: 25) carry an explicit broadcast hint.
+- Q15's max-revenue view reuses one aggregate for both the max and the
+  filter via a window over an empty frame (no second scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.contract import load, query
+
+_DEC = "decimal(18,2)"
+_D4 = "decimal(4,2)"
+
+
+@query(
+    "olap_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000000 // COUNT(*)
+                AS BIGINT) AS avg_qty_ppm,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) * 10000 // COUNT(*)
+                AS BIGINT) AS avg_price_ppm,
+           CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                         AS BIGINT)) * 10000 // COUNT(*)
+                AS BIGINT) AS avg_disc_ppm,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-scan pricing summary with exact-decimal
+    sums and integer-ppm averages.
+
+    100 TB: no join, no wide shuffle — partial aggregation reduces each
+    scan task to at most |returnflag| x |linestatus| (= 6) rows before
+    the exchange, so the final shuffle moves kilobytes regardless of
+    input size. The ppm averages divide once per output group.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_D4)
+    tax = F.col("l_tax").cast(_D4)
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(price).alias("_sum_base"),
+        F.sum(price * (F.lit(1) - disc)).alias("_sum_disc"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias(
+            "_sum_charge"
+        ),
+        F.sum((price * 100).cast("bigint")).alias("_sum_cents"),
+        F.sum((disc * 100).cast("bigint")).alias("_sum_disc_c"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    # DECIMAL(38,0) `div` is exact integral division on both engines
+    # (int64 would overflow: sum_cents * 1e4 passes 9.2e18 near sf100).
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        F.expr(
+            "CAST(CAST(sum_qty AS DECIMAL(38,0)) * 1000000"
+            " div count_order AS BIGINT)"
+        ).alias("avg_qty_ppm"),
+        F.expr(
+            "CAST(CAST(_sum_cents AS DECIMAL(38,0)) * 10000"
+            " div count_order AS BIGINT)"
+        ).alias("avg_price_ppm"),
+        F.expr(
+            "CAST(CAST(_sum_disc_c AS DECIMAL(38,0)) * 10000"
+            " div count_order AS BIGINT)"
+        ).alias("avg_disc_ppm"),
+        "count_order",
+    )
+
+
+@query(
+    "olap_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) DESC,
+             l.l_orderkey
+    LIMIT 10
+    """,
+)
+def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective customer->orders->lineitem join, top-10
+    unshipped orders by revenue.
+
+    The segment filter and both date filters are plain column
+    predicates, so they push to the parquet scans; the top-k sorts the
+    EXACT decimal revenue (ties broken by orderkey) and compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    100 TB: AQE sizes the two joins (filtered customer is ~1/5 of the
+    table — broadcast at low SF, shuffle join beyond); the aggregate
+    keys on l_orderkey, which lineitem is already clustered by.
+    """
+    cutoff = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount").cast(_D4))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+@query(
+    "olap_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS line_count
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join where the supplier must share the
+    customer's nation — a join predicate that spans two dimension paths.
+
+    100 TB: nation (25 rows) and region (5) carry explicit broadcast
+    hints — provably bounded. Supplier and customer go through AQE.
+    The s_nationkey = c_nationkey residual rides on the supplier join
+    (equi-key l_suppkey) instead of forcing an extra shuffle.
+    """
+    year = (
+        F.col("o_orderdate")
+        >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(year)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    r = F.broadcast(
+        load(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount").cast(_D4))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).alias("_rev"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .select(
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "line_count",
+        )
+    )
+
+
+@query(
+    "olap_top_supplier_share",
+    """
+    WITH srev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(v.total_rev AS DOUBLE) AS total_revenue
+    FROM srev v
+    JOIN supplier s ON s.s_suppkey = v.l_suppkey
+    WHERE v.total_rev = (SELECT MAX(total_rev) FROM srev)
+    """,
+)
+def olap_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue view, then the supplier(s)
+    achieving the maximum.
+
+    The max and the filter reuse ONE aggregate: a whole-table max window
+    over the grouped result instead of a second scan + scalar subquery.
+    Exact DECIMAL revenue makes the `= max` comparison deterministic
+    across engines (doubles would make ties engine-dependent).
+    100 TB: the view aggregate is map-side-combinable on l_suppkey; the
+    window over an unpartitioned frame sees one row per supplier (the
+    grouped result), not per lineitem.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (
+            F.col("l_shipdate")
+            >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("l_shipdate")
+            < F.lit("1997-04-01 00:00:00").cast("timestamp")
+        )
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount").cast(_D4))
+    )
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    w = Window.partitionBy()
+    top = srev.withColumn("_mx", F.max("total_rev").over(w)).where(
+        F.col("total_rev") == F.col("_mx")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(s, top.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Plan + semantics tests for the TPC-H-adapted OLAP quartet
+(contract/olap_queries.py): the canonical decision-support shapes must
+keep their scale properties — pushdown, partial aggregation, top-k heap,
+bounded broadcasts — not just their answers (the DuckDB oracle covers
+those)."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_is_partial_agg_scan(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, "Q1 must be join-free"
+    # Map-side combine: a partial HashAggregate below the exchange.
+    assert plan.count("HashAggregate") >= 2, "partial aggregation missing"
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "shipdate filter not pushed to the scan"
+    rows = df.collect()
+    assert 1 <= len(rows) <= 6
+    for r in rows:
+        # ppm averages must be consistent with the exact sums they derive
+        # from (floor division).
+        assert r.avg_qty_ppm == r.sum_qty * 1_000_000 // r.count_order
+
+
+def test_shipping_priority_topk_heap(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_shipping_priority"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, (
+        "top-10 should be a per-partition heap, not a global sort"
+    )
+    rows = df.collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_local_supplier_volume_broadcasts_only_bounded_dims(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_local_supplier_volume"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    # ASIA has 5 nations; every group must be one of them.
+    assert 0 < len(rows) <= 5
+    assert all(r.line_count > 0 for r in rows)
+
+
+def test_top_supplier_share_single_view_aggregate(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_top_supplier_share"](spark, SF)
+    plan = _plan(df)
+    # The max reuses the grouped view via a window: the lineitem scan
+    # must appear exactly once (no second scan for a scalar subquery).
+    assert plan.count("lineitem.parquet") == 1, (
+        "Q15 max must not rescan lineitem"
+    )
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1, (
+        "all returned suppliers must share the max revenue"
+    )
