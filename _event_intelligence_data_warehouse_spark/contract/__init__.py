@@ -124,6 +124,7 @@ from _event_intelligence_data_warehouse_spark.contract import (  # noqa: E402,F4
     governance_queries,
     olap_queries,
     relational_queries,
+    stats_queries,
     warehouse_queries,
 )
 
@@ -394,6 +395,10 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_shipping_priority",
     "olap_local_supplier_volume",
     "olap_top_supplier_share",
+    "stats_regression_daily_trend",
+    "stats_benford_screen",
+    "stats_ab_conversion",
+    "stats_autocorr_daily",
 ]
 
 

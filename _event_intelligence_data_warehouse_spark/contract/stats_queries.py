@@ -1,0 +1,411 @@
+"""Statistical screens over the warehouse: OLS trend, Benford first-digit
+audit, A/B conversion test, autocorrelation.
+
+The reference's analytics surface stops at KPI aggregates
+(dashboard/kpi_queries.sql:11-118); these add the inferential screens a
+data-platform team runs on the same tables — all expressed as exact
+integer/decimal arithmetic so the DuckDB oracle matches hash-for-hash:
+
+- sums/aggregates stay int64 until a final widening to DECIMAL(38,0)
+  (Spark) / HUGEINT (DuckDB, automatic for SUM) where products can pass
+  2^63;
+- signed divisions go through sign(x) * (ABS(x) DIV d): both engines
+  truncate integer division toward zero (verified: -7//2 = -3 on both),
+  but the abs/sign form keeps the intent explicit and survives either
+  convention;
+- irrational-valued statistics (slope, z^2, r^2) are reported as ppm
+  integers — floor(1e6 * value) — never as libm floats.
+
+Scale notes (100 TB): every screen aggregates to a CALENDAR- or
+CATEGORY-bounded frame first (days x event types, 9 digits, 2 variants),
+so the post-aggregation math touches at most a few thousand rows no
+matter the input size; the heavy lifting is one map-side-combinable
+groupBy per screen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.contract import load, query
+
+_PPM = 1_000_000
+
+# floor(1e6 * log10(1 + 1/d)) for d = 1..9; sums to exactly 1_000_000.
+_BENFORD_PPM = {
+    1: 301_030, 2: 176_091, 3: 124_939, 4: 96_910, 5: 79_181,
+    6: 66_947, 7: 57_992, 8: 51_153, 9: 45_757,
+}
+
+
+def _signed_floordiv(num: str, den: str) -> str:
+    """SQL fragment: sign(num) * (|num| DIV den) in DECIMAL(38,0) —
+    exact on both engines regardless of their signed-division rounding.
+    ``num``/``den`` are SQL expressions; den must be > 0."""
+    return (
+        f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
+        f" * (CAST(ABS({num}) AS DECIMAL(38,0)) DIV ({den})) AS BIGINT)"
+    )
+
+
+@query(
+    "stats_regression_daily_trend",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               COUNT(*) AS y
+        FROM events
+        GROUP BY 1, 2
+    ), sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx
+        FROM daily
+        GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                * (ABS(n * sxy - sx * sy) * 1000000
+                   // (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm,
+           CAST(sy AS BIGINT) AS sum_y,
+           CAST(sxy AS BIGINT) AS sum_xy
+    FROM sums
+    WHERE n >= 2
+    """,
+)
+def stats_regression_daily_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type OLS slope of daily volume over epoch-day index,
+    in ppm events/day.
+
+    Closed-form normal equations over exact integer sums — no iteration,
+    no floats: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), floor-scaled to
+    ppm with an explicit sign split. 100 TB: the daily rollup bounds the
+    regression input to |days| x |event types| rows; everything after is
+    driver-trivial arithmetic that still runs distributed.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast(
+                "bigint"
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+    )
+    den = (
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    )
+    return (
+        sums.where(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.expr(
+                _signed_floordiv(f"({num}) * 1000000", den)
+            ).alias("slope_ppm"),
+            F.col("sy").cast("bigint").alias("sum_y"),
+            F.col("sxy").cast("bigint").alias("sum_xy"),
+        )
+    )
+
+
+@query(
+    "stats_benford_screen",
+    f"""
+    WITH digits AS (
+        SELECT CAST(LEFT(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT) AS VARCHAR), 1)
+                    AS BIGINT) AS digit
+        FROM orders
+    ), obs AS (
+        SELECT digit, COUNT(*) AS observed
+        FROM digits GROUP BY 1
+    ), tot AS (SELECT SUM(observed) AS n FROM obs),
+    exp AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())}
+        ) AS t(digit, expected_ppm)
+    )
+    SELECT e.digit,
+           CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed,
+           CAST(COALESCE(o.observed, 0) * 1000000 // t.n AS BIGINT)
+               AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST((COALESCE(o.observed, 0) * 1000000 // t.n - e.expected_ppm)
+                * (COALESCE(o.observed, 0) * 1000000 // t.n
+                   - e.expected_ppm) // e.expected_ppm
+                AS BIGINT) AS chi2_contrib_ppm
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    """,
+)
+def stats_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic synthetic-data / fraud screen.
+
+    The leading digit comes from the DECIMAL-exact integer cents
+    rendered as a string (portable across engines; float formatting is
+    not), the expectation from hardcoded floor(1e6*log10(1+1/d))
+    constants that sum to exactly 1e6, and the chi-square contribution
+    from pure integer ops. 100 TB: one 9-group aggregate; the digit
+    extraction is column algebra on the scan.
+    """
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    obs = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()],
+        "digit bigint, expected_ppm bigint",
+    )
+    tot = obs.agg(F.sum("observed").alias("n"))
+    joined = (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("observed", F.coalesce("observed", F.lit(0)))
+        .withColumn(
+            "observed_ppm",
+            F.expr("CAST(observed * 1000000 DIV n AS BIGINT)"),
+        )
+    )
+    return joined.select(
+        "digit",
+        F.col("observed").cast("bigint").alias("observed"),
+        "observed_ppm",
+        "expected_ppm",
+        F.expr(
+            "CAST((observed_ppm - expected_ppm)"
+            " * (observed_ppm - expected_ppm)"
+            " DIV expected_ppm AS BIGINT)"
+        ).alias("chi2_contrib_ppm"),
+    )
+
+
+@query(
+    "stats_ab_conversion",
+    """
+    WITH per_user AS (
+        SELECT user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ), arms AS (
+        SELECT variant,
+               COUNT(*) AS users,
+               CAST(SUM(converted) AS BIGINT) AS converters
+        FROM per_user GROUP BY 1
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN users END) AS n0,
+            MAX(CASE WHEN variant = 0 THEN converters END) AS c0,
+            MAX(CASE WHEN variant = 1 THEN users END) AS n1,
+            MAX(CASE WHEN variant = 1 THEN converters END) AS c1
+        FROM arms
+    ), stat AS (
+        SELECT
+            (c0 * 1000000 // n0) - (c1 * 1000000 // n1) AS d_ppm,
+            ((c0 + c1) * 1000000 // (n0 + n1)) AS pbar_ppm,
+            n0, n1
+        FROM wide
+    )
+    SELECT a.variant,
+           CAST(a.users AS BIGINT) AS users,
+           a.converters,
+           CAST(a.converters * 1000000 // a.users AS BIGINT) AS conv_ppm,
+           CAST(CASE WHEN s.pbar_ppm IN (0, 1000000) THEN 0
+                ELSE CAST(s.d_ppm AS HUGEINT) * s.d_ppm * s.n0 * s.n1
+                     * 1000
+                     // (s.pbar_ppm * (1000000 - s.pbar_ppm)
+                         * (s.n0 + s.n1)) END AS BIGINT) AS z2_milli
+    FROM arms a CROSS JOIN stat s
+    """,
+)
+def stats_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion test (user_id parity as the arm
+    assignment, a >150-value purchase as the conversion — the plain
+    any-purchase definition saturates at p=1 on this data), z^2 in
+    milli-units, zero-variance-guarded.
+
+    z^2 = d^2 * n0*n1 / (pbar*(1-pbar)*(n0+n1)) over ppm integers —
+    algebraically identical to the pooled two-proportion z-test with no
+    sqrt (report z^2, not z). The product passes 2^63 at billion-user
+    scale, so it widens to DECIMAL(38,0)/HUGEINT first. 100 TB: one
+    per-user aggregate (map-side combinable), then 2-row arithmetic.
+    """
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 2).alias("variant"), "user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("converted").cast("bigint").alias("converters"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("converters"))).alias(
+            "c0"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("converters"))).alias(
+            "c1"
+        ),
+    )
+    stat = wide.select(
+        F.expr(
+            "(c0 * 1000000 DIV n0) - (c1 * 1000000 DIV n1)"
+        ).alias("d_ppm"),
+        F.expr("(c0 + c1) * 1000000 DIV (n0 + n1)").alias("pbar_ppm"),
+        "n0",
+        "n1",
+    )
+    return (
+        arms.crossJoin(F.broadcast(stat))
+        .select(
+            "variant",
+            F.col("users").cast("bigint").alias("users"),
+            "converters",
+            F.expr(
+                "CAST(converters * 1000000 DIV users AS BIGINT)"
+            ).alias("conv_ppm"),
+            F.expr(
+                "CAST(CASE WHEN pbar_ppm IN (0, 1000000) THEN 0"
+                " ELSE CAST(d_ppm AS DECIMAL(38,0)) * d_ppm * n0 * n1"
+                " * 1000 DIV (CAST(pbar_ppm AS DECIMAL(38,0))"
+                " * (1000000 - pbar_ppm) * (n0 + n1)) END AS BIGINT)"
+            ).alias("z2_milli"),
+        )
+    )
+
+
+@query(
+    "stats_autocorr_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               COUNT(*) AS y
+        FROM events
+        GROUP BY 1
+    ), lags AS (SELECT * FROM (VALUES (1), (7)) AS t(lag_days)),
+    pairs AS (
+        SELECT l.lag_days, a.y AS x, b.y AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + l.lag_days
+    ), sums AS (
+        SELECT lag_days,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag_days AS BIGINT) AS lag_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                * ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                   // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                AS BIGINT) AS r2_signed_ppm
+    FROM sums
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def stats_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of daily event volume, reported as
+    sign(r) * floor(1e6 * r^2) — exact (r^2 is rational in the integer
+    sums; r itself needs a sqrt).
+
+    100 TB: the daily rollup bounds everything downstream by the
+    calendar; the lagged self-join runs on that tiny frame (broadcast
+    by AQE), never on raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lags = spark.createDataFrame([(1,), (7,)], "lag_days bigint")
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("b.d") == F.col("a.d") + F.col("lag_days"),
+        )
+        .select(
+            "lag_days",
+            F.col("a.y").alias("x"),
+            F.col("b.y").alias("y"),
+        )
+    )
+    sums = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n38 = "CAST(n AS DECIMAL(38,0))"
+    num = f"({n38} * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    vx = f"({n38} * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    vy = f"({n38} * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    return (
+        sums.where(
+            (F.col("n") >= 2)
+            & (F.expr(vx) > 0)
+            & (F.expr(vy) > 0)
+        )
+        .select(
+            F.col("lag_days").cast("bigint").alias("lag_days"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.expr(
+                f"CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+                f" * (({num} * {num} * 1000000) DIV ({vx} * {vy}))"
+                " AS BIGINT)"
+            ).alias("r2_signed_ppm"),
+        )
+    )

@@ -1,0 +1,100 @@
+"""Semantic cross-checks of the statistical screens
+(contract/stats_queries.py) against independent float-domain
+recomputations — the DuckDB oracle proves cross-engine equality, these
+prove the integer-ppm formulations actually compute the statistics they
+claim."""
+
+from __future__ import annotations
+
+import duckdb
+
+SF = "/root/testdata/sf0.01"
+
+
+def _daily(con, by_type: bool):
+    key = "event_type, " if by_type else ""
+    return con.execute(
+        f"""
+        SELECT {key}CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT),
+               COUNT(*)
+        FROM '{SF}/events.parquet' GROUP BY ALL ORDER BY ALL
+        """
+    ).fetchall()
+
+
+def test_regression_slope_matches_numpy(spark):
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["stats_regression_daily_trend"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    series: dict[str, list[tuple[float, float]]] = {}
+    for et, x, y in _daily(con, by_type=True):
+        series.setdefault(et, []).append((float(x), float(y)))
+    for et, pts in series.items():
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        slope = np.polyfit(xs, ys, 1)[0]
+        got = rows[et].slope_ppm / 1e6
+        # floor-to-ppm quantization: within 1 ppm of the float slope
+        assert abs(got - slope) <= 1e-6 + 1e-9 * abs(slope), (et, got, slope)
+
+
+def test_benford_constants_and_chi2(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+    from _event_intelligence_data_warehouse_spark.contract.stats_queries import (
+        _BENFORD_PPM,
+    )
+
+    assert sum(_BENFORD_PPM.values()) == 1_000_000
+    rows = QUERIES["stats_benford_screen"](spark, SF).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    n = sum(r.observed for r in rows)
+    for r in rows:
+        assert r.observed_ppm == r.observed * 1_000_000 // n
+        d = r.observed_ppm - r.expected_ppm
+        assert r.chi2_contrib_ppm == d * d // r.expected_ppm
+
+
+def test_ab_z2_matches_float_formula(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = {
+        r.variant: r for r in QUERIES["stats_ab_conversion"](spark, SF).collect()
+    }
+    assert set(rows) == {0, 1}
+    n0, c0 = rows[0].users, rows[0].converters
+    n1, c1 = rows[1].users, rows[1].converters
+    assert 0 < c0 < n0 and 0 < c1 < n1, "conversion cut degenerate"
+    p0, p1 = c0 / n0, c1 / n1
+    pbar = (c0 + c1) / (n0 + n1)
+    z2 = (p0 - p1) ** 2 / (pbar * (1 - pbar) * (1 / n0 + 1 / n1))
+    got = rows[0].z2_milli / 1000
+    assert rows[0].z2_milli == rows[1].z2_milli
+    # ppm floor-divisions inside the pipeline: allow 2% relative slack
+    assert abs(got - z2) <= 0.02 * max(z2, 1.0), (got, z2)
+
+
+def test_autocorr_sign_and_magnitude_vs_numpy(spark):
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = {
+        r.lag_days: r
+        for r in QUERIES["stats_autocorr_daily"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    daily = _daily(con, by_type=False)
+    ys = np.array([float(y) for _, y in daily])
+    for lag, r in rows.items():
+        a, b = ys[:-lag], ys[lag:]
+        rho = np.corrcoef(a, b)[0, 1]
+        got = r.r2_signed_ppm / 1e6
+        want = (1 if rho >= 0 else -1) * rho * rho
+        assert r.n_pairs == len(a)
+        assert abs(got - want) <= 1e-5, (lag, got, want)
