@@ -399,6 +399,8 @@ _DRIVER_SAMPLE_TAIL = [
     "stats_benford_screen",
     "stats_ab_conversion",
     "stats_autocorr_daily",
+    "timeseries_ewma_daily",
+    "timeseries_cusum_total",
 ]
 
 

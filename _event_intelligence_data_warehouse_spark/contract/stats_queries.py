@@ -409,3 +409,136 @@ def stats_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r2_signed_ppm"),
         )
     )
+
+
+@query(
+    "timeseries_ewma_daily",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, d, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM daily
+    ), rec AS (
+        SELECT event_type, rn, d, y,
+               CAST(y AS HUGEINT) * 1000000000 AS s
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT n.event_type, n.rn, n.d, n.y,
+               (CAST(n.y AS HUGEINT) * 1000000000 + 3 * r.s) // 4
+        FROM seq n JOIN rec r
+          ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, d AS day_idx, CAST(y AS BIGINT) AS y,
+           CAST(s // 1000000 AS BIGINT) AS ewma_milli
+    FROM rec
+    """,
+)
+def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha = 1/4) of daily event volume per event type, in exact
+    milli-units via the bounded array-fold recurrence operator
+    (operators/timeseries.py::ewma — see its scale contract).
+
+    The oracle replays the identical floor-divided recurrence as a
+    recursive CTE, so the match is bit-exact. 100 TB: one daily rollup
+    bounds the series length by the calendar; series count (event types
+    here, any key in general) scales out.
+    """
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as ts,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    out = ts.ewma(daily, ["event_type"], "d", "y")
+    return out.select(
+        "event_type",
+        F.col("d").alias("day_idx"),
+        F.col("y").cast("bigint").alias("y"),
+        "ewma_milli",
+    )
+
+
+@query(
+    "timeseries_cusum_total",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               COUNT(*) AS y
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(SUM(y) AS HUGEINT) * 1000000000 // COUNT(*)
+                   AS mean_ppb
+        FROM daily
+    ), seq AS (
+        SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+    ), rec AS (
+        SELECT rn, d, y,
+               GREATEST(CAST(0 AS HUGEINT),
+                        CAST(y AS HUGEINT) * 1000000000 - m.mean_ppb
+                        - (m.mean_ppb * 5 // 100)) AS hi,
+               GREATEST(CAST(0 AS HUGEINT),
+                        m.mean_ppb - CAST(y AS HUGEINT) * 1000000000
+                        - (m.mean_ppb * 5 // 100)) AS lo
+        FROM seq CROSS JOIN m WHERE rn = 1
+        UNION ALL
+        SELECT n.rn, n.d, n.y,
+               GREATEST(CAST(0 AS HUGEINT),
+                        r.hi + CAST(n.y AS HUGEINT) * 1000000000
+                        - m.mean_ppb - (m.mean_ppb * 5 // 100)),
+               GREATEST(CAST(0 AS HUGEINT),
+                        r.lo + m.mean_ppb
+                        - CAST(n.y AS HUGEINT) * 1000000000
+                        - (m.mean_ppb * 5 // 100))
+        FROM seq n JOIN rec r ON n.rn = r.rn + 1 CROSS JOIN m
+    )
+    SELECT rec.d AS day_idx, CAST(rec.y AS BIGINT) AS y,
+           CAST(rec.hi // 1000000 AS BIGINT) AS cusum_hi_milli,
+           CAST(rec.lo // 1000000 AS BIGINT) AS cusum_lo_milli,
+           CAST(CASE WHEN rec.hi > m.mean_ppb OR rec.lo > m.mean_ppb
+                     THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+    FROM rec CROSS JOIN m
+    """,
+)
+def timeseries_cusum_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift screen on total daily event volume
+    (operators/timeseries.py::cusum): cumulated deviations beyond a 5%
+    slack around the series mean, flagged past one mean-day — the
+    page-view-collapse / ingestion-stall detector.
+
+    Exact ppb integers end-to-end; the oracle unrolls the same max(0,.)
+    recurrence as a recursive CTE. 100 TB: identical shape to the EWMA
+    entry — calendar-bounded fold, corpus touched once.
+    """
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as ts,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn("series_id", F.lit("all"))
+    )
+    out = ts.cusum(daily, ["series_id"], "d", "y")
+    return out.select(
+        F.col("d").alias("day_idx"),
+        F.col("y").cast("bigint").alias("y"),
+        "cusum_hi_milli",
+        "cusum_lo_milli",
+        F.col("drift_flag").cast("bigint").alias("drift_flag"),
+    )

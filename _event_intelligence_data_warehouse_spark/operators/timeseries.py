@@ -150,3 +150,188 @@ def growth_accounting(
             F.sum("new_entities").over(w).cast("bigint"),
         )
     )
+
+
+def _fold_series(
+    df: DataFrame,
+    key_cols: list[str],
+    ord_col: str,
+    val_col: str,
+    *,
+    acc_fields: str,
+    init_expr: str,
+    step_expr: str,
+) -> DataFrame:
+    """Exact-integer left fold over each key's ordered series.
+
+    Spark has no native recurrence operator; a window can express
+    prefix SUMS but not a feedback like s_t = f(s_{t-1}, y_t). This
+    collects each series into a sorted array and folds it with the
+    higher-order `aggregate` — pure JVM column algebra, no Python.
+
+    Scale contract: series LENGTH must be bounded (calendar-bounded
+    daily rollups: <= a few thousand points), while the NUMBER of
+    series scales out across executors — the right decomposition for
+    per-key state recurrences at 100 TB. Accumulator math runs in
+    DECIMAL(38,0), so int64 overflow inside the fold is impossible for
+    ppb-scaled daily counts.
+
+    ``acc_fields`` declares extra accumulator struct fields (beyond
+    d/y), ``init_expr``/``step_expr`` are SQL fragments producing the
+    struct for the first element (`e`) and a subsequent element
+    (`e`, previous struct `p`).
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ord_col).alias("d"),
+                                F.col(val_col).alias("y")))
+    )
+    fold = f"""
+        aggregate(
+            series,
+            CAST(array() AS ARRAY<STRUCT<d: BIGINT, y: BIGINT,
+                                         {acc_fields}>>),
+            (acc, e) -> array_append(
+                acc,
+                CASE WHEN size(acc) = 0 THEN {init_expr}
+                     ELSE {step_expr} END)
+        )
+    """
+    folded = (
+        df.groupBy(*key_cols)
+        .agg(arr.alias("series"))
+        .select(*key_cols, F.expr(fold).alias("folded"))
+    )
+    return folded.select(*key_cols, F.inline("folded"))
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ord_col: str,
+    val_col: str,
+    *,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Exponentially weighted moving average in exact ppb integers:
+
+        s_0 = y_0 * 1e9
+        s_t = (alpha_num * y_t * 1e9 + (alpha_den - alpha_num) * s_{t-1})
+              DIV alpha_den
+
+    Every engine replays the identical floor-divided recurrence, so the
+    result is bit-stable across partitionings, retries and the DuckDB
+    oracle (which unrolls it as a recursive CTE). Output grain = input
+    grain with `ewma_milli` = s DIV 1e6 (milli-units keep the final
+    column in int64 at any realistic daily volume).
+    """
+    rest = alpha_den - alpha_num
+    init = (
+        "named_struct('d', e.d, 'y', e.y,"
+        " 's', CAST(e.y AS DECIMAL(38,0)) * 1000000000)"
+    )
+    step = (
+        "named_struct('d', e.d, 'y', e.y,"
+        f" 's', (CAST(e.y AS DECIMAL(38,0)) * 1000000000 * {alpha_num}"
+        f" + {rest} * element_at(acc, -1).s) DIV {alpha_den})"
+    )
+    out = _fold_series(
+        df, key_cols, ord_col, val_col,
+        acc_fields="s: DECIMAL(38,0)",
+        init_expr=init, step_expr=step,
+    )
+    return out.select(
+        *key_cols,
+        F.col("d").alias(ord_col),
+        F.col("y").alias(val_col),
+        F.expr("CAST(s DIV 1000000 AS BIGINT)").alias("ewma_milli"),
+    )
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    ord_col: str,
+    val_col: str,
+    *,
+    slack_pct: int = 5,
+) -> DataFrame:
+    """Two-sided CUSUM drift screen against the per-series mean:
+
+        hi_t = max(0, hi_{t-1} + (y_t - mean - k))     k = slack
+        lo_t = max(0, lo_{t-1} + (mean - y_t - k))
+
+    in exact ppb integers (mean_ppb = sum*1e9 DIV n, k = slack_pct% of
+    the mean), flagged when either side exceeds one mean-day of
+    cumulated deviation — a sqrt-free threshold that stays rational.
+    The per-series mean rides INTO the fold via the series struct, so
+    the whole screen is one aggregate + one fold.
+    """
+    w_mean = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.expr(
+                f"CAST(SUM({val_col}) AS DECIMAL(38,0)) * 1000000000"
+                f" DIV COUNT(*)"
+            ).alias("mean_ppb")
+        )
+    )
+    joined = df.join(F.broadcast(w_mean), key_cols)
+    k = f"(mean_ppb * {slack_pct} DIV 100)"
+    dev = f"(CAST(e.y AS DECIMAL(38,0)) * 1000000000 - mean_ppb)"
+    init = (
+        "named_struct('d', e.d, 'y', e.y,"
+        f" 'hi', GREATEST(CAST(0 AS DECIMAL(38,0)), {dev} - {k}),"
+        f" 'lo', GREATEST(CAST(0 AS DECIMAL(38,0)), -({dev}) - {k}))"
+    )
+    step = (
+        "named_struct('d', e.d, 'y', e.y,"
+        " 'hi', GREATEST(CAST(0 AS DECIMAL(38,0)),"
+        f" element_at(acc, -1).hi + {dev} - {k}),"
+        " 'lo', GREATEST(CAST(0 AS DECIMAL(38,0)),"
+        f" element_at(acc, -1).lo + (-({dev})) - {k}))"
+    )
+    # mean_ppb must be visible inside the lambda: fold over a struct
+    # series carrying it is overkill — it is constant per group, so
+    # aggregate() resolves it from the grouping scope directly.
+    folded = (
+        joined.groupBy(*key_cols, "mean_ppb")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ord_col).alias("d"),
+                        F.col(val_col).alias("y"),
+                    )
+                )
+            ).alias("series")
+        )
+        .select(
+            *key_cols,
+            "mean_ppb",
+            F.expr(
+                f"""
+                aggregate(
+                    series,
+                    CAST(array() AS ARRAY<STRUCT<d: BIGINT, y: BIGINT,
+                        hi: DECIMAL(38,0), lo: DECIMAL(38,0)>>),
+                    (acc, e) -> array_append(
+                        acc,
+                        CASE WHEN size(acc) = 0 THEN {init}
+                             ELSE {step} END)
+                )
+                """
+            ).alias("folded"),
+        )
+    )
+    out = folded.select(*key_cols, "mean_ppb", F.inline("folded"))
+    return out.select(
+        *key_cols,
+        F.col("d").alias(ord_col),
+        F.col("y").alias(val_col),
+        F.expr("CAST(hi DIV 1000000 AS BIGINT)").alias("cusum_hi_milli"),
+        F.expr("CAST(lo DIV 1000000 AS BIGINT)").alias("cusum_lo_milli"),
+        F.expr(
+            "CAST(hi > mean_ppb OR lo > mean_ppb AS BOOLEAN)"
+        ).alias("drift_flag"),
+    )

@@ -98,3 +98,39 @@ def test_autocorr_sign_and_magnitude_vs_numpy(spark):
         want = (1 if rho >= 0 else -1) * rho * rho
         assert r.n_pairs == len(a)
         assert abs(got - want) <= 1e-5, (lag, got, want)
+
+
+def test_ewma_fold_matches_python_recurrence(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = QUERIES["timeseries_ewma_daily"](spark, SF).collect()
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for et, pts in series.items():
+        pts.sort(key=lambda r: r.day_idx)
+        s = None
+        for r in pts:
+            ppb = r.y * 1_000_000_000
+            s = ppb if s is None else (ppb + 3 * s) // 4
+            assert r.ewma_milli == s // 1_000_000, (et, r.day_idx)
+
+
+def test_cusum_fold_matches_python_recurrence(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = sorted(
+        QUERIES["timeseries_cusum_total"](spark, SF).collect(),
+        key=lambda r: r.day_idx,
+    )
+    ys = [r.y for r in rows]
+    mean_ppb = sum(ys) * 1_000_000_000 // len(ys)
+    k = mean_ppb * 5 // 100
+    hi = lo = 0
+    for r in rows:
+        ppb = r.y * 1_000_000_000
+        hi = max(0, hi + ppb - mean_ppb - k)
+        lo = max(0, lo + mean_ppb - ppb - k)
+        assert r.cusum_hi_milli == hi // 1_000_000
+        assert r.cusum_lo_milli == lo // 1_000_000
+        assert r.drift_flag == int(hi > mean_ppb or lo > mean_ppb)
