@@ -401,6 +401,9 @@ _DRIVER_SAMPLE_TAIL = [
     "stats_autocorr_daily",
     "timeseries_ewma_daily",
     "timeseries_cusum_total",
+    "graph_khop_reachability",
+    "text_pmi_collocations",
+    "text_keyword_chi2",
 ]
 
 

@@ -1330,3 +1330,161 @@ def text_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     return tx.lm_trigram_backoff(docs, train)
+
+
+@query(
+    "graph_khop_reachability",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT src, dst FROM ({_PR_EDGES_BASE})
+    ), d0 AS (
+        SELECT DISTINCT s_suppkey * 2 + 1 AS node_id
+        FROM supplier WHERE s_nationkey = 0
+    ), f1 AS (
+        SELECT DISTINCT e.dst AS node_id
+        FROM e JOIN d0 ON e.src = d0.node_id
+        EXCEPT SELECT node_id FROM d0
+    ), v1 AS (
+        SELECT node_id FROM d0 UNION SELECT node_id FROM f1
+    ), f2 AS (
+        SELECT DISTINCT e.dst AS node_id
+        FROM e JOIN f1 ON e.src = f1.node_id
+        EXCEPT SELECT node_id FROM v1
+    ), v2 AS (
+        SELECT node_id FROM v1 UNION SELECT node_id FROM f2
+    ), f3 AS (
+        SELECT DISTINCT e.dst AS node_id
+        FROM e JOIN f2 ON e.src = f2.node_id
+        EXCEPT SELECT node_id FROM v2
+    )
+    SELECT node_id, CAST(0 AS BIGINT) AS hops FROM d0
+    UNION ALL SELECT node_id, 1 FROM f1
+    UNION ALL SELECT node_id, 2 FROM f2
+    UNION ALL SELECT node_id, 3 FROM f3
+    """,
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS neighborhood (min hop count per node) from nation-0's
+    suppliers over the part<->supplier shipment graph — the blast-radius
+    / GNN-fanout primitive (operators/graph.py::khop_min_hops).
+
+    The oracle unrolls the same level-synchronous BFS as EXCEPT-guarded
+    frontier CTEs. 100 TB: k bounded shuffle-joins, each proportional to
+    the live frontier, never to the full edge list.
+    """
+    from _event_intelligence_data_warehouse_spark.operators.graph import (
+        khop_min_hops,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .unionByName(
+            li.where(F.col("l_quantity") >= 25).select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("l_partkey") * 2).alias("dst"),
+            )
+        )
+    )
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node_id"))
+    )
+    return khop_min_hops(edges, seeds, 3)
+
+
+@query(
+    "text_pmi_collocations",
+    f"""
+    WITH toks AS (
+        SELECT {_TOKS} AS t FROM documents
+    ), pairs AS (
+        SELECT t[pos] AS w1, t[pos + 1] AS w2
+        FROM (
+            SELECT t, unnest(generate_series(1, len(t) - 1)) AS pos
+            FROM toks WHERE len(t) >= 2
+        )
+    ), big AS (
+        SELECT w1, w2, COUNT(*) AS n12 FROM pairs GROUP BY 1, 2
+    ), m1 AS (SELECT w1, SUM(n12) AS c1 FROM big GROUP BY 1),
+    m2 AS (SELECT w2, SUM(n12) AS c2 FROM big GROUP BY 1),
+    tot AS (SELECT SUM(n12) AS nn FROM big)
+    SELECT b.w1, b.w2, CAST(b.n12 AS BIGINT) AS n12,
+           CAST(CAST(b.n12 AS HUGEINT) * t.nn * 1000000
+                // (CAST(m1.c1 AS HUGEINT) * m2.c2) AS BIGINT)
+               AS pmi_ratio_ppm
+    FROM big b
+    JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+    WHERE b.n12 >= 5
+    ORDER BY pmi_ratio_ppm DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by PMI over the document corpus
+    (operators/text.py::pmi_collocations): ranked on the exact rational
+    N*n12/(n1*n2) in ppm — log-free, hence oracle-exact.
+    """
+    return tx.pmi_collocations(
+        load(spark, sf_dir, "documents"), text_col="text",
+        min_count=5, top_n=50,
+    )
+
+
+@query(
+    "text_keyword_chi2",
+    f"""
+    WITH dt AS (
+        SELECT source, unnest(list_distinct({_TOKS})) AS term
+        FROM documents
+    ), a_tab AS (
+        SELECT source, term, COUNT(*) AS a FROM dt GROUP BY 1, 2
+    ), tt AS (SELECT term, SUM(a) AS ta FROM a_tab GROUP BY 1),
+    gt AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS nn FROM documents),
+    cells AS (
+        SELECT a_tab.source, a_tab.term, a_tab.a,
+               tt.ta - a_tab.a AS b,
+               gt.ns - a_tab.a AS c,
+               nd.nn - gt.ns - (tt.ta - a_tab.a) AS d,
+               nd.nn
+        FROM a_tab
+        JOIN tt USING (term) JOIN gt USING (source) CROSS JOIN nd
+        WHERE tt.ta >= 5
+    ), scored AS (
+        SELECT source, term, a, b,
+               CAST((
+                   (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                   * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                   // (CAST(a + b AS HUGEINT) * (c + d))
+               ) * nn * 1000000
+               // (CAST(a + c AS HUGEINT) * (b + d)) AS BIGINT)
+                   AS chi2_ppm
+        FROM cells
+        WHERE CAST(a AS HUGEINT) * d > CAST(b AS HUGEINT) * c
+    )
+    SELECT source, term,
+           CAST(a AS BIGINT) AS df_in_group,
+           CAST(b AS BIGINT) AS df_elsewhere,
+           chi2_ppm,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY chi2_ppm DESC, term
+           ) AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 10
+    """,
+)
+def text_keyword_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction by 2x2 chi-square association
+    (operators/text.py::chi2_keywords): each source's 10 most
+    over-represented terms vs the rest of the corpus, with a fixed
+    integer division order so both engines floor identically.
+    """
+    return tx.chi2_keywords(
+        load(spark, sf_dir, "documents"), text_col="text",
+        group_col="source", min_df=5, top_n=10,
+    )

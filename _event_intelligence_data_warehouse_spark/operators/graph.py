@@ -261,3 +261,50 @@ def fuzzy_hot_blocks(
         .agg(F.count("*").alias("block_size"))
         .filter(F.col("block_size") > max_block_size)
     )
+
+
+def khop_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node_id",
+) -> DataFrame:
+    """Bounded breadth-first search: minimum hop count (0..k) from a
+    seed set over a directed edge list — (node_id, hops) for every node
+    within k hops.
+
+    BFS level order makes min-hops structural: a node is labelled the
+    FIRST time a frontier reaches it, and the left-anti join against
+    the visited set keeps later (longer) paths from relabelling it —
+    no min() aggregation needed. k is a fixed small constant, so this
+    is k shuffle-joins, each frontier-proportional; the edge list is
+    never materialized on the driver. For unbounded reachability use
+    operators.dedup's incremental connected components instead; this
+    operator's contract is hop-bounded neighborhoods (fraud blast
+    radius, GNN sampling fan-out).
+    """
+    dist = seeds.select(
+        F.col(node_col).cast("bigint").alias(node_col),
+        F.lit(0).cast("bigint").alias("hops"),
+    ).distinct()
+    frontier = dist
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    ).distinct()
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier[node_col] == e.src)
+            .select(
+                F.col("dst").alias(node_col),
+                F.lit(i).cast("bigint").alias("hops"),
+            )
+            .distinct()
+            .join(dist.select(node_col), node_col, "left_anti")
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist

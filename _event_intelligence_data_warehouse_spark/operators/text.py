@@ -1755,3 +1755,146 @@ def lm_trigram_backoff(
             / F.col("n_trigrams").cast("double"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top adjacent-bigram collocations ranked by (directional) PMI.
+
+    PMI = log(N * n12 / (n1 * n2)) is monotone in the rational
+    N*n12/(n1*n2), so the ranking uses that ratio scaled to ppm in
+    exact DECIMAL(38,0) arithmetic — no logs, no floats, bit-stable
+    across engines (n1 = occurrences of w1 in first position, n2 of w2
+    in second, N = total bigram count). min_count filters the
+    hapax-pair noise PMI is notorious for.
+
+    100 TB: the bigram explode is the only corpus-sized stage; both
+    marginals and the total are map-side-combinable aggregates of it,
+    and the final ranking is a top-n heap over pairs with >= min_count
+    support.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = (
+        df.select(toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    n1 = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    n2 = big.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    tot = big.agg(F.sum("n12").alias("nn"))
+    scored = (
+        big.where(F.col("n12") >= min_count)
+        .join(n1, "w1")
+        .join(n2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.expr(
+                "CAST(CAST(n12 AS DECIMAL(38,0)) * nn * 1000000"
+                " DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("pmi_ratio_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio_ppm").desc(), "w1", "w2"
+    ).limit(top_n)
+
+
+def chi2_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_df: int = 5,
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-group keyword extraction by chi-square association: for each
+    (group, term), the 2x2 document-frequency contingency vs the rest
+    of the corpus, keeping each group's top_n positively-associated
+    terms.
+
+    chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) is rational; it is
+    evaluated with a fixed division ORDER in DECIMAL(38,0) —
+    q = (ad-bc)^2 DIV ((a+b)(c+d)); chi2_ppm = q*N*1e6 DIV
+    ((a+c)(b+d)) — so intermediate floors are identical on both
+    engines and every factor stays under 38 digits at billion-doc
+    scale (chi2 <= N bounds q*N by the remaining margin product).
+
+    100 TB: one distinct (doc, term) explode, then aggregates whose
+    keys are (group, term) / term / group — all map-side-combinable;
+    the per-group top-n is a window over the scored (group, term)
+    frame, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    doc_terms = (
+        df.select(group_col, F.explode(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("term"))
+    )
+    a_tab = doc_terms.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    term_tot = a_tab.groupBy("term").agg(F.sum("a").alias("ta"))
+    grp_tot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("ns"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("nn"))
+    scored = (
+        a_tab.join(term_tot.where(F.col("ta") >= min_df), "term")
+        .join(F.broadcast(grp_tot), group_col)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("b", F.col("ta") - F.col("a"))
+        .withColumn("c", F.col("ns") - F.col("a"))
+        .withColumn(
+            "d", F.col("nn") - F.col("ns") - F.col("b")
+        )
+        .where(
+            F.expr(
+                "CAST(a AS DECIMAL(38,0)) * d"
+                " > CAST(b AS DECIMAL(38,0)) * c"
+            )
+        )
+        .withColumn(
+            "chi2_ppm",
+            F.expr(
+                "CAST(((CAST(a AS DECIMAL(38,0)) * d"
+                " - CAST(b AS DECIMAL(38,0)) * c)"
+                " * (CAST(a AS DECIMAL(38,0)) * d"
+                " - CAST(b AS DECIMAL(38,0)) * c)"
+                " DIV (CAST(a + b AS DECIMAL(38,0)) * (c + d)))"
+                " * nn * 1000000"
+                " DIV (CAST(a + c AS DECIMAL(38,0)) * (b + d))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("chi2_ppm").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select(
+            group_col,
+            "term",
+            F.col("a").cast("bigint").alias("df_in_group"),
+            F.col("b").cast("bigint").alias("df_elsewhere"),
+            "chi2_ppm",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

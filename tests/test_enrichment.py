@@ -306,3 +306,83 @@ def test_bootstrap_weights_and_replicates(spark):
         df, "k", F.col("cents"), n_replicates=8
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_khop_matches_python_bfs(spark):
+    import random
+
+    from _event_intelligence_data_warehouse_spark.operators.graph import (
+        khop_min_hops,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    seeds = [0, 1, 2]
+    k = 3
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, k + 1):
+        nxt = {
+            d
+            for s in frontier
+            for d in adj.get(s, [])
+            if d not in want
+        }
+        for d in nxt:
+            want[d] = hop
+        frontier = nxt
+    e_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node_id bigint")
+    got = {
+        r.node_id: r.hops for r in khop_min_hops(e_df, s_df, k).collect()
+    }
+    assert got == want
+
+
+def test_chi2_keywords_matches_float_formula(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES, load
+
+    SF = "/root/testdata/sf0.01"
+    rows = QUERIES["text_keyword_chi2"](spark, SF).collect()
+    assert rows, "no keywords extracted"
+    docs = load(spark, SF, "documents")
+    nn = docs.count()
+    from pyspark.sql import functions as F
+
+    ns = {
+        r.source: r.cnt
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    for r in rows[:20]:
+        a, b = r.df_in_group, r.df_elsewhere
+        c = ns[r.source] - a
+        d = nn - ns[r.source] - b
+        chi2 = (
+            nn * (a * d - b * c) ** 2
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        )
+        got = r.chi2_ppm / 1e6
+        # two integer floor-divisions in the fixed evaluation order:
+        # the first floors q = (ad-bc)^2/((a+b)(c+d)), costing up to
+        # 1/q relative — a few percent for weakly-associated terms.
+        assert abs(got - chi2) <= 0.05 * max(chi2, 1.0) + 0.1, (
+            r.term, got, chi2,
+        )
+        assert a * d > b * c, "non-positive association leaked through"
+
+
+def test_pmi_ratio_consistent_with_counts(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    SF = "/root/testdata/sf0.01"
+    rows = QUERIES["text_pmi_collocations"](spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r.n12 >= 5 for r in rows)
+    ppms = [r.pmi_ratio_ppm for r in rows]
+    assert ppms == sorted(ppms, reverse=True)
