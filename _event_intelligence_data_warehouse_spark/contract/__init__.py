@@ -404,6 +404,7 @@ _DRIVER_SAMPLE_TAIL = [
     "graph_khop_reachability",
     "text_pmi_collocations",
     "text_keyword_chi2",
+    "streaming_static_enrich_cohort",
 ]
 
 

@@ -1488,3 +1488,64 @@ def text_keyword_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), text_col="text",
         group_col="source", min_df=5, top_n=10,
     )
+
+
+@query(
+    "streaming_static_enrich_cohort",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                   AS cohort_date
+        FROM events GROUP BY 1
+    )
+    SELECT f.cohort_date,
+           make_timestamp((epoch_us(CAST(e.ts AS TIMESTAMP))
+                           // 3600000000) * 3600000000) AS hour_start,
+           COUNT(*) AS n_events
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STATIC enrichment: the event stream joins a batch-built
+    user-cohort dimension per micro-batch
+    (streaming/jobs.py::stream_static_enrich), drained with
+    Trigger.AvailableNow, then rolled up to (cohort_date, hour).
+
+    The streamed stage is the stateless enrich — append mode emits
+    every enriched row exactly once with no watermark-trailing loss —
+    so the sink equals the batch join and the rollup is oracle-exact.
+    100 TB: the dim is one row per user (broadcast when it fits,
+    AQE-shuffle otherwise); the stream side never shuffles before the
+    sink.
+    """
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    tmp = staging_dir("stream_static_enrich", sf_dir)
+    src, dim, out, ckpt = (
+        f"{tmp}/in", f"{tmp}/dim", f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    e = load(spark, sf_dir, "events")
+    e.write.mode("overwrite").parquet(src)
+    (
+        e.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_date"))
+        .write.mode("overwrite")
+        .parquet(dim)
+    )
+    stream = jobs.read_event_stream(spark, src)
+    enriched = jobs.stream_static_enrich(
+        stream, spark.read.parquet(dim), keys=["user_id"]
+    ).select("user_id", "ts", "cohort_date")
+    jobs.run_available_now(stream, enriched, out, ckpt)
+    sink = spark.read.parquet(out)
+    return (
+        sink.groupBy(
+            "cohort_date",
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

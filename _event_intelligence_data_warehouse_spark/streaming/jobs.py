@@ -606,3 +606,27 @@ def purchase_attribution_outer_stream(
         "purchase_ts",
         "view_ts",
     )
+
+
+def stream_static_enrich(
+    events_stream: DataFrame,
+    static_dim: DataFrame,
+    *,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch of the
+    stream against a batch DataFrame (the classic slowly-refreshed dim
+    lookup). Stateless — no watermark, no state store: every streamed
+    row emits exactly once in append mode, enriched with the dim row
+    visible to that micro-batch's scan.
+
+    Refresh semantics (document, don't guess): Spark re-SCANS the
+    static side per micro-batch, but a file-source dim's file LISTING
+    is resolved at query planning — a dim rewritten in place is picked
+    up on query (re)start, which is the supported refresh point for
+    this pattern (tests/test_stream_static.py exercises it). The dim
+    side is broadcast when small — at 100 TB fact scale that keeps the
+    per-batch join shuffle-free.
+    """
+    return events_stream.join(F.broadcast(static_dim), keys, how)
