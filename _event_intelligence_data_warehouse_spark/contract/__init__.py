@@ -405,6 +405,9 @@ _DRIVER_SAMPLE_TAIL = [
     "text_pmi_collocations",
     "text_keyword_chi2",
     "streaming_static_enrich_cohort",
+    "olap_small_order_revenue",
+    "olap_large_orders",
+    "governance_l_diversity",
 ]
 
 

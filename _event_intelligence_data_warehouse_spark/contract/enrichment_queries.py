@@ -1549,3 +1549,30 @@ def streaming_static_enrich_cohort(
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "governance_l_diversity",
+    """
+    WITH pv AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS vc
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(SUM(vc) AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+           COUNT(*) >= 3 AS is_l_diverse,
+           CAST(MAX(vc) * 1000000 // SUM(vc) AS BIGINT) AS dominant_ppm
+    FROM pv GROUP BY 1
+    """,
+)
+def governance_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (l=3) with nation as the
+    quasi-identifier and market segment as the sensitive attribute
+    (operators/validate.py::l_diversity) — k-anonymity's companion
+    against the homogeneity attack, with the dominant-value share in
+    exact ppm."""
+    cust = load(spark, sf_dir, "customer")
+    return vl.l_diversity(
+        cust, ["c_nationkey"], "c_mktsegment", l=3
+    )

@@ -2,11 +2,12 @@
 
 The reference warehouse (dashboard/kpi_queries.sql:11-118) exercises
 star-join KPIs over its own fact table; these queries extend the same
-relational surface to the four canonical decision-support shapes every
+relational surface to six canonical decision-support shapes every
 warehouse engine is judged on — full-scan aggregate (Q1), selective
 3-way join + top-k (Q3), multi-path snowflake join with a co-location
-predicate (Q5) and agg-then-max-view (Q15) — re-expressed Spark-first
-on the driver's TPC-H-ish testdata.
+predicate (Q5), agg-then-max-view (Q15), decorrelated correlated-AVG
+filter (Q17) and HAVING-join-back top-k (Q18) — re-expressed
+Spark-first on the driver's TPC-H-ish testdata.
 
 Numeric portability (house rules + memory notes):
 - money doubles are exact 2-decimal values -> cast to DECIMAL before any
@@ -323,5 +324,121 @@ def olap_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "olap_small_order_revenue",
+    """
+    WITH a AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+               COUNT(*) AS c
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS small_lot_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+    JOIN a ON l.l_partkey = a.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.c < a.s
+    """,
+)
+def olap_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-lot lines — quantity below
+    20% of the part's own average — for one brand.
+
+    The correlated AVG decorrelates into a self-aggregate + equi-join,
+    and the fractional threshold becomes the EXACT integer predicate
+    qty * 5 * count < sum (avg = sum/count; no division at all).
+    100 TB: the per-part aggregate is map-side-combinable on the join
+    key itself; the brand filter broadcasts through the part join so
+    AQE can prune the fact scan side early.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(a, "l_partkey")
+        .where(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("c")
+            < F.col("s")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("double")
+            .alias("small_lot_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "olap_large_orders",
+    """
+    WITH q AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 180
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS o_totalprice,
+           q.sum_qty
+    FROM orders o
+    JOIN q ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY CAST(o.o_totalprice AS DECIMAL(18,2)) DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the 20 priciest orders whose total quantity
+    exceeds 180 units — HAVING on a fact self-aggregate joined back to
+    its header and dimension.
+
+    100 TB: the quantity rollup keys on l_orderkey (lineitem's natural
+    clustering); the HAVING prunes before any join; the top-20 sorts
+    the exact DECIMAL price with an orderkey tiebreak and compiles to
+    TakeOrderedAndProject.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > 180)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    price = F.col("o_totalprice").cast(_DEC)
+    return (
+        o.join(q, o.o_orderkey == q.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .withColumn("_p", price)
+        .orderBy(F.col("_p").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("_p").cast("double").alias("o_totalprice"),
+            "sum_qty",
         )
     )

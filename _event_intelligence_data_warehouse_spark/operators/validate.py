@@ -226,3 +226,52 @@ def mask_columns(df: DataFrame, policies: dict[str, tuple]) -> DataFrame:
         else:
             raise ValueError(f"unknown mask policy {kind!r} for {c!r}")
     return df.select(*out)
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007): for
+    each quasi-identifier equivalence class, the number of DISTINCT
+    sensitive values it contains. k-anonymity alone fails the
+    homogeneity attack — a class of 50 rows all sharing one diagnosis
+    re-identifies the attribute, not the row; l-diversity is the
+    companion gate.
+
+    Returns one row per class: the QI columns, ``group_size``,
+    ``distinct_sensitive``, ``is_l_diverse`` (distinct >= l) and
+    ``dominant_ppm`` — the exact-integer ppm share of the most frequent
+    sensitive value (the quantity recursive/entropy variants bound).
+
+    Scale shape: one aggregate on (QI..., sensitive) then one on
+    (QI...) — both map-side-combinable; the dominant share falls out of
+    a max over the first aggregate, so the table is scanned once."""
+    if not quasi_identifiers:
+        raise ValueError("quasi_identifiers must be non-empty")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    per_val = df.groupBy(*quasi_identifiers, sensitive_col).agg(
+        F.count("*").alias("val_count")
+    )
+    return (
+        per_val.groupBy(*quasi_identifiers)
+        .agg(
+            F.sum("val_count").alias("group_size"),
+            F.count("*").alias("distinct_sensitive"),
+            F.max("val_count").alias("max_val_count"),
+        )
+        .select(
+            *quasi_identifiers,
+            F.col("group_size").cast("bigint").alias("group_size"),
+            F.col("distinct_sensitive").cast("bigint").alias(
+                "distinct_sensitive"
+            ),
+            (F.col("distinct_sensitive") >= l).alias("is_l_diverse"),
+            F.expr(
+                "CAST(max_val_count * 1000000 div group_size AS BIGINT)"
+            ).alias("dominant_ppm"),
+        )
+    )

@@ -74,3 +74,39 @@ def test_top_supplier_share_single_view_aggregate(spark):
     assert len({r.total_revenue for r in rows}) == 1, (
         "all returned suppliers must share the max revenue"
     )
+
+
+def test_small_order_revenue_decorrelated_exact_threshold(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_small_order_revenue"](spark, SF)
+    plan = _plan(df)
+    # decorrelated: no nested subquery execution, just joins + aggs
+    assert "Subquery" not in plan
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].n_lines >= 0
+
+
+def test_large_orders_having_then_topk(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_large_orders"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.sum_qty > 180 for r in rows)
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_l_diversity_guards_and_shares(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = QUERIES["governance_l_diversity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.distinct_sensitive <= 5
+        assert r.is_l_diverse == (r.distinct_sensitive >= 3)
+        assert 0 < r.dominant_ppm <= 1_000_000
