@@ -85,6 +85,19 @@ HEADLINE = [
     # trip and the 32-replicate bootstrap keep their scan shapes guarded
     "storage_dv_roundtrip",
     "stats_bootstrap_mean_ci",
+    # late-r5 OLAP quartet + statistical/graph screens: the canonical
+    # TPC-H shapes (full-scan Q1, join-heavy Q3/Q5, self-agg Q17,
+    # HAVING-join-back Q18), the corpus-heavy bigram/term explodes, and
+    # the 3-hop BFS — each guards a distinct scan/join/iteration shape
+    "olap_pricing_summary",
+    "olap_shipping_priority",
+    "olap_local_supplier_volume",
+    "olap_small_order_revenue",
+    "olap_large_orders",
+    "text_pmi_collocations",
+    "text_keyword_chi2",
+    "graph_khop_reachability",
+    "stats_benford_screen",
 ]
 
 
