@@ -408,6 +408,10 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_small_order_revenue",
     "olap_large_orders",
     "governance_l_diversity",
+    "olap_promo_revenue_share",
+    "olap_single_late_supplier",
+    "analytics_rolling_wau",
+    "linkage_fellegi_sunter",
 ]
 
 

@@ -1576,3 +1576,127 @@ def governance_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vl.l_diversity(
         cust, ["c_nationkey"], "c_mktsegment", l=3
     )
+
+
+@query(
+    "analytics_rolling_wau",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    ), days AS (SELECT DISTINCT d FROM act)
+    SELECT days.d AS day,
+           COUNT(DISTINCT a.user_id) AS wau,
+           COUNT(DISTINCT CASE WHEN a.d = days.d
+                               THEN a.user_id END) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN a.d = days.d
+                                    THEN a.user_id END) * 1000000
+                // COUNT(DISTINCT a.user_id) AS BIGINT)
+               AS stickiness_ppm
+    FROM days
+    JOIN act a ON a.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    """,
+)
+def analytics_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU), same-day actives (DAU)
+    and the DAU/WAU stickiness ratio in exact ppm — the growth metric a
+    sliding COUNT(DISTINCT) window cannot express (distinct does not
+    decompose over window frames), so it joins the distinct
+    (user, day) activity set to the day spine over a 7-day range.
+
+    100 TB: the corpus collapses to |users| x |active days| first (one
+    distinct aggregate); the range join then runs on that reduced frame
+    against a calendar-sized spine — the fan-out is at most 7x the
+    activity set, never the raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = act.select("d").distinct().withColumnRenamed("d", "day")
+    joined = days.join(
+        act,
+        (F.col("d") >= F.date_sub(F.col("day"), 6))
+        & (F.col("d") <= F.col("day")),
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+        )
+        .select(
+            "day",
+            "wau",
+            "dau",
+            F.expr(
+                "CAST(dau * 1000000 DIV wau AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+    )
+
+
+@query(
+    "linkage_fellegi_sunter",
+    """
+    WITH c AS (
+        SELECT c_custkey AS cid, c_name AS nm, c_nationkey AS nat,
+               c_mktsegment AS seg,
+               CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 1000)
+                    AS BIGINT) AS band,
+               substr(c_name, 1, 16) AS bkey
+        FROM customer
+    ), pairs AS (
+        SELECT a.cid AS id_a, b.cid AS id_b,
+               levenshtein(a.nm, b.nm) AS dist,
+               a.nat = b.nat AS nation_agree,
+               a.seg = b.seg AS segment_agree,
+               a.band = b.band AS band_agree
+        FROM c a JOIN c b ON a.bkey = b.bkey AND a.cid < b.cid
+        WHERE levenshtein(a.nm, b.nm) <= 4
+    ), scored AS (
+        SELECT id_a, id_b,
+               dist <= 1 AS name_agree,
+               nation_agree, segment_agree, band_agree,
+               CAST((CASE WHEN dist <= 1 THEN 6570 ELSE -4307 END)
+                    + (CASE WHEN nation_agree THEN 4492 ELSE -3263 END)
+                    + (CASE WHEN segment_agree THEN 2170 ELSE -3000 END)
+                    + (CASE WHEN band_agree THEN 3000 ELSE -2170 END)
+                    AS BIGINT) AS score_milli
+        FROM pairs
+    )
+    SELECT id_a, id_b, name_agree, nation_agree, segment_agree,
+           band_agree, score_milli,
+           CASE WHEN score_milli >= 9000 THEN 'match'
+                WHEN score_milli >= 0 THEN 'possible'
+                ELSE 'non-match' END AS decision
+    FROM scored
+    WHERE score_milli >= 0
+    """,
+)
+def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/graph.py::fellegi_sunter_customer_links) over
+    prefix-blocked customer pairs: per-field agreement flags weighted
+    by fixed integer log-odds and thresholded into match / possible —
+    only the reviewable upper region is emitted (the non-match mass is
+    the quadratic bulk).
+
+    100 TB: blocking bounds candidates to sum-over-blocks(|b|^2) with
+    the hot-block cap as the degenerate-corpus guard; scoring is pure
+    column algebra on the candidate frame.
+    """
+    cust = load(spark, sf_dir, "customer")
+    scored = g.fellegi_sunter_customer_links(
+        cust,
+        block=F.substring(F.col("nm"), 1, 16),
+        name_agree_distance=1,
+    )
+    return scored.where(F.col("score_milli") >= 0).select(
+        "id_a", "id_b", "name_agree", "nation_agree", "segment_agree",
+        "band_agree", "score_milli", "decision",
+    )

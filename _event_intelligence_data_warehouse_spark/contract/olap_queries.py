@@ -442,3 +442,155 @@ def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@query(
+    "olap_promo_revenue_share",
+    """
+    SELECT
+        CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+            AS promo_revenue,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+            AS total_revenue,
+        CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                           * 10000 AS BIGINT) ELSE 0 END) * 1000000
+             // SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                         * 10000 AS BIGINT)) AS BIGINT)
+            AS promo_share_ppm
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def olap_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo parts' share of one month's revenue.
+
+    The share divides two exact integer sums (revenue in ten-thousandth
+    units — DECIMAL(18,4) is exact there, and scaling to integers
+    sidesteps DuckDB's DECIMAL//-through-DOUBLE path) with a
+    DECIMAL(38,0)/HUGEINT floor division. 100 TB: month filter pushes
+    to the scan; part is the only join (AQE decides broadcast); one
+    global aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (
+            F.col("l_shipdate")
+            >= F.lit("1997-03-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("l_shipdate")
+            < F.lit("1997-04-01 00:00:00").cast("timestamp")
+        )
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount").cast(_D4))
+    )
+    rev_i = (rev * 10000).cast("bigint")
+    is_promo = F.col("p_type") == "PROMO"
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(is_promo, rev).otherwise(
+                    F.lit("0.00").cast(_DEC)
+                )
+            ).alias("_promo"),
+            F.sum(rev).alias("_total"),
+            F.sum(F.when(is_promo, rev_i).otherwise(0)).alias("_pi"),
+            F.sum(rev_i).alias("_ti"),
+        )
+    )
+    return agg.select(
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        F.expr(
+            "CAST(CAST(_pi AS DECIMAL(38,0)) * 1000000 DIV _ti"
+            " AS BIGINT)"
+        ).alias("promo_share_ppm"),
+    )
+
+
+@query(
+    "olap_single_late_supplier",
+    """
+    WITH lat AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN date_diff('day',
+                                       CAST(o.o_orderdate AS TIMESTAMP),
+                                       CAST(l.l_shipdate AS TIMESTAMP))
+                             > 100
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), po AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supp,
+               SUM(late) AS n_late,
+               MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        FROM lat GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(*) AS numwait
+    FROM po
+    JOIN supplier s ON s.s_suppkey = po.late_supp
+    WHERE po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 10
+    """,
+)
+def olap_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in
+    multi-supplier orders (late = shipped >100 days after order date).
+
+    The classic double-EXISTS/NOT-EXISTS decorrelates into two stacked
+    aggregates on (order, supplier) then (order): per-order supplier
+    counts, late counts and the single late supplier fall out of one
+    pass — no correlated subqueries, no rescans. 100 TB: both
+    aggregates key on l_orderkey (lineitem's clustering); the top-10 is
+    a heap.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                    > 100,
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    po = lat.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("late_supp"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        po.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, po.late_supp == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(10)
+    )

@@ -308,3 +308,101 @@ def khop_min_hops(
         dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
+
+
+# Fellegi-Sunter agreement/disagreement weights in milli-log2-odds,
+# computed offline from the documented m/u probabilities (m = P(agree |
+# match), u = P(agree | non-match)): w_agree = log2(m/u), w_disagree =
+# log2((1-m)/(1-u)). Hardcoded integer constants keep the score exact
+# and engine-portable (no libm at query time).
+FS_WEIGHTS_MILLI: dict[str, tuple[int, int]] = {
+    # field: (agreement_milli, disagreement_milli)   m     u
+    "name":    (6_570, -4_307),                    # 0.95  0.01
+    "nation":  (4_492, -3_263),                    # 0.90  0.04
+    "segment": (2_170, -3_000),                    # 0.90  0.20
+    "balband": (3_000, -2_170),                    # 0.80  0.10
+}
+FS_MATCH_MILLI = 9_000
+FS_POSSIBLE_MILLI = 0
+
+
+def fellegi_sunter_customer_links(
+    df: DataFrame,
+    *,
+    block: Column | str | None = None,
+    name_agree_distance: int = 1,
+    max_distance: int = 4,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over blocked customer
+    candidate pairs: per-field agreement flags weighted by fixed
+    log-odds constants (FS_WEIGHTS_MILLI), summed to a match score and
+    thresholded into match / possible / non-match.
+
+    Fields: fuzzy name (levenshtein <= name_agree_distance on the
+    blocked pair), nation key, market segment, account-balance
+    1000-band. The candidate set comes from fuzzy_blocked_pairs
+    (``block`` key, hot-block guarded), so the quadratic comparison
+    space never materializes.
+    All-integer scoring: bit-stable across engines and partitionings.
+    """
+    pairs = fuzzy_blocked_pairs(
+        df.select(
+            F.col("c_custkey").alias("id0"),
+            F.col("c_name").alias("nm"),
+        ).withColumnRenamed("id0", "c_custkey"),
+        id_col="c_custkey",
+        name_col="nm",
+        block=block,
+        max_distance=max_distance,
+        max_block_size=max_block_size,
+    )
+    attrs = df.select(
+        F.col("c_custkey").cast("bigint").alias("cid"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 1000)"
+            " AS BIGINT)"
+        ).alias("balband"),
+    )
+    a = attrs.select(
+        F.col("cid").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("balband").alias("band_a"),
+    )
+    b = attrs.select(
+        F.col("cid").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("balband").alias("band_b"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+
+    def w(flag, field):
+        wa, wd = FS_WEIGHTS_MILLI[field]
+        return F.when(flag, F.lit(wa)).otherwise(F.lit(wd))
+
+    scored = j.select(
+        "id_a",
+        "id_b",
+        (F.col("distance") <= name_agree_distance).alias("name_agree"),
+        (F.col("nat_a") == F.col("nat_b")).alias("nation_agree"),
+        (F.col("seg_a") == F.col("seg_b")).alias("segment_agree"),
+        (F.col("band_a") == F.col("band_b")).alias("band_agree"),
+    ).withColumn(
+        "score_milli",
+        (
+            w(F.col("name_agree"), "name")
+            + w(F.col("nation_agree"), "nation")
+            + w(F.col("segment_agree"), "segment")
+            + w(F.col("band_agree"), "balband")
+        ).cast("bigint"),
+    )
+    return scored.withColumn(
+        "decision",
+        F.when(F.col("score_milli") >= FS_MATCH_MILLI, "match")
+        .when(F.col("score_milli") >= FS_POSSIBLE_MILLI, "possible")
+        .otherwise("non-match"),
+    )

@@ -386,3 +386,60 @@ def test_pmi_ratio_consistent_with_counts(spark):
     assert all(r.n12 >= 5 for r in rows)
     ppms = [r.pmi_ratio_ppm for r in rows]
     assert ppms == sorted(ppms, reverse=True)
+
+
+def test_fellegi_sunter_score_decomposition(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+    from _event_intelligence_data_warehouse_spark.operators.graph import (
+        FS_MATCH_MILLI,
+        FS_WEIGHTS_MILLI,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    rows = QUERIES["linkage_fellegi_sunter"](spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        want = 0
+        for flag, field in (
+            (r.name_agree, "name"),
+            (r.nation_agree, "nation"),
+            (r.segment_agree, "segment"),
+            (r.band_agree, "balband"),
+        ):
+            wa, wd = FS_WEIGHTS_MILLI[field]
+            want += wa if flag else wd
+        assert r.score_milli == want
+        assert r.decision == (
+            "match" if want >= FS_MATCH_MILLI else "possible"
+        )
+        assert want >= 0, "emitted region must exclude non-matches"
+
+
+def test_rolling_wau_brute_force(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES, load
+
+    SF = "/root/testdata/sf0.01"
+    got = {
+        r.day: (r.wau, r.dau, r.stickiness_ppm)
+        for r in QUERIES["analytics_rolling_wau"](spark, SF).collect()
+    }
+    from pyspark.sql import functions as F
+
+    act = (
+        load(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in act:
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    days = sorted(by_day)
+    import datetime
+
+    for day in days:
+        week = set()
+        for off in range(7):
+            week |= by_day.get(day - datetime.timedelta(days=off), set())
+        dau = len(by_day[day])
+        assert got[day] == (len(week), dau, dau * 1_000_000 // len(week))
