@@ -412,6 +412,10 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_single_late_supplier",
     "analytics_rolling_wau",
     "linkage_fellegi_sunter",
+    "basket_part_pair_lift",
+    "stats_group_variance",
+    "window_value_family",
+    "olap_share_of_parent",
 ]
 
 

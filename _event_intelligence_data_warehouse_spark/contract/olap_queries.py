@@ -594,3 +594,75 @@ def olap_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
         .limit(10)
     )
+
+
+@query(
+    "olap_share_of_parent",
+    """
+    WITH rev AS (
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(CAST(cents AS HUGEINT) * 1000000
+                // SUM(cents) OVER (PARTITION BY r_name) AS BIGINT)
+               AS share_of_region_ppm,
+           CAST(CAST(SUM(cents) OVER (PARTITION BY r_name) AS HUGEINT)
+                * 1000000 // SUM(cents) OVER () AS BIGINT)
+               AS region_share_ppm
+    FROM rev
+    """,
+)
+def olap_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent rollup: each nation's share of
+    its region's supplier revenue, and the region's share of the world
+    — both in exact ppm over integer cents (revenue itself is
+    cents/100, exact in a double far below 2^53).
+
+    100 TB: one star aggregate to |nations| rows, then two windows over
+    that tiny frame — the share arithmetic never touches the fact
+    table.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    r = F.broadcast(
+        load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.expr(
+            "CAST(CAST(cents AS DECIMAL(38,0)) * 1000000"
+            " DIV (SUM(cents) OVER (PARTITION BY r_name)) AS BIGINT)"
+        ).alias("share_of_region_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(cents) OVER (PARTITION BY r_name)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " DIV (SUM(cents) OVER ()) AS BIGINT)"
+        ).alias("region_share_ppm"),
+    )

@@ -542,3 +542,209 @@ def timeseries_cusum_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_lo_milli",
         F.col("drift_flag").cast("bigint").alias("drift_flag"),
     )
+
+
+@query(
+    "basket_part_pair_lift",
+    """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n12
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), marg AS (
+        SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY 1
+    ), tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+    SELECT p.part_a, p.part_b, CAST(p.n12 AS BIGINT) AS n12,
+           CAST(p.n12 * 1000000 // t.n_orders AS BIGINT) AS support_ppm,
+           CAST(CAST(p.n12 AS HUGEINT) * t.n_orders * 1000000
+                // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN marg ma ON ma.l_partkey = p.part_a
+    JOIN marg mb ON mb.l_partkey = p.part_b
+    CROSS JOIN tot t
+    WHERE p.n12 >= 2
+    ORDER BY lift_ppm DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order contents: co-occurrence
+    count, support and lift (in exact ppm — lift = N*n12/(n1*n2) is
+    rational, no floats) for the top-100 part pairs by lift.
+
+    100 TB: the within-order self-join fans out by lines-per-order
+    (bounded, ~7) — NEVER corpus x corpus; marginals and the order
+    count are map-side-combinable; the ranking is a heap over
+    min-support survivors.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .where(F.col("n12") >= 2)
+    )
+    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(
+            marg.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n").alias("na"),
+            ),
+            "part_a",
+        )
+        .join(
+            marg.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n").alias("nb"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.expr(
+                "CAST(n12 * 1000000 DIV n_orders AS BIGINT)"
+            ).alias("support_ppm"),
+            F.expr(
+                "CAST(CAST(n12 AS DECIMAL(38,0)) * n_orders * 1000000"
+                " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@query(
+    "stats_group_variance",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST((COUNT(*) * SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                     * 100 AS BIGINT)
+                                * CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                       * 100 AS BIGINT))
+                 - CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS HUGEINT)
+                   * SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)))
+                // (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1))
+                AS BIGINT) AS var_cents2
+    FROM orders
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+)
+def stats_group_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority sample variance of order totals in exact integer
+    cents^2: var = (n*Sxx - Sx^2) / (n*(n-1)) over exact-cent sums —
+    the one-pass numerically-exact form (no mean subtraction, no
+    catastrophic cancellation because nothing ever leaves integers).
+
+    100 TB: sums of squares pass 2^63 (cents^2 ~ 1e13 per row), so the
+    aggregate accumulates in DECIMAL(38,0)/HUGEINT; still one
+    map-side-combinable pass.
+    """
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sx"),
+            F.sum(
+                cents.cast("decimal(38,0)") * cents
+            ).alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("sum_cents"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+        ).alias("var_cents2"),
+    )
+
+
+@query(
+    "window_value_family",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d AS day, CAST(y AS BIGINT) AS y,
+           CAST(FIRST_VALUE(y) OVER w AS BIGINT) AS first_y,
+           CAST(LAST_VALUE(y) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS last_y,
+           CAST(NTH_VALUE(y, 2) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS second_y,
+           CAST(LEAD(y, 1) OVER w AS BIGINT) AS next_y,
+           CAST(LAG(y, 1) OVER w AS BIGINT) AS prev_y
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    """,
+)
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-navigation window family (first_value / last_value /
+    nth_value / lead / lag) over per-type daily series — completing the
+    W-surface next to the ranking family. last/nth use an explicit
+    unbounded-following frame (the default frame stops at CURRENT ROW,
+    where last_value degenerates to the current value — the classic
+    trap, pinned identically on both engines)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = W.partitionBy("event_type").orderBy("day")
+    w_full = w.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("y").cast("bigint").alias("y"),
+        F.first("y").over(w).cast("bigint").alias("first_y"),
+        F.last("y").over(w_full).cast("bigint").alias("last_y"),
+        F.nth_value("y", 2).over(w_full).cast("bigint").alias("second_y"),
+        F.lead("y", 1).over(w).cast("bigint").alias("next_y"),
+        F.lag("y", 1).over(w).cast("bigint").alias("prev_y"),
+    )

@@ -134,3 +134,56 @@ def test_cusum_fold_matches_python_recurrence(spark):
         assert r.cusum_hi_milli == hi // 1_000_000
         assert r.cusum_lo_milli == lo // 1_000_000
         assert r.drift_flag == int(hi > mean_ppb or lo > mean_ppb)
+
+
+def test_group_variance_matches_numpy(spark):
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = {
+        r.o_orderpriority: r
+        for r in QUERIES["stats_group_variance"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    for pri, r in rows.items():
+        vals = [
+            v[0]
+            for v in con.execute(
+                f"""SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)
+                   FROM '{SF}/orders.parquet'
+                   WHERE o_orderpriority = ?""",
+                [pri],
+            ).fetchall()
+        ]
+        want = np.var(np.array(vals, dtype=np.float64), ddof=1)
+        assert abs(r.var_cents2 - want) <= max(1.0, 1e-9 * want), pri
+
+
+def test_share_of_parent_sums_to_one(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = QUERIES["olap_share_of_parent"](spark, SF).collect()
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r)
+    region_ppm = {}
+    for reg, rs in by_region.items():
+        s = sum(x.share_of_region_ppm for x in rs)
+        # floor-div leakage only: within |nations-in-region| ppm
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
+        region_ppm[reg] = rs[0].region_share_ppm
+        assert len({x.region_share_ppm for x in rs}) == 1
+    tot = sum(region_ppm.values())
+    assert 1_000_000 - len(region_ppm) <= tot <= 1_000_000
+
+
+def test_basket_lift_consistency(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = QUERIES["basket_part_pair_lift"](spark, SF).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r.n12 >= 2 for r in rows)
+    lifts = [r.lift_ppm for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
