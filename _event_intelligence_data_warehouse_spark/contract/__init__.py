@@ -416,6 +416,9 @@ _DRIVER_SAMPLE_TAIL = [
     "stats_group_variance",
     "window_value_family",
     "olap_share_of_parent",
+    "join_null_safe",
+    "setop_multiset_ops",
+    "trending_types_weekly",
 ]
 
 

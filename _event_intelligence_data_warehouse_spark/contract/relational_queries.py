@@ -800,3 +800,154 @@ def setop_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("open_only", with_open.subtract(with_filled)))
         .unionByName(one("never_ordered", never))
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH e AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE event_type END AS etype
+        FROM events
+    ), d AS (
+        SELECT * FROM (VALUES
+            ('view', 'engagement'), ('click', 'engagement'),
+            ('purchase', 'revenue'), ('signup', 'growth'),
+            (NULL, 'unattributed')
+        ) AS t(etype, category)
+    )
+    SELECT d.category, COUNT(*) AS n_events
+    FROM e JOIN d ON e.etype IS NOT DISTINCT FROM d.etype
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    the dimension's NULL row instead of silently dropping — the lookup
+    semantics a 'route unknowns to a catch-all bucket' mapping needs.
+    A plain equi-join would lose every NULL-keyed event; the null-safe
+    operator keeps the join hash-able (it is still an equi-join to
+    Catalyst, broadcast-able as usual)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+    )
+    d = spark.createDataFrame(
+        [
+            ("view", "engagement"), ("click", "engagement"),
+            ("purchase", "revenue"), ("signup", "growth"),
+            (None, "unattributed"),
+        ],
+        "etype string, category string",
+    )
+    return (
+        e.join(F.broadcast(d), e.etype.eqNullSafe(d.etype))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "setop_multiset_ops",
+    """
+    WITH a AS (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ), b AS (
+        SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), ex AS (
+        SELECT k, 'except_all' AS op FROM (SELECT k FROM a EXCEPT ALL
+                                           SELECT k FROM b)
+        UNION ALL
+        SELECT k, 'intersect_all' AS op FROM (SELECT k FROM a INTERSECT ALL
+                                              SELECT k FROM b)
+    )
+    SELECT op, k AS custkey, COUNT(*) AS multiplicity
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def setop_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) over
+    customer keys of two order populations: multiplicities are
+    per-element min/difference of occurrence counts — semantics a
+    DISTINCT-based setop silently destroys (a customer with 3 'F'
+    orders and 1 urgent order keeps 2 copies in the difference).
+    Both compile to aggregate+join under Catalyst, no sort."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    ex = a.exceptAll(b).select("k", F.lit("except_all").alias("op"))
+    inter = b.intersectAll(a).select(
+        "k", F.lit("intersect_all").alias("op")
+    )
+    # intersectAll is symmetric; b-first keeps the build side the
+    # smaller population at scale.
+    return (
+        ex.unionByName(inter)
+        .groupBy("op", F.col("k").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+@query(
+    "trending_types_weekly",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT d FROM daily),
+    rolled AS (
+        SELECT days.d AS day, a.event_type,
+               CAST(SUM(a.y) AS BIGINT) AS n_7d
+        FROM days
+        JOIN daily a ON a.d BETWEEN days.d - 6 AND days.d
+        GROUP BY 1, 2
+    )
+    SELECT day, event_type, n_7d,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY day ORDER BY n_7d DESC, event_type
+           ) AS BIGINT) AS rk
+    FROM rolled
+    QUALIFY rk <= 3
+    """,
+)
+def trending_types_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: per day, the top-3 types by trailing-7-day
+    volume — the rolling-leaderboard composite (daily rollup -> bounded
+    range self-join -> per-day rank).
+
+    100 TB: identical scale shape to analytics_rolling_wau — the range
+    join and ranking run on the calendar-bounded daily frame, the
+    corpus is touched once by the rollup."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    days = daily.select("d").distinct().withColumnRenamed("d", "day")
+    rolled = (
+        days.join(
+            daily,
+            (F.col("d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.sum("y").cast("bigint").alias("n_7d"))
+    )
+    w = W.partitionBy("day").orderBy(
+        F.col("n_7d").desc(), F.col("event_type")
+    )
+    return (
+        rolled.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+    )

@@ -1208,3 +1208,43 @@ def test_residual_ivfpq_equals_ivf_when_rerank_covers_cells(spark):
         tuple(r) for r in sim.ivf_topk(emb, q, k=5, nprobe=2).collect()
     )
     assert a == b, "residual shortlist dropped candidates the rerank needed"
+
+
+def test_null_safe_join_keeps_null_bucket(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES, load
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    got = {
+        r.category: r.n_events
+        for r in QUERIES["join_null_safe"](spark, SF).collect()
+    }
+    ev = load(spark, SF, "events")
+    n_err = ev.where(F.col("event_type") == "error").count()
+    assert got["unattributed"] == n_err, "NULL keys must hit the catch-all"
+    assert sum(got.values()) == ev.count()
+
+
+def test_multiset_ops_multiplicity_algebra(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES, load
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    rows = QUERIES["setop_multiset_ops"](spark, SF).collect()
+    o = load(spark, SF, "orders")
+    na = {
+        r.o_custkey: r.n
+        for r in o.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    nb = {
+        r.o_custkey: r.n
+        for r in o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        a, b = na.get(r.custkey, 0), nb.get(r.custkey, 0)
+        if r.op == "except_all":
+            assert r.multiplicity == a - min(a, b) and a > b
+        else:
+            assert r.multiplicity == min(a, b) > 0
