@@ -185,11 +185,15 @@ def stats_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d, p) for d, p in _BENFORD_PPM.items()],
         "digit bigint, expected_ppm bigint",
     )
-    tot = obs.agg(F.sum("observed").alias("n"))
+    # total via a window over the 9-row aggregate — NOT a second
+    # orders scan (a crossJoin(broadcast(obs.agg(...))) re-reads the
+    # table; measured 2x scan cost at sf0.1).
     joined = (
         exp.join(obs, "digit", "left")
-        .crossJoin(F.broadcast(tot))
         .withColumn("observed", F.coalesce("observed", F.lit(0)))
+        .withColumn(
+            "n", F.sum("observed").over(Window.partitionBy())
+        )
         .withColumn(
             "observed_ppm",
             F.expr("CAST(observed * 1000000 DIV n AS BIGINT)"),
