@@ -419,6 +419,8 @@ _DRIVER_SAMPLE_TAIL = [
     "join_null_safe",
     "setop_multiset_ops",
     "trending_types_weekly",
+    "olap_customer_order_histogram",
+    "olap_dormant_rich_customers",
 ]
 
 

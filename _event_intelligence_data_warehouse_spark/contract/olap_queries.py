@@ -666,3 +666,121 @@ def olap_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (SUM(cents) OVER ()) AS BIGINT)"
         ).alias("region_share_ppm"),
     )
+
+
+@query(
+    "olap_customer_order_histogram",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '5-LOW'
+        GROUP BY 1
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust
+    GROUP BY 1
+    """,
+)
+def olap_customer_order_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, with
+    the join predicate INSIDE the left join so zero-order customers
+    stay in the histogram (moving the filter to WHERE would silently
+    drop them — the classic outer-join bug this query pins).
+
+    100 TB: two stacked aggregates — (custkey) then (n_orders) — both
+    map-side-combinable; COUNT(o_orderkey) counts only matched rows by
+    NULL semantics, no CASE needed.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "olap_dormant_rich_customers",
+    """
+    WITH pos AS (
+        SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS bal_c,
+               c_custkey, c_nationkey
+        FROM customer
+        WHERE c_acctbal > 0
+    ), avg_ AS (
+        SELECT CAST(SUM(bal_c) AS HUGEINT) AS s, COUNT(*) AS n FROM pos
+    )
+    SELECT p.c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(p.bal_c) AS DOUBLE) / 100 AS total_balance
+    FROM pos p CROSS JOIN avg_ a
+    WHERE CAST(p.bal_c AS HUGEINT) * a.n > a.s
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = p.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY 1
+    """,
+)
+def olap_dormant_rich_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and total balance of customers
+    with an above-average positive balance and no orders since
+    2000-01-01 (dormant high-value accounts; the unrestricted
+    no-orders-ever set is empty on this data, which would make the
+    oracle a trivial 0-row match).
+
+    The 'balance > avg(balance)' comparison is the exact integer cross
+    product bal*N > SUM (avg = SUM/N; no division, no floats); the NOT
+    EXISTS is a left-anti join against order custkeys. 100 TB: the
+    1-row average broadcasts; the anti join is the only wide exchange
+    and AQE sizes it.
+    """
+    pos = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("bal_c"),
+            "c_custkey",
+            "c_nationkey",
+        )
+    )
+    avg_ = pos.agg(
+        F.sum("bal_c").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    rich = pos.crossJoin(F.broadcast(avg_)).where(
+        F.expr("CAST(bal_c AS DECIMAL(38,0)) * n > s")
+    )
+    dormant = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("bal_c").cast("double") / 100).alias("total_balance"),
+    )
