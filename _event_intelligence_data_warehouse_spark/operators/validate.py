@@ -275,3 +275,32 @@ def l_diversity(
             ).alias("dominant_ppm"),
         )
     )
+
+
+def observe_metrics(df: DataFrame, name: str, metrics: dict[str, "F.Column"]):
+    """In-flight pipeline metrics via ``df.observe`` (Spark's
+    Observation API): attach named aggregate expressions to a frame and
+    read them AFTER an action, from the SAME pass the action already
+    paid for — the zero-extra-scan alternative to running a separate
+    quality aggregate per write (the reference's data_quality.sql runs
+    its checks as extra queries; this folds row-count/null-count/range
+    telemetry into the write itself).
+
+    Returns (observed_df, observation). Trigger any action on
+    observed_df (write, count, collect), then read
+    ``observation.get`` — a dict of the metric values for exactly the
+    rows that action processed. Works for batch frames; for streams use
+    the same expressions per micro-batch via foreachBatch.
+
+    Scale note: metrics are ordinary aggregate expressions evaluated
+    inside the existing job's tasks (accumulator-style merge on the
+    driver) — no extra scan, no shuffle, no driver collection of data
+    rows.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[
+        expr.alias(alias) for alias, expr in metrics.items()
+    ])
+    return observed, obs
