@@ -421,6 +421,7 @@ _DRIVER_SAMPLE_TAIL = [
     "trending_types_weekly",
     "olap_customer_order_histogram",
     "olap_dormant_rich_customers",
+    "timeseries_holt_forecast",
 ]
 
 

@@ -752,3 +752,71 @@ def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("y", 1).over(w).cast("bigint").alias("next_y"),
         F.lag("y", 1).over(w).cast("bigint").alias("prev_y"),
     )
+
+
+@query(
+    "timeseries_holt_forecast",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                   - DATE '1970-01-01' AS d0,
+               COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, CAST(d0 AS BIGINT) AS d, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d0)
+                   AS rn
+        FROM daily
+    ), rec AS (
+        SELECT event_type, rn, d, y,
+               CAST(y AS HUGEINT) * 1000000000 AS l,
+               CAST(0 AS HUGEINT) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT n.event_type, n.rn, n.d, n.y,
+               (CAST(n.y AS HUGEINT) * 1000000000 + 3 * (r.l + r.b))
+                   // 4 AS l,
+               (((CAST(n.y AS HUGEINT) * 1000000000
+                  + 3 * (r.l + r.b)) // 4 - r.l) + 7 * r.b) // 8 AS b
+        FROM seq n JOIN rec r
+          ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, d AS day_idx, CAST(y AS BIGINT) AS y,
+           CAST(l // 1000000 AS BIGINT) AS level_milli,
+           CAST(b // 1000000 AS BIGINT) AS trend_milli,
+           CAST((l + b) // 1000000 AS BIGINT) AS forecast_milli
+    FROM rec
+    """,
+)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear smoothing (alpha=1/4, beta=1/8) of daily volume per
+    event type with the one-step-ahead forecast, via the two-component
+    integer fold (operators/timeseries.py::holt_linear).
+
+    Signed-truncating integer division is identical on both engines
+    (verified for BIGINT and HUGEINT: -7//2 = -3), so the
+    possibly-negative trend recurrence stays bit-exact against the
+    recursive-CTE oracle. Same calendar-bounded scale contract as the
+    EWMA entry.
+    """
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as ts,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    out = ts.holt_linear(daily, ["event_type"], "d", "y")
+    return out.select(
+        "event_type",
+        F.col("d").alias("day_idx"),
+        F.col("y").cast("bigint").alias("y"),
+        "level_milli",
+        "trend_milli",
+        "forecast_milli",
+    )

@@ -335,3 +335,62 @@ def cusum(
             "CAST(hi > mean_ppb OR lo > mean_ppb AS BOOLEAN)"
         ).alias("drift_flag"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    ord_col: str,
+    val_col: str,
+    *,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 8,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing in exact ppb
+    integers — level + trend recurrence:
+
+        l_0 = y_0 * 1e9                 b_0 = 0
+        l_t = (a_n*y_t*1e9 + (a_d-a_n)*(l_{t-1}+b_{t-1})) DIV a_d
+        b_t = (b_n*(l_t - l_{t-1}) + (b_d-b_n)*b_{t-1}) DIV b_d
+
+    using the same signed-truncating integer division both engines
+    share (the trend difference can be negative). One-step-ahead
+    forecast = l_t + b_t. Same bounded-series fold contract as ewma();
+    the two-component state rides one struct.
+    """
+    a_rest = alpha_den - alpha_num
+    b_rest = beta_den - beta_num
+    init = (
+        "named_struct('d', e.d, 'y', e.y,"
+        " 'l', CAST(e.y AS DECIMAL(38,0)) * 1000000000,"
+        " 'b', CAST(0 AS DECIMAL(38,0)))"
+    )
+    prev = "element_at(acc, -1)"
+    new_l = (
+        f"CAST((CAST(e.y AS DECIMAL(38,0)) * 1000000000 * {alpha_num}"
+        f" + {a_rest} * ({prev}.l + {prev}.b)) DIV {alpha_den}"
+        " AS DECIMAL(38,0))"
+    )
+    step = (
+        "named_struct('d', e.d, 'y', e.y,"
+        f" 'l', {new_l},"
+        f" 'b', CAST(({beta_num} * ({new_l} - {prev}.l)"
+        f" + {b_rest} * {prev}.b) DIV {beta_den} AS DECIMAL(38,0)))"
+    )
+    out = _fold_series(
+        df, key_cols, ord_col, val_col,
+        acc_fields="l: DECIMAL(38,0), b: DECIMAL(38,0)",
+        init_expr=init, step_expr=step,
+    )
+    return out.select(
+        *key_cols,
+        F.col("d").alias(ord_col),
+        F.col("y").alias(val_col),
+        F.expr("CAST(l DIV 1000000 AS BIGINT)").alias("level_milli"),
+        F.expr("CAST(b DIV 1000000 AS BIGINT)").alias("trend_milli"),
+        F.expr(
+            "CAST((l + b) DIV 1000000 AS BIGINT)"
+        ).alias("forecast_milli"),
+    )

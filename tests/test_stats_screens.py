@@ -187,3 +187,31 @@ def test_basket_lift_consistency(spark):
     assert all(r.n12 >= 2 for r in rows)
     lifts = [r.lift_ppm for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_holt_fold_matches_python_recurrence(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = QUERIES["timeseries_holt_forecast"](spark, SF).collect()
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    for et, pts in series.items():
+        pts.sort(key=lambda r: r.day_idx)
+        l = b = None
+        for r in pts:
+            ppb = r.y * 1_000_000_000
+            if l is None:
+                l, b = ppb, 0
+            else:
+                new_l = tdiv(ppb + 3 * (l + b), 4)
+                b = tdiv((new_l - l) + 7 * b, 8)
+                l = new_l
+            assert r.level_milli == tdiv(l, 1_000_000)
+            assert r.trend_milli == tdiv(b, 1_000_000)
+            assert r.forecast_milli == tdiv(l + b, 1_000_000)
