@@ -422,6 +422,7 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_customer_order_histogram",
     "olap_dormant_rich_customers",
     "timeseries_holt_forecast",
+    "governance_reconciliation_audit",
 ]
 
 

@@ -1700,3 +1700,94 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "name_agree", "nation_agree", "segment_agree",
         "band_agree", "score_milli", "decision",
     )
+
+
+@query(
+    "governance_reconciliation_audit",
+    """
+    WITH ls AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                             * (1 + CAST(l_tax AS DECIMAL(4,2)))
+                             * 1000000 AS BIGINT)) AS BIGINT) AS charge_u
+        FROM lineitem GROUP BY 1
+    ), joined AS (
+        SELECT o.o_orderkey, ls.l_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 1000000
+                    AS BIGINT) AS total_u,
+               ls.charge_u
+        FROM orders o FULL OUTER JOIN ls ON o.o_orderkey = ls.l_orderkey
+    ), labeled AS (
+        SELECT CASE WHEN l_orderkey IS NULL THEN 'order_no_lines'
+                    WHEN o_orderkey IS NULL THEN 'lines_no_order'
+                    ELSE 'matched' END AS category,
+               CASE WHEN l_orderkey IS NULL OR o_orderkey IS NULL
+                         THEN 'n/a'
+                    WHEN total_u = charge_u THEN 'exact'
+                    WHEN ABS(total_u - charge_u) < 1000000 THEN 'lt_1'
+                    WHEN ABS(total_u - charge_u) < 100000000
+                         THEN 'lt_100'
+                    WHEN ABS(total_u - charge_u) < 10000000000
+                         THEN 'lt_10k'
+                    ELSE 'gte_10k' END AS band,
+               COALESCE(ABS(total_u - charge_u), 0) AS abs_diff_u
+        FROM joined
+    )
+    SELECT category, band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(abs_diff_u) AS BIGINT) AS sum_abs_diff_micro
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def governance_reconciliation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table reconciliation: order headers vs the exact sum of
+    their line charges, full-outer-joined so BOTH orphan classes
+    surface (headers without lines, lines without a header), with the
+    mismatch magnitude banded in exact micro-dollar integers — the
+    close-the-books audit every warehouse runs between fact grains.
+
+    100 TB: the line rollup keys on l_orderkey (natural clustering);
+    the full outer join is the only wide exchange; banding is column
+    algebra. All-integer diffs make the band edges engine-exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    charge_u = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+        " * (1 + CAST(l_tax AS DECIMAL(4,2))) * 1000000 AS BIGINT)"
+    )
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(charge_u).cast("bigint").alias("charge_u")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 1000000)
+        .cast("bigint")
+        .alias("total_u"),
+    )
+    joined = o.join(ls, o.o_orderkey == ls.l_orderkey, "full_outer")
+    diff = F.abs(F.col("total_u") - F.col("charge_u"))
+    labeled = joined.select(
+        F.when(F.col("l_orderkey").isNull(), "order_no_lines")
+        .when(F.col("o_orderkey").isNull(), "lines_no_order")
+        .otherwise("matched")
+        .alias("category"),
+        F.when(
+            F.col("l_orderkey").isNull() | F.col("o_orderkey").isNull(),
+            "n/a",
+        )
+        .when(F.col("total_u") == F.col("charge_u"), "exact")
+        .when(diff < 1000000, "lt_1")
+        .when(diff < 100000000, "lt_100")
+        .when(diff < 10000000000, "lt_10k")
+        .otherwise("gte_10k")
+        .alias("band"),
+        F.coalesce(diff, F.lit(0)).alias("abs_diff_u"),
+    )
+    return labeled.groupBy("category", "band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("abs_diff_u").cast("bigint").alias("sum_abs_diff_micro"),
+    )
