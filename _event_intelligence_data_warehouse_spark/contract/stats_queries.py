@@ -1,5 +1,8 @@
 """Statistical screens over the warehouse: OLS trend, Benford first-digit
-audit, A/B conversion test, autocorrelation.
+audit, A/B conversion test, autocorrelation, exact group variance,
+market-basket lift, the value-navigation window family, and the
+recurrence smoothers (EWMA, CUSUM, Holt) built on the bounded
+array-fold operator.
 
 The reference's analytics surface stops at KPI aggregates
 (dashboard/kpi_queries.sql:11-118); these add the inferential screens a

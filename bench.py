@@ -18,6 +18,12 @@ dedup_minhash_incremental 5.4 -> 6.2 s, the round-5 switch to
 prune_index_read=True (the steady-state config, now oracle-checked; the
 prune's extra pass is visible here because the contract's index is live
 lineage, not a stored table — see incremental_minhash_dedup's docstring).
+In the grown 63-entry suite the same entry reads ~10.5 s: it runs its
+family COLD (isolated re-run: 11.4 s cold / 4.9 s warm) while the
+_unpruned attribution twin runs second on the warmed signature cache
+(3.3 s) — ordering, not regression; the guard's reference point is
+still the r4-recorded unpruned config, so the flag re-fires each round
+by design until a driver-recorded BENCH contains the pruned entry.
 """
 
 from __future__ import annotations
