@@ -423,6 +423,7 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_dormant_rich_customers",
     "timeseries_holt_forecast",
     "governance_reconciliation_audit",
+    "sql_frontend_daily_mix",
 ]
 
 

@@ -951,3 +951,53 @@ def trending_types_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= 3)
     )
+
+
+@query(
+    "sql_frontend_daily_mix",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT day, SUM(n) AS day_total FROM daily GROUP BY 1
+    )
+    SELECT d.day, d.event_type, CAST(d.n AS BIGINT) AS n,
+           CAST(d.n * 1000000 // t.day_total AS BIGINT) AS mix_ppm,
+           CAST(DENSE_RANK() OVER (
+               PARTITION BY d.day ORDER BY d.n DESC, d.event_type
+           ) AS BIGINT) AS rnk
+    FROM daily d JOIN tot t USING (day)
+    """,
+)
+def sql_frontend_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME query class as the KPI views but issued as raw SQL TEXT
+    over registered temp views — pinning the spark.sql front-end
+    (parser -> Catalyst) as a first-class entry point, not just the
+    DataFrame DSL. A user of the reference's SQL scripts
+    (transform_events.sql:53-171 style) can port statements verbatim.
+
+    The view registration is per-query-scoped (createOrReplaceTempView
+    on the driver-loaded frame); Catalyst sees the identical plan the
+    DSL would build — one rollup, a per-day total, a window rank.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_sqlfe"
+    )
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+            FROM events_sqlfe GROUP BY 1, 2
+        ), tot AS (
+            SELECT day, SUM(n) AS day_total FROM daily GROUP BY 1
+        )
+        SELECT d.day, d.event_type, CAST(d.n AS BIGINT) AS n,
+               CAST(d.n * 1000000 DIV t.day_total AS BIGINT) AS mix_ppm,
+               CAST(DENSE_RANK() OVER (
+                   PARTITION BY d.day ORDER BY d.n DESC, d.event_type
+               ) AS BIGINT) AS rnk
+        FROM daily d JOIN tot t USING (day)
+        """
+    )
