@@ -424,6 +424,7 @@ _DRIVER_SAMPLE_TAIL = [
     "timeseries_holt_forecast",
     "governance_reconciliation_audit",
     "sql_frontend_daily_mix",
+    "streaming_ewma_daily",
 ]
 
 

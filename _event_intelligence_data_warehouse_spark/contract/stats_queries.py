@@ -823,3 +823,71 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend_milli",
         "forecast_milli",
     )
+
+
+@query(
+    "streaming_ewma_daily",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               COUNT(*) AS y
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, d, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM daily
+    ), rec AS (
+        SELECT event_type, rn, d, y,
+               CAST(y AS HUGEINT) * 1000000000 AS s
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT n.event_type, n.rn, n.d, n.y,
+               (CAST(n.y AS HUGEINT) * 1000000000 + 3 * r.s) // 4
+        FROM seq n JOIN rec r
+          ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, d AS day_idx, CAST(y AS BIGINT) AS y,
+           CAST(s // 1000000 AS BIGINT) AS ewma_milli
+    FROM rec
+    """,
+)
+def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA recurrence as a STATEFUL STREAMING operator
+    (streaming/stateful.py::ewma_stream, applyInPandasWithState with
+    two int64s of state per key), drained with Trigger.AvailableNow
+    over the day-sorted daily rollup — and checked against the SAME
+    recursive-CTE oracle as the batch fold (timeseries_ewma_daily):
+    batch/streaming equivalence is the correctness claim, enforced by
+    the gate itself.
+
+    100 TB: state is O(keys) x 16 bytes; each micro-batch moves one
+    Arrow batch per key — the continuously-updating form of the
+    calendar-bounded fold.
+    """
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.streaming import stateful
+
+    tmp = staging_dir("stream_ewma", sf_dir)
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    (
+        daily.repartition(1)
+        .sortWithinPartitions("event_type", "d")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stateful.run_stateful_ewma(spark, src, out, ckpt)
+    return spark.read.parquet(out).select(
+        "event_type",
+        "day_idx",
+        F.col("y").cast("bigint").alias("y"),
+        "ewma_milli",
+    )

@@ -73,3 +73,40 @@ def test_dim_refresh_picked_up_on_restart(spark, tmp_path):
     }
     assert got[1] == "gold", "already-emitted rows must not be rewritten"
     assert got[2] == "platinum", "restart must see the refreshed dim"
+
+
+def test_streaming_ewma_state_survives_restart(spark, tmp_path):
+    """Two drains (days split across them) must produce exactly the
+    one-shot result: the recurrence state carries through the state
+    store across query restarts."""
+    from _event_intelligence_data_warehouse_spark.streaming import stateful
+
+    days = [(f"t{k}", d, 10 + 7 * d % 13) for k in range(2)
+            for d in range(20)]
+    df = spark.createDataFrame(days, "event_type string, d long, y long")
+
+    # one-shot reference
+    src1, out1, ck1 = (str(tmp_path / p) for p in ("a_in", "a_out", "a_ck"))
+    df.repartition(1).sortWithinPartitions("event_type", "d") \
+        .write.mode("overwrite").parquet(src1)
+    stateful.run_stateful_ewma(spark, src1, out1, ck1)
+    want = {
+        (r.event_type, r.day_idx): r.ewma_milli
+        for r in spark.read.parquet(out1).collect()
+    }
+
+    # split feed: days 0-9 first drain, 10-19 second drain
+    src2, out2, ck2 = (str(tmp_path / p) for p in ("b_in", "b_out", "b_ck"))
+    df.where("d < 10").repartition(1).sortWithinPartitions(
+        "event_type", "d"
+    ).write.mode("overwrite").parquet(src2)
+    stateful.run_stateful_ewma(spark, src2, out2, ck2)
+    df.where("d >= 10").repartition(1).sortWithinPartitions(
+        "event_type", "d"
+    ).write.mode("append").parquet(src2)
+    stateful.run_stateful_ewma(spark, src2, out2, ck2)
+    got = {
+        (r.event_type, r.day_idx): r.ewma_milli
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got == want and len(got) == 40
