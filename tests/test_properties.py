@@ -926,3 +926,94 @@ def test_fuzzy_pairs_equal_bruteforce_within_blocks(spark, names, maxd):
         if d <= maxd:
             want[(min(i, j), max(i, j))] = d
     assert got == want
+
+
+# --- recurrence folds: random series vs pure-Python replay ------------
+
+_series = st.lists(
+    st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+@PROP
+@given(ys=_series)
+def test_prop_ewma_fold_equals_python(spark, ys):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as ts,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, y) for i, y in enumerate(ys)],
+        "k string, d long, y long",
+    )
+    got = {
+        r.d: r.ewma_milli
+        for r in ts.ewma(df, ["k"], "d", "y").collect()
+    }
+    s = None
+    for i, y in enumerate(ys):
+        ppb = y * 10**9
+        s = ppb if s is None else (ppb + 3 * s) // 4
+        assert got[i] == s // 10**6
+
+
+@PROP
+@given(ys=_series)
+def test_prop_holt_fold_equals_python(spark, ys):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as ts,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, y) for i, y in enumerate(ys)],
+        "k string, d long, y long",
+    )
+    got = {
+        (r.d): (r.level_milli, r.trend_milli, r.forecast_milli)
+        for r in ts.holt_linear(df, ["k"], "d", "y").collect()
+    }
+    l = b = None
+    for i, y in enumerate(ys):
+        ppb = y * 10**9
+        if l is None:
+            l, b = ppb, 0
+        else:
+            nl = _tdiv(ppb + 3 * (l + b), 4)
+            b = _tdiv((nl - l) + 7 * b, 8)
+            l = nl
+        assert got[i] == (
+            _tdiv(l, 10**6), _tdiv(b, 10**6), _tdiv(l + b, 10**6)
+        )
+
+
+@PROP
+@given(ys=st.lists(st.integers(min_value=0, max_value=10**6),
+                   min_size=2, max_size=40))
+def test_prop_cusum_fold_equals_python(spark, ys):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as ts,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, y) for i, y in enumerate(ys)],
+        "k string, d long, y long",
+    )
+    got = {
+        r.d: (r.cusum_hi_milli, r.cusum_lo_milli, r.drift_flag)
+        for r in ts.cusum(df, ["k"], "d", "y").collect()
+    }
+    mean_ppb = sum(ys) * 10**9 // len(ys)
+    k = mean_ppb * 5 // 100
+    hi = lo = 0
+    for i, y in enumerate(ys):
+        ppb = y * 10**9
+        hi = max(0, hi + ppb - mean_ppb - k)
+        lo = max(0, lo + mean_ppb - ppb - k)
+        assert got[i] == (
+            hi // 10**6, lo // 10**6, hi > mean_ppb or lo > mean_ppb
+        )
