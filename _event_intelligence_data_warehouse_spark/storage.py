@@ -2014,3 +2014,39 @@ class Warehouse:
             "unreferenced": unreferenced,
             "ok": not (set(missing) & live),
         }
+
+
+def evolve_partitioning(
+    wh: "Warehouse", table: str, partition_col: str | None
+) -> dict:
+    """Atomic partition-layout evolution (manifest mode): rewrite the
+    table's CURRENT image (deletion vectors applied) under a new
+    partition column — or unpartitioned with ``None`` — and publish one
+    manifest. Readers resolve either the old layout or the new one,
+    never a mix; prior versions stay time-travelable under their
+    original layout because each manifest pins its own file list and
+    partition_col (layout is a property of the VERSION, exactly as in
+    Iceberg partition-spec evolution — no eager rewrite of history).
+
+    Unlike engines that only re-route NEW data to the new spec, this
+    rewrites the current snapshot (one full pass) so pruning on the new
+    column applies to the whole table immediately — the right trade
+    when the evolution motive IS scan pruning. Concurrent-writer safety
+    rides the manifest version check inside the rewrite's read; the
+    publish is last-writer-wins like any full overwrite.
+
+    Returns the new manifest dict.
+    """
+    if not wh.manifest:
+        raise ValueError(
+            "evolve_partitioning requires manifest mode (atomic layout "
+            "swap is a manifest-pointer property)"
+        )
+    df = wh.read(table)
+    if partition_col is not None and partition_col not in df.columns:
+        raise ValueError(
+            f"partition column {partition_col!r} not in table columns "
+            f"{df.columns}"
+        )
+    wh.overwrite(table, df, partition_col=partition_col)
+    return wh._manifest(table)

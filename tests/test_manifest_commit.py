@@ -1364,3 +1364,52 @@ def test_compact_partitions_where_rewrites_only_fragmented(spark, tmp_path):
     # wrong partition column fails loud
     with pytest.raises(ValueError, match="partitioned by"):
         wh.compact_partitions_where("t", "nope")
+
+
+def test_evolve_partitioning_atomic_layout_swap(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from _event_intelligence_data_warehouse_spark.storage import (
+        Warehouse, evolve_partitioning,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), manifest=True)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"r{i % 2}", i * 10) for i in range(60)],
+        "id long, seg string, region string, v long",
+    )
+    wh.overwrite("t", df, partition_col="seg")
+    before = wh._manifest("t")
+    assert before["partition_col"] == "seg"
+
+    m = evolve_partitioning(wh, "t", "region")
+    assert m["partition_col"] == "region"
+    # contents identical under the new layout
+    got = sorted(
+        (r.id, r.seg, r.region, r.v) for r in wh.read("t").collect()
+    )
+    assert got == sorted(
+        (r.id, r.seg, r.region, r.v) for r in df.collect()
+    )
+    # new files live under region= directories
+    assert all("region=" in f for f in m["files"])
+    # history keeps the old layout time-travelable
+    old = wh.read("t", version=before["version"])
+    assert old.count() == 60
+    # de-partitioning works too
+    m2 = evolve_partitioning(wh, "t", None)
+    assert m2["partition_col"] is None
+    assert wh.read("t").count() == 60
+
+
+def test_evolve_partitioning_rejects_unknown_column(spark, tmp_path):
+    import pytest
+
+    from _event_intelligence_data_warehouse_spark.storage import (
+        Warehouse, evolve_partitioning,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), manifest=True)
+    wh.overwrite("t", spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError, match="not in table columns"):
+        evolve_partitioning(wh, "t", "nope")
