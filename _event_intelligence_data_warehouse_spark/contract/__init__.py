@@ -425,6 +425,7 @@ _DRIVER_SAMPLE_TAIL = [
     "governance_reconciliation_audit",
     "sql_frontend_daily_mix",
     "streaming_ewma_daily",
+    "storage_partition_evolution_roundtrip",
 ]
 
 

@@ -1791,3 +1791,52 @@ def governance_reconciliation_audit(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("abs_diff_u").cast("bigint").alias("sum_abs_diff_micro"),
     )
+
+
+@query(
+    "storage_partition_evolution_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) LIKE '1997%'
+               AS in_1997,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def storage_partition_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-layout evolution round trip
+    (storage.py::evolve_partitioning): orders lands partitioned by
+    status, evolves to priority-partitioned, and the aggregate runs
+    over the POST-evolution read — the oracle computes the same
+    aggregate over the raw table, so content preservation through the
+    atomic layout swap is value-checked end to end (partition-column
+    round-trip types included, the classic evolution bug class)."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.storage import (
+        Warehouse, evolve_partitioning,
+    )
+
+    wh = Warehouse(
+        spark,
+        staging_dir("storage_partition_evolution", sf_dir),
+        manifest=True,
+    )
+    orders = load(spark, sf_dir, "orders")
+    wh.overwrite("ord", orders.repartition(4), partition_col="o_orderstatus")
+    m = evolve_partitioning(wh, "ord", "o_orderpriority")
+    assert m["partition_col"] == "o_orderpriority"
+    live = wh.read("ord")
+    return live.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").startswith("1997")
+        .alias("in_1997"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total_price"),
+    )
