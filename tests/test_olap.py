@@ -110,3 +110,17 @@ def test_l_diversity_guards_and_shares(spark):
         assert 1 <= r.distinct_sensitive <= 5
         assert r.is_l_diverse == (r.distinct_sensitive >= 3)
         assert 0 < r.dominant_ppm <= 1_000_000
+
+
+def test_q3_aqe_converts_to_broadcast_at_low_sf(spark):
+    """At sf0.01 the segment-filtered customer side is tiny: the FINAL
+    adaptive plan must run broadcast joins, whatever the compile-time
+    estimate said — pinning that we left the decision to AQE instead
+    of forcing hints on unbounded sides."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_shipping_priority"](spark, SF)
+    df.collect()  # executed plan = final AQE plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
