@@ -89,6 +89,31 @@ FAMILIES = {
         "timeseries_ohlc_hourly",
         "storage_dv_roundtrip",
     ],
+    # round-5 second-session families: canonical OLAP shapes,
+    # statistical screens, recurrence folds, linkage, analytics
+    "olap": [
+        "olap_pricing_summary",
+        "olap_shipping_priority",
+        "olap_local_supplier_volume",
+        "olap_small_order_revenue",
+        "olap_large_orders",
+        "olap_customer_order_histogram",
+        "olap_single_late_supplier",
+    ],
+    "screens": [
+        "stats_benford_screen",
+        "stats_group_variance",
+        "basket_part_pair_lift",
+        "timeseries_ewma_daily",
+        "timeseries_holt_forecast",
+        "graph_khop_reachability",
+        "text_pmi_collocations",
+        "text_keyword_chi2",
+        "linkage_fellegi_sunter",
+        "analytics_rolling_wau",
+        "governance_reconciliation_audit",
+        "storage_partition_evolution_roundtrip",
+    ],
 }
 
 # 10x data may cost up to this factor before the gate trips. Chosen
