@@ -289,12 +289,23 @@ def khop_min_hops(
     dist = seeds.select(
         F.col(node_col).cast("bigint").alias(node_col),
         F.lit(0).cast("bigint").alias("hops"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     frontier = dist
-    e = edges.select(
-        F.col(src_col).cast("bigint").alias("src"),
-        F.col(dst_col).cast("bigint").alias("dst"),
-    ).distinct()
+    # Distinct + partition the edge list by src ONCE; localCheckpoint
+    # truncates lineage so each level's join reuses the materialized
+    # edges instead of re-deriving them (without this, the unrolled
+    # plan re-scans edges per level and the DAG grows with k — the
+    # audit measured 44 exchanges for k=3; checkpointed it is 3
+    # frontier joins).
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
     for i in range(1, k + 1):
         nxt = (
             frontier.join(e, frontier[node_col] == e.src)
@@ -304,6 +315,7 @@ def khop_min_hops(
             )
             .distinct()
             .join(dist.select(node_col), node_col, "left_anti")
+            .localCheckpoint()
         )
         dist = dist.unionByName(nxt)
         frontier = nxt
