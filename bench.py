@@ -24,6 +24,9 @@ _unpruned attribution twin runs second on the warmed signature cache
 (3.3 s) — ordering, not regression; the guard's reference point is
 still the r4-recorded unpruned config, so the flag re-fires each round
 by design until a driver-recorded BENCH contains the pruned entry.
+End-of-round-5 check: on the 46-entry subset common with BENCH_r04 the
+current code runs 121.8 s vs 141.3 s recorded in r4 (-14%); every
+per-query delta except the pruned minhash entry is within +-0.12 s.
 """
 
 from __future__ import annotations
