@@ -426,6 +426,8 @@ _DRIVER_SAMPLE_TAIL = [
     "sql_frontend_daily_mix",
     "streaming_ewma_daily",
     "storage_partition_evolution_roundtrip",
+    "olap_disjunctive_promo_revenue",
+    "olap_supplier_part_counts",
 ]
 
 

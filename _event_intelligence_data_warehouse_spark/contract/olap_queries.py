@@ -784,3 +784,110 @@ def olap_dormant_rich_customers(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("bal_c").cast("double") / 100).alias("total_balance"),
     )
+
+
+@query(
+    "olap_disjunctive_promo_revenue",
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12'
+           AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23'
+           AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#34'
+           AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def olap_disjunctive_promo_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    (brand, size, quantity-band) triples spanning both join sides — the
+    predicate class that breaks naive pushdown (no single conjunct
+    filters either side alone).
+
+    Catalyst still extracts the COMMON implications: each disjunct
+    bounds l_quantity in [1,30] and p_size in [1,15], so derived range
+    filters reach both scans while the full disjunction evaluates on
+    the joined rows. 100 TB: the part side prunes hard on the derived
+    size filter; AQE sizes the join.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    b = F.col("p_brand")
+    pred = (
+        ((b == "Brand#12") & q.between(1, 11) & s.between(1, 5))
+        | ((b == "Brand#23") & q.between(10, 20) & s.between(1, 10))
+        | ((b == "Brand#34") & q.between(20, 30) & s.between(1, 15))
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount").cast(_D4))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(pred)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "olap_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 25
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+)
+def olap_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type) for
+    small parts, EXCLUDING a supplier blacklist via NOT IN — which is a
+    null-safe anti join, not a plain one (NOT IN with any NULL in the
+    subquery yields empty; s_suppkey is non-null here, and the
+    DataFrame side uses an explicit anti join on the non-null keys to
+    pin the same semantics).
+
+    100 TB: the blacklist aggregates to a broadcastable key set; the
+    count-distinct is one partial-agg pass over the joined frame.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 25)
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias(
+                "supplier_cnt"
+            )
+        )
+    )
