@@ -428,6 +428,10 @@ _DRIVER_SAMPLE_TAIL = [
     "storage_partition_evolution_roundtrip",
     "olap_disjunctive_promo_revenue",
     "olap_supplier_part_counts",
+    "olap_forecast_revenue_change",
+    "olap_trade_volume_pairs",
+    "olap_margin_by_nation_year",
+    "olap_returned_item_report",
 ]
 
 

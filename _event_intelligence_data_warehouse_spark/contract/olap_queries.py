@@ -891,3 +891,270 @@ def olap_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "olap_forecast_revenue_change",
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS forgone_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(4,2))
+              BETWEEN CAST(0.05 AS DECIMAL(4,2))
+                  AND CAST(0.07 AS DECIMAL(4,2))
+      AND l_quantity < 24
+    """,
+)
+def olap_forecast_revenue_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-scan aggregate (revenue forgone
+    by a discount band in one year). All three predicates are plain
+    column comparisons — every one reaches the parquet scan as a pushed
+    filter, which tests/test_olap.py asserts; the discount band
+    compares DECIMAL-exact values (a raw-double BETWEEN on 0.05/0.07
+    would be representation-dependent).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast(_D4)
+    return (
+        li.where(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1998-01-01 00:00:00").cast("timestamp")
+            )
+            & (d >= F.lit("0.05").cast(_D4))
+            & (d <= F.lit("0.07").cast(_D4))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast(_DEC) * d)
+            .cast("double")
+            .alias("forgone_revenue"),
+        )
+    )
+
+
+@query(
+    "olap_trade_volume_pairs",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS TIMESTAMP))
+                AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+        OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def olap_trade_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between one nation PAIR
+    (both directions) per ship year — the two-role dimension join
+    (nation joined twice under different roles) with a cross-side
+    disjunction.
+
+    100 TB: both nation copies broadcast (25 rows each); the pair
+    disjunction can't pre-filter either base scan alone, but the two
+    broadcast joins make it a streaming filter on the fact pipeline.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (
+            F.col("l_shipdate")
+            >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("l_shipdate")
+            < F.lit("1998-01-01 00:00:00").cast("timestamp")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = F.broadcast(n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+    ))
+    sn = F.broadcast(n.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    ))
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount").cast(_D4))
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_3")
+        & (F.col("supp_nation") == "NATION_7")
+    ) | (
+        (F.col("cust_nation") == "NATION_7")
+        & (F.col("supp_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(cn, F.col("c_nationkey") == F.col("c_nk"))
+        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
+        .where(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"))
+    )
+
+
+@query(
+    "olap_margin_by_nation_year",
+    """
+    SELECT n.n_name, 
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS TIMESTAMP))
+                AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                         * 10000 AS BIGINT)
+                    - CAST(l.l_quantity AS BIGINT)
+                      * CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT) * 80) AS BIGINT)
+               AS margin_tenthousandths
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def olap_margin_by_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the testdata has no partsupp, so cost
+    is proxied as 80% of the part's retail price): signed margin per
+    supplier nation per ship year, in exact integer ten-thousandths —
+    revenue*1e4 minus qty*retail_cents*80 stays int64 far past these
+    scales, widened to HUGEINT/DECIMAL(38,0) by the SUM.
+
+    100 TB: a three-dim star (part/supplier/nation — nation broadcast,
+    the rest AQE-sized) with one combinable signed aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    rev_t = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)"
+    )
+    cost_t = (
+        F.col("l_quantity").cast("bigint")
+        * F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        )
+        * 80
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.sum(rev_t - cost_t).cast("bigint").alias(
+                "margin_tenthousandths"
+            )
+        )
+    )
+
+
+@query(
+    "olap_returned_item_report",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS lost_revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+)
+def olap_returned_item_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers losing the most revenue to
+    returns in one quarter. Same heap-top-k discipline as Q3/Q18
+    (exact DECIMAL ordering, custkey tiebreak, TakeOrderedAndProject).
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = load(spark, sf_dir, "orders").where(
+        (
+            F.col("o_orderdate")
+            >= F.lit("1997-07-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("o_orderdate")
+            < F.lit("1997-10-01 00:00:00").cast("timestamp")
+        )
+    ).select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount").cast(_D4))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("_rev").cast("double").alias("lost_revenue"),
+        )
+    )

@@ -124,3 +124,39 @@ def test_q3_aqe_converts_to_broadcast_at_low_sf(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_forecast_revenue_change"](spark, SF)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, (
+        "date/quantity predicates must reach the parquet scan"
+    )
+    assert "Join" not in plan
+    rows = df.collect()
+    assert rows[0].n_lines > 0
+
+
+def test_q7_two_role_nation_broadcasts(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_trade_volume_pairs"](spark, SF)
+    rows = df.collect()
+    pairs = {(r.cust_nation, r.supp_nation) for r in rows}
+    assert pairs <= {("NATION_3", "NATION_7"), ("NATION_7", "NATION_3")}
+    assert len(rows) <= 4  # 2 directions x 2 years
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_returned_item_topk_heap(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_returned_item_report"](spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)
+    rows = df.collect()
+    revs = [r.lost_revenue for r in rows]
+    assert revs == sorted(revs, reverse=True) and len(rows) <= 20
