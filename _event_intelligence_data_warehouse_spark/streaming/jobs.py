@@ -614,6 +614,7 @@ def stream_static_enrich(
     *,
     keys: list[str],
     how: str = "left",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static dimension enrichment: join each micro-batch of the
     stream against a batch DataFrame (the classic slowly-refreshed dim
@@ -625,8 +626,13 @@ def stream_static_enrich(
     static side per micro-batch, but a file-source dim's file LISTING
     is resolved at query planning — a dim rewritten in place is picked
     up on query (re)start, which is the supported refresh point for
-    this pattern (tests/test_stream_static.py exercises it). The dim
-    side is broadcast when small — at 100 TB fact scale that keeps the
-    per-batch join shuffle-free.
+    this pattern (tests/test_stream_static.py exercises it).
+
+    ``broadcast_dim`` (default True) hints the dim side so each
+    micro-batch joins shuffle-free — right for lookup dims. Pass False
+    for dims too large to broadcast (a billion-user profile table):
+    the stream side then shuffles per batch, which is the honest cost
+    of a huge dim, not an OOM.
     """
-    return events_stream.join(F.broadcast(static_dim), keys, how)
+    dim = F.broadcast(static_dim) if broadcast_dim else static_dim
+    return events_stream.join(dim, keys, how)
