@@ -432,6 +432,14 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_trade_volume_pairs",
     "olap_margin_by_nation_year",
     "olap_returned_item_report",
+    # Third-session round-5 additions: the final TPC-H adaptations
+    # (Q2/Q4/Q8/Q11/Q12/Q20 shapes) — r6 rotation slate with the rest.
+    "olap_min_cost_supplier",
+    "olap_order_priority_exists",
+    "olap_nation_market_share",
+    "olap_important_part_value",
+    "olap_late_shipment_priority",
+    "olap_dominant_supply_share",
 ]
 
 

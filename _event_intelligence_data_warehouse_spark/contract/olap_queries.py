@@ -1158,3 +1158,441 @@ def olap_returned_item_report(
             F.col("_rev").cast("double").alias("lost_revenue"),
         )
     )
+
+
+@query(
+    "olap_min_cost_supplier",
+    """
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS min_cost_c
+        FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+        SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name,
+               supply.min_cost_c,
+               MIN(supply.min_cost_c) OVER (PARTITION BY p.p_partkey)
+                   AS best_c
+        FROM part p
+        JOIN supply   ON supply.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = supply.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_size >= 40 AND p.p_type = 'ECONOMY'
+          AND r.r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_name, s_acctbal, n_name, min_cost_c
+    FROM ranked WHERE min_cost_c = best_c
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the testdata has no partsupp, so the
+    supplier-part catalog and its cost are derived from lineitem — cost
+    = the cheapest observed extended price in exact cents): for large
+    ECONOMY parts, the EUROPE supplier(s) matching the per-part minimum
+    cost, ranked by account balance.
+
+    The correlated MIN subquery of the original decorrelates into one
+    window MIN partitioned by p_partkey — a single extra exchange on a
+    frame already shuffled by part for the join, not a second scan.
+
+    100 TB: the supply derivation is a combinable (partkey, suppkey)
+    aggregate; part's size/type filter is pushed to its scan and prunes
+    before the join; region/nation broadcast; the window's partition key
+    equals the join key so AQE coalesces without an extra shuffle.
+    Cites reference dashboard/kpi_queries.sql:11-118 (star-join KPI
+    surface this family extends).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            )
+        ).alias("min_cost_c")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_size") >= 40) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    r = F.broadcast(
+        load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    joined = (
+        supply.join(p, supply.l_partkey == p.p_partkey)
+        .join(s, supply.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("best_c", F.min("min_cost_c").over(w))
+        .where(F.col("min_cost_c") == F.col("best_c"))
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "min_cost_c")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "olap_order_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def olap_order_priority_exists(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape (adapted: commitdate/receiptdate don't exist, so
+    "late" = any line shipped more than 30 days after the order date):
+    order counts per priority for one quarter, EXISTS expressed as a
+    LEFT SEMI join with the non-equi residual evaluated inside the join.
+
+    100 TB: the quarter filter prunes orders before the semi join; the
+    semi join ships only (orderkey, orderdate) and short-circuits per
+    key on the build side; the final 5-group aggregate is map-side
+    combinable.
+    """
+    o = load(spark, sf_dir, "orders").where(
+        (
+            F.col("o_orderdate")
+            >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("o_orderdate")
+            < F.lit("1996-04-01 00:00:00").cast("timestamp")
+        )
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "olap_nation_market_share",
+    """
+    WITH vol AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2))) * 10000
+                    AS BIGINT) AS rev_t,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN part p      ON p.p_partkey = l.l_partkey
+        JOIN customer c  ON c.c_custkey = o.o_custkey
+        JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+        JOIN region r    ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev_t
+                         ELSE 0 END) * 1000000000
+                // SUM(rev_t) AS BIGINT) AS share_ppb,
+           CAST(SUM(rev_t) AS BIGINT) AS market_tenthousandths
+    FROM vol GROUP BY o_year
+    """,
+)
+def olap_nation_market_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of the ASIA PROMO-part market
+    per order year, as an exact parts-per-billion integer (DECIMAL(38,0)
+    floor division on both engines — the [[oracle-numeric-portability]]
+    recipe), so no float summation order can flip a digit.
+
+    100 TB: a snowflake with two independent dim paths (customer->
+    nation->region gates the market, supplier->nation labels the
+    share). Only provably tiny dims (nation 25, region 5) carry
+    broadcast hints; part/customer/supplier sizing is left to AQE. The
+    conditional numerator folds into the same single aggregate pass as
+    the denominator.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("cn_nationkey"),
+            F.col("n_regionkey").alias("cn_regionkey"),
+        )
+    )
+    sn = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    r = F.broadcast(
+        load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    # *10000 keeps the scale-4 price*(1-disc) product integral before
+    # the BIGINT cast (a cents cast would truncate on Spark and round
+    # on DuckDB — the 9-cent drift found at first oracle run).
+    rev_t = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)"
+    )
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_nationkey"))
+        .join(r, F.col("cn_regionkey") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_t.alias("rev_t"),
+            "supp_nation",
+        )
+    )
+    agg = vol.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", F.col("rev_t"))
+            .otherwise(F.lit(0))
+        ).alias("_num"),
+        F.sum("rev_t").alias("_den"),
+    )
+    return agg.select(
+        "o_year",
+        F.expr(
+            "CAST(CAST(_num AS DECIMAL(38,0)) * 1000000000"
+            " div _den AS BIGINT)"
+        ).alias("share_ppb"),
+        F.col("_den").cast("bigint").alias("market_tenthousandths"),
+    )
+
+
+@query(
+    "olap_important_part_value",
+    """
+    WITH v AS (
+        SELECT l.l_partkey,
+               SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS val_c
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY 1
+    )
+    SELECT l_partkey, CAST(val_c AS BIGINT) AS val_c
+    FROM v, (SELECT COUNT(*) AS n_parts, SUM(val_c) AS tot FROM v)
+    WHERE val_c * n_parts > 2 * tot
+    """,
+)
+def olap_important_part_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp, so "stock value" = exact
+    cents shipped per part from the watched nations' suppliers): parts
+    whose value exceeds 2x the average per-part value — a scalar-
+    subquery HAVING whose threshold is self-normalizing, so the result
+    stays non-degenerate at every scale factor (a fixed fraction like
+    TPC-H's 0.0001/SF empties as SF grows).
+
+    100 TB: the nation filter broadcasts into the supplier dim and
+    prunes lineitem at the join; the per-part aggregate is combinable;
+    the global (count, sum) reduces the SAME aggregated frame to one
+    row that broadcast-crossJoins back — no second base-table scan and
+    no single-task whole-frame window.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").where(
+            F.col("n_name").isin("NATION_3", "NATION_7")
+        )
+    )
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).alias("val_c")
+        )
+    )
+    tot = v.agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum("val_c").alias("tot")
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(F.col("val_c") * F.col("n_parts") > 2 * F.col("tot"))
+        .select("l_partkey", F.col("val_c").cast("bigint").alias("val_c"))
+    )
+
+
+@query(
+    "olap_late_shipment_priority",
+    """
+    SELECT CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'SLOW'
+                WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) > 30
+                THEN 'MEDIUM' ELSE 'FAST' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def olap_late_shipment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode, so lines group by their
+    ship-delay bucket instead): per bucket, how many lines belong to
+    high- vs low-priority orders — the two-way conditional count that
+    makes Q12 a CASE-aggregation benchmark.
+
+    100 TB: one fact-fact equi join (orderkey) that AQE plans; the
+    computed grouping key yields exactly 3 groups, so partial
+    aggregation collapses each task's output to 3 rows before the
+    exchange.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay > 90, F.lit("SLOW"))
+        .when(delay > 30, F.lit("MEDIUM"))
+        .otherwise(F.lit("FAST"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "olap_dominant_supply_share",
+    """
+    WITH sup AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_quantity AS BIGINT)) AS sq
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS ns
+        FROM sup GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name,
+           COUNT(*) AS dominated_parts,
+           CAST(SUM(sup.sq) AS BIGINT) AS dominated_qty
+    FROM sup
+    JOIN tot USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = sup.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE sup.sq * tot.ns > 2 * tot.tq
+    GROUP BY 1, 2
+    """,
+)
+def olap_dominant_supply_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp/availqty, so "excess"
+    becomes dominance — a supplier holding more than 2x the average
+    supplier share of a 'small%' part's shipped quantity): per
+    dominating supplier, how many parts they dominate and the quantity.
+    The original's nested correlated-aggregate IN chain decorrelates
+    into aggregate -> re-aggregate -> join-back on the SAME grouped
+    frame.
+
+    The 2x-average-share threshold (vs the original's fixed 50% rule)
+    is deliberately self-normalizing: as row counts per part grow with
+    scale, shares concentrate toward 1/ns and a fixed cutoff empties.
+
+    100 TB: the part-name filter prunes the fact scan via the part
+    join; tot derives from sup (already one row per (part, supplier) —
+    no second lineitem scan); the join-back is on the aggregate's own
+    partition key, and supplier/nation are AQE/broadcast-sized.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    sup = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+    )
+    tot = sup.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        sup.join(tot, "l_partkey")
+        .where(F.col("sq") * F.col("ns") > 2 * F.col("tq"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("dominated_parts"),
+            F.sum("sq").cast("bigint").alias("dominated_qty"),
+        )
+    )
