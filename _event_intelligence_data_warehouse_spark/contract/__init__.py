@@ -440,6 +440,7 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_important_part_value",
     "olap_late_shipment_priority",
     "olap_dominant_supply_share",
+    "sketch_kmv_set_ops",
 ]
 
 

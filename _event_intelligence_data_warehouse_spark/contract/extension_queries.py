@@ -5477,3 +5477,172 @@ def similarity_ivfpq_residual_topk(
         m=_PQ_M, n_codes=_PQ_CODES, max_train=_PQ_TRAIN,
         rerank=_RPQ_RERANK,
     )
+
+
+_KMV_HV = (
+    "CAST(('0x' || substr(md5(CAST(o_custkey AS STRING)), 1, 15))"
+    " AS BIGINT)"
+)
+_KMV_EST = (
+    "CASE WHEN {p}_cnt < 64 THEN CAST({p}_cnt AS BIGINT)"
+    "     ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976"
+    "               // {p}_kth AS BIGINT) END"
+)
+
+
+@query(
+    "sketch_kmv_set_ops",
+    f"""
+    WITH da AS (
+        SELECT DISTINCT {_KMV_HV} AS hv FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    ), db AS (
+        SELECT DISTINCT {_KMV_HV} AS hv FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ), ka AS (
+        SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+                        FROM da) WHERE rn <= 64
+    ), kb AS (
+        SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+                        FROM db) WHERE rn <= 64
+    ), ku AS (
+        SELECT hv FROM (
+            SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+            FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+        ) WHERE rn <= 64
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM ka) AS a_cnt,
+               (SELECT MAX(hv) FROM ka) AS a_kth,
+               (SELECT COUNT(*) FROM kb) AS b_cnt,
+               (SELECT MAX(hv) FROM kb) AS b_kth,
+               (SELECT COUNT(*) FROM ku) AS u_cnt,
+               (SELECT MAX(hv) FROM ku) AS u_kth,
+               (SELECT COUNT(*) FROM ku
+                WHERE hv IN (SELECT hv FROM ka)
+                  AND hv IN (SELECT hv FROM kb)) AS c_both,
+               (SELECT COUNT(*) FROM da) AS ex_a,
+               (SELECT COUNT(*) FROM db) AS ex_b,
+               (SELECT COUNT(*) FROM
+                  (SELECT hv FROM da UNION SELECT hv FROM db)) AS ex_u,
+               (SELECT COUNT(*) FROM da
+                WHERE hv IN (SELECT hv FROM db)) AS ex_i
+        FROM (SELECT 1)
+    ), ests AS (
+        SELECT {_KMV_EST.format(p='a')} AS est_a,
+               {_KMV_EST.format(p='b')} AS est_b,
+               {_KMV_EST.format(p='u')} AS est_u,
+               c_both, ex_a, ex_b, ex_u, ex_i
+        FROM stats
+    )
+    SELECT 'cohort_h1' AS measure, est_a AS kmv_estimate,
+           CAST(ex_a AS BIGINT) AS exact_value FROM ests
+    UNION ALL
+    SELECT 'cohort_h2', est_b, CAST(ex_b AS BIGINT) FROM ests
+    UNION ALL
+    SELECT 'union', est_u, CAST(ex_u AS BIGINT) FROM ests
+    UNION ALL
+    SELECT 'intersection',
+           CAST(CAST(c_both AS HUGEINT) * est_u // 64 AS BIGINT),
+           CAST(ex_i AS BIGINT) FROM ests
+    UNION ALL
+    SELECT 'jaccard_ppm',
+           CAST(CAST(c_both AS HUGEINT) * 1000000 // 64 AS BIGINT),
+           CAST(CAST(ex_i AS HUGEINT) * 1000000 // ex_u AS BIGINT)
+    FROM ests
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values (bottom-k) sketch set algebra [Beyer et al.
+    2007] over two half-year buyer cohorts: cardinality estimates for
+    each cohort, their union (merged sketches), their intersection and
+    Jaccard (overlap of the union's bottom-k with both input sketches)
+    — the set operations HLL registers cannot answer — each next to the
+    exact answer so the estimate quality is part of the contract.
+
+    All register math is exact integers (60-bit md5 hashes; the
+    (k-1)*2^60/kth estimator runs in DECIMAL(38,0)/HUGEINT floor
+    division), so both engines compute bit-identical sketches, not just
+    close estimates.
+
+    100 TB: each sketch is a two-level tournament (per-salt bottom-k in
+    parallel, final bottom-k over <= 16*64 survivors — see
+    operators/sketches.py:kmv_sketch), so no task ever sorts the full
+    distinct-key stream; merge/estimate work is O(k), constant in the
+    data. The exact audit columns are one distinct-aggregate each and
+    exist for the contract, not the production path.
+    """
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    h1 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    h2 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+
+    ka = sk.kmv_sketch(h1, "o_custkey").persist()
+    kb = sk.kmv_sketch(h2, "o_custkey").persist()
+    ku = sk.kmv_merge(ka, kb).persist()
+
+    c_both = (
+        ku.join(ka, "hv", "left_semi")
+        .join(kb, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("c_both"))
+    )
+    # Exact audit side: distinct hashes reuse the same hash family so
+    # union/intersection counts agree with the sketch domain exactly.
+    da = h1.select(sk._hash60(F.col("o_custkey")).alias("hv")).distinct()
+    db = h2.select(sk._hash60(F.col("o_custkey")).alias("hv")).distinct()
+    exacts = (
+        da.agg(F.count(F.lit(1)).alias("ex_a"))
+        .crossJoin(F.broadcast(db.agg(F.count(F.lit(1)).alias("ex_b"))))
+        .crossJoin(
+            F.broadcast(
+                da.unionByName(db)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("ex_u"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                da.join(db, "hv", "left_semi").agg(
+                    F.count(F.lit(1)).alias("ex_i")
+                )
+            )
+        )
+    )
+    stats = (
+        sk.kmv_stats(ka, "a")
+        .crossJoin(F.broadcast(sk.kmv_stats(kb, "b")))
+        .crossJoin(F.broadcast(sk.kmv_stats(ku, "u")))
+        .crossJoin(F.broadcast(c_both))
+        .crossJoin(F.broadcast(exacts))
+    )
+    ests = stats.select(
+        sk.kmv_estimate_expr("a_cnt", "a_kth").alias("est_a"),
+        sk.kmv_estimate_expr("b_cnt", "b_kth").alias("est_b"),
+        sk.kmv_estimate_expr("u_cnt", "u_kth").alias("est_u"),
+        "c_both", "ex_a", "ex_b", "ex_u", "ex_i",
+    )
+    return ests.select(
+        F.expr(
+            "stack(5,"
+            " 'cohort_h1', est_a, CAST(ex_a AS BIGINT),"
+            " 'cohort_h2', est_b, CAST(ex_b AS BIGINT),"
+            " 'union', est_u, CAST(ex_u AS BIGINT),"
+            " 'intersection',"
+            " CAST(CAST(c_both AS DECIMAL(38,0)) * est_u div 64 AS BIGINT),"
+            " CAST(ex_i AS BIGINT),"
+            " 'jaccard_ppm',"
+            " CAST(CAST(c_both AS DECIMAL(38,0)) * 1000000 div 64 AS BIGINT),"
+            " CAST(CAST(ex_i AS DECIMAL(38,0)) * 1000000 div ex_u AS BIGINT))"
+            " AS (measure, kmv_estimate, exact_value)"
+        )
+    )

@@ -299,3 +299,86 @@ def bloom_probe(
         F.min(F.col("hit").cast("bigint")).cast("bigint")
         .alias("maybe_present")
     )
+
+
+# -- K-minimum-values (bottom-k) sketches ------------------------------------
+#
+# KMV [Bar-Yossef et al. 2002; Beyer et al. 2007 "On Synopses for
+# Distinct-Value Estimation"] keeps the k smallest distinct hash values
+# of a column. Unlike HLL it supports SET ALGEBRA: merged sketches give
+# the union, and the overlap of the union's bottom-k with both input
+# sketches gives an unbiased Jaccard estimate, hence intersections.
+# Every register is an exact 60-bit integer, so the sketch itself is
+# engine-reproducible (same md5 family as _hash60).
+
+KMV_K = 64
+KMV_DOMAIN = 1 << 60  # _hash60 range
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, k: int = KMV_K, n_salts: int = 16
+) -> DataFrame:
+    """The k smallest distinct ``_hash60(col)`` values, as (hv) rows.
+
+    Scale: a naive bottom-k would sort every distinct hash in ONE task
+    per sketch. Instead a two-level tournament runs: per-salt bottom-k
+    over ``pmod(hv, n_salts)`` partitions in parallel, then a final
+    bottom-k over the <= n_salts*k survivors — the global bottom-k is
+    provably contained in the union of per-salt bottom-ks. No task ever
+    holds more than max(partition-local distinct, n_salts*k) rows.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(_hash60(F.col(col)).alias("hv")).distinct()
+    salted = d.withColumn("salt", F.pmod(F.col("hv"), F.lit(n_salts)))
+    w1 = Window.partitionBy("salt").orderBy("hv")
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .select("hv")
+    )
+    w2 = Window.partitionBy().orderBy("hv")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("hv")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union sketch: bottom-k of the merged (already-hashed) registers.
+
+    Inputs are sketches (<= k rows each), so the single-partition
+    window sorts at most 2k values — constant work however large the
+    sketched sets are."""
+    from pyspark.sql import Window
+
+    merged = a.select("hv").unionByName(b.select("hv")).distinct()
+    w = Window.partitionBy().orderBy("hv")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("hv")
+    )
+
+
+def kmv_stats(sketch: DataFrame, prefix: str) -> DataFrame:
+    """One-row ({prefix}_cnt, {prefix}_kth): register count and the
+    k-th smallest hash — the two numbers the estimator needs."""
+    return sketch.agg(
+        F.count(F.lit(1)).alias(f"{prefix}_cnt"),
+        F.max("hv").alias(f"{prefix}_kth"),
+    )
+
+
+def kmv_estimate_expr(cnt: str, kth: str, k: int = KMV_K) -> Column:
+    """Cardinality estimate column: exact count when the sketch is not
+    full (n < k), else the classic (k-1) * domain / kth-smallest —
+    DECIMAL(38,0) floor division, exact on both engines (63 * 2^60
+    overflows int64, so the widening is load-bearing)."""
+    return F.when(F.col(cnt) < k, F.col(cnt).cast("bigint")).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * {KMV_DOMAIN}"
+            f" div {kth} AS BIGINT)"
+        )
+    )

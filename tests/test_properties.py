@@ -1017,3 +1017,47 @@ def test_prop_cusum_fold_equals_python(spark, ys):
         assert got[i] == (
             hi // 10**6, lo // 10**6, hi > mean_ppb or lo > mean_ppb
         )
+
+
+@PROP
+@given(
+    a=st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+    b=st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+)
+def test_kmv_sketch_matches_pure_python_bottom_k(spark, a, b):
+    """KMV registers are exactly the k smallest distinct 60-bit md5
+    hashes; merge is the bottom-k of the union; the under-filled
+    estimator is the exact distinct count."""
+    import hashlib
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    k = 8
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    ska = sk.kmv_sketch(da, "v", k=k, n_salts=4)
+    skb = sk.kmv_sketch(db, "v", k=k, n_salts=4)
+    want_a = sorted({h60(v) for v in a})[:k]
+    want_b = sorted({h60(v) for v in b})[:k]
+    assert sorted(r.hv for r in ska.collect()) == want_a
+    assert sorted(r.hv for r in skb.collect()) == want_b
+    sku = sk.kmv_merge(ska, skb, k=k)
+    assert (
+        sorted(r.hv for r in sku.collect())
+        == sorted(set(want_a) | set(want_b))[:k]
+    )
+    stats = sk.kmv_stats(ska, "a")
+    est = stats.select(
+        sk.kmv_estimate_expr("a_cnt", "a_kth", k=k).alias("e")
+    ).collect()[0].e
+    n_distinct = len({h60(v) for v in a})
+    if n_distinct < k:
+        assert est == n_distinct
+    else:
+        kth = want_a[k - 1]
+        assert est == (k - 1) * (1 << 60) // kth
