@@ -441,6 +441,8 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_late_shipment_priority",
     "olap_dominant_supply_share",
     "sketch_kmv_set_ops",
+    "olap_pareto_frontier",
+    "timeseries_interpolate_linear",
 ]
 
 

@@ -5646,3 +5646,131 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (measure, kmv_estimate, exact_value)"
         )
     )
+
+
+# Gap planting for the interpolation query: a deterministic per-(type,
+# day-of-month) predicate removes whole daily cells, mirrored verbatim
+# in the oracle — different modulus from _GAP_PRED so this family
+# exercises interior gaps rather than near-dense data.
+_LERP_KEEP = "(EXTRACT(day FROM ts) * 31 + length(event_type)) % 7 < 5"
+
+_LERP_SQL = f"""
+WITH ev AS (
+    SELECT * FROM events WHERE {_LERP_KEEP}
+), daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS value_c
+    FROM ev GROUP BY 1, 2
+), span AS (
+    SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+    FROM ev
+), days AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM span
+), spine AS (
+    SELECT k.event_type, d.day, a.value_c
+    FROM (SELECT DISTINCT event_type FROM daily) k
+    CROSS JOIN days d
+    LEFT JOIN daily a ON a.event_type = k.event_type AND a.day = d.day
+), anchored AS (
+    SELECT event_type, day, value_c,
+           LAST_VALUE(value_c IGNORE NULLS) OVER w_prev AS prev_v,
+           LAST_VALUE(CASE WHEN value_c IS NOT NULL THEN day END
+                      IGNORE NULLS) OVER w_prev AS prev_d,
+           FIRST_VALUE(value_c IGNORE NULLS) OVER w_next AS next_v,
+           FIRST_VALUE(CASE WHEN value_c IS NOT NULL THEN day END
+                       IGNORE NULLS) OVER w_next AS next_d
+    FROM spine
+    WINDOW w_prev AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+       CAST(CASE WHEN value_c IS NOT NULL THEN value_c
+                 ELSE prev_v + (next_v - prev_v)
+                      * DATE_DIFF('day', prev_d, day)
+                      // DATE_DIFF('day', prev_d, next_d) END
+            AS BIGINT) AS value_c,
+       value_c IS NULL AS interpolated
+FROM anchored
+WHERE value_c IS NOT NULL OR (prev_v IS NOT NULL AND next_v IS NOT NULL)
+"""
+
+
+@query("timeseries_interpolate_linear", _LERP_SQL)
+def timeseries_interpolate_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear interpolation over interior gaps in a daily value series
+    per event type: missing days between two anchors get
+    v0 + (v1-v0)*(d-d0) div (d1-d0) in exact integer cents — signed
+    integer division truncates toward zero identically on Spark (div)
+    and DuckDB (//), so downward slopes are bit-portable too. Days
+    before the first / after the last anchor are dropped (no
+    extrapolation), matching the oracle's WHERE.
+
+    Complements timeseries_gapfill_daily (zero-fill) with the
+    anchor-pair mechanism: prev/next value AND day via
+    last/first_value(IGNORE NULLS) over mirrored unbounded frames.
+
+    100 TB: windows partition by event_type, and each per-type frame is
+    calendar-bounded (days, not events) — the heavy reduction happened
+    in the combinable daily aggregate, so window state stays O(span)
+    per type regardless of event volume.
+    """
+    e = load(spark, sf_dir, "events").where(F.expr(_LERP_KEEP))
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("value_c")
+    )
+    span = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    keys = daily.select("event_type").distinct()
+    spine = keys.crossJoin(F.broadcast(days)).join(
+        daily, ["event_type", "day"], "left"
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor_day = F.when(F.col("value_c").isNotNull(), F.col("day"))
+    anchored = spine.select(
+        "event_type",
+        "day",
+        "value_c",
+        F.last("value_c", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(anchor_day, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("value_c", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(anchor_day, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    lerp = F.col("prev_v") + F.expr(
+        "CAST((next_v - prev_v) * datediff(day, prev_d)"
+        " div datediff(next_d, prev_d) AS BIGINT)"
+    )
+    return anchored.where(
+        F.col("value_c").isNotNull()
+        | (F.col("prev_v").isNotNull() & F.col("next_v").isNotNull())
+    ).select(
+        "event_type",
+        "day",
+        F.when(F.col("value_c").isNotNull(), F.col("value_c"))
+        .otherwise(lerp)
+        .alias("value_c"),
+        F.col("value_c").isNull().alias("interpolated"),
+    )

@@ -1596,3 +1596,74 @@ def olap_dominant_supply_share(
             F.sum("sq").cast("bigint").alias("dominated_qty"),
         )
     )
+
+
+@query(
+    "olap_pareto_frontier",
+    """
+    WITH pts AS (
+        SELECT p_partkey,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               p_size
+        FROM part
+    ), marked AS (
+        SELECT *,
+               MAX(p_size) OVER (ORDER BY price_c
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS max_lt,
+               MAX(p_size) OVER (PARTITION BY price_c) AS max_eq
+        FROM pts
+    )
+    SELECT p_partkey, price_c, CAST(p_size AS BIGINT) AS p_size
+    FROM marked
+    WHERE (max_lt IS NULL OR max_lt < p_size) AND max_eq <= p_size
+    """,
+)
+def olap_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the part catalog: parts where
+    no other part is both cheaper-or-equal AND larger-or-equal with one
+    strict — minimize price, maximize size [Borzsony et al., ICDE'01].
+
+    Expressed without the O(n^2) dominance self-join: a point is
+    dominated iff the running MAX of size over strictly-cheaper rows
+    reaches its size (RANGE frame on integer cents), or a same-price
+    row is strictly larger (per-price MAX). Two window passes total.
+
+    100 TB: a single global RANGE window would sort everything into ONE
+    task, so the plan splits: per-partition local skylines first (the
+    global skyline is a subset of every local skyline's union, since
+    dominance survives partitioning), then the exact windows over the
+    few survivors. Each partition prunes independently; the final
+    single-partition pass sees O(frontier) rows, not O(n).
+    """
+    pts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price_c"),
+        "p_size",
+    )
+
+    def _skyline(df: DataFrame, *pid: str) -> DataFrame:
+        w_lt = (
+            Window.partitionBy(*pid)
+            .orderBy("price_c")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*pid, "price_c")
+        return (
+            df.withColumn("max_lt", F.max("p_size").over(w_lt))
+            .withColumn("max_eq", F.max("p_size").over(w_eq))
+            .where(
+                (F.col("max_lt").isNull()
+                 | (F.col("max_lt") < F.col("p_size")))
+                & (F.col("max_eq") <= F.col("p_size"))
+            )
+            .drop("max_lt", "max_eq")
+        )
+
+    local = _skyline(pts.withColumn("pid", F.spark_partition_id()), "pid")
+    return _skyline(local.drop("pid")).select(
+        "p_partkey", "price_c", F.col("p_size").cast("bigint").alias("p_size")
+    )
