@@ -443,6 +443,7 @@ _DRIVER_SAMPLE_TAIL = [
     "sketch_kmv_set_ops",
     "olap_pareto_frontier",
     "timeseries_interpolate_linear",
+    "storage_schema_evolution_roundtrip",
 ]
 
 

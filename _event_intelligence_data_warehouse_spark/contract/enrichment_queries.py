@@ -1840,3 +1840,78 @@ def storage_partition_evolution_roundtrip(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total_price"),
     )
+
+
+@query(
+    "storage_schema_evolution_roundtrip",
+    """
+    WITH half AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               'pre' AS src
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               'post' AS src
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus, src,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+    FROM half GROUP BY 1, 2
+    """,
+)
+def storage_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-only schema evolution round trip
+    (storage.py::evolve_schema): half of orders lands under the
+    ORIGINAL column names, the table then evolves (rename
+    o_totalprice->price_amt, widen o_orderkey int->bigint semantics via
+    cast, add src with default 'pre'), the other half appends under the
+    POST-evolution schema — and the aggregate runs over the unified
+    read, where pre-evolution files surface renamed columns and the
+    declared default. The oracle reconstructs the same union from the
+    raw table, so the per-file-group op replay (rename + add-default
+    across mixed-age file groups) is value-checked end to end.
+
+    100 TB: the evolution commit is one pointer swap over the existing
+    manifest — no data file is read or rewritten; only this contract
+    query's own staging copy is small."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(
+        spark,
+        staging_dir("storage_schema_evolution", sf_dir),
+        manifest=True,
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    pre = orders.where(F.col("o_orderkey") % 2 == 0)
+    post = orders.where(F.col("o_orderkey") % 2 == 1)
+    wh.append("ord", pre.repartition(4))
+    wh.evolve_schema(
+        "ord",
+        rename={"o_totalprice": "price_amt"},
+        add={"src": ("string", "'pre'")},
+    )
+    wh.append(
+        "ord",
+        post.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price_amt"),
+            F.lit("post").alias("src"),
+        ).repartition(4),
+    )
+    live = wh.read("ord")
+    return live.groupBy("o_orderstatus", "src").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("price_amt").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"),
+        F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint")
+        .alias("key_sum"),
+    )

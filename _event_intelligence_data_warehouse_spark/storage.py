@@ -341,7 +341,7 @@ class Warehouse:
         self, table: str, files: list[str], partition_col: str | None,
         operation: str | None = None, *, stats: dict | None = None,
         expect_version: int | None = None, dvs: list[str] | None = None,
-        dv_meta: dict | None = None,
+        dv_meta: dict | None = None, schema_ops: list | None = None,
     ) -> dict:
         """Commit a new table version: write the immutable manifest file
         (O_EXCL — the optimistic lock), then atomically replace the
@@ -381,6 +381,16 @@ class Warehouse:
                 v += 1  # orphan from a crashed writer: skip its number
         import datetime as _dt
 
+        # Schema-evolution ops are a TABLE property: carry the current
+        # chain's ops into every successor unless the caller overrides
+        # (evolve_schema appends; drop+recreate resets). Ops are
+        # presence-guarded at read, so carrying them across rewrites
+        # that already materialized the evolved schema is a no-op.
+        if schema_ops is None and base_v > 0:
+            try:
+                schema_ops = self._manifest(table, base_v).get("schema_ops")
+            except FileNotFoundError:
+                schema_ops = None
         manifest = {
             "version": v,
             **({"meta": self._commit_meta} if self._commit_meta else {}),
@@ -402,6 +412,9 @@ class Warehouse:
             # rewrites drop vectors whose every target file left the
             # manifest (restoring the stats-only fast paths)
             **({"dv_meta": dv_meta} if dvs and dv_meta else {}),
+            # ordered schema-evolution log (rename/add/drop/widen),
+            # applied per file-group at read — see _apply_schema_ops
+            **({"schema_ops": schema_ops} if schema_ops else {}),
             "stats": stats or {},
         }
         with os.fdopen(fd, "w") as f:
@@ -862,11 +875,12 @@ class Warehouse:
         apply cleanly."""
         base = self.path(table)
         dvs = m.get("dv_files") or []
+        ops = m.get("schema_ops")
         if not files:
-            return self._read_file_list(base, files)
+            return self._read_file_list(base, files, schema_ops=ops)
         if not dvs:
-            return self._read_file_list(base, files)
-        df = self._read_file_list(base, files, rowpos=True)
+            return self._read_file_list(base, files, schema_ops=ops)
+        df = self._read_file_list(base, files, rowpos=True, schema_ops=ops)
         dv = self._read_file_list(base, dvs)
         cond = (F.col(self._DV_KEY) == dv["file_key"]) & (
             F.col(self._DV_POS) == dv["row_index"]
@@ -875,8 +889,39 @@ class Warehouse:
             self._DV_KEY, self._DV_POS
         )
 
+    @staticmethod
+    def _apply_schema_ops(df: DataFrame, ops: list | None) -> DataFrame:
+        """Replay the manifest's ordered schema-evolution log onto one
+        file-group's frame. Every step is presence-guarded, so the same
+        log is correct for files written before AND after each
+        evolution: a pre-rename file gets renamed, a post-rename file
+        matches nothing; a pre-add file materializes the declared
+        default (Iceberg initial-default semantics), a post-add file
+        keeps its real values. Order matters — a drop followed by a
+        re-add of the same name yields the NEW default, never the
+        dropped column's ghost values."""
+        for op in ops or []:
+            kind = op["op"]
+            if kind == "rename" and op["from"] in df.columns:
+                df = df.withColumnRenamed(op["from"], op["to"])
+            elif kind == "add" and op["col"] not in df.columns:
+                default = op.get("default")
+                col = (
+                    F.expr(default) if default is not None
+                    else F.lit(None)
+                )
+                df = df.withColumn(op["col"], col.cast(op["type"]))
+            elif kind == "drop" and op["col"] in df.columns:
+                df = df.drop(op["col"])
+            elif kind == "widen" and op["col"] in df.columns:
+                df = df.withColumn(
+                    op["col"], F.col(op["col"]).cast(op["type"])
+                )
+        return df
+
     def _read_file_list(
-        self, base: str, files: list[str], *, rowpos: bool = False
+        self, base: str, files: list[str], *, rowpos: bool = False,
+        schema_ops: list | None = None,
     ) -> DataFrame:
         # Group by snapshot root so partition values recover from the
         # <col>=<val>/ path components under each basePath; compaction
@@ -927,6 +972,12 @@ class Warehouse:
                 )
                 for d in dfs
             ]
+        if schema_ops:
+            # Per GROUP, before the union: groups of different ages can
+            # disagree on names (pre- vs post-rename), and a cross-group
+            # allowMissingColumns union of disagreeing names would
+            # surface BOTH columns null-padded instead of one.
+            dfs = [self._apply_schema_ops(d, schema_ops) for d in dfs]
         out = dfs[0]
         # Schema evolution across snapshots: an append that added a
         # column leaves older snapshots without it — surface those rows
@@ -1902,6 +1953,9 @@ class Warehouse:
             dst, files, m.get("partition_col"),
             f"clone:{src}@v{m['version']}", stats=stats, dvs=dvs,
             dv_meta=dvm or None,
+            # the clone inherits the cloned VERSION's schema log (the
+            # borrowed files need the same read-time replay)
+            schema_ops=m.get("schema_ops") or [],
         )
         return {"version": man["version"], "files": len(files),
                 "source_version": m["version"]}
@@ -1926,8 +1980,110 @@ class Warehouse:
             f"restore:v{version}", stats=m.get("stats", {}),
             expect_version=cur, dvs=m.get("dv_files"),
             dv_meta=m.get("dv_meta"),
+            # pin the RESTORED version's schema log ([] when it had
+            # none) — auto-carry would wrongly keep the abandoned
+            # chain's later evolutions
+            schema_ops=m.get("schema_ops") or [],
         )
         return {"version": man["version"], "restored_from": version}
+
+    # -- schema evolution --------------------------------------------------
+
+    _WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"), ("float", "double"),
+    }
+
+    def evolve_schema(
+        self, table: str, *,
+        add: dict[str, object] | None = None,
+        rename: dict[str, str] | None = None,
+        drop: list[str] | None = None,
+        widen: dict[str, str] | None = None,
+    ) -> dict:
+        """Metadata-only schema evolution (manifest mode) — no data file
+        is read or rewritten, matching Iceberg/Delta column mapping:
+
+        - ``rename={'old': 'new'}``: reads surface the new name for
+          files of every age; appends use the new name.
+        - ``add={'col': 'type'}`` or ``{'col': ('type', default_sql)}``:
+          rows from files written BEFORE the add read as ``default_sql``
+          (or NULL) — Iceberg initial-default semantics; later appends
+          supply real values.
+        - ``drop=['col']``: reads hide the column; re-adding the same
+          name later yields the new default, never the dropped ghost
+          values (the ordered op log guarantees it).
+        - ``widen={'col': 'bigint'}``: safe type widening per the
+          Iceberg rules (int->bigint, float->double, smaller ints up).
+
+        The op log lives in the manifest and applies per file-group at
+        read, so a 100 TB table evolves in one pointer swap; rewrites
+        (compact, DML) materialize the evolved schema as they touch
+        files, and the guarded ops become no-ops behind them. Prior
+        versions time-travel under their own op log. Within one call,
+        ops apply in order: rename, add, drop, widen.
+
+        Returns the new manifest dict.
+        """
+        if not self.manifest:
+            raise ValueError(
+                "evolve_schema requires manifest mode (the op log is a "
+                "manifest property)"
+            )
+        m = self._adopt_if_legacy(table)
+        if not m["files"]:
+            raise FileNotFoundError(f"table {table!r} has no data")
+        cur = dict(self.read(table).dtypes)
+        pcol = m.get("partition_col")
+        new_ops: list[dict] = []
+        for old, new in (rename or {}).items():
+            if old not in cur:
+                raise ValueError(f"rename: no column {old!r} in {sorted(cur)}")
+            if new in cur:
+                raise ValueError(f"rename: column {new!r} already exists")
+            if old == pcol:
+                raise ValueError(
+                    f"rename: {old!r} is the partition column — its name "
+                    "is baked into file paths; evolve_partitioning first"
+                )
+            new_ops.append({"op": "rename", "from": old, "to": new})
+            cur[new] = cur.pop(old)
+        for col, spec in (add or {}).items():
+            if col in cur:
+                raise ValueError(f"add: column {col!r} already exists")
+            typ, default = (
+                spec if isinstance(spec, (tuple, list)) else (spec, None)
+            )
+            new_ops.append(
+                {"op": "add", "col": col, "type": typ, "default": default}
+            )
+            cur[col] = typ
+        for col in (drop or []):
+            if col not in cur:
+                raise ValueError(f"drop: no column {col!r} in {sorted(cur)}")
+            if col == pcol:
+                raise ValueError(f"drop: {col!r} is the partition column")
+            new_ops.append({"op": "drop", "col": col})
+            cur.pop(col)
+        for col, typ in (widen or {}).items():
+            if col not in cur:
+                raise ValueError(f"widen: no column {col!r} in {sorted(cur)}")
+            if (cur[col], typ) not in self._WIDENINGS:
+                raise ValueError(
+                    f"widen: {cur[col]} -> {typ} is not a safe widening "
+                    f"(allowed: {sorted(self._WIDENINGS)})"
+                )
+            new_ops.append({"op": "widen", "col": col, "type": typ})
+            cur[col] = typ
+        if not new_ops:
+            return m
+        return self._publish(
+            table, m["files"], pcol, "evolve_schema",
+            stats=m.get("stats", {}), expect_version=m["version"],
+            dvs=m.get("dv_files"), dv_meta=m.get("dv_meta"),
+            schema_ops=(m.get("schema_ops") or []) + new_ops,
+        )
 
     def partition_profile(self, table: str) -> list[dict]:
         """Per-partition profile from the MANIFEST alone (no data

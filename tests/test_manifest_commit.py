@@ -1413,3 +1413,127 @@ def test_evolve_partitioning_rejects_unknown_column(spark, tmp_path):
     wh.overwrite("t", spark.createDataFrame([(1,)], "id long"))
     with pytest.raises(ValueError, match="not in table columns"):
         evolve_partitioning(wh, "t", "nope")
+
+
+# -- metadata-only schema evolution ---------------------------------------
+
+def _ev_df(spark, rows, schema="k int, v int, name string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_evolve_schema_rename_is_metadata_only(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "a"), (2, 20, "b")]))
+    files_before = _live_files(wh, "t")
+    wh.evolve_schema("t", rename={"v": "amount"})
+    assert _live_files(wh, "t") == files_before  # no rewrite
+    got = {(r.k, r.amount, r.name) for r in wh.read("t").collect()}
+    assert got == {(1, 10, "a"), (2, 20, "b")}
+    assert "v" not in wh.read("t").columns
+    # appends under the new name union cleanly with pre-rename files
+    wh.append("t", spark.createDataFrame(
+        [(3, 30, "c")], "k int, amount int, name string"))
+    got = {(r.k, r.amount) for r in wh.read("t").collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_evolve_schema_add_with_default_and_time_travel(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "a")]))
+    v1 = wh._current_version("t")
+    wh.evolve_schema("t", add={"src": ("string", "'backfill'"),
+                               "score": "bigint"})
+    wh.append("t", spark.createDataFrame(
+        [(2, 20, "b", "live", 7)],
+        "k int, v int, name string, src string, score bigint"))
+    rows = {(r.k, r.src, r.score) for r in wh.read("t").collect()}
+    assert rows == {(1, "backfill", None), (2, "live", 7)}
+    # pre-evolution version still reads with its own (old) schema
+    old = wh.read("t", version=v1)
+    assert sorted(old.columns) == ["k", "name", "v"]
+
+
+def test_evolve_schema_drop_then_readd_never_resurrects(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "ghost")]))
+    wh.evolve_schema("t", drop=["name"])
+    assert sorted(wh.read("t").columns) == ["k", "v"]
+    wh.evolve_schema("t", add={"name": ("string", "'fresh'")})
+    # the physical file still holds 'ghost', but the ordered op log
+    # drops it before the re-add, so the new default wins
+    assert [r.name for r in wh.read("t").collect()] == ["fresh"]
+
+
+def test_evolve_schema_widen_unions_mixed_groups(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 1000, "a")]))
+    wh.evolve_schema("t", widen={"v": "bigint"})
+    wh.append("t", spark.createDataFrame(
+        [(2, 2**40, "b")], "k int, v bigint, name string"))
+    df = wh.read("t")
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert {r.v for r in df.collect()} == {1000, 2**40}
+
+
+def test_evolve_schema_validation_errors(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "a")]), )
+    with pytest.raises(ValueError, match="already exists"):
+        wh.evolve_schema("t", rename={"v": "name"})
+    with pytest.raises(ValueError, match="no column"):
+        wh.evolve_schema("t", drop=["nope"])
+    with pytest.raises(ValueError, match="not a safe widening"):
+        wh.evolve_schema("t", widen={"name": "bigint"})
+    with pytest.raises(ValueError, match="already exists"):
+        wh.evolve_schema("t", add={"k": "int"})
+    pwh = _mwh(spark, tmp_path, "pwh")
+    pwh.overwrite("p", _ev_df(spark, [(1, 10, "a")]), partition_col="k")
+    with pytest.raises(ValueError, match="partition column"):
+        pwh.evolve_schema("p", rename={"k": "kk"})
+    with pytest.raises(ValueError, match="partition column"):
+        pwh.evolve_schema("p", drop=["k"])
+
+
+def test_evolve_schema_survives_rewrites_and_compact(spark, tmp_path):
+    """DML and compaction materialize the evolved schema; the guarded
+    op log stays carried and becomes a no-op behind them."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "a"), (2, 20, "b")]))
+    wh.evolve_schema("t", rename={"v": "amount"},
+                     add={"flag": ("int", "0")})
+    wh.update_where("t", [("k", "==", 1)], {"flag": "1"})
+    got = {(r.k, r.amount, r.flag) for r in wh.read("t").collect()}
+    assert got == {(1, 10, 1), (2, 20, 0)}
+    wh.compact("t")
+    assert {(r.k, r.amount, r.flag) for r in wh.read("t").collect()} == got
+    assert wh._manifest("t").get("schema_ops")  # still carried
+
+
+def test_evolve_schema_restore_pins_old_op_log(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "a")]))
+    v1 = wh._current_version("t")
+    wh.evolve_schema("t", rename={"v": "amount"})
+    wh.restore("t", v1)
+    df = wh.read("t")
+    assert "v" in df.columns and "amount" not in df.columns
+
+
+def test_evolve_schema_clone_inherits_op_log(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.append("src_t", _ev_df(spark, [(1, 10, "a")]))
+    wh.evolve_schema("src_t", rename={"v": "amount"})
+    wh.clone("src_t", "dst_t")
+    assert "amount" in wh.read("dst_t").columns
+
+
+def test_evolve_schema_concurrent_writer_detected(spark, tmp_path):
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "a")]))
+    m = wh._adopt_if_legacy("t")
+    # another writer lands between the read and the evolve publish
+    wh.append("t", _ev_df(spark, [(2, 20, "b")]))
+    with pytest.raises(ConcurrentWriteError):
+        wh._publish("t", m["files"], m.get("partition_col"),
+                    "evolve_schema", expect_version=m["version"],
+                    schema_ops=[{"op": "drop", "col": "name"}])
