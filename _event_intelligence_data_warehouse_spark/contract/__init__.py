@@ -444,6 +444,8 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_pareto_frontier",
     "timeseries_interpolate_linear",
     "storage_schema_evolution_roundtrip",
+    "governance_functional_deps",
+    "similarity_ivf_incremental",
 ]
 
 

@@ -5774,3 +5774,87 @@ def timeseries_interpolate_linear(
         .alias("value_c"),
         F.col("value_c").isNull().alias("interpolated"),
     )
+
+
+# Incremental IVF serving split (mirror of dedup_semantic_incremental):
+# the 90% corpus (vec_id % 10 != 0) trained the stored quantizer and
+# assignment; the 10% batch is merged by frozen-centroid assignment
+# only. Queries are batch members — new data served immediately against
+# the merged index, neighbors drawn from corpus AND batch.
+_IVF_INCR_CORPUS_SRC = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+    " FROM embeddings WHERE vec_id % 10 != 0"
+)
+
+
+@query(
+    "similarity_ivf_incremental",
+    _ivf_train_cte(_IVF_INCR_CORPUS_SRC)
+    + f"""
+, allv AS (
+    SELECT * FROM vecs
+    UNION ALL
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id % 10 = 0
+), cell_scores AS (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_dot_product(x.v, c.centroid)
+                                    / (sqrt(list_dot_product(x.v, x.v))
+                                       * sqrt(list_dot_product(c.centroid,
+                                              c.centroid))) DESC,
+                              c.cell) AS cell_rank
+    FROM allv x CROSS JOIN cents c
+), assign AS (
+    SELECT vec_id AS neighbor_id, cell FROM cell_scores
+    WHERE cell_rank = 1
+), probes AS (
+    SELECT vec_id AS query_id, cell FROM cell_scores
+    WHERE cell_rank <= 2 AND vec_id % 10 = 0 AND vec_id < 200
+), cand AS (
+    SELECT DISTINCT p.query_id, a.neighbor_id
+    FROM assign a JOIN probes p USING (cell)
+    WHERE p.query_id <> a.neighbor_id
+), scored AS (
+    SELECT c.query_id, c.neighbor_id, {_COS} AS sim
+    FROM cand c
+    JOIN (SELECT vec_id, v AS cv FROM allv) nv ON nv.vec_id = c.neighbor_id
+    JOIN (SELECT vec_id, v AS qv FROM allv) qv ON qv.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def similarity_ivf_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Steady-state IVF serving: the stored index (centroids +
+    assignment, trained on the 90% corpus only) absorbs a new batch via
+    frozen-centroid assignment (similarity.py::ivf_index_merge — one
+    broadcast pass over the increment, no retraining), then batch
+    queries probe the MERGED index, finding corpus and same-batch
+    neighbors alike. The oracle trains on the corpus slice, assigns
+    everything against those centroids, and serves identically — so
+    "merge-then-serve equals rebuild-under-frozen-quantizer" is the
+    checked contract, the invariant that makes incremental ANN
+    maintenance safe.
+
+    100 TB: batch cost is centroid-broadcast assignment over the
+    increment; the serve path inherits ivf_topk_prebuilt's cell
+    equi-join (~nprobe/n_cells of brute force per query)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    centroids, assign = sim.ivf_index(
+        corpus, n_cells=_IVF_N_CELLS, max_train=_IVF_MAX_TRAIN
+    )
+    merged_assign = sim.ivf_index_merge(centroids, assign, batch)
+    merged_corpus = corpus.unionByName(batch)
+    queries = batch.filter(F.col("vec_id") < 200)
+    return sim.ivf_topk_prebuilt(
+        centroids, merged_assign, merged_corpus, queries, k=5, nprobe=2
+    )

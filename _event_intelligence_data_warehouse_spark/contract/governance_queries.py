@@ -440,3 +440,81 @@ def kpi_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("status") == "warning").alias("times_warned"),
         F.max("checked_at").alias("last_checked"),
     )
+
+
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_brand", "p_type"),
+]
+
+_FD_SQL_ONE = """
+    SELECT '{det}->{dep}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE n_vals > 1) AS BIGINT)
+               AS violating_groups,
+           CAST(SUM(grp_rows) - SUM(max_cnt) AS BIGINT) AS g3_rows,
+           COUNT(*) FILTER (WHERE n_vals > 1) = 0 AS holds
+    FROM (
+        SELECT {det}, COUNT(*) AS n_vals, SUM(cnt) AS grp_rows,
+               MAX(cnt) AS max_cnt
+        FROM (
+            SELECT {det}, {dep}, COUNT(*) AS cnt
+            FROM {table} GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+"""
+
+
+@query(
+    "governance_functional_deps",
+    " UNION ALL ".join(
+        _FD_SQL_ONE.format(table=t, det=a, dep=b)
+        for t, a, b in _FD_CANDIDATES
+    ),
+)
+def governance_functional_deps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency profiling with the g3 error measure
+    [Kivinen & Mannila 1995; the measure HyFD/Metanome report]: for
+    each candidate det->dep, how many determinant groups exist, how
+    many see >1 dependent value, and the minimum number of rows whose
+    removal would make the FD hold (total rows minus the sum of each
+    group's majority-value count) — the schema-discovery /
+    data-contract screen a warehouse runs before declaring keys.
+
+    100 TB: per candidate, two nested combinable aggregates — the
+    (det, dep) pre-count collapses each scan task to its local distinct
+    pairs before any exchange, and the det-level rollup moves one row
+    per surviving pair. No joins, no windows; candidates over different
+    tables scan independently and union at the end.
+    """
+    out = None
+    for table, det, dep in _FD_CANDIDATES:
+        pairs = (
+            load(spark, sf_dir, table)
+            .groupBy(det, dep)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        groups = pairs.groupBy(det).agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum("cnt").alias("grp_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        branch = groups.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.count_if(F.col("n_vals") > 1).cast("bigint").alias(
+                "violating_groups"
+            ),
+            (F.sum("grp_rows") - F.sum("max_cnt")).cast("bigint").alias(
+                "g3_rows"
+            ),
+            (F.count_if(F.col("n_vals") > 1) == 0).alias("holds"),
+        ).select(
+            F.lit(f"{det}->{dep}").alias("fd"),
+            "n_groups", "violating_groups", "g3_rows", "holds",
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -1692,3 +1692,30 @@ def trimmed_label_centroids(
             "n_kept", "avg_val_trimmed",
         )
     )
+
+
+def ivf_index_merge(
+    centroids: DataFrame,
+    assign: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Steady-state IVF index maintenance: assign a NEW vector batch
+    against the FROZEN stored centroids and append to the stored
+    (neighbor_id, cell) assignment — no retraining, no corpus
+    re-assignment, so per-batch cost is one broadcast-centroid pass
+    over the increment, independent of index size. The production
+    companion (periodic re-train when cell balance drifts past a
+    threshold) swaps centroids wholesale and re-runs :func:`ivf_index`.
+    """
+    bv = batch.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
+    new_assign = (
+        rank_cells(bv, centroids)
+        .filter(F.col("cell_rank") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell")
+    )
+    return assign.unionByName(new_assign)
