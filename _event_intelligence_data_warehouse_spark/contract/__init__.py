@@ -446,6 +446,8 @@ _DRIVER_SAMPLE_TAIL = [
     "storage_schema_evolution_roundtrip",
     "governance_functional_deps",
     "similarity_ivf_incremental",
+    "stats_ks_two_sample",
+    "timeseries_peak_concurrency",
 ]
 
 

@@ -891,3 +891,241 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("bigint").alias("y"),
         "ewma_milli",
     )
+
+
+@query(
+    "stats_ks_two_sample",
+    """
+    WITH pts AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS ca,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS cb
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ), tot AS (
+        SELECT SUM(ca) AS na, SUM(cb) AS nb FROM pts
+    ), cum AS (
+        SELECT cents,
+               SUM(ca) OVER (ORDER BY cents) AS cum_a,
+               SUM(cb) OVER (ORDER BY cents) AS cum_b
+        FROM pts
+    ), dev AS (
+        SELECT cents,
+               abs(CAST(cum_a AS HUGEINT) * nb
+                   - CAST(cum_b AS HUGEINT) * na) AS dnum
+        FROM cum, tot
+    ), mx AS (
+        SELECT MAX(dnum) AS dmax FROM dev
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(dmax AS BIGINT) AS d_num_max,
+           CAST(dmax * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+               AS d_ppm,
+           (SELECT CAST(MIN(cents) AS BIGINT) FROM dev
+            WHERE dnum = (SELECT dmax FROM mx)) AS ks_at_cents
+    FROM tot, mx
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the purchase and
+    click value distributions, computed EXACTLY in integers: at each
+    observed value x, the deviation |cumA(x)*nB - cumB(x)*nA| (the KS
+    statistic scaled by nA*nB — no floating ECDF), its max, the max in
+    ppm, and the value (cents) where the distributions diverge most
+    (min cents on ties). Products run in DECIMAL(38,0)/HUGEINT — at
+    1e11-row samples cum*n passes int64.
+
+    100 TB: the per-value (cents, ca, cb) aggregate is combinable and
+    bounded by the value DOMAIN (price points), not event count; the
+    cumulative sums use the two-level prefix pattern (per-bucket totals
+    -> O(#buckets) single-partition prefix -> within-bucket window
+    partitioned by bucket) so no global ordered window ever sees the
+    per-value rows in one task; the max and argmax are combinable
+    aggregates of the deviation frame.
+    """
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pts = e.groupBy(
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    ).agg(
+        F.count_if(F.col("event_type") == "purchase").alias("ca"),
+        F.count_if(F.col("event_type") == "click").alias("cb"),
+    ).withColumn("_bucket", F.expr("cents div 1000"))
+    bucket_tot = pts.groupBy("_bucket").agg(
+        F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb")
+    )
+    wb = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_prefix = bucket_tot.select(
+        "_bucket",
+        F.coalesce(F.sum("_ba").over(wb), F.lit(0)).alias("_pa"),
+        F.coalesce(F.sum("_bb").over(wb), F.lit(0)).alias("_pb"),
+    )
+    wi = Window.partitionBy("_bucket").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        pts.join(bucket_prefix, "_bucket")
+        .select(
+            "cents",
+            (F.col("_pa") + F.sum("ca").over(wi)).alias("cum_a"),
+            (F.col("_pb") + F.sum("cb").over(wi)).alias("cum_b"),
+        )
+    )
+    tot = pts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "na",
+        "nb",
+        F.abs(
+            F.expr(
+                "CAST(cum_a AS DECIMAL(38,0)) * nb"
+                " - CAST(cum_b AS DECIMAL(38,0)) * na"
+            )
+        ).alias("dnum"),
+    )
+    mx = dev.agg(F.max("dnum").alias("dmax"))
+    arg = (
+        dev.crossJoin(F.broadcast(mx))
+        .where(F.col("dnum") == F.col("dmax"))
+        .agg(
+            F.min("cents").cast("bigint").alias("ks_at_cents"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.first("dmax").alias("dmax"),
+        )
+    )
+    return arg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("dmax").cast("bigint").alias("d_num_max"),
+        F.expr(
+            "CAST(dmax * 1000000 div (CAST(na AS DECIMAL(38,0)) * nb)"
+            " AS BIGINT)"
+        ).alias("d_ppm"),
+        "ks_at_cents",
+    )
+
+
+_CONC_SESS_CTE = """
+WITH ordered AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+    FROM ordered
+), sessions AS (
+    SELECT user_id, sess_no, MIN(ts) AS start_ts,
+           MAX(ts) + INTERVAL 60 SECOND AS end_ts
+    FROM numbered GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "timeseries_peak_concurrency",
+    _CONC_SESS_CTE
+    + """
+, sweep AS (
+    SELECT start_ts AS ts, 1 AS delta FROM sessions
+    UNION ALL
+    SELECT end_ts AS ts, -1 AS delta FROM sessions
+), net AS (
+    SELECT ts, SUM(delta) AS net FROM sweep GROUP BY ts
+), cum AS (
+    SELECT ts, SUM(net) OVER (ORDER BY ts) AS conc FROM net
+)
+SELECT CAST(ts AS DATE) AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(MIN(conc) AS BIGINT) AS min_concurrency
+FROM cum GROUP BY 1
+""",
+)
+def timeseries_peak_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sweep-line interval stabbing: per day, the peak (and trough)
+    number of simultaneously-open user sessions. Sessions are 30-min
+    gap splits with a 60 s tail; each becomes a half-open [start, end)
+    interval contributing +1/-1 sweep events; collapsing deltas per
+    distinct timestamp BEFORE the cumulative sum gives exactly the
+    "ends release before starts at the same instant" semantics, and
+    the running sum at each event instant is the live concurrency —
+    the O(n log n) alternative to the O(n^2) overlapping-pairs
+    self-join.
+
+    100 TB: sessionization windows partition by user (parallel); the
+    sweep frame is 2 rows per SESSION (already gap-collapsed), its
+    per-instant net is a combinable aggregate, and the global running
+    sum uses the two-level prefix pattern — per-hour bucket totals,
+    O(#hours) single-partition prefix, within-bucket windows — so no
+    task ever sorts the full sweep stream. Peaks per day are
+    combinable maxima.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    w_u = Window.partitionBy("user_id").orderBy("ts")
+    numbered = (
+        e.withColumn("_prev", F.lag("ts").over(w_u))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (
+                    F.col("ts").cast("long") - F.col("_prev").cast("long")
+                    > 1800
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_no",
+            F.sum("_new").over(
+                w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sessions = numbered.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("start_ts"),
+        (F.max("ts") + F.expr("INTERVAL 60 SECOND")).alias("end_ts"),
+    )
+    sweep = sessions.select(
+        F.col("start_ts").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            F.col("end_ts").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    net = sweep.groupBy("ts").agg(F.sum("delta").alias("net")).withColumn(
+        "_bucket", F.expr("CAST(ts AS LONG) div 3600")
+    )
+    bucket_tot = net.groupBy("_bucket").agg(F.sum("net").alias("_bn"))
+    wb = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_prefix = bucket_tot.select(
+        "_bucket",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_pn"),
+    )
+    wi = Window.partitionBy("_bucket").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = net.join(bucket_prefix, "_bucket").select(
+        "ts", (F.col("_pn") + F.sum("net").over(wi)).alias("conc")
+    )
+    return cum.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        F.min("conc").cast("bigint").alias("min_concurrency"),
+    )
