@@ -448,6 +448,7 @@ _DRIVER_SAMPLE_TAIL = [
     "similarity_ivf_incremental",
     "stats_ks_two_sample",
     "timeseries_peak_concurrency",
+    "storage_zorder_scan_roundtrip",
 ]
 
 

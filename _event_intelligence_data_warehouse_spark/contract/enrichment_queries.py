@@ -1915,3 +1915,58 @@ def storage_schema_evolution_roundtrip(
         F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint")
         .alias("key_sum"),
     )
+
+
+@query(
+    "storage_zorder_scan_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_custkey >= 200 AND o_custkey < 400
+      AND o_totalprice >= 1000.0 AND o_totalprice < 30000.0
+    GROUP BY 1
+    """,
+)
+def storage_zorder_scan_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-order clustering round trip (storage.py::cluster_by): orders
+    lands as a manifest table, is rewritten along the interleaved-bit
+    curve of (o_custkey, o_totalprice), and a two-column box predicate
+    runs through scan()'s manifest-level skipping — the oracle computes
+    the same aggregate over the raw table, so the clustering rewrite
+    preserves content AND the pruned scan returns exactly
+    read().filter() (files skipped by min/max bounds contribute
+    nothing). The skipping EFFECT (fewer files read after clustering)
+    is plan/count-asserted in tests/test_manifest_commit.py; this
+    contract row pins its CORRECTNESS under the driver's gate.
+
+    100 TB: cluster_by is the one full rewrite; after it, every
+    multi-column box scan prunes on BOTH columns' bounds instead of
+    one — the layout investment that pays back on every subsequent
+    scan."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    wh = Warehouse(
+        spark, staging_dir("storage_zorder_scan", sf_dir), manifest=True
+    )
+    orders = load(spark, sf_dir, "orders")
+    wh.append("ord", orders.repartition(8))
+    wh.cluster_by("ord", ["o_custkey", "o_totalprice"], target_files=8)
+    pruned = wh.scan(
+        "ord",
+        [
+            ("o_custkey", ">=", 200), ("o_custkey", "<", 400),
+            ("o_totalprice", ">=", 1000.0),
+            ("o_totalprice", "<", 30000.0),
+        ],
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"),
+    )
