@@ -449,6 +449,7 @@ _DRIVER_SAMPLE_TAIL = [
     "stats_ks_two_sample",
     "timeseries_peak_concurrency",
     "storage_zorder_scan_roundtrip",
+    "dedup_bloom_prefilter_incremental",
 ]
 
 

@@ -5858,3 +5858,100 @@ def similarity_ivf_incremental(
     return sim.ivf_topk_prebuilt(
         centroids, merged_assign, merged_corpus, queries, k=5, nprobe=2
     )
+
+
+# Bloom-prefiltered incremental dedup split: 90% of documents
+# (doc_id % 10 != 0) are the stored corpus; the batch is the
+# doc_id % 10 == 0 slice plus exact copies (+1000000) of every 7th
+# stored doc — planted batch-vs-corpus duplicates. The Bloom gate is an
+# INTERMEDIATE: no false negatives, and false positives are removed by
+# the exact verify join, so the final disposition equals the pure-exact
+# computation the oracle runs.
+_BLOOM_INCR_SQL = """
+WITH corpus AS (
+    SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 != 0
+), batch AS (
+    SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, md5(text) AS dg
+    FROM documents WHERE doc_id % 10 != 0 AND doc_id % 7 = 0
+), marked AS (
+    SELECT b.doc_id, b.dg,
+           b.dg IN (SELECT dg FROM corpus) AS vs_corpus,
+           MIN(b.doc_id) OVER (PARTITION BY b.dg) AS first_in_batch
+    FROM batch b
+)
+SELECT doc_id,
+       CASE WHEN vs_corpus THEN 'dup_vs_corpus'
+            WHEN doc_id > first_in_batch THEN 'dup_in_batch'
+            ELSE 'new' END AS disposition
+FROM marked
+"""
+
+
+@query("dedup_bloom_prefilter_incremental", _BLOOM_INCR_SQL)
+def dedup_bloom_prefilter_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Steady-state landing dedup with a Bloom pre-filter: the stored
+    corpus digests compile into a broadcast Bloom filter
+    (sketches.py::bloom_build); only batch rows the filter says MAYBE
+    exist pay the exact corpus semi-join — definite absences skip it
+    entirely. No false negatives means no missed duplicate; false
+    positives die in the verify join; so the disposition (new /
+    dup_vs_corpus / dup_in_batch, first-id-wins within the batch) is
+    EXACT and the oracle computes it with plain set logic.
+
+    100 TB: the corpus-sized anti-join — the steady-state cost center
+    of landing dedup — shrinks to the maybe-present slice (true-dup
+    rate + false-positive rate of the batch). The filter is m=2^16
+    bits here; production sizes m to the stored-corpus cardinality
+    (~10 bits/key for 1% fp) or shards it by digest prefix, and the
+    verify join keeps correctness independent of that tuning. The
+    in-batch dedup is a per-digest window over the (small) batch.
+    """
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("dg")
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 0)
+            ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        .select("doc_id", F.md5("text").alias("dg"))
+    )
+    bloom = sk.bloom_build(corpus, "dg")
+    probed = sk.bloom_probe(batch, "dg", bloom, id_col="doc_id")
+    batch_p = batch.join(probed, "doc_id")
+    maybe = batch_p.where(F.col("maybe_present") == 1)
+    # exact verify ONLY for maybe-present rows; definite absences never
+    # touch the corpus
+    confirmed = maybe.join(
+        corpus.select("dg").distinct(), "dg", "left_semi"
+    ).select("doc_id")
+    w = Window.partitionBy("dg")
+    first_in_batch = batch_p.withColumn(
+        "first_in_batch", F.min("doc_id").over(w)
+    )
+    return (
+        first_in_batch.join(
+            confirmed.withColumn("_vs_corpus", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_vs_corpus"), "dup_vs_corpus")
+            .when(F.col("doc_id") > F.col("first_in_batch"), "dup_in_batch")
+            .otherwise("new")
+            .alias("disposition"),
+        )
+    )
