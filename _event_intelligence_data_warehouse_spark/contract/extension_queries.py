@@ -5587,9 +5587,14 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     ).select("o_custkey")
 
-    ka = sk.kmv_sketch(h1, "o_custkey").persist()
-    kb = sk.kmv_sketch(h2, "o_custkey").persist()
-    ku = sk.kmv_merge(ka, kb).persist()
+    from _event_intelligence_data_warehouse_spark import cache
+
+    # session-owned persists (released by the harness via
+    # cache.release_all — a bare .persist() would leak in a long
+    # session, the round-1 ADVICE bug class)
+    ka = cache.persist(sk.kmv_sketch(h1, "o_custkey"))
+    kb = cache.persist(sk.kmv_sketch(h2, "o_custkey"))
+    ku = cache.persist(sk.kmv_merge(ka, kb))
 
     c_both = (
         ku.join(ka, "hv", "left_semi")

@@ -1571,7 +1571,13 @@ def olap_dominant_supply_share(
         .where(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
-    sup = (
+    from _event_intelligence_data_warehouse_spark import cache
+
+    # tot re-aggregates sup and the result joins back to sup: persist
+    # the grouped frame so the fact scans ONCE (Catalyst does not reuse
+    # the subtree across the two consumers on its own — plan-asserted
+    # in tests/test_olap.py).
+    sup = cache.persist(
         li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))

@@ -160,3 +160,89 @@ def test_returned_item_topk_heap(spark):
     rows = df.collect()
     revs = [r.lost_revenue for r in rows]
     assert revs == sorted(revs, reverse=True) and len(rows) <= 20
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_order_priority_exists"](spark, SF)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, "EXISTS must compile to a semi join"
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.order_count > 0 for r in rows)
+
+
+def test_min_cost_supplier_topk_and_window_on_join_key(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_min_cost_supplier"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    # every returned supplier matches its part's minimum cost
+    best = {}
+    for r in rows:
+        best.setdefault(r.p_partkey, r.min_cost_c)
+        assert r.min_cost_c == best[r.p_partkey]
+
+
+def test_nation_market_share_single_agg_pass(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_nation_market_share"](spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.share_ppb <= 1_000_000_000
+        assert r.market_tenthousandths > 0
+
+
+def test_pareto_frontier_is_mutually_nondominated(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    df = QUERIES["olap_pareto_frontier"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, (
+        "skyline must not be a dominance self-join"
+    )
+    rows = df.collect()
+    assert rows
+    pts = [(r.price_c, r.p_size) for r in rows]
+    for a in pts:
+        for b in pts:
+            if a is b:
+                continue
+            dominated = (
+                b[0] <= a[0] and b[1] >= a[1]
+                and (b[0] < a[0] or b[1] > a[1])
+            )
+            assert not dominated, f"{a} dominated by {b}"
+
+
+def test_dominant_supply_share_reaggregates_grouped_frame(spark):
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    from _event_intelligence_data_warehouse_spark import cache
+
+    df = QUERIES["olap_dominant_supply_share"](spark, SF)
+    try:
+        plan = _plan(df)
+        # tot re-aggregates the persisted sup frame and joins back to
+        # it: ONE lineitem scan, the second consumer reads the cache
+        # BOTH consumers (the join-back side and the tot re-aggregate)
+        # must read the persisted sup frame; the fact scan happens once
+        # at cache fill. (The plan STRING still prints the original
+        # scan inside each InMemoryRelation, so counting
+        # "lineitem.parquet" occurrences would overcount.)
+        assert plan.count("InMemoryTableScan") >= 2, (
+            "Q20's totals must reuse the persisted grouped frame"
+        )
+        rows = df.collect()
+        assert rows
+        assert all(r.dominated_parts >= 1 for r in rows)
+    finally:
+        cache.release_all()
