@@ -450,6 +450,7 @@ _DRIVER_SAMPLE_TAIL = [
     "timeseries_peak_concurrency",
     "storage_zorder_scan_roundtrip",
     "dedup_bloom_prefilter_incremental",
+    "analytics_activity_streaks",
 ]
 
 

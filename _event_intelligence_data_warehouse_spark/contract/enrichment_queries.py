@@ -1970,3 +1970,62 @@ def storage_zorder_scan_roundtrip(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("revenue"),
     )
+
+
+@query(
+    "analytics_activity_streaks",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+               AS day
+        FROM events
+    ), g AS (
+        SELECT user_id, day,
+               DATE_DIFF('day', DATE '2024-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+        FROM ud
+    ), runs AS (
+        SELECT user_id, grp, COUNT(*) AS len
+        FROM g GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS total_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def analytics_activity_streaks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gaps-and-islands activity streaks: per user, the longest run of
+    CONSECUTIVE active days, how many distinct runs, and total active
+    days — via the classic island key (day-number minus per-user row
+    number is constant exactly while days are consecutive), so runs
+    fall out of a plain groupBy with no self-join and no recursion.
+
+    100 TB: the event stream collapses to the distinct (user, day)
+    activity set first (combinable); the island window partitions by
+    user (parallel, frame bounded by the calendar); runs and the final
+    per-user rollup are combinable aggregates.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("total_active_days"),
+    )
