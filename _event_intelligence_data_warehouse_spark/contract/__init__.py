@@ -440,6 +440,11 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_important_part_value",
     "olap_late_shipment_priority",
     "olap_dominant_supply_share",
+    # Third-session NEW mechanisms (KMV set algebra, skyline, linear
+    # interpolation, schema evolution, FD profiling, incremental IVF,
+    # exact KS, sweep-line concurrency, Z-order roundtrip,
+    # Bloom-prefilter dedup, streak islands) — all full local oracles
+    # at >= 2 SFs from day one; r6 rotation slate with the rest.
     "sketch_kmv_set_ops",
     "olap_pareto_frontier",
     "timeseries_interpolate_linear",
@@ -451,6 +456,7 @@ _DRIVER_SAMPLE_TAIL = [
     "storage_zorder_scan_roundtrip",
     "dedup_bloom_prefilter_incremental",
     "analytics_activity_streaks",
+    "agg_quantiles_interpolated",
 ]
 
 

@@ -1129,3 +1129,122 @@ def timeseries_peak_concurrency(
         F.max("conc").cast("bigint").alias("peak_concurrency"),
         F.min("conc").cast("bigint").alias("min_concurrency"),
     )
+
+
+@query(
+    "agg_quantiles_interpolated",
+    """
+    WITH pts AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, cents,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+                   AS cum_n
+        FROM pts
+    ), tot AS (
+        SELECT event_type, SUM(cnt) AS n FROM pts GROUP BY 1
+    ), pos AS (
+        SELECT t.event_type, q.q, t.n,
+               1 + (t.n - 1) * q.q // 100 AS lo_rn,
+               (t.n - 1) * q.q % 100 AS frac_pct
+        FROM tot t, (SELECT unnest([25, 50, 75]) AS q) q
+    ), lo AS (
+        SELECT p.event_type, p.q, p.n, p.frac_pct,
+               (SELECT MIN(cents) FROM cum c
+                WHERE c.event_type = p.event_type
+                  AND c.cum_n >= p.lo_rn) AS v_lo
+        FROM pos p
+    ), hi AS (
+        SELECT l.*,
+               CASE WHEN l.frac_pct = 0 THEN l.v_lo ELSE
+                   (SELECT MIN(cents) FROM cum c
+                    WHERE c.event_type = l.event_type
+                      AND c.cum_n >= (SELECT lo_rn + 1 FROM pos p2
+                                      WHERE p2.event_type = l.event_type
+                                        AND p2.q = l.q))
+               END AS v_hi
+        FROM lo l
+    )
+    SELECT event_type, CAST(q AS BIGINT) AS q,
+           CAST(n AS BIGINT) AS n,
+           CAST(v_lo * 100 + (v_hi - v_lo) * frac_pct AS BIGINT)
+               AS quantile_hundredth_cents
+    FROM hi
+    """,
+)
+def agg_quantiles_interpolated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Type-7 linearly-interpolated quantiles (the NumPy/pandas/R
+    default) per event type, EXACT in integers: position (n-1)q/100
+    splits into a lower rank and a 0-99 fractional percent, and the
+    interpolated value v_lo*100 + (v_hi-v_lo)*frac lands in
+    hundredth-cents with no float anywhere — so a Spark curation
+    pipeline reproduces a pandas notebook's quantiles digit-for-digit.
+
+    Complements agg_exact_percentiles (nearest-rank/type-1): the
+    interpolated definition needs TWO order statistics per quantile and
+    exact fractional arithmetic.
+
+    100 TB: no per-row global sort — events collapse to distinct
+    (type, cents) counts (combinable, bounded by the price domain);
+    the cumulative count runs per type over those distinct values; the
+    two order statistics come from min-over-threshold aggregates of
+    the cumulative frame (combinable), joined back to the O(types x 3)
+    position frame.
+    """
+    e = load(spark, sf_dir, "events")
+    pts = e.groupBy(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pts.select(
+        "event_type", "cents", F.sum("cnt").over(w).alias("cum_n")
+    )
+    tot = pts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    qs = F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("q")
+    pos = tot.select("event_type", "n", qs).select(
+        "event_type",
+        "q",
+        "n",
+        (F.lit(1) + F.expr("(n - 1) * q div 100")).alias("lo_rn"),
+        F.expr("(n - 1) * q % 100").alias("frac_pct"),
+    )
+    lo = (
+        cum.join(pos, "event_type")
+        .where(F.col("cum_n") >= F.col("lo_rn"))
+        .groupBy("event_type", "q", "n", "frac_pct")
+        .agg(F.min("cents").alias("v_lo"))
+    )
+    hi = (
+        cum.join(pos, "event_type")
+        .where(F.col("cum_n") >= F.col("lo_rn") + 1)
+        .groupBy("event_type", "q")
+        .agg(F.min("cents").alias("v_hi_raw"))
+    )
+    return (
+        lo.join(hi, ["event_type", "q"], "left")
+        .select(
+            "event_type",
+            F.col("q").cast("bigint").alias("q"),
+            F.col("n").cast("bigint").alias("n"),
+            (
+                F.col("v_lo") * 100
+                + (
+                    F.when(F.col("frac_pct") == 0, F.lit(0)).otherwise(
+                        F.coalesce(F.col("v_hi_raw"), F.col("v_lo"))
+                        - F.col("v_lo")
+                    )
+                )
+                * F.col("frac_pct")
+            ).cast("bigint").alias("quantile_hundredth_cents"),
+        )
+    )

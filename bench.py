@@ -107,6 +107,16 @@ HEADLINE = [
     "text_keyword_chi2",
     "graph_khop_reachability",
     "stats_benford_screen",
+    # third-session additions, each guarding a shape new to the suite:
+    # the widest snowflake join (8-way, two nation roles), the
+    # persisted-reaggregate join-back, the tournament bottom-k sketch,
+    # the two-level prefix-sum cumulative pattern, and the sweep-line
+    # session concurrency (sessionize + global running sum)
+    "olap_nation_market_share",
+    "olap_dominant_supply_share",
+    "sketch_kmv_set_ops",
+    "stats_ks_two_sample",
+    "timeseries_peak_concurrency",
 ]
 
 
