@@ -457,6 +457,7 @@ _DRIVER_SAMPLE_TAIL = [
     "dedup_bloom_prefilter_incremental",
     "analytics_activity_streaks",
     "agg_quantiles_interpolated",
+    "olap_rfm_segmentation",
 ]
 
 

@@ -1673,3 +1673,80 @@ def olap_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skyline(local.drop("pid")).select(
         "p_partkey", "price_c", F.col("p_size").cast("bigint").alias("p_size")
     )
+
+
+@query(
+    "olap_rfm_segmentation",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                         DATE '2001-09-01') AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS monetary_c
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_c,
+               NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey)
+                   AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)
+                   AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_c DESC, o_custkey)
+                   AS m_score
+        FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) AS segment_monetary_c,
+           CAST(MIN(recency_days) AS BIGINT) AS best_recency_days
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency (days
+    since last order, fresher = better), Frequency and Monetary
+    (exact cents), then rolled up per (R,F,M) cell — the classic
+    marketing mart. NTILE ties are made deterministic with a custkey
+    tiebreak so both engines cut identical quintiles.
+
+    100 TB: the per-customer rollup is combinable; the three NTILEs
+    order the CUSTOMER aggregate (not raw orders). A global NTILE is a
+    single-partition sort of one row per customer — at extreme
+    customer counts the production swap-in is the distinct-value
+    cumulative-count rank (the agg_quantiles_interpolated pattern) to
+    derive quintile boundaries, then a broadcast band join; the
+    contract pins the semantics.
+    """
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                   " AS BIGINT)")
+        ).alias("monetary_c"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_c"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary_c").cast("bigint").alias("segment_monetary_c"),
+        F.min("recency_days").cast("bigint").alias("best_recency_days"),
+    )
