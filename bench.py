@@ -27,6 +27,11 @@ by design until a driver-recorded BENCH contains the pruned entry.
 End-of-round-5 check: on the 46-entry subset common with BENCH_r04 the
 current code runs 121.8 s vs 141.3 s recorded in r4 (-14%); every
 per-query delta except the pruned minhash entry is within +-0.12 s.
+Third-session check (suite 63 -> 68 entries): 149.2 s total; the 63
+entries common with the second session sum ~141 s vs 139.4 s (+1%,
+noise band); the 5 new entries (nation market share, dominant supply
+share, KMV set ops, exact KS, peak concurrency) add 8.0 s; the only
+guard flag remains the attributed pruned-minhash entry above.
 """
 
 from __future__ import annotations

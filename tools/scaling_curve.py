@@ -114,6 +114,28 @@ FAMILIES = {
         "governance_reconciliation_audit",
         "storage_partition_evolution_roundtrip",
     ],
+    # round-5 third-session families: the widest snowflake + grouped
+    # join-back, sketch set algebra, prefix-sum cumulative shapes,
+    # sweep-line concurrency, schema-evolution and Z-order roundtrips,
+    # Bloom-gated landing dedup, FD profiling, incremental IVF serving
+    "r5s3": [
+        "olap_nation_market_share",
+        "olap_dominant_supply_share",
+        "olap_min_cost_supplier",
+        "olap_pareto_frontier",
+        "olap_rfm_segmentation",
+        "sketch_kmv_set_ops",
+        "stats_ks_two_sample",
+        "agg_quantiles_interpolated",
+        "timeseries_peak_concurrency",
+        "timeseries_interpolate_linear",
+        "analytics_activity_streaks",
+        "governance_functional_deps",
+        "similarity_ivf_incremental",
+        "dedup_bloom_prefilter_incremental",
+        "storage_schema_evolution_roundtrip",
+        "storage_zorder_scan_roundtrip",
+    ],
 }
 
 # 10x data may cost up to this factor before the gate trips. Chosen
