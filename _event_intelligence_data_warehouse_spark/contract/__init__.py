@@ -458,6 +458,7 @@ _DRIVER_SAMPLE_TAIL = [
     "analytics_activity_streaks",
     "agg_quantiles_interpolated",
     "olap_rfm_segmentation",
+    "analytics_user_concentration",
 ]
 
 

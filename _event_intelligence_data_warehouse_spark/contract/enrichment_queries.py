@@ -2029,3 +2029,86 @@ def analytics_activity_streaks(
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.sum("len").cast("bigint").alias("total_active_days"),
     )
+
+
+@query(
+    "analytics_user_concentration",
+    """
+    WITH cu AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c ASC, user_id) AS r,
+               ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS r_desc
+        FROM cu
+    ), tot AS (
+        SELECT COUNT(*) AS n, SUM(c) AS s,
+               SUM(CAST(r AS HUGEINT) * c) AS src
+        FROM ranked
+    ), top AS (
+        SELECT SUM(c) AS top_c FROM ranked, tot
+        WHERE r_desc <= GREATEST(1, n // 10)
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(s AS BIGINT) AS total_events,
+           CAST((2 * src - (n + 1) * CAST(s AS HUGEINT)) * 1000000
+                // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm,
+           CAST(CAST(top_c AS HUGEINT) * 1000000 // s AS BIGINT)
+               AS top_decile_share_ppm
+    FROM tot, top
+    """,
+)
+def analytics_user_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activity-concentration audit: exact Gini coefficient of events
+    per user and the share generated by the top decile — the
+    Lorenz/80-20 screen a platform runs to see whether load (or
+    training signal) concentrates in a few accounts. The Gini uses the
+    rank form G = (2*SUM(r*c) - (n+1)*S) / (n*S) as ONE rational with
+    a single floor division (two separately-floored terms would not be
+    engine-portable), in HUGEINT/DECIMAL(38,0).
+
+    100 TB: events collapse to per-user counts first (combinable); the
+    rank windows order the USER aggregate, one row per user. At
+    extreme user counts the rank weights can swap to the distinct-
+    count cumulative pattern (rank = cumulative count of smaller
+    values) — the contract pins the semantics.
+    """
+    e = load(spark, sf_dir, "events")
+    cu = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cu.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.asc("c"), F.asc("user_id")))
+        .alias("r"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("user_id")))
+        .alias("r_desc"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * c")).alias("src"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(tot.select("n")))
+        .where(F.col("r_desc") <= F.greatest(F.lit(1), F.expr("n div 10")))
+        .agg(F.sum("c").alias("top_c"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("s").cast("bigint").alias("total_events"),
+            F.expr(
+                "CAST((2 * src - (n + 1) * CAST(s AS DECIMAL(38,0)))"
+                " * 1000000 div (CAST(n AS DECIMAL(38,0)) * s)"
+                " AS BIGINT)"
+            ).alias("gini_ppm"),
+            F.expr(
+                "CAST(CAST(top_c AS DECIMAL(38,0)) * 1000000 div s"
+                " AS BIGINT)"
+            ).alias("top_decile_share_ppm"),
+        )
+    )
