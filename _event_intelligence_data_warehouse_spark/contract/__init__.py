@@ -459,6 +459,7 @@ _DRIVER_SAMPLE_TAIL = [
     "agg_quantiles_interpolated",
     "olap_rfm_segmentation",
     "analytics_user_concentration",
+    "join_asof_nearest_run",
 ]
 
 

@@ -537,3 +537,77 @@ def kpi_anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev * dev > 9 * (F.col("m") * F.col("s2")
                           - F.col("s") * F.col("s"))).alias("is_anomaly"),
     )
+
+
+@query(
+    "join_asof_nearest_run",
+    """
+    WITH runs AS (
+        SELECT event_type AS source,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS run_started
+        FROM events GROUP BY 1, 2
+    ), ev AS (
+        SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_id % 100 = 0
+    ), back AS (
+        SELECT e.event_id, e.event_type, e.ts,
+               r.run_started AS b_t
+        FROM ev e
+        ASOF LEFT JOIN runs r
+          ON e.event_type = r.source AND e.ts >= r.run_started
+    ), fwd AS (
+        SELECT e.event_id, r.run_started AS f_t
+        FROM ev e
+        ASOF LEFT JOIN runs r
+          ON e.event_type = r.source AND e.ts <= r.run_started
+    ), j AS (
+        SELECT b.event_id, b.event_type, b.ts, b.b_t, f.f_t,
+               DATE_DIFF('second', b.b_t, b.ts) AS bgap,
+               DATE_DIFF('second', b.ts, f.f_t) AS fgap
+        FROM back b JOIN fwd f USING (event_id)
+    )
+    SELECT event_id, event_type,
+           CASE WHEN b_t IS NOT NULL AND bgap <= 1500
+                     AND (f_t IS NULL OR fgap > 1500 OR bgap <= fgap)
+                THEN b_t
+                WHEN f_t IS NOT NULL AND fgap <= 1500 THEN f_t
+           END AS nearest_run_started
+    FROM j
+    """,
+)
+def join_asof_nearest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=...)`` parity): each
+    sampled event matches the run start CLOSEST in time — before or
+    after — within 25 minutes, ties to the earlier side; events in the
+    25-35-minute dead zone of their hour match nothing. Complements
+    join_asof_event_run (backward-only): nearest needs BOTH linear
+    passes (the forward one rides the same operator under time
+    negation) plus per-row arbitration — still no range join.
+
+    100 TB: two union-sort as-of passes, each one shuffle on
+    (key, time) with O(1) window state, recombined by event identity.
+    The oracle arbitrates DuckDB's native backward and forward ASOF
+    joins with the same tie/tolerance rules."""
+    from _event_intelligence_data_warehouse_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    e = load(spark, sf_dir, "events")
+    runs = e.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", "ts").alias("run_started"),
+    ).agg(F.count("*").alias("_n")).select("source", "run_started")
+    ev = e.filter(F.col("event_id") % 100 == 0).select(
+        "event_id", "event_type", "ts"
+    )
+    out = asof_join_nearest(
+        ev, runs,
+        left_on="ts", right_on="run_started",
+        left_by="event_type", right_by="source",
+        tolerance_seconds=1500,
+    )
+    return out.select(
+        "event_id", "event_type",
+        F.col("run_started").alias("nearest_run_started"),
+    )

@@ -64,3 +64,73 @@ def asof_join(
         *[F.col(f"_asof.{right_on}").alias(right_on)],
         *[F.col(f"_asof.{c}").alias(c) for c in rcols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``
+    shape): each left row matches the right row with the SMALLEST
+    absolute time gap — before or after — optionally capped by
+    ``tolerance_seconds``; equidistant candidates resolve to the
+    earlier (backward) one. Output columns mirror :func:`asof_join`.
+
+    Built as two linear as-of passes (backward, plus forward via
+    time negation — "latest -t_r <= -t_l" IS "earliest t_r >= t_l"),
+    then a per-row arbitration — still one shuffle per pass, no range
+    join, state O(1) per row. The two passes recombine by equality on
+    the full left row, so ``left`` rows must be unique (give them an id
+    column if they are not).
+    """
+    rcols = [c for c in right.columns if c not in (right_on, right_by)]
+    back = asof_join(
+        left, right, left_on=left_on, right_on=right_on,
+        left_by=left_by, right_by=right_by,
+    ).withColumnRenamed(right_on, "_b_t")
+    for c in rcols:
+        back = back.withColumnRenamed(c, f"_b_{c}")
+    neg = "__neg_t"
+    l_neg = left.withColumn(neg, -F.col(left_on).cast("long"))
+    r_neg = right.withColumn(neg, -F.col(right_on).cast("long"))
+    # The negation trick must keep the ORIGINAL right time column as
+    # payload while the negated clock drives the as-of ordering.
+    r2 = r_neg.select(
+        F.col(right_by), F.col(neg).alias("_nt"), F.col(right_on), *rcols
+    )
+    fwd = asof_join(
+        l_neg, r2, left_on=neg, right_on="_nt",
+        left_by=left_by, right_by=right_by,
+    ).drop("_nt", neg).withColumnRenamed(right_on, "_f_t")
+    for c in rcols:
+        fwd = fwd.withColumnRenamed(c, f"_f_{c}")
+    joined = back.join(fwd, list(left.columns), "inner")
+    lt = F.col(left_on).cast("long")
+    bgap = lt - F.col("_b_t").cast("long")
+    fgap = F.col("_f_t").cast("long") - lt
+    if tolerance_seconds is not None:
+        b_ok = F.col("_b_t").isNotNull() & (bgap <= tolerance_seconds)
+        f_ok = F.col("_f_t").isNotNull() & (fgap <= tolerance_seconds)
+    else:
+        b_ok = F.col("_b_t").isNotNull()
+        f_ok = F.col("_f_t").isNotNull()
+    # backward wins ties (and is preferred when both are in tolerance
+    # at equal distance) — pandas-compatible determinism
+    use_back = b_ok & (~f_ok | (bgap <= fgap))
+    picked = [
+        F.when(use_back, F.col("_b_t"))
+        .when(f_ok, F.col("_f_t"))
+        .alias(right_on)
+    ] + [
+        F.when(use_back, F.col(f"_b_{c}"))
+        .when(f_ok, F.col(f"_f_{c}"))
+        .alias(c)
+        for c in rcols
+    ]
+    return joined.select(*left.columns, *picked)
