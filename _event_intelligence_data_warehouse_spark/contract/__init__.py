@@ -460,6 +460,7 @@ _DRIVER_SAMPLE_TAIL = [
     "olap_rfm_segmentation",
     "analytics_user_concentration",
     "join_asof_nearest_run",
+    "analytics_cohort_ltv",
 ]
 
 

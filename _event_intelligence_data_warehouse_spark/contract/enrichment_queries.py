@@ -2112,3 +2112,108 @@ def analytics_user_concentration(
             ).alias("top_decile_share_ppm"),
         )
     )
+
+
+@query(
+    "analytics_cohort_ltv",
+    """
+    WITH firstday AS (
+        SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+               AS cohort_day
+        FROM events GROUP BY 1
+    ), daily AS (
+        SELECT e.user_id,
+               f.cohort_day,
+               DATE_DIFF('day', f.cohort_day,
+                         CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS age,
+               SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS rev_c
+        FROM events e JOIN firstday f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2, 3
+    ), cohort_age AS (
+        SELECT cohort_day, age,
+               SUM(rev_c) AS rev_c,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM daily GROUP BY 1, 2
+    ), sized AS (
+        SELECT cohort_day, COUNT(*) AS cohort_size FROM firstday
+        GROUP BY 1
+    )
+    SELECT c.cohort_day, c.age,
+           CAST(SUM(c.rev_c) OVER (PARTITION BY c.cohort_day
+                                   ORDER BY c.age) AS BIGINT)
+               AS cum_revenue_c,
+           CAST(SUM(c.rev_c) OVER (PARTITION BY c.cohort_day
+                                   ORDER BY c.age)
+                * 100 // s.cohort_size AS BIGINT)
+               AS ltv_per_user_tc,
+           CAST(c.active_users AS BIGINT) AS active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size
+    FROM cohort_age c JOIN sized s USING (cohort_day)
+    """,
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: per signup-day cohort and days-since-
+    signup, cumulative purchase revenue and exact per-user LTV in
+    hundredth-cents (cum*100 // cohort_size — one floor division) —
+    the curve a growth team reads to see whether later cohorts
+    monetize faster. Complements cohort_retention (activity) with the
+    money dimension.
+
+    100 TB: first-seen is a combinable MIN per user; the
+    (cohort, age) rollup is combinable; the cumulative window
+    partitions by cohort over calendar-bounded ages (a year of ages =
+    365 rows per cohort), never raw events.
+    """
+    e = load(spark, sf_dir, "events")
+    firstday = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    purchases = e.where(F.col("event_type") == "purchase")
+    daily = (
+        purchases.join(firstday, "user_id")
+        .groupBy(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "age"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ).alias("rev_c")
+        )
+    )
+    cohort_age = daily.groupBy("cohort_day", "age").agg(
+        F.sum("rev_c").alias("rev_c"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    sized = firstday.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort_day").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cohort_age.join(sized, "cohort_day")
+        .select(
+            "cohort_day",
+            "age",
+            F.sum("rev_c").over(w).cast("bigint").alias("cum_revenue_c"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        )
+        .withColumn(
+            "ltv_per_user_tc",
+            F.expr(
+                "CAST(CAST(cum_revenue_c AS DECIMAL(38,0)) * 100"
+                " div cohort_size AS BIGINT)"
+            ),
+        )
+        .select(
+            "cohort_day", "age", "cum_revenue_c", "ltv_per_user_tc",
+            "active_users", "cohort_size",
+        )
+    )
