@@ -461,6 +461,7 @@ _DRIVER_SAMPLE_TAIL = [
     "analytics_user_concentration",
     "join_asof_nearest_run",
     "analytics_cohort_ltv",
+    "analytics_multitouch_attribution",
 ]
 
 

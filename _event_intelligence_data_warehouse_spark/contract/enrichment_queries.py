@@ -2217,3 +2217,114 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users", "cohort_size",
         )
     )
+
+
+_MTA_LOOKBACK_S = 7 * 86400
+
+_MTA_SQL = f"""
+WITH purch AS (
+    SELECT user_id, event_id AS purchase_id,
+           CAST(ts AS TIMESTAMP) AS pts
+    FROM events
+    WHERE event_type = 'purchase' AND event_id % 20 = 0
+), touch AS (
+    SELECT user_id, event_id AS touch_id, event_type,
+           CAST(ts AS TIMESTAMP) AS tts
+    FROM events WHERE event_type IN ('view', 'click')
+), cand AS (
+    SELECT p.purchase_id, t.touch_id, t.event_type, t.tts,
+           ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                              ORDER BY t.tts, t.touch_id) AS pos,
+           COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+    FROM purch p JOIN touch t
+      ON t.user_id = p.user_id
+     AND t.tts < p.pts
+     AND t.tts >= p.pts - INTERVAL {_MTA_LOOKBACK_S} SECOND
+), credited AS (
+    SELECT purchase_id, touch_id, event_type,
+           CASE WHEN n = 1 THEN 10000
+                WHEN n = 2 THEN 5000
+                WHEN pos = 1 OR pos = n THEN 4000
+                ELSE 2000 // (n - 2)
+                     + CASE WHEN pos = 2
+                            THEN 2000 % (n - 2) ELSE 0 END
+           END AS credit_bp
+    FROM cand
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit_bp) AS BIGINT) AS credit_bp_total,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS purchases_touched
+FROM credited GROUP BY 1
+"""
+
+
+@query("analytics_multitouch_attribution", _MTA_SQL)
+def analytics_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution: every sampled
+    purchase credits its view/click touches from the prior 7 days —
+    40% to first touch, 40% to last, the middle 20% split in exact
+    basis points (floor share + remainder to the EARLIEST middle, the
+    mixture-plan allocation discipline, so each purchase's credits sum
+    to exactly 10000 bp); single-touch journeys get 100%, two-touch
+    50/50. Rolled up per channel. Complements
+    streaming_purchase_attribution (last-touch, stream-stream).
+
+    100 TB: the candidate join is user-equi + bounded time residual —
+    fan-out is touches-per-user-week, the knob production tunes via
+    the lookback; ranking windows partition per purchase (small
+    frames). No unbounded range join.
+    """
+    e = load(spark, sf_dir, "events")
+    purch = e.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 20 == 0)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    touch = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.col("ts").alias("tts"),
+    )
+    cand = purch.join(touch, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (
+            F.col("tts")
+            >= F.col("pts") - F.expr(f"INTERVAL {_MTA_LOOKBACK_S} SECOND")
+        )
+    )
+    w = Window.partitionBy("purchase_id").orderBy("tts", "touch_id")
+    wn = Window.partitionBy("purchase_id")
+    ranked = cand.select(
+        "purchase_id",
+        "touch_id",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid_share = F.expr("2000 div (n - 2)")
+    mid_rem = F.expr("2000 % (n - 2)")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 4000)
+        .otherwise(
+            mid_share + F.when(F.col("pos") == 2, mid_rem).otherwise(0)
+        )
+    )
+    return (
+        ranked.withColumn("credit_bp", credit)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_bp").cast("bigint").alias("credit_bp_total"),
+            F.countDistinct("purchase_id").cast("bigint").alias(
+                "purchases_touched"
+            ),
+        )
+    )
