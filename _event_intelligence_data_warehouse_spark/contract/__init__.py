@@ -462,6 +462,7 @@ _DRIVER_SAMPLE_TAIL = [
     "join_asof_nearest_run",
     "analytics_cohort_ltv",
     "analytics_multitouch_attribution",
+    "storage_jsonl_export_roundtrip",
 ]
 
 

@@ -2328,3 +2328,57 @@ def analytics_multitouch_attribution(
             ),
         )
     )
+
+
+@query(
+    "storage_jsonl_export_roundtrip",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def storage_jsonl_export_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JSONL interchange round trip (sources/jsonl.py): documents
+    metadata exports as deterministic hash-sharded JSONL
+    (shard = pmod(xxhash64(doc_id), 8) — byte-stable membership across
+    re-exports) and reads back through the schema'd PERMISSIVE scan
+    with corrupt-record quarantine; the aggregate over the round-
+    tripped frame must equal the oracle's aggregate over the original
+    parquet, pinning the export→parse path (the training-data
+    interchange format) under the driver's gate. Zero corrupt rows is
+    part of the contract (a lost or mangled line would shift a group).
+
+    100 TB: one hash exchange for the export, embarrassingly parallel
+    write and scan — the shard function keeps incremental re-exports
+    stable so downstream consumers can diff shards."""
+    import pyspark.sql.types as T
+
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.sources import jsonl as jl
+
+    path = staging_dir("storage_jsonl_export", sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    jl.write_jsonl_shards(docs, path, order_col="doc_id", n_shards=8)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    clean, corrupt = jl.split_corrupt(jl.read_jsonl(spark, path, schema))
+    # corrupt rows would silently shrink a group: fold the count into
+    # the plan so the contract fails loudly instead (always 0 here)
+    n_bad = corrupt.count()
+    assert n_bad == 0, f"{n_bad} corrupt JSONL lines in round trip"
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
