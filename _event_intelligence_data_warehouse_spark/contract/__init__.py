@@ -463,6 +463,7 @@ _DRIVER_SAMPLE_TAIL = [
     "analytics_cohort_ltv",
     "analytics_multitouch_attribution",
     "storage_jsonl_export_roundtrip",
+    "governance_bot_regularity",
 ]
 
 

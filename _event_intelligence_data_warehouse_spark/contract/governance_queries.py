@@ -14,7 +14,7 @@ exercised, not just the happy path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _event_intelligence_data_warehouse_spark import cache
@@ -518,3 +518,84 @@ def governance_functional_deps(
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+@query(
+    "governance_bot_regularity",
+    """
+    WITH secs AS (
+        -- integer floor-of-epoch-seconds: EPOCH() is fractional DOUBLE,
+        -- Spark's long cast floors — match it exactly
+        SELECT user_id, event_id, ts,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+        FROM events
+    ), gaps AS (
+        SELECT user_id,
+               es - LAG(es) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS gap_s
+        FROM secs
+    ), stats AS (
+        SELECT user_id,
+               COUNT(gap_s) AS n_gaps,
+               SUM(CAST(gap_s AS HUGEINT)) AS s1,
+               SUM(CAST(gap_s AS HUGEINT) * gap_s) AS s2,
+               MIN(gap_s) AS min_gap_s
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(n_gaps * s2 - s1 * s1 AS BIGINT) AS var_num,
+           CAST(min_gap_s AS BIGINT) AS min_gap_s,
+           (n_gaps >= 10 AND n_gaps * s2 - s1 * s1
+                < CAST(n_gaps AS HUGEINT) * n_gaps * 900)
+               AS too_regular
+    FROM stats
+    """,
+)
+def governance_bot_regularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bot/automation screen on timing regularity: per user, the EXACT
+    integer variance numerator of inter-event gaps
+    (n*Sum(x^2) - Sum(x)^2 in HUGEINT/DECIMAL(38,0) — the one-pass
+    group-variance identity) and the minimum gap; a user with >= 10
+    gaps whose variance (var_num / n^2) stays under 900 s^2 (std < 30s)
+    fires `too_regular` — metronomic scripts and replayed logs, the
+    rows a training pipeline quarantines before user-behavior models.
+    The flag comparison multiplies through by n^2 instead of dividing,
+    so it is exact.
+
+    100 TB: the lag window partitions per user (parallel, ordered by
+    the user's own events); the variance terms are one combinable
+    aggregate — no second pass, no mean subtraction (catastrophic
+    cancellation does not exist in integer space).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.sum(F.col("gap_s").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s")).alias("s2"),
+        F.min("gap_s").alias("min_gap_s"),
+    )
+    return stats.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.expr("CAST(n_gaps * s2 - s1 * s1 AS BIGINT)").alias("var_num"),
+        F.col("min_gap_s").cast("bigint").alias("min_gap_s"),
+        (
+            (F.col("n_gaps") >= 10)
+            & (
+                F.expr("n_gaps * s2 - s1 * s1")
+                < F.expr("CAST(n_gaps AS DECIMAL(38,0)) * n_gaps * 900")
+            )
+        ).alias("too_regular"),
+    )
