@@ -464,6 +464,7 @@ _DRIVER_SAMPLE_TAIL = [
     "analytics_multitouch_attribution",
     "storage_jsonl_export_roundtrip",
     "governance_bot_regularity",
+    "text_rake_keyphrases",
 ]
 
 

@@ -5960,3 +5960,63 @@ def dedup_bloom_prefilter_incremental(
             .alias("disposition"),
         )
     )
+
+
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in tx.ENGLISH_STOPWORDS)
+
+_RAKE_SQL = f"""
+WITH src AS (
+    SELECT doc_id AS _doc,
+           regexp_split_to_array(lower(text), '[^a-z]+') AS t
+    FROM documents WHERE lang = 'en'
+), toks AS (
+    SELECT _doc,
+           unnest(generate_series(1, len(t))) - 1 AS pos,
+           unnest(t) AS tok
+    FROM src
+), nonstop AS (
+    SELECT _doc, pos, tok,
+           pos - ROW_NUMBER() OVER (PARTITION BY _doc ORDER BY pos)
+               AS island
+    FROM toks
+    WHERE tok <> '' AND tok NOT IN ({_RAKE_STOPS_SQL})
+), phrases AS (
+    SELECT _doc, island,
+           string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           COUNT(*) AS phrase_len
+    FROM nonstop GROUP BY 1, 2
+), instances AS (
+    SELECT n._doc, n.island, n.tok, p.phrase_len
+    FROM nonstop n JOIN phrases p USING (_doc, island)
+), words AS (
+    SELECT tok,
+           CAST(SUM(CAST(phrase_len AS HUGEINT)) * 1000000
+                // COUNT(*) AS BIGINT) AS word_ppm
+    FROM instances GROUP BY 1
+), scored AS (
+    SELECT i._doc, i.island, SUM(w.word_ppm) AS score_ppm
+    FROM instances i JOIN words w USING (tok)
+    GROUP BY 1, 2
+)
+SELECT p.phrase,
+       CAST(MAX(s.score_ppm) AS BIGINT) AS score_ppm,
+       CAST(MAX(p.phrase_len) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM scored s JOIN phrases p USING (_doc, island)
+GROUP BY p.phrase
+ORDER BY score_ppm DESC, phrase
+LIMIT 20
+"""
+
+
+@query("text_rake_keyphrases", _RAKE_SQL)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the English documents
+    (operators/text.py::rake_keyphrases): top-20 stopword-delimited
+    phrases by summed degree/freq word scores, integer-ppm quantized so
+    the ranking is engine-exact. Completes the term-importance family
+    (tf-idf: per-doc terms; chi2: per-source discriminative terms;
+    PMI: collocation pairs; BM25: query relevance) with multi-word
+    unit extraction."""
+    d = load(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    return tx.rake_keyphrases(d, text_col="text", id_col="doc_id", top_k=20)

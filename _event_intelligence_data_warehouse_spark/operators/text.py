@@ -1898,3 +1898,82 @@ def chi2_keywords(
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction [Rose et al. 2010], integer-quantized:
+    candidate phrases are maximal runs of non-stopword alphabetic
+    tokens; each word scores degree/freq (degree = total length of the
+    phrases it appears in, freq = its instance count) as a FLOORED ppm
+    ratio, and a phrase scores the sum of its words' ppm scores — so
+    rankings are exact integers, reproducible across engines and
+    partitionings. (Variant note: tokens come from one non-alpha split,
+    so stopwords — not punctuation — are the only phrase breakers.)
+
+    Returns the global top_k (phrase, score_ppm, n_words,
+    n_occurrences), ties broken by phrase text.
+
+    100 TB: per-doc windows (island numbering) are bounded by document
+    length; word stats and phrase scores are combinable aggregates of
+    the instance stream; the final top-k is a heap
+    (TakeOrderedAndProject), never a global sort.
+    """
+    from pyspark.sql import Window
+
+    stop = ENGLISH_STOPWORDS
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("pos", "tok"),
+    )
+    flagged = toks.withColumn(
+        "is_stop",
+        (F.col("tok") == "") | F.col("tok").isin(*stop),
+    )
+    w = Window.partitionBy("_doc").orderBy("pos")
+    islands = (
+        flagged.where(~F.col("is_stop"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("island", F.col("pos") - F.col("rn"))
+    )
+    phrases = islands.groupBy("_doc", "island").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort("
+            "collect_list(struct(pos, tok))), x -> x.tok))"
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("phrase_len"),
+    )
+    instances = islands.join(phrases, ["_doc", "island"]).select(
+        "_doc", "island", "tok", "phrase_len"
+    )
+    words = instances.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    ).withColumn(
+        "word_ppm",
+        F.expr("CAST(CAST(degree AS DECIMAL(38,0)) * 1000000"
+               " div freq AS BIGINT)"),
+    )
+    scored = (
+        instances.join(words.select("tok", "word_ppm"), "tok")
+        .groupBy("_doc", "island")
+        .agg(F.sum("word_ppm").alias("score_ppm"))
+        .join(phrases, ["_doc", "island"])
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.max("score_ppm").cast("bigint").alias("score_ppm"),
+            F.max("phrase_len").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("phrase"))
+        .limit(top_k)
+    )
