@@ -465,6 +465,7 @@ _DRIVER_SAMPLE_TAIL = [
     "storage_jsonl_export_roundtrip",
     "governance_bot_regularity",
     "text_rake_keyphrases",
+    "events_top_paths",
 ]
 
 

@@ -2382,3 +2382,63 @@ def storage_jsonl_export_roundtrip(
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+@query(
+    "events_top_paths",
+    """
+    WITH secs AS (
+        SELECT user_id, event_type, ts, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+        FROM events
+    ), seq AS (
+        SELECT event_type AS c,
+               LAG(event_type, 1) OVER w AS b,
+               LAG(event_type, 2) OVER w AS a,
+               es - LAG(es, 1) OVER w AS g1,
+               LAG(es, 1) OVER w - LAG(es, 2) OVER w AS g2
+        FROM secs
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq
+    WHERE a IS NOT NULL AND g1 < 1800 AND g2 < 1800
+    GROUP BY 1
+    ORDER BY n_paths DESC, path
+    LIMIT 15
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 15 most common 3-step event-type paths taken
+    WITHIN a session (both inter-step gaps under 30 minutes) — the
+    next-level view over events_markov_transitions' single-step matrix,
+    and the raw material for funnel discovery (which 3-grams end in
+    'purchase'?). Gap arithmetic uses floored epoch seconds, the
+    engine-exact clock.
+
+    100 TB: the triple windows partition per user (one sort serves all
+    three LAGs); path counts are combinable with at most
+    |event_types|^3 groups, and the top-15 is a heap.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.col("ts").cast("long")
+    seq = e.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+        (es - F.lag(es, 1).over(w)).alias("g1"),
+        (F.lag(es, 1).over(w) - F.lag(es, 2).over(w)).alias("g2"),
+    )
+    return (
+        seq.where(
+            F.col("a").isNotNull() & (F.col("g1") < 1800) & (F.col("g2") < 1800)
+        )
+        .groupBy(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(15)
+    )
