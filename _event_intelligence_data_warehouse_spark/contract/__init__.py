@@ -466,6 +466,7 @@ _DRIVER_SAMPLE_TAIL = [
     "governance_bot_regularity",
     "text_rake_keyphrases",
     "events_top_paths",
+    "storage_bucketed_join_roundtrip",
 ]
 
 

@@ -2442,3 +2442,60 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(15)
     )
+
+
+@query(
+    "storage_bucketed_join_roundtrip",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def storage_bucketed_join_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucketed co-located join round trip (bucketing.py): orders and
+    lineitem land hash-bucketed on the SAME key/count, and the fact
+    join runs over the catalog-aware reads — which plan a sort-merge
+    join with ZERO Exchange on either side (plan-asserted in
+    tests/test_bucketing.py; this row pins the CONTENT through the
+    bucketed layout under the driver's gate). The aggregate must equal
+    the oracle's join over the raw tables.
+
+    100 TB: bucketing is THE shuffle-eliminator for repeated fact-fact
+    joins — pay one layout write, then every join/groupBy on the key
+    skips its exchange; n_buckets sizes a bucket to an executor core's
+    working set."""
+    from _event_intelligence_data_warehouse_spark.bucketing import (
+        BucketedCatalog,
+    )
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+
+    root = staging_dir("storage_bucketed_join", sf_dir)
+    cat = BucketedCatalog(spark, root)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    cat.write("bq_orders", o, bucket_col="o_orderkey", n_buckets=8)
+    cat.write("bq_lineitem", li, bucket_col="l_orderkey", n_buckets=8)
+    bo = cat.read("bq_orders")
+    bl = cat.read("bq_lineitem")
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+    )
