@@ -467,6 +467,7 @@ _DRIVER_SAMPLE_TAIL = [
     "text_rake_keyphrases",
     "events_top_paths",
     "storage_bucketed_join_roundtrip",
+    "similarity_mmr_rerank",
 ]
 
 

@@ -6020,3 +6020,84 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit extraction."""
     d = load(spark, sf_dir, "documents").where(F.col("lang") == "en")
     return tx.rake_keyphrases(d, text_col="text", id_col="doc_id", top_k=20)
+
+
+_MMR_IVEC = (
+    "list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+)
+
+_MMR_SQL = f"""
+WITH RECURSIVE iv AS (
+    SELECT vec_id, {_MMR_IVEC} AS v FROM embeddings
+), qv AS (
+    SELECT vec_id AS query_id, v AS q FROM iv WHERE vec_id < 20
+), relall AS (
+    SELECT q.query_id, c.vec_id AS cand,
+           CAST(list_sum(list_transform(
+               generate_series(1, len(c.v)),
+               i -> c.v[i] * q.q[i])) AS BIGINT) AS rel
+    FROM iv c CROSS JOIN qv q
+    WHERE c.vec_id <> q.query_id
+), relc AS (
+    SELECT query_id, cand, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, cand) AS rn
+        FROM relall
+    ) WHERE rn <= 10
+), pairs AS (
+    SELECT a.query_id, a.cand AS a, b.cand AS b,
+           CAST(list_sum(list_transform(
+               generate_series(1, len(va.v)),
+               i -> va.v[i] * vb.v[i])) AS BIGINT) AS sim
+    FROM relc a
+    JOIN relc b ON a.query_id = b.query_id AND a.cand <> b.cand
+    JOIN iv va ON va.vec_id = a.cand
+    JOIN iv vb ON vb.vec_id = b.cand
+), sel AS (
+    -- arg_max takes one scalar key: pack (score desc, cand asc) as
+    -- score*1e7 - cand in HUGEINT (cand << 1e7)
+    SELECT query_id, 1 AS step,
+           [arg_max(cand, CAST(rel AS HUGEINT) * 10000000 - cand)]
+               AS picks
+    FROM relc GROUP BY query_id
+    UNION ALL
+    SELECT query_id, step + 1,
+           list_append(picks,
+               arg_max(cand, CAST(score AS HUGEINT) * 10000000 - cand))
+    FROM (
+        SELECT s.query_id, s.step, s.picks, c.cand,
+               7 * c.rel - 3 * MAX(p.sim) AS score
+        FROM sel s
+        JOIN relc c ON c.query_id = s.query_id
+                   AND NOT list_contains(s.picks, c.cand)
+        JOIN pairs p ON p.query_id = s.query_id AND p.a = c.cand
+                    AND list_contains(s.picks, p.b)
+        WHERE s.step < 5
+        GROUP BY s.query_id, s.step, s.picks, c.cand, c.rel
+    )
+    GROUP BY query_id, step, picks
+)
+SELECT query_id,
+       unnest(picks) AS neighbor_id,
+       unnest(generate_series(1, len(picks))) AS mmr_rank
+FROM sel WHERE step = 5
+"""
+
+
+@query("similarity_mmr_rerank", _MMR_SQL)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (similarity.py::mmr_rerank): 20 query
+    vectors each fetch 10 exact inner-product candidates, then a
+    lambda=0.7 greedy picks 5 that trade relevance against redundancy
+    — the re-rank step a curation pipeline uses so near-identical
+    documents don't crowd a retrieval slate. Every quantity is an
+    exact integer inner product of micro-unit vectors, so the greedy
+    trajectory (not just the final set) is engine-reproducible; the
+    oracle replays it with a recursive CTE carrying the picked list.
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sim.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k_candidates=10, k_select=5,
+    )

@@ -1719,3 +1719,135 @@ def ivf_index_merge(
         .select(F.col("vec_id").alias("neighbor_id"), "cell")
     )
     return assign.unionByName(new_assign)
+
+
+def _int_vec(vec_col: str) -> Column:
+    """Embedding scaled to exact BIGINT micro-units (the ivecs
+    discipline: floor(x*1e6 + 0.5) of identical parquet doubles is
+    deterministic on every engine)."""
+    return F.expr(
+        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+        " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+    )
+
+
+def _int_dot(a: str, b: str) -> Column:
+    """Exact integer inner product of two micro-unit vectors (64-dim
+    at |x|<=1e6 stays far under int64)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k_candidates: int = 10,
+    k_select: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k [Carbonell &
+    Goldstein 1998], lambda = 0.7: greedily pick the candidate
+    maximizing 7*relevance - 3*max_similarity_to_selected (scores
+    scaled x10), where relevance and inter-candidate similarity are
+    EXACT integer inner products of micro-unit vectors — so the greedy
+    trajectory is bit-reproducible (no float argmax anywhere), ties to
+    the smaller id. Returns (query_id, neighbor_id, mmr_rank).
+
+    The selection loop is unrolled into k_select dataframe stages —
+    each one a small join over (queries x k_candidates) frames; the
+    expensive part (candidate generation) stays the bulk-parallel
+    scan.
+
+    100 TB: candidate generation should come from an ANN index (IVF/
+    PQ paths here); the rerank cost is O(queries * k^2), independent
+    of corpus size."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _int_vec(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand"), _int_vec(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("cand"))
+        .select("query_id", "cand", "cv", _int_dot("qv", "cv").alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("cand")
+    )
+    from _event_intelligence_data_warehouse_spark import cache
+
+    relc = cache.persist(
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_candidates)
+        .drop("rn")
+    )
+    # fully-renamed self-join frames: same-lineage joins on shared
+    # column names trip Spark's ambiguous-self-join detection
+    pairs = (
+        relc.select(F.col("query_id").alias("pq"),
+                    F.col("cand").alias("pa"),
+                    F.col("cv").alias("av"))
+        .join(
+            relc.select(F.col("query_id").alias("pq2"),
+                        F.col("cand").alias("pb"),
+                        F.col("cv").alias("bv")),
+            F.col("pq") == F.col("pq2"),
+        )
+        .where(F.col("pa") != F.col("pb"))
+        .select("pq", "pa", "pb", _int_dot("av", "bv").alias("psim"))
+    )
+    pairs = cache.persist(pairs)
+    cands = relc.select("query_id", "cand", "rel")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("cand")
+    )
+    # localCheckpoint per step (the k-hop BFS discipline): without it
+    # the unrolled greedy re-plans an ever-deeper anti-join/union
+    # lineage each round — wall time goes O(k * plan depth) even on
+    # 100-row state frames.
+    selected = (
+        cands.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("query_id", "cand", F.lit(1).alias("mmr_rank"))
+        .localCheckpoint()
+    )
+    for step in range(2, k_select + 1):
+        remaining = cands.join(
+            selected.select("query_id", "cand"), ["query_id", "cand"],
+            "left_anti",
+        )
+        msim = (
+            remaining.join(
+                pairs,
+                (F.col("pq") == F.col("query_id"))
+                & (F.col("pa") == F.col("cand")),
+            )
+            .join(
+                selected.select(
+                    F.col("query_id").alias("_q"),
+                    F.col("cand").alias("_s"),
+                ),
+                (F.col("_q") == F.col("pq")) & (F.col("_s") == F.col("pb")),
+            )
+            .groupBy("query_id", "cand", "rel")
+            .agg(F.max("psim").alias("msim"))
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc(F.col("rel") * 7 - F.col("msim") * 3), F.asc("cand")
+        )
+        pick = (
+            msim.withColumn("rn", F.row_number().over(ws))
+            .where(F.col("rn") == 1)
+            .select("query_id", "cand", F.lit(step).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "query_id",
+        F.col("cand").alias("neighbor_id"),
+        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
+    )
