@@ -1061,3 +1061,64 @@ def test_kmv_sketch_matches_pure_python_bottom_k(spark, a, b):
     else:
         kth = want_a[k - 1]
         assert est == (k - 1) * (1 << 60) // kth
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=6, max_size=14,
+    ),
+)
+def test_mmr_rerank_matches_pure_python_greedy(spark, vecs):
+    """The unrolled MMR selection equals a reference greedy replay on
+    exact integer inner products (lambda=0.7 as 7/3 scaled scores,
+    ties to the smaller id)."""
+    from _event_intelligence_data_warehouse_spark import cache
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 2)
+    k_c, k_s = 5, 3
+    try:
+        got = {
+            (r.query_id, r.mmr_rank): r.neighbor_id
+            for r in sim.mmr_rerank(
+                df, queries, k_candidates=k_c, k_select=k_s
+            ).collect()
+        }
+    finally:
+        cache.release_all()
+
+    iv = {i: [round(x * 1_000_000) for x in v] for i, v in rows}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for qid in range(min(2, len(vecs))):
+        rel = sorted(
+            ((dot(iv[qid], iv[c]), -c) for c in iv if c != qid),
+            reverse=True,
+        )[:k_c]
+        cands = {-negc: r for r, negc in rel}
+        picked = []
+        first = max(cands.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        picked.append(first)
+        while len(picked) < min(k_s, len(cands)):
+            best = None
+            for c, r in cands.items():
+                if c in picked:
+                    continue
+                ms = max(dot(iv[c], iv[s]) for s in picked)
+                score = 7 * r - 3 * ms
+                key = (score, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            picked.append(best[1])
+        for rank, c in enumerate(picked, start=1):
+            assert got.get((qid, rank)) == c, (
+                qid, rank, got.get((qid, rank)), c
+            )
