@@ -1622,8 +1622,13 @@ class Warehouse:
                     "migrate, or use mode='rewrite'"
                 )
             # existing DVs applied first, so re-deleting an already
-            # deleted row is a no-op rather than a recount
-            raw = self._read_file_list(self.path(table), cands, rowpos=True)
+            # deleted row is a no-op rather than a recount. The
+            # schema-op replay applies here too: a filter on a renamed/
+            # added column must see the evolved frame, same as read().
+            raw = self._read_file_list(
+                self.path(table), cands, rowpos=True,
+                schema_ops=m.get("schema_ops"),
+            )
             old_dvs = m.get("dv_files") or []
             if old_dvs:
                 dv = self._read_file_list(self.path(table), old_dvs)

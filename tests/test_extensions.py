@@ -1248,3 +1248,49 @@ def test_multiset_ops_multiplicity_algebra(spark):
             assert r.multiplicity == a - min(a, b) and a > b
         else:
             assert r.multiplicity == min(a, b) > 0
+
+
+def test_asof_nearest_directions_ties_and_tolerance(spark):
+    """Nearest as-of: backward/forward arbitration, equidistant ties to
+    the earlier side, tolerance nulls, and edges with only one
+    candidate direction."""
+    from _event_intelligence_data_warehouse_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    right = spark.createDataFrame(
+        [("k", 100, "r100"), ("k", 200, "r200")],
+        "key string, rt long, tag string",
+    ).select(
+        "key", F.timestamp_seconds("rt").alias("rt"), "tag"
+    )
+    left = spark.createDataFrame(
+        [
+            (1, "k", 90),    # before first: only forward (gap 10)
+            (2, "k", 130),   # back 30 vs fwd 70 -> backward r100
+            (3, "k", 150),   # equidistant 50/50 -> backward r100
+            (4, "k", 170),   # back 70 vs fwd 30 -> forward r200
+            (5, "k", 260),   # after last: only backward (gap 60)
+        ],
+        "id long, key string, lt long",
+    ).select("id", "key", F.timestamp_seconds("lt").alias("lt"))
+
+    got = {
+        r.id: r.tag
+        for r in asof_join_nearest(
+            left, right, left_on="lt", right_on="rt",
+            left_by="key", right_by="key",
+        ).collect()
+    }
+    assert got == {1: "r100", 2: "r100", 3: "r100", 4: "r200", 5: "r200"}
+
+    got_tol = {
+        r.id: r.tag
+        for r in asof_join_nearest(
+            left, right, left_on="lt", right_on="rt",
+            left_by="key", right_by="key", tolerance_seconds=40,
+        ).collect()
+    }
+    # 90->fwd gap 10 ok; 130 back 30 ok; 150 both gaps 50 > 40 -> null;
+    # 170 fwd 30 ok; 260 back 60 > 40 -> null
+    assert got_tol == {1: "r100", 2: "r100", 3: None, 4: "r200", 5: None}

@@ -1537,3 +1537,17 @@ def test_evolve_schema_concurrent_writer_detected(spark, tmp_path):
         wh._publish("t", m["files"], m.get("partition_col"),
                     "evolve_schema", expect_version=m["version"],
                     schema_ops=[{"op": "drop", "col": "name"}])
+
+
+def test_evolve_schema_composes_with_deletion_vectors(spark, tmp_path):
+    """DV row identity and the schema-op replay are independent layers:
+    a DV delete filtered on a RENAMED column hits the right rows, and
+    reads apply vectors to pre-evolution files."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "a"), (2, 20, "b"),
+                                  (3, 30, "c")]))
+    wh.evolve_schema("t", rename={"v": "amount"})
+    res = wh.delete_where("t", [("amount", "==", 20)], mode="dv")
+    assert res["rows_deleted"] == 1
+    got = {(r.k, r.amount) for r in wh.read("t").collect()}
+    assert got == {(1, 10), (3, 30)}
