@@ -468,6 +468,8 @@ _DRIVER_SAMPLE_TAIL = [
     "events_top_paths",
     "storage_bucketed_join_roundtrip",
     "similarity_mmr_rerank",
+    "stats_mann_whitney_u",
+    "olap_abc_classification",
 ]
 
 

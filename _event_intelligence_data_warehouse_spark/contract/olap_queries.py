@@ -1750,3 +1750,83 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_c").cast("bigint").alias("segment_monetary_c"),
         F.min("recency_days").cast("bigint").alias("best_recency_days"),
     )
+
+
+@query(
+    "olap_abc_classification",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS rev_c
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT l_partkey, rev_c,
+               SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+                   AS cum_c,
+               SUM(rev_c) OVER () AS total_c
+        FROM rev
+    ), classed AS (
+        SELECT *,
+               CASE WHEN (cum_c - rev_c) * 10
+                         < 7 * CAST(total_c AS HUGEINT) THEN 'A'
+                    WHEN (cum_c - rev_c) * 10
+                         < 9 * CAST(total_c AS HUGEINT) THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS class_revenue_c,
+           CAST(SUM(CAST(rev_c AS HUGEINT)) * 1000000
+                // MAX(total_c) AS BIGINT) AS share_ppm
+    FROM classed GROUP BY 1
+    """,
+)
+def olap_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue;
+    A = parts needed to reach 70% of cumulative revenue, B to 90%,
+    C the tail — classed by the EXACT multiplied-through comparison
+    (cum_before*10 < 7*total, no division, no float share), ties
+    broken by partkey so the running sum is total-ordered.
+
+    100 TB: per-part revenue is a combinable aggregate; the ranked
+    cumulative runs over one row per part (the entity domain, not the
+    fact volume) — at extreme part counts the distinct-value
+    cumulative-count pattern swaps in, as with the quantile family.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                   " AS BIGINT)")
+        ).alias("rev_c")
+    )
+    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = rev.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(w).alias("cum_c"),
+        F.sum("rev_c").over(wt).alias("total_c"),
+    )
+    before = (F.col("cum_c") - F.col("rev_c")).cast("decimal(38,0)") * 10
+    cls = (
+        F.when(before < F.expr("7 * CAST(total_c AS DECIMAL(38,0))"), "A")
+        .when(before < F.expr("9 * CAST(total_c AS DECIMAL(38,0))"), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev_c").cast("bigint").alias("class_revenue_c"),
+            F.expr(
+                "CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) * 1000000"
+                " div MAX(total_c) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -1248,3 +1248,99 @@ def agg_quantiles_interpolated(
             ).cast("bigint").alias("quantile_hundredth_cents"),
         )
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    """
+    WITH pts AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS ca,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS cb
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ), cum AS (
+        SELECT cents, ca, cb,
+               SUM(ca + cb) OVER (ORDER BY cents) AS cum_n
+        FROM pts
+    ), ranked AS (
+        -- doubled midrank of a tie group is integral:
+        -- 2*avg(lo..hi) = lo + hi = (prev_cum + 1) + cum
+        SELECT cents, ca, cb,
+               (cum_n - (ca + cb) + 1) + cum_n AS rank2
+        FROM cum
+    ), tot AS (
+        SELECT SUM(ca) AS na, SUM(cb) AS nb,
+               SUM(CAST(rank2 AS HUGEINT) * ca) AS r2a
+        FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+           CAST(2 * CAST(na AS HUGEINT) * nb
+                - (r2a - na * (na + 1)) AS BIGINT) AS u2_b,
+           CAST((r2a - na * (na + 1)) * 1000000
+                // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+               AS auc_ppm
+    FROM tot
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the purchase and click
+    value samples, EXACT: tie groups get integral DOUBLED midranks
+    (2*midrank = lo+hi of the group's rank range), so U is computed in
+    integers with no float ranking — u2_* are 2U, and auc_ppm =
+    U/(nA*nB) is the rank-biserial AUC in exact ppm (the probability a
+    random purchase value exceeds a random click value, ties half-
+    weighted). Distribution-free companion to stats_ks_two_sample:
+    KS finds WHERE distributions diverge, U tests whether one
+    stochastically dominates.
+
+    100 TB: identical shape to the KS screen — events collapse to
+    per-value counts bounded by the price domain; the cumulative rank
+    runs over distinct values (two-level prefix swap-in at extreme
+    domains); U is one combinable weighted sum.
+    """
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pts = e.groupBy(
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    ).agg(
+        F.count_if(F.col("event_type") == "purchase").alias("ca"),
+        F.count_if(F.col("event_type") == "click").alias("cb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pts.withColumn("cum_n", F.sum(F.col("ca") + F.col("cb")).over(w))
+    ranked = cum.select(
+        "ca",
+        (
+            (F.col("cum_n") - (F.col("ca") + F.col("cb")) + 1)
+            + F.col("cum_n")
+        ).alias("rank2"),
+    )
+    tot = ranked.agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.expr("CAST(rank2 AS DECIMAL(38,0)) * ca")).alias("r2a"),
+    ).crossJoin(
+        F.broadcast(
+            pts.agg(F.sum("cb").alias("nb"))
+        )
+    )
+    return tot.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("CAST(r2a - na * (na + 1) AS BIGINT)").alias("u2_a"),
+        F.expr(
+            "CAST(2 * CAST(na AS DECIMAL(38,0)) * nb"
+            " - (r2a - na * (na + 1)) AS BIGINT)"
+        ).alias("u2_b"),
+        F.expr(
+            "CAST((r2a - na * (na + 1)) * 1000000"
+            " div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
