@@ -470,6 +470,7 @@ _DRIVER_SAMPLE_TAIL = [
     "similarity_mmr_rerank",
     "stats_mann_whitney_u",
     "olap_abc_classification",
+    "stats_runs_test",
 ]
 
 

@@ -1344,3 +1344,91 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+@query(
+    "stats_runs_test",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS rev_c
+        FROM events GROUP BY 1
+    ), moves AS (
+        SELECT day,
+               CASE WHEN rev_c > LAG(rev_c) OVER (ORDER BY day) THEN 1
+                    WHEN rev_c < LAG(rev_c) OVER (ORDER BY day) THEN -1
+               END AS sgn
+        FROM daily
+    ), signs AS (
+        SELECT day, sgn,
+               LAG(sgn) OVER (ORDER BY day) AS prev_sgn
+        FROM moves WHERE sgn IS NOT NULL
+    ), agg AS (
+        SELECT COUNT(*) AS n_moves,
+               COUNT(*) FILTER (WHERE sgn = 1) AS n_up,
+               COUNT(*) FILTER (WHERE sgn = -1) AS n_down,
+               1 + COUNT(*) FILTER (WHERE prev_sgn IS NOT NULL
+                                      AND sgn <> prev_sgn) AS n_runs
+        FROM signs
+    )
+    SELECT CAST(n_moves AS BIGINT) AS n_moves,
+           CAST(n_up AS BIGINT) AS n_up,
+           CAST(n_down AS BIGINT) AS n_down,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(1000000 + 2000000 * CAST(n_up AS HUGEINT) * n_down
+                // n_moves AS BIGINT) AS expected_runs_ppm
+    FROM agg
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the direction of day-over-day
+    revenue moves: observed runs of consecutive same-sign moves vs the
+    randomness expectation 1 + 2·n_up·n_down/n in exact ppm (one floor
+    division) — the trend/mean-reversion screen that catches a metric
+    whose wiggles are too streaky (regime shifts, smoothing bugs) or
+    too alternating (overcorrection). Flat days drop (classic
+    treatment); both engines see identical integer daily totals so the
+    sign sequence is bit-identical.
+
+    100 TB: daily totals are combinable; every window runs over the
+    calendar-bounded daily frame.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("rev_c")
+    )
+    w = Window.orderBy("day")
+    moves = daily.select(
+        "day",
+        F.when(F.col("rev_c") > F.lag("rev_c").over(w), 1)
+        .when(F.col("rev_c") < F.lag("rev_c").over(w), -1)
+        .alias("sgn"),
+    ).where(F.col("sgn").isNotNull())
+    signs = moves.select(
+        "sgn", F.lag("sgn").over(Window.orderBy("day")).alias("prev_sgn")
+    )
+    agg = signs.agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.count_if(F.col("sgn") == 1).alias("n_up"),
+        F.count_if(F.col("sgn") == -1).alias("n_down"),
+        (
+            F.lit(1)
+            + F.count_if(
+                F.col("prev_sgn").isNotNull()
+                & (F.col("sgn") != F.col("prev_sgn"))
+            )
+        ).alias("n_runs"),
+    )
+    return agg.select(
+        F.col("n_moves").cast("bigint").alias("n_moves"),
+        F.col("n_up").cast("bigint").alias("n_up"),
+        F.col("n_down").cast("bigint").alias("n_down"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        F.expr(
+            "CAST(1000000 + 2000000 * CAST(n_up AS DECIMAL(38,0))"
+            " * n_down div n_moves AS BIGINT)"
+        ).alias("expected_runs_ppm"),
+    )
