@@ -471,6 +471,8 @@ _DRIVER_SAMPLE_TAIL = [
     "stats_mann_whitney_u",
     "olap_abc_classification",
     "stats_runs_test",
+    "olap_tier_migration_matrix",
+    "governance_duplicate_payments",
 ]
 
 

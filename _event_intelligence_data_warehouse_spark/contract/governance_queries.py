@@ -599,3 +599,77 @@ def governance_bot_regularity(
             )
         ).alias("too_regular"),
     )
+
+
+@query(
+    "governance_duplicate_payments",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               CAST(o_orderdate AS TIMESTAMP) AS od
+        FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           a.price_c,
+           CAST(DATE_DIFF('day', a.od, b.od) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.price_c = b.price_c
+     AND a.o_orderkey < b.o_orderkey
+     AND b.od >= a.od - INTERVAL 30 DAY
+     AND b.od <= a.od + INTERVAL 30 DAY
+    """,
+)
+def governance_duplicate_payments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-payment forensic screen: pairs of orders from the same
+    customer for the IDENTICAL amount (exact cents) within 30 days —
+    the double-billing / replayed-invoice audit every finance warehouse
+    runs. Blocking on (custkey, exact amount) makes the self-join an
+    equi-join whose fan-out is the per-block count, with the day window
+    as a cheap residual; amounts compare in integer cents so float
+    jitter can neither split nor merge a block.
+
+    100 TB: the block key is high-cardinality (customer x price), so
+    the self-join shuffles once on it and blocks stay tiny; a
+    degenerate block (one amount mass-produced) is the hot-bucket
+    class, capped the same way as the LSH/fuzzy screens if it appears.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("price_c"),
+        F.col("o_orderdate").alias("od"),
+    )
+    a = o.select(
+        "o_custkey", "price_c",
+        F.col("o_orderkey").alias("orderkey_a"), F.col("od").alias("od_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("_ck"), F.col("price_c").alias("_pc"),
+        F.col("o_orderkey").alias("orderkey_b"), F.col("od").alias("od_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("_ck"))
+            & (F.col("price_c") == F.col("_pc"))
+            & (F.col("orderkey_a") < F.col("orderkey_b"))
+            & (F.col("od_b") >= F.col("od_a") - F.expr("INTERVAL 30 DAY"))
+            & (F.col("od_b") <= F.col("od_a") + F.expr("INTERVAL 30 DAY")),
+        )
+        .select(
+            "o_custkey",
+            "orderkey_a",
+            "orderkey_b",
+            "price_c",
+            F.datediff(F.col("od_b"), F.col("od_a")).cast("bigint").alias(
+                "days_apart"
+            ),
+        )
+    )

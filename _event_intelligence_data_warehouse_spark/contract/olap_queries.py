@@ -1830,3 +1830,81 @@ def olap_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+@query(
+    "olap_tier_migration_matrix",
+    """
+    WITH yearly AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS spend_c
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2
+    ), tiered AS (
+        SELECT o_custkey, yr,
+               NTILE(4) OVER (PARTITION BY yr
+                              ORDER BY spend_c DESC, o_custkey) AS tier
+        FROM yearly
+    )
+    SELECT a.tier AS tier_1996,
+           COALESCE(CAST(b.tier AS VARCHAR), 'churned') AS tier_1997,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM tiered a
+    LEFT JOIN tiered b
+      ON b.o_custkey = a.o_custkey AND b.yr = 1997
+    WHERE a.yr = 1996
+    GROUP BY 1, 2
+    """,
+)
+def olap_tier_migration_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer tier-migration matrix: 1996 spend quartiles crossed
+    with where those customers landed in 1997 (or 'churned' — no 1997
+    order), the upgrade/downgrade/churn flow report behind retention
+    planning. Quartile cuts are deterministic (spend desc, custkey) on
+    each year's CUSTOMER aggregate; the migration join is per-customer
+    across adjacent periods.
+
+    100 TB: yearly spend is combinable; NTILE orders one row per
+    (customer, year) — the quantile-boundary band-join swap-in applies
+    at extreme customer counts, as documented for RFM; the matrix has
+    at most 4x5 cells.
+    """
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    yearly = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                   " AS BIGINT)")
+        ).alias("spend_c")
+    )
+    wt = Window.partitionBy("yr").orderBy(
+        F.desc("spend_c"), F.asc("o_custkey")
+    )
+    tiered = yearly.select(
+        "o_custkey", "yr", F.ntile(4).over(wt).alias("tier")
+    )
+    a = tiered.where(F.col("yr") == 1996).select(
+        "o_custkey", F.col("tier").alias("tier_1996")
+    )
+    b = tiered.where(F.col("yr") == 1997).select(
+        "o_custkey", F.col("tier").alias("_t97")
+    )
+    return (
+        a.join(b, "o_custkey", "left")
+        .groupBy(
+            "tier_1996",
+            F.coalesce(F.col("_t97").cast("string"), F.lit("churned"))
+            .alias("tier_1997"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
