@@ -148,6 +148,34 @@ SHOWCASE = [
         "scores sum order-independently; the top-k is "
         "TakeOrderedAndProject, not a global window.",
     ),
+    (
+        "olap_pareto_frontier",
+        "Skyline (r5s3): phase-1 windows partition by "
+        "spark_partition_id (parallel local skylines), only survivors "
+        "reach the exact single-partition pass — no dominance "
+        "self-join, no CartesianProduct.",
+    ),
+    (
+        "sketch_kmv_set_ops",
+        "KMV set algebra (r5s3): the bottom-k tournament shows as "
+        "per-salt window partitions before the O(16k)-row final "
+        "window; merge/estimate subplans are constant-size; the exact "
+        "audits are separate combinable aggregates.",
+    ),
+    (
+        "stats_ks_two_sample",
+        "Exact KS (r5s3): the two-level prefix sum — bucket totals, a "
+        "tiny single-partition bucket prefix, then within-bucket "
+        "windows partitioned by _bucket; no global ordered window ever "
+        "sees the per-value rows.",
+    ),
+    (
+        "olap_nation_market_share",
+        "TPC-H Q8 shape (r5s3): the widest join tree in the registry — "
+        "two independent dim paths, only nation/region broadcast by "
+        "hint, AQE sizes part/customer/supplier; ONE aggregate pass "
+        "carries numerator and denominator.",
+    ),
 ]
 
 
