@@ -97,6 +97,25 @@ def _stg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage_events(events_as_raw(load(spark, sf_dir, "events")))
 
 
+# Per-row price midpoint (kpi_queries.sql averages fact_events.price_avg,
+# the ROUND((min+max)/2, 2) measure from load_facts.sql:58-62) — the same
+# cross-engine-exact formulation fact_build_star's oracle uses.
+_PA_SQL = (
+    "CASE WHEN price_min IS NOT NULL AND price_max IS NOT NULL "
+    "THEN ROUND(CAST(price_min + price_max AS DECIMAL(20,2)) "
+    "* CAST(0.5 AS DECIMAL(2,1)), 2) "
+    "ELSE coalesce(price_min, price_max) END"
+)
+
+# COUNT(DISTINCT venue_sk) — venue_sk is 1:1 with venue_nk
+# (load_facts.sql:82), so distinct-count the nk hash directly.
+_VSK_SQL = "md5(coalesce(venue_name, '') || coalesce(venue_city, ''))"
+
+
+def _pa():
+    return price_avg_expr("price_min", "price_max")
+
+
 # ---------------------------------------------------------------------------
 # Flagship KPI (entry smoke): events by category
 # (/root/reference/dashboard/kpi_queries.sql:11-26)
@@ -109,7 +128,11 @@ def _stg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT category,
            COUNT(*) AS total_events,
            COUNT(*) FILTER (WHERE event_status = 'onsale') AS events_on_sale,
-           CAST(SUM(price_min) AS DOUBLE) / COUNT(price_min)
+           CAST(SUM("""
+    + _PA_SQL
+    + """) AS DOUBLE) / COUNT("""
+    + _PA_SQL
+    + """)
                AS avg_ticket_price_eur,
            CAST(MIN(price_min) AS DOUBLE) AS cheapest_ticket_eur,
            CAST(MAX(price_max) AS DOUBLE) AS most_expensive_ticket
@@ -122,7 +145,7 @@ def kpi_events_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stg.groupBy("category").agg(
         F.count("*").alias("total_events"),
         F.count_if(F.col("event_status") == "onsale").alias("events_on_sale"),
-        (F.sum("price_min").cast("double") / F.count("price_min")).alias(
+        (F.sum(_pa()).cast("double") / F.count(_pa())).alias(
             "avg_ticket_price_eur"
         ),
         F.min("price_min").cast("double").alias("cheapest_ticket_eur"),
@@ -183,11 +206,16 @@ def staging_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT venue_city, venue_country,
            COUNT(*) AS total_events,
-           COUNT(DISTINCT venue_name) AS unique_venues,
-           CAST(SUM(price_min) AS DOUBLE) / COUNT(price_min) AS avg_price_eur,
+           COUNT(DISTINCT """
+    + _VSK_SQL
+    + """) AS unique_venues,
+           CAST(SUM("""
+    + _PA_SQL
+    + """) AS DOUBLE) / COUNT("""
+    + _PA_SQL
+    + """) AS avg_price_eur,
            COUNT(*) FILTER (WHERE event_status = 'cancelled')
-               AS cancelled_events,
-           COUNT(*) FILTER (WHERE event_status = 'onsale') AS active_events
+               AS cancelled_events
     FROM stg
     GROUP BY venue_city, venue_country
     """,
@@ -196,12 +224,11 @@ def kpi_events_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     stg = _stg(spark, sf_dir)
     return stg.groupBy("venue_city", "venue_country").agg(
         F.count("*").alias("total_events"),
-        F.countDistinct("venue_name").alias("unique_venues"),
-        (F.sum("price_min").cast("double") / F.count("price_min")).alias(
-            "avg_price_eur"
+        F.countDistinct(venue_nk("venue_name", "venue_city")).alias(
+            "unique_venues"
         ),
+        (F.sum(_pa()).cast("double") / F.count(_pa())).alias("avg_price_eur"),
         F.count_if(F.col("event_status") == "cancelled").alias("cancelled_events"),
-        F.count_if(F.col("event_status") == "onsale").alias("active_events"),
     )
 
 
@@ -217,8 +244,15 @@ def kpi_events_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(event_date) AS BIGINT) AS month_number,
            monthname(event_date) AS month_name,
            COUNT(*) AS total_events,
-           COUNT(DISTINCT venue_name) AS unique_venues,
-           CAST(SUM(price_min) AS DOUBLE) / COUNT(price_min) AS avg_price_eur
+           COUNT(*) FILTER (WHERE event_status = 'onsale') AS active_events,
+           CAST(SUM("""
+    + _PA_SQL
+    + """) AS DOUBLE) / COUNT("""
+    + _PA_SQL
+    + """) AS avg_price_eur,
+           COUNT(DISTINCT """
+    + _VSK_SQL
+    + """) AS unique_venues
     FROM stg
     WHERE event_date IS NOT NULL
     GROUP BY 1, 2, 3
@@ -232,9 +266,10 @@ def kpi_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("event_date", "MMMM").alias("month_name"),
     ).agg(
         F.count("*").alias("total_events"),
-        F.countDistinct("venue_name").alias("unique_venues"),
-        (F.sum("price_min").cast("double") / F.count("price_min")).alias(
-            "avg_price_eur"
+        F.count_if(F.col("event_status") == "onsale").alias("active_events"),
+        (F.sum(_pa()).cast("double") / F.count(_pa())).alias("avg_price_eur"),
+        F.countDistinct(venue_nk("venue_name", "venue_city")).alias(
+            "unique_venues"
         ),
     )
 
@@ -250,7 +285,11 @@ def kpi_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN dayofweek(event_date) IN (0, 6)
                 THEN 'Weekend' ELSE 'Weekday' END AS day_type,
            COUNT(*) AS total_events,
-           CAST(SUM(price_min) AS DOUBLE) / COUNT(price_min) AS avg_price_eur,
+           CAST(SUM("""
+    + _PA_SQL
+    + """) AS DOUBLE) / COUNT("""
+    + _PA_SQL
+    + """) AS avg_price_eur,
            100.0 * COUNT(*) / SUM(COUNT(*)) OVER () AS pct_of_total
     FROM stg
     WHERE event_date IS NOT NULL
@@ -264,9 +303,7 @@ def kpi_weekend_vs_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise("Weekday")
     agg = stg.groupBy(day_type.alias("day_type")).agg(
         F.count("*").alias("total_events"),
-        (F.sum("price_min").cast("double") / F.count("price_min")).alias(
-            "avg_price_eur"
-        ),
+        (F.sum(_pa()).cast("double") / F.count(_pa())).alias("avg_price_eur"),
     )
     w = Window.partitionBy()
     return agg.withColumn(

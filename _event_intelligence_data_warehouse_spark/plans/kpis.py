@@ -21,7 +21,9 @@ def _active():
 
 
 def kpi_events_by_category(fact: DataFrame, dim_category: DataFrame) -> DataFrame:
-    """kpi_queries.sql:11-26."""
+    """kpi_queries.sql:11-26: COUNT(event_sk), onsale filter-count,
+    ROUND(AVG(price_avg),2), ROUND(MIN(price_min_eur),2),
+    ROUND(MAX(price_max),2)."""
     return (
         fact.filter(_active())
         .join(F.broadcast(dim_category), "category_sk")
@@ -29,9 +31,9 @@ def kpi_events_by_category(fact: DataFrame, dim_category: DataFrame) -> DataFram
         .agg(
             F.count("*").alias("total_events"),
             F.count_if(F.col("event_status") == "onsale").alias("events_on_sale"),
-            F.round(F.avg("price_min_eur"), 2).alias("avg_ticket_price_eur"),
-            F.min("price_min_eur").alias("cheapest_ticket_eur"),
-            F.max("price_max").alias("most_expensive_ticket"),
+            F.round(F.avg("price_avg"), 2).alias("avg_ticket_price_eur"),
+            F.round(F.min("price_min_eur"), 2).alias("cheapest_ticket_eur"),
+            F.round(F.max("price_max"), 2).alias("most_expensive_ticket"),
         )
         .orderBy(F.desc("total_events"))
     )
@@ -45,12 +47,11 @@ def kpi_events_by_city(fact: DataFrame, dim_venue: DataFrame) -> DataFrame:
         .groupBy("city", "country")
         .agg(
             F.count("*").alias("total_events"),
-            F.countDistinct("venue_name").alias("unique_venues"),
-            F.round(F.avg("price_min_eur"), 2).alias("avg_price_eur"),
+            F.countDistinct("venue_sk").alias("unique_venues"),
+            F.round(F.avg("price_avg"), 2).alias("avg_price_eur"),
             F.count_if(F.col("event_status") == "cancelled").alias(
                 "cancelled_events"
             ),
-            F.count_if(F.col("event_status") == "onsale").alias("active_events"),
         )
         .orderBy(F.desc("total_events"))
     )
@@ -64,8 +65,9 @@ def kpi_monthly_trend(fact: DataFrame, dim_date: DataFrame) -> DataFrame:
         .groupBy("year", "month_number", "month_name")
         .agg(
             F.count("*").alias("total_events"),
+            F.count_if(F.col("event_status") == "onsale").alias("active_events"),
+            F.round(F.avg("price_avg"), 2).alias("avg_price_eur"),
             F.countDistinct("venue_sk").alias("unique_venues"),
-            F.round(F.avg("price_min_eur"), 2).alias("avg_price_eur"),
         )
         .orderBy("year", "month_number")
     )
@@ -83,7 +85,7 @@ def kpi_weekend_vs_weekday(fact: DataFrame, dim_date: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("total_events"),
-            F.round(F.avg("price_min_eur"), 2).alias("avg_price_eur"),
+            F.round(F.avg("price_avg"), 2).alias("avg_price_eur"),
         )
     )
     w = Window.partitionBy()
