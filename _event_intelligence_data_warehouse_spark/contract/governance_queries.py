@@ -608,19 +608,29 @@ def governance_bot_regularity(
         SELECT o_orderkey, o_custkey,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                    AS price_c,
-               CAST(o_orderdate AS TIMESTAMP) AS od
+               CAST(o_orderdate AS DATE) AS od
         FROM orders
+    ), corpus AS (
+        SELECT * FROM o
+        UNION ALL
+        SELECT o_orderkey + 10000000000, o_custkey, price_c, od + 7
+        FROM o WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000000, o_custkey, price_c, od + 45
+        FROM o WHERE o_orderkey % 97 = 13
+        UNION ALL
+        SELECT o_orderkey + 10000000000, o_custkey, price_c + 1, od + 3
+        FROM o WHERE o_orderkey % 97 = 29
     )
     SELECT a.o_custkey,
            a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
            a.price_c,
            CAST(DATE_DIFF('day', a.od, b.od) AS BIGINT) AS days_apart
-    FROM o a JOIN o b
+    FROM corpus a JOIN corpus b
       ON a.o_custkey = b.o_custkey
      AND a.price_c = b.price_c
      AND a.o_orderkey < b.o_orderkey
-     AND b.od >= a.od - INTERVAL 30 DAY
-     AND b.od <= a.od + INTERVAL 30 DAY
+     AND ABS(DATE_DIFF('day', a.od, b.od)) <= 30
     """,
 )
 def governance_duplicate_payments(
@@ -634,6 +644,16 @@ def governance_duplicate_payments(
     as a cheap residual; amounts compare in integer cents so float
     jitter can neither split nor merge a block.
 
+    TPC-H ``o_totalprice`` is near-unique per customer, so the base
+    table alone yields 0 pairs — vacuous. The screen therefore runs
+    over the base orders PLUS a deterministic planted corpus (the
+    ``multimodal_phash_dedup`` pattern): every 97th order is replayed
+    at +7 days (must pair), another stratum at +45 days (outside the
+    window — must NOT pair) and a third at +3 days but one cent off
+    (amount mismatch — must NOT pair), so the equi-join, the cents
+    quantization and the +/-30-day residual are each exercised by rows
+    that only appear in the output if that predicate is right.
+
     100 TB: the block key is high-cardinality (customer x price), so
     the self-join shuffles once on it and blocks stay tiny; a
     degenerate block (one amount mass-produced) is the hot-bucket
@@ -644,13 +664,27 @@ def governance_duplicate_payments(
         "o_custkey",
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
         .alias("price_c"),
-        F.col("o_orderdate").alias("od"),
+        F.to_date("o_orderdate").alias("od"),
     )
-    a = o.select(
+
+    def _plant(mod_residue: int, day_shift: int, cent_shift: int):
+        return o.filter(F.col("o_orderkey") % 97 == mod_residue).select(
+            (F.col("o_orderkey") + F.lit(10000000000)).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("price_c") + F.lit(cent_shift)).alias("price_c"),
+            F.date_add("od", day_shift).alias("od"),
+        )
+
+    corpus = (
+        o.unionByName(_plant(0, 7, 0))     # replay inside the window
+        .unionByName(_plant(13, 45, 0))    # outside the 30-day window
+        .unionByName(_plant(29, 3, 1))     # one cent off
+    )
+    a = corpus.select(
         "o_custkey", "price_c",
         F.col("o_orderkey").alias("orderkey_a"), F.col("od").alias("od_a"),
     )
-    b = o.select(
+    b = corpus.select(
         F.col("o_custkey").alias("_ck"), F.col("price_c").alias("_pc"),
         F.col("o_orderkey").alias("orderkey_b"), F.col("od").alias("od_b"),
     )
@@ -660,8 +694,9 @@ def governance_duplicate_payments(
             (F.col("o_custkey") == F.col("_ck"))
             & (F.col("price_c") == F.col("_pc"))
             & (F.col("orderkey_a") < F.col("orderkey_b"))
-            & (F.col("od_b") >= F.col("od_a") - F.expr("INTERVAL 30 DAY"))
-            & (F.col("od_b") <= F.col("od_a") + F.expr("INTERVAL 30 DAY")),
+            & (
+                F.abs(F.datediff(F.col("od_b"), F.col("od_a"))) <= 30
+            ),
         )
         .select(
             "o_custkey",
