@@ -1002,10 +1002,65 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     index_sets, index_sigs = dd.minhash_index(corpus)
-    # prune_index_read is the steady-state deployment configuration
-    # (stored token-set read pruned to collision ids via a semi-join);
-    # oracle-checking it here keeps the pruned path driver-verified
-    # (r4 verdict item 7). Output is identical either way.
+    # Auto flag selection (r5 verdict item 3): this fixture's batch is
+    # ~25% of its corpus and the index is live lineage, so the auto rule
+    # picks the unpruned plan; the pruned path stays oracle-verified by
+    # dedup_minhash_incremental_pruned's steady-state fixture below.
+    # Sizes are two cheap counts over the documents scan.
+    return dd.incremental_minhash_dedup(
+        batch, index_sets, index_sigs, threshold=0.8,
+        batch_rows=batch.count(), index_rows=corpus.count(),
+    )
+
+
+# Steady-state incremental-dedup fixture: a ~2% batch (doc_id % 50 == 0
+# plus near-copies of every 31st corpus doc) probes the other 98% — the
+# small-batch/large-index regime where prune_index_read pays off. Same
+# oracle construction as above: full recompute restricted to pairs
+# touching the batch.
+_INCR_SS_BATCH_PRED = "(doc_id % 50 = 0 OR doc_id >= 200000)"
+_INCR_SS_DOCS_CTE = """
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' zzextra' AS text
+    FROM documents WHERE doc_id % 50 != 0 AND doc_id % 31 = 0
+)
+"""
+
+
+@query(
+    "dedup_minhash_incremental_pruned",
+    _INCR_SS_DOCS_CTE
+    + _LSH_PAIR_CTES
+    + _LSH_PAIR_SELECT.replace(
+        ">= 0.8",
+        ">= 0.8 AND ("
+        + _INCR_SS_BATCH_PRED.replace("doc_id", "i.doc_a")
+        + " OR "
+        + _INCR_SS_BATCH_PRED.replace("doc_id", "i.doc_b")
+        + ")",
+    ),
+)
+def dedup_minhash_incremental_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pruned steady-state deployment config on the shape it is FOR:
+    a ~2% batch (every 50th doc, plus planted near-copies of every 31st
+    corpus doc) probes the persisted index of the other 98%, and the
+    stored token-set read is semi-join-pruned to collision ids — the
+    candidate set is O(batch collisions), so at 100 TB the untouched
+    corpus' hash arrays never enter the verify shuffle. Must equal the
+    full recompute's pairs restricted to those touching the batch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    batch = docs.filter(F.col("doc_id") % 50 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 31 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        )
+    )
+    index_sets, index_sigs = dd.minhash_index(corpus)
     return dd.incremental_minhash_dedup(
         batch, index_sets, index_sigs, threshold=0.8,
         prune_index_read=True,

@@ -206,18 +206,72 @@ def main() -> None:
     cache.release_all()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query record -> repo-local file (the regression guard's
+    # fallback reference for entries the driver-recorded JSON omits) and
+    # stderr (human attribution), BEFORE the headline line.
+    full = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    print("bench full: " + json.dumps(full), file=sys.stderr)
+    # Report BEFORE overwriting the local record: the guard's fallback
+    # reference must be the PREVIOUS run's timings.
     _regression_report(timings)
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    # The driver captures only the LAST ~2000 chars of output and parses
+    # the headline JSON out of that window (BENCH_r05 recorded
+    # parsed=null when the grown suite pushed the line's head out of the
+    # window — r5 verdict item 4). So the headline line prints LAST,
+    # compact, and is shrunk to fit: attribution sub-entries drop first,
+    # then the fastest queries, with the drop counted. Dropped entries
+    # remain in BENCH_LOCAL_FULL.json and on stderr above.
+    print(json.dumps(_fit_headline(full), separators=(",", ":")))
+
+
+# Phase-split attribution entries (build/serve/apply components whose sum
+# IS the canonical entry) — first to drop when the headline line must
+# shrink to the driver's capture window.
+_SPLIT_SUBENTRIES = frozenset({
+    "similarity_ivf_build", "similarity_ivf_serve",
+    "similarity_pq_build", "similarity_pq_serve",
+    "dedup_semantic_build", "dedup_semantic_apply",
+    "cluster_density_build", "cluster_density_audit",
+    "quality_fact_build", "quality_checks_only",
+    "dedup_minhash_incr_pruned_ss",
+})
+
+_HEADLINE_MAX_CHARS = 1800
+
+
+def _fit_headline(full: dict) -> dict:
+    out = dict(full)
+    qs = dict(full["queries"])
+
+    def _len() -> int:
+        return len(json.dumps(out, separators=(",", ":")))
+
+    if _len() <= _HEADLINE_MAX_CHARS:
+        return out
+    qs = {k: v for k, v in qs.items() if k not in _SPLIT_SUBENTRIES}
+    dropped = len(full["queries"]) - len(qs)
+    out["queries"] = qs
+    out["queries_omitted"] = dropped
+    # Fastest-first drop: slow entries carry the regression signal.
+    for name in sorted(qs, key=qs.get):
+        if _len() <= _HEADLINE_MAX_CHARS:
+            break
+        del qs[name]
+        out["queries_omitted"] = len(full["queries"]) - len(qs)
+    return out
 
 
 def _bench_ivf_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
@@ -328,21 +382,13 @@ def _bench_pq_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
 
 def _bench_incr_dedup_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
     """The headline dedup_minhash_incremental entry runs the CONTRACT
-    config (prune_index_read=True since r5 — the steady-state mode, now
-    oracle-checked); the _unpruned attribution entry times the same
-    query with the prune off, so the cost of the prune's extra pass
-    over live-lineage index sets stays visible and attributable instead
-    of reading as drift (r5 bench-guard flag). The unpruned entry runs
-    second and reuses the batch-signature cache the first run persisted
-    (the suite's documented continuity behavior), so the delta is an
-    UPPER bound on the prune's marginal cost, not an isolated A/B."""
-    from _event_intelligence_data_warehouse_spark.contract import (
-        QUERIES, load,
-    )
-    from _event_intelligence_data_warehouse_spark.operators import (
-        dedup as dd,
-    )
-    from pyspark.sql import functions as F
+    config, which since r6 AUTO-selects prune_index_read from the
+    batch/index size ratio (r5 verdict item 3): this fixture's ~25%
+    batch picks the unpruned plan, so the entry is comparable with the
+    r4-recorded unpruned reference again. The pruned deployment mode is
+    benched on the shape it is for — the steady-state ~2% batch fixture
+    (dedup_minhash_incremental_pruned, its own cross-round entry)."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
 
     t0 = time.time()
     QUERIES["dedup_minhash_incremental"](spark, sf_dir).write.mode(
@@ -350,20 +396,11 @@ def _bench_incr_dedup_split(spark, sf_dir: str, timings: dict[str, float]) -> No
     ).format("noop").save()
     timings["dedup_minhash_incremental"] = round(time.time() - t0, 3)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
-        corpus.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
-        )
-    )
     t0 = time.time()
-    sets_, sigs = dd.minhash_index(corpus)
-    dd.incremental_minhash_dedup(
-        batch, sets_, sigs, threshold=0.8, prune_index_read=False
-    ).write.mode("overwrite").format("noop").save()
-    timings["dedup_minhash_incr_unpruned"] = round(time.time() - t0, 3)
+    QUERIES["dedup_minhash_incremental_pruned"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings["dedup_minhash_incr_pruned_ss"] = round(time.time() - t0, 3)
 
 
 def _bench_density_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
@@ -461,6 +498,17 @@ def _regression_report(timings: dict[str, float]) -> None:
             break
         except Exception:
             continue
+    # Driver-recorded entries win (the official cross-round reference);
+    # the committed local full record backfills entries the (possibly
+    # shrunk-to-fit) driver JSON omits.
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL_FULL.json")) as f:
+            local = json.load(f).get("queries") or {}
+        merged = dict(local)
+        merged.update(prev or {})
+        prev = merged
+    except Exception:
+        pass
     if not prev:
         return
     flagged = []
