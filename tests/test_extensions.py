@@ -264,12 +264,18 @@ def test_kmeans_training_cost_is_constant_in_corpus_size(spark):
     small = _planted_vectors(spark, n_base=30)   # 60 vectors
     big = _planted_vectors(spark, n_base=120)    # 240 vectors
     cs = sim.kmeans_centroids(small, n_cells=8, max_train=64, iters=1)
+    sim._COLLAPSE_PLANS.clear()
     cb = sim.kmeans_centroids(big, n_cells=8, max_train=64, iters=1)
     assert cs.count() == 8 and cb.count() == 8, (
         "centroid count grew with the corpus"
     )
 
-    plan = cb._jdf.queryExecution().executedPlan().toString()
+    # The returned centroids are an eagerly-collapsed LocalRelation
+    # (bounded model, depth-1 plan for every consumer); the TRAINING
+    # plan to audit is the executed round-update plan recorded by
+    # _collapse_model.
+    assert sim._COLLAPSE_PLANS, "training rounds recorded no plans"
+    plan = "\n".join(sim._COLLAPSE_PLANS)
     assert "TakeOrderedAndProject" in plan, (
         "training sample is not a bounded top-k selection"
     )
@@ -277,13 +283,15 @@ def test_kmeans_training_cost_is_constant_in_corpus_size(spark):
         "centroid update is not a (cell, pos) partial-sum hash aggregate"
     )
     # Every broadcast in the training plan must be rooted at the bounded
-    # sample (TakeOrderedAndProject) or the persisted <= n_cells centroid
-    # frame (InMemoryTableScan) — never a raw corpus-sized frame.
+    # sample (TakeOrderedAndProject), the persisted <= max_train train
+    # frame (InMemoryTableScan), or a collapsed <= n_cells model frame
+    # (LocalTableScan) — never a raw corpus-sized frame.
     for section in plan.split("BroadcastExchange")[1:]:
         subtree = section.split("BroadcastExchange")[0]
         assert (
             "TakeOrderedAndProject" in subtree
             or "InMemoryTableScan" in subtree
+            or "LocalTableScan" in subtree
         ), "a corpus-proportional frame is broadcast during training"
 
 
@@ -325,18 +333,21 @@ def test_kmeans_parallel_init_recall_and_bounded_training(spark):
     assert runs[0] == runs[1], "kmeans|| training is not deterministic"
 
     # bounded-training guard (mirrors the md5-init plan test)
+    sim._COLLAPSE_PLANS.clear()
     cb = sim.kmeans_centroids(
         _planted_vectors(spark, n_base=120), n_cells=8, max_train=64,
         iters=1, init="kmeans||",
     )
     assert cb.count() == 8
-    plan = cb._jdf.queryExecution().executedPlan().toString()
+    assert sim._COLLAPSE_PLANS, "training rounds recorded no plans"
+    plan = "\n".join(sim._COLLAPSE_PLANS)
     assert "TakeOrderedAndProject" in plan
     for section in plan.split("BroadcastExchange")[1:]:
         subtree = section.split("BroadcastExchange")[0]
         assert (
             "TakeOrderedAndProject" in subtree
             or "InMemoryTableScan" in subtree
+            or "LocalTableScan" in subtree
         ), "a corpus-proportional frame is broadcast during kmeans|| init"
 
 
