@@ -889,7 +889,7 @@ def storage_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, bucket_ts,
                MAX(value) AS high, MIN(value) AS low,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
                    AS volume
         FROM e GROUP BY 1, 2
     )

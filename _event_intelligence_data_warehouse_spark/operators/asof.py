@@ -85,9 +85,11 @@ def asof_join_nearest(
     Built as two linear as-of passes (backward, plus forward via
     time negation — "latest -t_r <= -t_l" IS "earliest t_r >= t_l"),
     then a per-row arbitration — still one shuffle per pass, no range
-    join, state O(1) per row. The two passes recombine by equality on
-    the full left row, so ``left`` rows must be unique (give them an id
-    column if they are not).
+    join, state O(1) per row. The two passes recombine by NULL-SAFE
+    equality on the full left row (``<=>`` — still a hash-joinable
+    equi-key), so left rows with NULL payload fields are kept, matching
+    pandas; ``left`` rows must be unique (give them an id column if
+    they are not).
     """
     rcols = [c for c in right.columns if c not in (right_on, right_by)]
     back = asof_join(
@@ -110,7 +112,15 @@ def asof_join_nearest(
     ).drop("_nt", neg).withColumnRenamed(right_on, "_f_t")
     for c in rcols:
         fwd = fwd.withColumnRenamed(c, f"_f_{c}")
-    joined = back.join(fwd, list(left.columns), "inner")
+    cond = None
+    for c in left.columns:
+        e = back[c].eqNullSafe(fwd[c])
+        cond = e if cond is None else cond & e
+    joined = back.join(fwd, cond, "inner").select(
+        *[back[c] for c in left.columns],
+        back["_b_t"], *[back[f"_b_{c}"] for c in rcols],
+        fwd["_f_t"], *[fwd[f"_f_{c}"] for c in rcols],
+    )
     lt = F.col(left_on).cast("long")
     bgap = lt - F.col("_b_t").cast("long")
     fgap = F.col("_f_t").cast("long") - lt

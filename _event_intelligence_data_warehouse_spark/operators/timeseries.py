@@ -103,7 +103,9 @@ def ohlc(
             F.min(v).alias("low"),
             F.max(pick).getField("v").alias("close"),
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(v.cast("decimal(18,2)")).cast("double").alias("volume"),
+            # exact DECIMAL volume as promised: sum(decimal(18,2)) is
+            # decimal(28,2) — never collapsed back to double
+            F.sum(v.cast("decimal(18,2)")).alias("volume"),
         )
     )
 

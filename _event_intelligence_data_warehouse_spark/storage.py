@@ -215,8 +215,14 @@ class Warehouse:
         self.check_constraints(table, df)
         if self.manifest:
             files = self._write_snapshot(table, df, partition_col)
+            # schema_ops=[] resets the evolution log: an overwrite is a
+            # full-image replace that materializes its own schema, and
+            # replaying carried ops against a fresh frame that
+            # legitimately reuses a previously dropped/renamed-away
+            # column name would hide or duplicate columns.
             self._publish(table, files, partition_col, "overwrite",
-                          stats=self._collect_minmax(table, files))
+                          stats=self._collect_minmax(table, files),
+                          schema_ops=[])
             return
         live = self.path(table)
         tmp = live + ".__tmp__" + uuid.uuid4().hex[:8]
@@ -2085,10 +2091,61 @@ class Warehouse:
             return m
         return self._publish(
             table, m["files"], pcol, "evolve_schema",
-            stats=m.get("stats", {}), expect_version=m["version"],
+            stats=self._remap_stats_for_ops(m.get("stats", {}), new_ops),
+            expect_version=m["version"],
             dvs=m.get("dv_files"), dv_meta=m.get("dv_meta"),
             schema_ops=(m.get("schema_ops") or []) + new_ops,
         )
+
+    def _remap_stats_for_ops(self, stats: dict, ops: list[dict]) -> dict:
+        """Carry per-file stats THROUGH this call's rename/drop ops so
+        pruning keys always mean the current logical column:
+
+        - drop: strip the column's bounds/nulls/bloom — otherwise a
+          later re-add of the same name would prune old files with the
+          dropped ghost's bounds while the read surfaces the new
+          default (silently missing rows in scan/DML candidates).
+        - rename: re-key bounds and null counts to the new name (the
+          old files' values are unchanged, so their bounds stay exact
+          for the new logical name — pruning power is retained), but
+          DROP the bloom: bloom bit positions are seeded by the column
+          name (``_bloom_hashes``), so a re-keyed bloom would probe
+          with the new name against bits set under the old one and
+          could false-negative — a correctness bug, not a precision
+          loss.
+
+        add/widen need nothing: added columns have no old-file stats
+        (unprunable, correct for default-valued reads) and widening
+        keeps bounds comparable."""
+        remap = [o for o in ops if o["op"] in ("rename", "drop")]
+        if not remap:
+            return stats
+        out = {}
+        for rel, entry in stats.items():
+            e = {
+                k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in entry.items()
+            }
+            for o in remap:
+                if o["op"] == "rename":
+                    frm, to = o["from"], o["to"]
+                    if frm in e:
+                        e[to] = e.pop(frm)
+                    nulls = e.get(self._NULLS_KEY)
+                    if isinstance(nulls, dict) and frm in nulls:
+                        nulls[to] = nulls.pop(frm)
+                    bloom = e.get(self._BLOOM_KEY)
+                    if isinstance(bloom, dict):
+                        bloom.pop(frm, None)
+                else:
+                    col = o["col"]
+                    e.pop(col, None)
+                    for sub in (self._NULLS_KEY, self._BLOOM_KEY):
+                        d = e.get(sub)
+                        if isinstance(d, dict):
+                            d.pop(col, None)
+            out[rel] = e
+        return out
 
     def partition_profile(self, table: str) -> list[dict]:
         """Per-partition profile from the MANIFEST alone (no data

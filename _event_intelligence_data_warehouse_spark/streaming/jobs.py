@@ -509,16 +509,32 @@ def stream_gdpr_erasure(
     so compliance can prove the erasure and time travel can bound when
     it landed.
 
-    Idempotence: a crash-replayed batch re-requests keys whose rows are
-    already vectored out; the DV delete then matches nothing, publishes
-    no version, and the audit records rows_deleted=0 — at-least-once
-    file delivery never double-counts an erasure. One delete per batch
-    (not per key): the manifest grows by one commit per micro-batch
-    however many users it covers.
+    Idempotence: the audit is keyed by (app, batch_id) — ``app`` is
+    derived from the checkpoint dir, the same stream identity that
+    scopes Spark's batch numbering (Delta's foreachBatch ``txnAppId``
+    pattern), so a replayed batch whose audit row already landed is a
+    no-op while a FRESH-checkpoint rerun (new identity, batch ids
+    restart) is not mistaken for a replay. The delete commit is
+    stamped with the same key via ``commit_metadata`` — so a crash in
+    the window AFTER the DV delete published but BEFORE the audit
+    append is reconstructed on replay from the table history (version
+    from the stamped commit, rows_deleted by counting the deletion-
+    vector files that commit added) instead of re-running the delete,
+    which would match nothing and permanently under-record the erasure
+    as rows_deleted=0/version=None. At-least-once file delivery
+    therefore never double-counts OR loses an erasure's accounting.
+    One delete per batch (not per key): the manifest grows by one
+    commit per micro-batch however many users it covers.
 
     At 100 TB: pair with retention so vectors eventually materialize —
     compaction/cluster_by clears them; until then reads pay one
     anti-join against vectors sized by erased rows."""
+    import hashlib
+    import os as _os
+
+    app = hashlib.md5(
+        _os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
     req = spark.readStream.schema(ERASURE_SCHEMA).json(input_dir)
 
     def erase_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -536,15 +552,60 @@ def stream_gdpr_erasure(
         ]
         if not keys:
             return
-        res = wh.delete_where(
-            target_table, [(key_col, "in", sorted(keys))], mode="dv"
+
+        def _audit(rows_deleted: int, version: int | None) -> None:
+            wh.append(audit_table, spark.createDataFrame(
+                [(app, batch_id, len(keys), rows_deleted, version)],
+                "app string, batch_id long, n_keys long, "
+                "rows_deleted long, table_version long",
+            ))
+
+        try:
+            replayed = (
+                wh.read(audit_table)
+                .filter((F.col("app") == app)
+                        & (F.col("batch_id") == batch_id))
+                .count() > 0
+            )
+        except FileNotFoundError:
+            replayed = False
+        if replayed:
+            return
+        prior = next(
+            (h for h in wh.history(target_table)
+             if (h.get("meta") or {}).get("gdpr_app") == app
+             and (h.get("meta") or {}).get("gdpr_batch") == batch_id),
+            None,
         )
-        audit = spark.createDataFrame(
-            [(batch_id, len(keys), res["rows_deleted"], res["version"])],
-            "batch_id long, n_keys long, rows_deleted long, "
-            "table_version long",
-        )
-        wh.append(audit_table, audit)
+        if prior is not None:
+            # crash landed between the delete publish and the audit
+            # append: reconstruct the original accounting. The commit's
+            # newly-added DV files hold exactly the positions it
+            # deleted, so their row count IS rows_deleted.
+            v = prior["version"]
+            dv_v = set(wh._manifest(target_table, v).get("dv_files") or [])
+            try:
+                dv_p = set(
+                    wh._manifest(target_table, prior["parent"])
+                    .get("dv_files") or []
+                )
+            except FileNotFoundError:
+                # parent manifest expired mid-replay (vacuum raced the
+                # restart): counting every live vector can only
+                # overcount, never lose the erasure
+                dv_p = set()
+            added = sorted(dv_v - dv_p)
+            n = (
+                wh._read_file_list(wh.path(target_table), added).count()
+                if added else 0
+            )
+            _audit(n, v)
+            return
+        with wh.commit_metadata(gdpr_app=app, gdpr_batch=batch_id):
+            res = wh.delete_where(
+                target_table, [(key_col, "in", sorted(keys))], mode="dv"
+            )
+        _audit(res["rows_deleted"], res["version"])
 
     q = (
         req.writeStream.foreachBatch(erase_batch)

@@ -228,6 +228,59 @@ def test_stream_gdpr_erasure_idempotent(spark, tmp_path, mwh):
     assert not {11, 12} & set(_ks(mwh))
 
 
+def test_stream_gdpr_erasure_reconstructs_audit_after_crash(
+    spark, tmp_path, mwh
+):
+    """Crash window: the DV delete published but the audit append did
+    not. The replayed batch must NOT re-run the delete (it would match
+    nothing and record rows_deleted=0/version=None) — it reconstructs
+    the original accounting from the stamped commit in the history."""
+    import hashlib
+    import json
+    import os
+
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    _seed(spark, mwh)
+    indir = str(tmp_path / "req")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(indir, exist_ok=True)
+    with open(os.path.join(indir, "r1.json"), "w") as f:
+        for uid in (21, 22):
+            f.write(json.dumps(
+                {"user_id": uid, "requested_at": "2026-08-14"}
+            ) + "\n")
+    # simulate the first attempt dying after the delete publish: run
+    # the stamped delete exactly as batch 0 of this checkpoint would,
+    # with no audit row written
+    app = hashlib.md5(os.path.abspath(ckpt).encode()).hexdigest()[:16]
+    with mwh.commit_metadata(gdpr_app=app, gdpr_batch=0):
+        res = mwh.delete_where("t", [("k", "in", [21, 22])], mode="dv")
+    assert res["rows_deleted"] == 2
+    assert not {21, 22} & set(_ks(mwh))
+
+    # replay from the SAME checkpoint: batch 0 redelivers the file
+    jobs.stream_gdpr_erasure(
+        spark, mwh, indir, ckpt, target_table="t", key_col="k"
+    )
+    audit = mwh.read("erasure_audit").collect()
+    assert len(audit) == 1
+    assert audit[0].rows_deleted == 2, (
+        "replay under-recorded the erasure instead of reconstructing it"
+    )
+    assert audit[0].table_version == res["version"]
+
+    # and a SECOND replay (audit row now present) is a pure no-op
+    jobs.stream_gdpr_erasure(
+        spark, mwh, indir, str(tmp_path / "ck_same"),
+        target_table="t", key_col="k",
+    )
+    # fresh checkpoint = new stream identity: legitimately re-audited
+    # as a 0-row delete, never double-counted
+    rows = sorted(r.rows_deleted for r in mwh.read("erasure_audit").collect())
+    assert rows == [0, 2]
+
+
 def test_rewrite_covering_all_vectored_files_clears_dvs(spark, mwh):
     _seed(spark, mwh)
     mwh.delete_where("t", [("grp", "==", 3)], mode="dv")

@@ -1305,3 +1305,28 @@ def test_asof_nearest_directions_ties_and_tolerance(spark):
     # 90->fwd gap 10 ok; 130 back 30 ok; 150 both gaps 50 > 40 -> null;
     # 170 fwd 30 ok; 260 back 60 > 40 -> null
     assert got_tol == {1: "r100", 2: "r100", 3: None, 4: "r200", 5: None}
+
+
+def test_asof_nearest_keeps_null_payload_rows(spark):
+    """Left rows with NULL payload fields survive the backward/forward
+    recombine (null-safe equality), matching pandas merge_asof."""
+    from _event_intelligence_data_warehouse_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    right = spark.createDataFrame(
+        [("k", 100, "r100")], "key string, rt long, tag string"
+    ).select("key", F.timestamp_seconds("rt").alias("rt"), "tag")
+    left = spark.createDataFrame(
+        [(1, "k", 90, None), (2, "k", 110, "p2"), (3, "k", 130, None)],
+        "id long, key string, lt long, payload string",
+    ).select(
+        "id", "key", F.timestamp_seconds("lt").alias("lt"), "payload"
+    )
+    rows = asof_join_nearest(
+        left, right, left_on="lt", right_on="rt",
+        left_by="key", right_by="key",
+    ).collect()
+    assert {(r.id, r.payload, r.tag) for r in rows} == {
+        (1, None, "r100"), (2, "p2", "r100"), (3, None, "r100")
+    }

@@ -1494,6 +1494,66 @@ def test_evolve_schema_validation_errors(spark, tmp_path):
         pwh.evolve_schema("p", drop=["k"])
 
 
+def test_evolve_schema_drop_strips_ghost_bounds_from_pruning(spark, tmp_path):
+    """Drop x, re-add x with a default: old files must NOT be pruned by
+    the dropped ghost's recorded bounds — the read surfaces the default,
+    so scan/DML must keep those files as candidates."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", spark.createDataFrame(
+        [(1, 1), (2, 5)], "k int, x int").coalesce(1))
+    wh.evolve_schema("t", drop=["x"])
+    wh.evolve_schema("t", add={"x": ("int", "100")})
+    keep, total = wh.pruned_files("t", [("x", "==", 100)])
+    assert total == 1 and len(keep) == 1, (
+        "old file pruned by the dropped column's ghost bounds"
+    )
+    got = {(r.k, r.x) for r in wh.scan("t", [("x", "==", 100)]).collect()}
+    assert got == {(1, 100), (2, 100)}
+
+
+def test_evolve_schema_rename_rekeys_bounds_and_drops_bloom(spark, tmp_path):
+    """Rename re-keys min/max bounds to the new logical name (pruning
+    power retained — the values are unchanged) but drops the bloom,
+    whose bit positions are seeded by the column name."""
+    wh = Warehouse(spark, str(tmp_path / "bwh"), manifest=True,
+                   bloom_cols={"t": ["v"]})
+    wh.append("t", _ev_df(spark, [(1, 10, "a"), (2, 20, "b")]).coalesce(1))
+    entry = next(iter(wh._manifest("t")["stats"].values()))
+    assert "v" in entry and "v" in entry.get(wh._BLOOM_KEY, {})
+    wh.evolve_schema("t", rename={"v": "amount"})
+    entry = next(iter(wh._manifest("t")["stats"].values()))
+    assert entry.get("amount") == [10, 20] and "v" not in entry
+    assert "v" not in entry.get(wh._BLOOM_KEY, {})
+    assert "amount" not in entry.get(wh._BLOOM_KEY, {})
+    # out-of-bounds probe on the NEW name prunes the old file
+    keep, total = wh.pruned_files("t", [("amount", ">", 50)])
+    assert total == 1 and keep == []
+    got = {(r.k, r.amount)
+           for r in wh.scan("t", [("amount", "<=", 10)]).collect()}
+    assert got == {(1, 10)}
+
+
+def test_overwrite_resets_schema_ops(spark, tmp_path):
+    """overwrite() is a full-image replace that materializes its own
+    schema: carried evolution ops must not replay against a fresh frame
+    that legitimately reuses a previously dropped or renamed-away
+    column name."""
+    wh = _mwh(spark, tmp_path)
+    wh.append("t", _ev_df(spark, [(1, 10, "a")]))
+    wh.evolve_schema("t", rename={"v": "amount"}, drop=["name"])
+    assert wh._manifest("t").get("schema_ops")
+    # fresh image reuses BOTH retired names: 'v' alongside 'amount',
+    # and the dropped 'name'
+    wh.overwrite("t", spark.createDataFrame(
+        [(7, 70, 700, "z")], "k int, v int, amount int, name string"))
+    assert not wh._manifest("t").get("schema_ops")
+    df = wh.read("t")
+    assert sorted(df.columns) == ["amount", "k", "name", "v"]
+    assert [(r.k, r.v, r.amount, r.name) for r in df.collect()] == [
+        (7, 70, 700, "z")
+    ]
+
+
 def test_evolve_schema_survives_rewrites_and_compact(spark, tmp_path):
     """DML and compaction materialize the evolved schema; the guarded
     op log stays carried and becomes a no-op behind them."""
