@@ -1109,34 +1109,53 @@ def graph_cluster_stats(
     silently merges. Feed the sparse components back to a human or a
     higher threshold instead of electing one survivor across them.
 
-    Triangle counting uses the ordered-edge join (a<b<c): each
-    triangle is produced exactly once, cost O(sum of deg^2) on id
-    pairs only — which is exactly why it is CAPPED: a single
-    million-edge near-clique holds ~10^9 triangles and counting them
-    proves nothing density didn't already. Components above
+    Triangle counting uses the degree-oriented wedge join (edges
+    oriented low-(degree, id) -> high): each triangle is produced
+    exactly once and per-vertex fan-out is bounded by out-degree
+    <= O(sqrt(E)) — but output is still cubic on near-cliques, which
+    is exactly why it is CAPPED: a single million-edge near-clique
+    holds ~10^9 triangles and counting them proves nothing density
+    didn't already. Components above
     ``max_triangle_edges`` report n_triangles = NULL (density, from
     V and E alone, stays exact and cheap at any size); the diagnostic
     targets the small-to-medium clusters where chain-vs-clique is
     actually ambiguous. Density is exact integer ppm:
     (2E * 1e6) div (V(V-1)). ``labels`` is the connected_components
     output."""
-    e = pairs.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).distinct()
+    # The whole audit derives from ONE persisted frame: distinct edges
+    # with the component label attached (labels joined a single time —
+    # both endpoints of an edge share a component by definition, so the
+    # a-side join is enough). pairs/labels are the tips of expensive
+    # lineages (the full minhash pipeline; iterative CC), and the r5
+    # plan re-derived them per consumer — 109 exchanges in one plan.
+    # Every downstream stat is O(#components) after its first
+    # aggregate, and the component id rides the triangle join, so
+    # `labels` is never joined again.
     lab = labels.select("doc_id", "component_id")
-    members = (
-        e.select(F.col("a").alias("doc_id"))
-        .unionByName(e.select(F.col("b").alias("doc_id")))
+    el = cache.persist(
+        pairs.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
         .distinct()
+        .join(lab, F.col("a") == lab.doc_id)
+        .select("a", "b", "component_id")
     )
     vstat = (
-        members.join(lab, "doc_id")
+        el.select("component_id", F.col("a").alias("doc_id"))
+        .unionByName(
+            el.select("component_id", F.col("b").alias("doc_id"))
+        )
+        .distinct()
         .groupBy("component_id")
         .agg(F.count("*").cast("bigint").alias("n_vertices"))
     )
+    # estat/oe stay UNpersisted: both are one cheap step from a
+    # persisted parent (one agg over el; one projection-join over ce),
+    # and every extra persist level nests the parent's InMemoryRelation
+    # plan string recursively — four levels blew the executed-plan
+    # string past 28 MB for zero runtime win on frames this small.
     estat = (
-        e.join(lab, e.a == lab.doc_id)
-        .groupBy("component_id")
+        el.groupBy("component_id")
         .agg(F.count("*").cast("bigint").alias("n_edges"))
     )
     # Edges restricted to capped components before any self-join. No
@@ -1146,18 +1165,60 @@ def graph_cluster_stats(
     small = estat.filter(
         F.col("n_edges") <= max_triangle_edges
     ).select("component_id")
-    ce = (
-        e.join(lab, e.a == lab.doc_id)
-        .join(small, "component_id")
-        .select("a", "b")
+    # Persisted: ce is usually TINY (capped components only — at sf0.1
+    # one giant component holds 99.97% of edges and is excluded), but
+    # its lineage re-joins the full edge frame; three consumers below
+    # (deg + the two orientation attaches) would re-run that join.
+    ce = cache.persist(el.join(small, "component_id"))
+    # Degree-oriented triangle counting: orient every undirected edge
+    # from the lower-(degree, id) endpoint to the higher one. The
+    # orientation is a total order, so each triangle is produced
+    # exactly once (x < y < z, x the wedge center), and the wedge join
+    # fans out per-vertex by OUT-degree, which the orientation bounds
+    # by O(sqrt(E)) — the classic sum-min-degree bound that keeps one
+    # hub vertex in a skewed near-clique from generating deg^2 wedge
+    # candidates (the plain a<b ordering degrades to exactly that when
+    # ids correlate with crawl order).
+    deg = (
+        ce.select(F.col("a").alias("v"))
+        .unionByName(ce.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("d"))
     )
-    e1 = ce.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = ce.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = ce.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    abd = (
+        ce.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")),
+                "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")),
+              "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oe = (
+        abd.select(
+            "component_id",
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da"))
+            .alias("dst_d"),
+        )
+    )
+    w1 = oe.select(
+        "component_id", F.col("src").alias("x"), F.col("dst").alias("y"),
+        F.col("dst_d").alias("yd"),
+    )
+    w2 = oe.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"),
+        F.col("dst_d").alias("zd"),
+    )
+    wedges = w1.join(w2, "x").filter(
+        (F.col("yd") < F.col("zd"))
+        | ((F.col("yd") == F.col("zd")) & (F.col("y") < F.col("z")))
+    )
+    closing = oe.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
     tstat = (
-        tri.join(lab, tri.x == lab.doc_id)
-        .groupBy("component_id")
+        tri.groupBy("component_id")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
     return (

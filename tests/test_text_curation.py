@@ -597,6 +597,37 @@ def test_cluster_density_separates_clique_from_chain(spark):
     assert got[10].n_triangles == 0 and got[10].density_ppm == 500000
 
 
+def test_cluster_density_triangle_count_on_skewed_degrees(spark):
+    """Pins the degree-oriented wedge join on graphs the plain a<b
+    ordering mishandles: a hub-and-rim wheel (hub degree 4, rim degree
+    3 — every hub edge must orient rim->hub regardless of id order) and
+    a diamond (K4 minus an edge — mixed degrees 2/3, two triangles
+    sharing an edge, each counted exactly once)."""
+    # Wheel W4: hub=9 (highest id, highest degree), rim cycle 1-2-3-4.
+    wheel = [(9, 1), (9, 2), (9, 3), (9, 4),
+             (1, 2), (2, 3), (3, 4), (1, 4)]
+    # Diamond: 20-21-22-23 with chord (21, 22); triangles
+    # {20,21,22} and {21,22,23}.
+    diamond = [(20, 21), (20, 22), (21, 22), (21, 23), (22, 23)]
+    pairs = spark.createDataFrame(
+        wheel + diamond, "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 9, 20, 21, 22, 23]], "doc_id long"
+    )
+    labels = dd.connected_components(verts, pairs)
+    got = {r.component_id: r
+           for r in dd.graph_cluster_stats(pairs, labels).collect()}
+    wheel_cid = labels.filter("doc_id = 9").collect()[0].component_id
+    diamond_cid = labels.filter("doc_id = 20").collect()[0].component_id
+    assert got[wheel_cid].n_vertices == 5
+    assert got[wheel_cid].n_edges == 8
+    assert got[wheel_cid].n_triangles == 4
+    assert got[diamond_cid].n_vertices == 4
+    assert got[diamond_cid].n_edges == 5
+    assert got[diamond_cid].n_triangles == 2
+
+
 def test_bpe_train_batched_matches_sequential(spark):
     """batch_k > 1 accepts only symbol-disjoint candidates per round, so
     the merge list (pairs AND counts) matches one-at-a-time training on
