@@ -448,12 +448,10 @@ _DRIVER_SAMPLE_TAIL = [
     "sketch_kmv_set_ops",
     "olap_pareto_frontier",
     "timeseries_interpolate_linear",
-    "storage_schema_evolution_roundtrip",
     "governance_functional_deps",
     "similarity_ivf_incremental",
     "stats_ks_two_sample",
     "timeseries_peak_concurrency",
-    "storage_zorder_scan_roundtrip",
     "dedup_bloom_prefilter_incremental",
     "analytics_activity_streaks",
     "agg_quantiles_interpolated",
@@ -466,21 +464,136 @@ _DRIVER_SAMPLE_TAIL = [
     "governance_bot_regularity",
     "text_rake_keyphrases",
     "events_top_paths",
-    "storage_bucketed_join_roundtrip",
     "similarity_mmr_rerank",
-    "stats_mann_whitney_u",
     "olap_abc_classification",
+    # Round-6 demotions (r5 verdict item 7): ten r5-driver-green entries
+    # move out to make room for the promoted slate in
+    # _DRIVER_SAMPLE_HEAD below. Every demotee keeps its mechanism
+    # head-covered:
+    # - dedup_minhash_lsh_pairs / dedup_connected_components: the full
+    #   minhash->LSH->CC pipeline still runs head-sampled inside
+    #   dedup_cluster_density, and incrementally via
+    #   dedup_minhash_incremental(+_pruned) and dedup_cc_incremental
+    # - dedup_ngram_jaccard: gram-set blocking + pair scoring stay via
+    #   dedup_containment_pairs and text_decontaminate
+    # - similarity_lsh_topk: the ANN serve family keeps three head rows
+    #   (PQ topk/recall, IVF-PQ topk); LSH banding stays via the
+    #   minhash incremental entries
+    # - text_lm_surprise: corpus-trained-model scoring by join-back
+    #   stays via curation_dsir_affinity
+    # - text_bpe_pair_stats: BPE machinery stays via text_bpe_encode
+    #   (train + encode in one entry)
+    # - curation_quality_percentile: percentile gating is composed
+    #   inside curation_pipeline_v3 (head)
+    # - embedding_random_projection: deterministic projection is the
+    #   first stage of the sampled PQ encode path
+    # - text_url_canonicalize / profile_key_skew: extension screens,
+    #   driver-green r3-r5; no §2 id rides on them
+    "dedup_minhash_lsh_pairs",
+    "dedup_connected_components",
+    "dedup_ngram_jaccard",
+    "similarity_lsh_topk",
+    "text_lm_surprise",
+    "text_bpe_pair_stats",
+    "curation_quality_percentile",
+    "embedding_random_projection",
+    "text_url_canonicalize",
+    "profile_key_skew",
+]
+
+# Round-6 promoted slate + the exact driver sample, pinned (r5 verdict
+# item 7). The driver verifies the FIRST 50 registry entries; inferring
+# those 50 from "registration order minus tail" broke silently when a
+# new query registered mid-head (dedup_minhash_incremental_pruned pushed
+# json_extract_props — the §2 S4 covering row — out to position 50), so
+# the head is now an explicit slate: exactly these 50, in this order.
+# Promoted this round:
+# - json_extract_props: restored (§2 S4's driver row)
+# - governance_duplicate_payments: de-vacuified this round (planted
+#   replay corpus) — needs a driver row with spark_rows > 0
+# - storage_schema_evolution_roundtrip / storage_bucketed_join_roundtrip
+#   / storage_zorder_scan_roundtrip: the never-driver-verified storage
+#   family
+# - olap_min_cost_supplier (Q2) / olap_dominant_supply_share (Q11): the
+#   final TPC-H shapes
+# - stats_mann_whitney_u / stats_runs_test / olap_tier_migration_matrix:
+#   the newest stats screens
+_DRIVER_SAMPLE_HEAD = [
+    "pivot_status_by_priority",
+    "join_asof_event_run",
+    "split_leakage_safe",
+    "text_quality_score",
+    "text_pack_sequences",
+    "dedup_minhash_incremental",
+    "dedup_minhash_incremental_pruned",
+    "curation_mixture_sample",
+    "text_decontaminate",
+    "multimodal_media_features",
+    "streaming_stateful_sessions",
+    "dedup_semantic",
+    "dedup_semantic_incremental",
+    "text_boilerplate_lines",
+    "dedup_exact_substrings",
+    "sketch_bloom_membership",
+    "dedup_cc_incremental",
+    "text_bpe_encode",
+    "curation_dsir_affinity",
+    "similarity_pq_topk",
+    "similarity_pq_recall",
+    "curation_pipeline_v3",
+    "similarity_ivfpq_topk",
+    "dedup_containment_pairs",
+    "dedup_cluster_density",
+    "storage_schema_evolution_roundtrip",
+    "storage_bucketed_join_roundtrip",
+    "storage_zorder_scan_roundtrip",
+    "olap_min_cost_supplier",
+    "olap_dominant_supply_share",
+    "stats_mann_whitney_u",
     "stats_runs_test",
     "olap_tier_migration_matrix",
     "governance_duplicate_payments",
+    "kpi_events_by_category",
+    "staging_cleanse",
+    "kpi_weekend_vs_weekday",
+    "fact_build_star",
+    "quality_five_checks",
+    "kpi_pipeline_health",
+    "agg_pct_scalar_subquery",
+    "join_anti_not_exists",
+    "dedup_latest_per_key",
+    "upsert_merge_latest_state",
+    "scd2_change_intervals",
+    "surrogate_keys_dense",
+    "topk_recent_events",
+    "dim_date_attributes",
+    "keys_md5_concat_split",
+    "json_extract_props",
 ]
 
 
 def _reorder_for_driver_sample() -> None:
+    # Exact head slate first (in slate order), then every other entry in
+    # registration order, then the documented tail. A name in both lists
+    # lands in the head; the tail list is the demotion ledger.
     for name in _DRIVER_SAMPLE_TAIL:
+        if name in _DRIVER_SAMPLE_HEAD:
+            continue
         QUERIES[name] = QUERIES.pop(name)
         if name in ORACLES:
             ORACLES[name] = ORACLES.pop(name)
+    head_q = {n: QUERIES.pop(n) for n in _DRIVER_SAMPLE_HEAD}
+    rest_q = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update(head_q)
+    QUERIES.update(rest_q)
+    head_o = {
+        n: ORACLES.pop(n) for n in _DRIVER_SAMPLE_HEAD if n in ORACLES
+    }
+    rest_o = dict(ORACLES)
+    ORACLES.clear()
+    ORACLES.update(head_o)
+    ORACLES.update(rest_o)
 
 
 _reorder_for_driver_sample()
