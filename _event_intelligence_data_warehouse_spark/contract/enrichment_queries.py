@@ -2499,3 +2499,78 @@ def storage_bucketed_join_roundtrip(
             .cast("double").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions.
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_rounds_sql(k: int, rounds: int) -> str:
+    """Unrolled bounded k-core peel over an ``e0(a, b)`` CTE the caller
+    prepends: plain CTE layers (recursive CTEs disallow the per-round
+    degree aggregate), one (alive, surviving-edges) pair per round —
+    the same fixed-round contract as operators/graph.py::kcore_peel,
+    whose early exit at a fixpoint is a no-op for the unrolled form.
+    Every e{i} is referenced three times by round i+1, so the CTEs are
+    MATERIALIZED — DuckDB inlines plain CTEs and would otherwise
+    expand the base scan 3^rounds times (measured: blows the
+    open-file limit at 6 rounds)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+, al{i} AS MATERIALIZED (
+    SELECT v FROM (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM e{p} UNION ALL SELECT b AS v FROM e{p}
+        ) GROUP BY v
+    ) WHERE d >= {k}
+), e{i} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{p} e
+    JOIN al{i} x ON x.v = e.a
+    JOIN al{i} y ON y.v = e.b
+)""")
+    parts.append(f"""
+SELECT node_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node_id FROM e{rounds}
+    UNION ALL SELECT b AS node_id FROM e{rounds}
+) GROUP BY node_id""")
+    return "".join(parts)
+
+
+def _kcore_dup_sql() -> str:
+    from _event_intelligence_data_warehouse_spark.contract import (
+        extension_queries as _ext,
+    )
+
+    return (
+        _ext._DOCS_NEAR_CTE
+        + _ext._LSH_PAIR_CTES
+        + f", pairs AS ({_ext._LSH_PAIR_SELECT})"
+        + ", e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)"
+        + _kcore_rounds_sql(_KCORE_K, _KCORE_ROUNDS)
+    )
+
+
+@query("dedup_kcore_survivors", _kcore_dup_sql())
+def dedup_kcore_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the verified near-dup graph: peel degree-<2 vertices
+    for up to 6 rounds and report survivors with their in-core degrees.
+    Chains — the transitive artifacts a too-loose threshold accretes —
+    dissolve endpoint-by-endpoint across rounds (a length-L path takes
+    ~L/2 rounds, which is why this is a cascade, not a degree filter),
+    while genuinely cyclic/clique duplicate clusters survive intact.
+    Complements dedup_cluster_density: density SCORES each component;
+    the 2-core EXCISES the tree fringe inside mixed components."""
+    from _event_intelligence_data_warehouse_spark.contract import (
+        extension_queries as _ext,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    docs = _ext._docs_near(spark, sf_dir)
+    pairs = dd.minhash_dedup(docs, threshold=0.8)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return g.kcore_peel(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)

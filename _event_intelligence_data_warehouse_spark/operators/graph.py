@@ -418,3 +418,75 @@ def fellegi_sunter_customer_links(
         .when(F.col("score_milli") >= FS_POSSIBLE_MILLI, "possible")
         .otherwise("non-match"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    *,
+    max_rounds: int = 6,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge list: repeatedly
+    delete every vertex with degree < k (and its edges) for up to
+    ``max_rounds`` rounds, then return (node_id, degree) over the
+    surviving subgraph. The k-core is the standard density sieve for
+    entity/link graphs — spam-farm and boilerplate-hub detection keeps
+    the dense core, and dup-cluster triage drops the chain fringe that
+    transitive thresholds accrete.
+
+    The ROUND BOUND is the contract, not a heuristic: each round's
+    deletions are a deterministic function of the previous round's
+    subgraph, so "peel exactly R rounds" is engine-portable (the oracle
+    unrolls the same R rounds as plain CTE layers — no aggregates inside
+    recursion, which SQL recursive CTEs disallow). Peeling past a
+    fixpoint is a no-op, so the early exit below never changes the
+    result, and a graph that hasn't converged in R rounds returns the
+    same R-round approximant on every engine. True cores converge in
+    few rounds on power-law graphs; pathological chains (each round
+    removes one path endpoint) are exactly the structures the dedup
+    diagnostics upstream already flag.
+
+    Scale: the edge frame SHRINKS monotonically and is re-materialized
+    per round via localCheckpoint, so round i re-filters the survivors
+    of round i-1, never the original edge set; each round is one
+    degree aggregate plus two semi-joins (AQE broadcasts the alive set
+    once peeling localizes). The one count() per round is the
+    convergence probe on an already-materialized frame."""
+    ac = F.col(a_col).cast("bigint")
+    bc = F.col(b_col).cast("bigint")
+    # Canonicalize the undirected edge before distinct: a reversed
+    # duplicate (b, a) is the same edge and must not double a degree.
+    e = (
+        edges.select(
+            F.least(ac, bc).alias("a"), F.greatest(ac, bc).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("v")
+        e = (
+            e.join(alive, e.a == alive.v, "left_semi")
+            .join(alive, e.b == alive.v, "left_semi")
+            .localCheckpoint()
+        )
+        n2 = e.count()
+        if n2 == n:
+            break
+        n = n2
+    return (
+        e.select(F.col("a").alias("node_id"))
+        .unionByName(e.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )

@@ -443,3 +443,43 @@ def test_rolling_wau_brute_force(spark):
             week |= by_day.get(day - datetime.timedelta(days=off), set())
         dau = len(by_day[day])
         assert got[day] == (len(week), dau, dau * 1_000_000 // len(week))
+
+
+def test_kcore_peel_cascades_chain_into_surviving_cycle(spark):
+    """Lollipop graph (triangle 1-2-3 plus tail 3-4-5-6-7), k=2: the
+    tail dissolves one endpoint per round (7, then 6, then 5, then 4 —
+    four cascading rounds, the behavior a plain degree filter lacks);
+    the triangle survives with in-core degree 2 everywhere."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        "a long, b long",
+    )
+    got = {r.node_id: r.degree
+           for r in g.kcore_peel(edges, k=2, max_rounds=6).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peel_round_bound_is_the_contract(spark):
+    """max_rounds=2 on the same lollipop returns the 2-round
+    approximant exactly: vertices 7 and 6 are peeled, the rest of the
+    tail (with its sub-k fringe degrees) remains — the documented
+    fixed-round portability contract, not a convergence promise."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        "a long, b long",
+    )
+    got = {r.node_id: r.degree
+           for r in g.kcore_peel(edges, k=2, max_rounds=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_kcore_peel_k3_keeps_only_the_clique(spark):
+    """K4 plus a pendant triangle at one corner, k=3: the triangle
+    (degree 2) peels away, K4 survives with degree 3; self-loops and
+    duplicate/reversed edges are dropped before peeling."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5), (4, 6), (5, 6), (5, 5), (2, 1)]
+    edges = spark.createDataFrame(k4 + extra, "a long, b long")
+    got = {r.node_id: r.degree
+           for r in g.kcore_peel(edges, k=3, max_rounds=6).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
