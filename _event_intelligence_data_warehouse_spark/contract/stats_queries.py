@@ -1432,3 +1432,86 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * n_down div n_moves AS BIGINT)"
         ).alias("expected_runs_ppm"),
     )
+
+
+@query(
+    "stats_theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ), slopes AS (
+        SELECT i.event_type,
+               CAST((j.y - i.y) * 1000000 // (j.x - i.x) AS BIGINT) AS s
+        FROM daily i JOIN daily j
+          ON j.event_type = i.event_type AND j.x > i.x
+    ), ranked AS (
+        SELECT event_type, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN s ELSE 0 END)
+                + SUM(CASE WHEN rn = n // 2 + 1 THEN s ELSE 0 END)
+                AS BIGINT) AS slope_micro_x2
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily volume per event type: the
+    median of all pairwise day-over-day slopes — the 29%-breakdown
+    estimator that one anomalous day cannot drag the way it drags the
+    OLS slope (stats_regression_daily_trend, its fragile companion).
+
+    Exactness: each pairwise slope is an integer micro-slope
+    ((yj-yi)*1e6 intdiv (xj-xi); signed integer division truncates
+    toward zero on BOTH engines), and the median is reported DOUBLED
+    (lower-mid + upper-mid) so even pair counts never leave the
+    integers. Scale: the pairwise join is O(D^2) in DAYS, not in rows
+    — the daily rollup bounds it to |days| x |types| inputs no matter
+    how many events a day holds; selection rides a per-type window
+    over slope values (types partition the work)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    i, j = daily.alias("i"), daily.alias("j")
+    slopes = (
+        i.join(
+            j,
+            (F.col("j.event_type") == F.col("i.event_type"))
+            & (F.col("j.x") > F.col("i.x")),
+        )
+        .select(
+            F.col("i.event_type").alias("event_type"),
+            F.expr(
+                "CAST(CASE WHEN j.y < i.y THEN -1 ELSE 1 END"
+                " * (ABS(j.y - i.y) * 1000000 DIV (j.x - i.x))"
+                " AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type", "s",
+        F.row_number().over(w.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("s"))
+                  .otherwise(F.lit(0)))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("s"))
+                    .otherwise(F.lit(0)))
+        ).cast("bigint").alias("slope_micro_x2"),
+    )

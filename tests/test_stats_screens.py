@@ -215,3 +215,34 @@ def test_holt_fold_matches_python_recurrence(spark):
             assert r.level_milli == tdiv(l, 1_000_000)
             assert r.trend_milli == tdiv(b, 1_000_000)
             assert r.forecast_milli == tdiv(l + b, 1_000_000)
+
+
+def test_theil_sen_matches_brute_force_median(spark):
+    """The integer micro-slope doubled-median equals a Python
+    brute-force Theil-Sen (all pairwise slopes, statistics.median,
+    doubled) computed on the same daily series with the same toward-zero
+    truncation per pairwise slope."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["stats_theil_sen_trend"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, x, y in _daily(con, by_type=True):
+        series.setdefault(et, []).append((int(x), int(y)))
+    assert rows
+    for et, pts in series.items():
+        slopes = []
+        for a in range(len(pts)):
+            for b in range(a + 1, len(pts)):
+                dx = pts[b][0] - pts[a][0]
+                dy = pts[b][1] - pts[a][1]
+                q = abs(dy) * 1_000_000 // dx
+                slopes.append(-q if dy < 0 else q)
+        slopes.sort()
+        n = len(slopes)
+        doubled = slopes[(n + 1) // 2 - 1] + slopes[n // 2]
+        assert rows[et].n_pairs == n
+        assert rows[et].slope_micro_x2 == doubled, et
