@@ -6157,3 +6157,52 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 20),
         k_candidates=10, k_select=5,
     )
+
+
+@query(
+    "embedding_covariance_exact",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ), flat AS (
+        SELECT vec_id, pos, qv[pos] AS qx FROM (
+            SELECT vec_id, qv,
+                   unnest(generate_series(1, len(qv))) AS pos
+            FROM q
+        )
+    ), spp AS (
+        SELECT a.pos - 1 AS dim_i, b.pos - 1 AS dim_j,
+               COUNT(*) AS n, CAST(SUM(a.qx * b.qx) AS HUGEINT) AS sxy
+        FROM flat a JOIN flat b
+          ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY 1, 2
+    ), ds AS (
+        SELECT pos - 1 AS dim, CAST(SUM(qx) AS HUGEINT) AS s
+        FROM flat GROUP BY 1
+    )
+    SELECT CAST(p.dim_i AS BIGINT) AS dim_i,
+           CAST(p.dim_j AS BIGINT) AS dim_j,
+           CAST(p.n AS BIGINT) AS n_vectors,
+           CAST(p.n * p.sxy - di.s * dj.s AS BIGINT) AS cov_num
+    FROM spp p
+    JOIN ds di ON di.dim = p.dim_i
+    JOIN ds dj ON dj.dim = p.dim_j
+    """,
+)
+def embedding_covariance_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact integer covariance numerators over the embedding
+    dimensions' upper triangle — the bounded d x d model PCA
+    eigendecomposes (operators/similarity.py::pca_model; the
+    projection itself is pytest-pinned since eigensolving is not
+    SQL-expressible). Spark generates the per-row upper-triangle
+    products inside the array, so the only shuffle is the
+    d(d+1)/2-group aggregate with map-side combine; the oracle
+    recomputes it with a flat self-join."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.covariance_pairs(emb, scale=1_000)

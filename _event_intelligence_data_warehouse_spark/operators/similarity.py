@@ -1789,14 +1789,9 @@ def ivf_index_merge(
     return assign.unionByName(new_assign)
 
 
-def _int_vec(vec_col: str) -> Column:
-    """Embedding scaled to exact BIGINT micro-units (the ivecs
-    discipline: floor(x*1e6 + 0.5) of identical parquet doubles is
-    deterministic on every engine)."""
-    return F.expr(
-        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
-        " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
-    )
+# (a second micro-unit _int_vec used to live here; it shadowed the
+# parameterized one at module top — same values at the default scale,
+# but it broke any caller passing an explicit scale)
 
 
 def _int_dot(a: str, b: str) -> Column:
@@ -1919,3 +1914,130 @@ def mmr_rerank(
         F.col("cand").alias("neighbor_id"),
         F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
     )
+
+
+def covariance_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000,
+) -> DataFrame:
+    """Exact integer covariance numerators over the upper triangle of
+    the embedding dimensions: one row (dim_i <= dim_j) with
+    ``cov_num = n*S(qi*qj) - S(qi)*S(qj)`` over milli-quantized
+    components (floor-half-up — bit-identical on every engine, the
+    :func:`_int_vec` discipline). Sample covariance is
+    cov_num / (n*(n-1)*scale^2); keeping the numerator integral is what
+    lets a SQL oracle hash-match it.
+
+    Plan shape: the per-row upper-triangle products are generated
+    INSIDE the array (index-aware transform + slice), so the only
+    shuffle is the final d(d+1)/2-group aggregate with map-side
+    partial combine — no self-join, no N x d flat join. At milli scale
+    the int64 numerator holds past 1e13 rows x unit-norm dims; widen
+    ``scale`` only with a DECIMAL combine."""
+    q = df.select(
+        F.col(id_col).alias("_id"), _int_vec(vec_col, scale).alias("qv")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (x, i) -> "
+                "transform(slice(qv, i + 1, size(qv) - i), (y, j) -> "
+                "struct(i AS dim_i, i + j AS dim_j, x * y AS p))))"
+            )
+        ).alias("t")
+    ).select("t.dim_i", "t.dim_j", "t.p")
+    spp = pairs.groupBy("dim_i", "dim_j").agg(
+        F.sum("p").alias("sxy"), F.count(F.lit(1)).alias("n")
+    )
+    dsum = q.select(F.posexplode("qv").alias("pos", "qx")).groupBy(
+        "pos"
+    ).agg(F.sum("qx").alias("s"))
+    return (
+        spp.join(
+            dsum.select(F.col("pos").alias("dim_i"), F.col("s").alias("si")),
+            "dim_i",
+        )
+        .join(
+            dsum.select(F.col("pos").alias("dim_j"), F.col("s").alias("sj")),
+            "dim_j",
+        )
+        .select(
+            F.col("dim_i").cast("bigint").alias("dim_i"),
+            F.col("dim_j").cast("bigint").alias("dim_j"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            (
+                F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")
+            ).cast("bigint").alias("cov_num"),
+        )
+    )
+
+
+def pca_model(
+    df: DataFrame,
+    k: int = 8,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000,
+) -> list[tuple[float, list[float]]]:
+    """Top-k principal components from the exact integer covariance:
+    the d x d matrix is a BOUNDED MODEL (same discipline as the PQ
+    codebooks — d(d+1)/2 rows collected, never data), eigendecomposed
+    on the driver with numpy, eigenvectors sign-canonicalized (largest
+    |coordinate| made positive) so the model is deterministic up to
+    eigenvalue ties. Returns [(explained_variance, component)] in
+    descending eigenvalue order."""
+    import numpy as np
+
+    rows = covariance_pairs(
+        df, vec_col=vec_col, id_col=id_col, scale=scale
+    ).collect()
+    if not rows:
+        return []
+    d = max(r.dim_j for r in rows) + 1
+    n = rows[0].n_vectors
+    c = np.zeros((d, d))
+    denom = float(n) * float(n - 1) * float(scale) ** 2
+    for r in rows:
+        v = r.cov_num / denom
+        c[r.dim_i, r.dim_j] = v
+        c[r.dim_j, r.dim_i] = v
+    w, vecs = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:k]
+    out = []
+    for idx in order:
+        comp = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(comp)))
+        if comp[pivot] < 0:
+            comp = -comp
+        out.append((float(w[idx]), [float(x) for x in comp]))
+    return out
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[tuple[float, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project vectors onto the given principal components: each score
+    is a literal-compiled dot product (the component constants fold
+    into the projection expression — shuffle-free, whole-stage codegen,
+    no join against a model table). Output: (id, pc_1..pc_k)."""
+    cols = [F.col(id_col)]
+    for ix, (_, comp) in enumerate(components, start=1):
+        lits = F.array(*[F.lit(float(x)) for x in comp])
+        cols.append(
+            F.aggregate(
+                F.zip_with(
+                    _vec_double(vec_col), lits, lambda x, c: x * c
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"pc_{ix}")
+        )
+    return df.select(*cols)

@@ -1330,3 +1330,67 @@ def test_asof_nearest_keeps_null_payload_rows(spark):
     assert {(r.id, r.payload, r.tag) for r in rows} == {
         (1, None, "r100"), (2, "p2", "r100"), (3, None, "r100")
     }
+
+
+def test_pca_model_recovers_planted_direction(spark):
+    """Points spread along a planted axis (with small off-axis jitter)
+    must yield that axis as PC1, orthonormal components, descending
+    eigenvalues, and the sign canonicalization (largest |coordinate|
+    positive)."""
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    rng = np.random.RandomState(7)
+    d = 8
+    axis = np.zeros(d)
+    axis[3] = 1.0
+    pts = [
+        (i, [float(x) for x in (t * axis + 0.01 * rng.randn(d))])
+        for i, t in enumerate(np.linspace(-2, 2, 120))
+    ]
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>"
+    )
+    comps = sim.pca_model(df, k=3, scale=100_000)
+    assert len(comps) == 3
+    evs = [c[0] for c in comps]
+    assert evs == sorted(evs, reverse=True)
+    m = np.array([c[1] for c in comps])
+    # orthonormal rows
+    assert np.allclose(m @ m.T, np.eye(3), atol=1e-6)
+    # PC1 is the planted axis, canonicalized positive
+    assert abs(m[0][3]) > 0.999 and m[0][3] > 0
+    # sign rule on every component
+    for row in m:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_pca_project_matches_numpy_dot(spark):
+    """The literal-compiled projection equals the numpy dot product on
+    the same components, and pc_1 sample variance tracks eigenvalue 1."""
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    rng = np.random.RandomState(11)
+    pts = [(i, [float(x) for x in rng.randn(6)]) for i in range(80)]
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>"
+    )
+    comps = sim.pca_model(df, k=2, scale=1_000_000)
+    got = {
+        r.vec_id: (r.pc_1, r.pc_2)
+        for r in sim.pca_project(df, comps).collect()
+    }
+    m = np.array([c[1] for c in comps])
+    for i, v in pts:
+        exp = m @ np.array(v)
+        assert abs(got[i][0] - exp[0]) < 1e-9
+        assert abs(got[i][1] - exp[1]) < 1e-9
+    var1 = np.var([got[i][0] for i, _ in pts], ddof=1)
+    assert abs(var1 - comps[0][0]) / comps[0][0] < 0.01
