@@ -2574,3 +2574,67 @@ def dedup_kcore_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_dedup(docs, threshold=0.8)
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     return g.kcore_peel(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+@query(
+    "ivm_retraction_roundtrip",
+    """
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS d,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 17 != 3
+    ), kept AS (
+        SELECT * FROM base
+        WHERE NOT (d % 19 = 0 OR o_orderkey % 13 = 5)
+        UNION ALL
+        SELECT o_orderpriority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS d,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 17 = 3
+    )
+    SELECT o_orderpriority, d,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def ivm_retraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable incremental view maintenance, proved against
+    a full recompute: a daily-revenue-by-priority view is materialized
+    over the base slice, then a CDC batch of inserts (the held-out 1/17
+    of orders) and retractions (every order on every 19th epoch day —
+    which zeroes entire groups out of the view — plus a 1/13 partial
+    slice) folds in through the signed delta algebra
+    (operators/ivm.py). The oracle recomputes the final state from
+    scratch; hash equality means the view NEVER needed its base table
+    again — the property that makes the view maintainable at 100 TB."""
+    from _event_intelligence_data_warehouse_spark.operators import ivm
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    keys = ["o_orderpriority", "d"]
+    measures = {"sum_cents": "cents"}
+    base = o.filter(F.col("o_orderkey") % 17 != 3)
+    view_v1 = ivm.agg_base(base, keys, measures)
+    inserts = o.filter(F.col("o_orderkey") % 17 == 3).withColumn(
+        ivm.OP_COL, F.lit(1)
+    )
+    retractions = base.filter(
+        (F.col("d") % 19 == 0) | (F.col("o_orderkey") % 13 == 5)
+    ).withColumn(ivm.OP_COL, F.lit(-1))
+    return ivm.agg_delta_apply(
+        view_v1, inserts.unionByName(retractions), keys, measures
+    )

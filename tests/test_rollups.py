@@ -233,3 +233,70 @@ def test_checkpoint_loss_does_not_drop_new_files(spark, tmp_path):
         "new files after checkpoint loss were skipped or old files "
         "double-applied"
     )
+
+
+def test_ivm_delta_apply_zeroes_creates_and_updates_groups(spark):
+    """One delta batch must simultaneously: update a surviving group
+    (mixed insert+retract), remove a group whose count reaches zero,
+    and create a group the view has never seen."""
+    import pytest
+
+    from _event_intelligence_data_warehouse_spark.operators import ivm
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("b", 7)],
+        "k string, v long",
+    )
+    view = ivm.agg_base(base, ["k"], {"sum_v": "v"})
+    delta = spark.createDataFrame(
+        [("a", 100, 1), ("a", 10, -1),      # a: net 0 rows, +90 value
+         ("b", 5, -1), ("b", 7, -1),        # b: count reaches zero
+         ("c", 42, 1)],                      # c: brand-new group
+        "k string, v long, _op int",
+    )
+    got = {
+        r.k: (r.n_rows, r.sum_v)
+        for r in ivm.agg_delta_apply(
+            view, delta, ["k"], {"sum_v": "v"}
+        ).collect()
+    }
+    assert got == {"a": (2, 120), "c": (1, 42)}
+
+    # Retraction of a never-inserted row raises at execution, not
+    # silently clamping to zero.
+    bad = spark.createDataFrame(
+        [("zz", 1, -1)], "k string, v long, _op int"
+    )
+    out = ivm.agg_delta_apply(view, bad, ["k"], {"sum_v": "v"})
+    with pytest.raises(Exception, match="IVM retraction"):
+        out.collect()
+
+
+def test_ivm_roundtrip_fixture_is_non_vacuous(spark):
+    """The contract fixture must actually exercise the algebra: some
+    base groups vanish (whole-day retractions) and some view rows come
+    only from inserted groups."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+    from _event_intelligence_data_warehouse_spark.contract import load
+    from _event_intelligence_data_warehouse_spark.operators import ivm
+
+    sf = "/root/testdata/sf0.001"
+    o = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint").alias("d"),
+        "o_orderkey",
+    )
+    base_groups = (
+        o.filter(F.col("o_orderkey") % 17 != 3)
+        .select("o_orderpriority", "d").distinct()
+    )
+    final = QUERIES["ivm_retraction_roundtrip"](spark, sf)
+    vanished = base_groups.join(
+        final, ["o_orderpriority", "d"], "left_anti"
+    ).count()
+    created = final.join(
+        base_groups, ["o_orderpriority", "d"], "left_anti"
+    ).count()
+    assert vanished > 0, "no group was retracted to zero"
+    assert created > 0, "no insert-only group appeared"
