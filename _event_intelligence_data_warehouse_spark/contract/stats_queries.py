@@ -1515,3 +1515,93 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(F.lit(0)))
         ).cast("bigint").alias("slope_micro_x2"),
     )
+
+
+@query(
+    "stats_changepoint_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, x, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+                   AS t,
+               CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY x)
+                    AS HUGEINT) AS p,
+               CAST(SUM(y) OVER (PARTITION BY event_type) AS HUGEINT)
+                   AS s,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), scored AS (
+        SELECT event_type, x, t, p, s, n,
+               ((n * p - t * s) * (n * p - t * s) * 1000)
+                   // (t * (n - t)) AS stat
+        FROM seq WHERE t < n
+    ), best AS (
+        SELECT event_type, x, t, p, s, n, stat,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY stat DESC, t) AS rk
+        FROM scored
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           x AS split_day,
+           CAST(t AS BIGINT) AS split_t,
+           CAST(stat AS BIGINT) AS stat_milli,
+           CAST(p * 1000000 // t AS BIGINT) AS mean_left_ppm,
+           CAST((s - p) * 1000000 // (n - t) AS BIGINT)
+               AS mean_right_ppm
+    FROM best WHERE rk = 1
+    """,
+)
+def stats_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most-likely level-shift changepoint per event type
+    (binary-segmentation scan statistic): the split t maximizing the
+    between-segment scatter ((n*P(t) - t*S)^2) / (t*(n-t)) over the
+    daily count series — the localization companion to the CUSUM drift
+    SCREEN (timeseries_cusum_total says "something moved"; this says
+    WHERE). Exact integers end-to-end: prefix sums, a milli-scaled
+    floor-divided statistic (DECIMAL(38,0) holds the square), earliest-t
+    tiebreak. 100 TB: the daily rollup bounds the scan to calendar
+    length per type; the argmax is one bounded window."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wt = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type", "x", "y",
+        F.row_number().over(wt.orderBy("x")).cast("bigint").alias("t"),
+        F.sum("y").over(wt.orderBy("x")).cast("decimal(38,0)").alias("p"),
+        F.sum("y").over(wt).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    scored = seq.filter(F.col("t") < F.col("n")).withColumn(
+        "stat",
+        F.expr(
+            "((n * p - t * s) * (n * p - t * s) * 1000)"
+            " div (t * (n - t))"
+        ),
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            wt.orderBy(F.col("stat").desc(), F.col("t"))
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("x").alias("split_day"),
+        F.col("t").cast("bigint").alias("split_t"),
+        F.col("stat").cast("bigint").alias("stat_milli"),
+        F.expr("CAST(p * 1000000 div t AS BIGINT)").alias("mean_left_ppm"),
+        F.expr("CAST((s - p) * 1000000 div (n - t) AS BIGINT)")
+            .alias("mean_right_ppm"),
+    )

@@ -246,3 +246,49 @@ def test_theil_sen_matches_brute_force_median(spark):
         doubled = slopes[(n + 1) // 2 - 1] + slopes[n // 2]
         assert rows[et].n_pairs == n
         assert rows[et].slope_micro_x2 == doubled, et
+
+
+def test_changepoint_matches_brute_force_argmax(spark):
+    """The integer scan statistic picks the same split as a Python
+    brute-force over every t (same milli-floor statistic, earliest-t
+    tiebreak), and the planted check: on a synthetic 40-day series with
+    a level shift at day 25, split_t must be exactly 25."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["stats_changepoint_daily"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, x, y in _daily(con, by_type=True):
+        series.setdefault(et, []).append((int(x), int(y)))
+    assert rows
+    for et, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts]
+        n = len(ys)
+        s = sum(ys)
+        best = None
+        p = 0
+        for t in range(1, n):
+            p += ys[t - 1]
+            stat = ((n * p - t * s) ** 2 * 1000) // (t * (n - t))
+            if best is None or stat > best[0]:
+                best = (stat, t, pts[t - 1][0], p)
+        stat, t, x, p = best
+        r = rows[et]
+        assert (r.split_t, r.split_day, r.stat_milli) == (t, x, stat), et
+        assert r.mean_left_ppm == p * 1_000_000 // t
+        assert r.mean_right_ppm == (s - p) * 1_000_000 // (n - t)
+
+    # Planted shift: mean 10 for 25 days, mean 40 after.
+    ys = [10] * 25 + [40] * 15
+    n, s = len(ys), sum(ys)
+    p, best = 0, None
+    for t in range(1, n):
+        p += ys[t - 1]
+        stat = ((n * p - t * s) ** 2 * 1000) // (t * (n - t))
+        if best is None or stat > best[0]:
+            best = (stat, t)
+    assert best[1] == 25
