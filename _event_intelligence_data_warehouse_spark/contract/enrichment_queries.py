@@ -2638,3 +2638,81 @@ def ivm_retraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.agg_delta_apply(
         view_v1, inserts.unionByName(retractions), keys, measures
     )
+
+
+@query(
+    "streaming_ivm_cdc_view",
+    """
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS d,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 17 != 3
+    ), kept AS (
+        SELECT * FROM base
+        WHERE NOT (d % 19 = 0 OR o_orderkey % 13 = 5)
+        UNION ALL
+        SELECT o_orderpriority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS d,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 17 = 3
+    )
+    SELECT o_orderpriority, d,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def streaming_ivm_cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME maintained view as ivm_retraction_roundtrip, but fed as
+    a CDC STREAM: the inserts and the retractions arrive as separate
+    micro-batches (maxFilesPerTrigger=1) folding into a versioned view
+    via foreachBatch (streaming/jobs.py::stream_ivm_view). The oracle
+    is the identical full recompute — batch/streaming equivalence is
+    the correctness claim, and the abelian algebra is WHY micro-batch
+    boundaries cannot change the final state."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.operators import ivm
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    tmp = staging_dir("stream_ivm", sf_dir)
+    delta_dir, view_dir, ckpt = f"{tmp}/delta", f"{tmp}/view", f"{tmp}/ckpt"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    keys = ["o_orderpriority", "d"]
+    measures = {"sum_cents": "cents"}
+    base = o.filter(F.col("o_orderkey") % 17 != 3)
+    inserts = o.filter(F.col("o_orderkey") % 17 == 3).withColumn(
+        ivm.OP_COL, F.lit(1)
+    )
+    retractions = base.filter(
+        (F.col("d") % 19 == 0) | (F.col("o_orderkey") % 13 == 5)
+    ).withColumn(ivm.OP_COL, F.lit(-1))
+    inserts.coalesce(1).write.mode("overwrite").parquet(
+        f"{delta_dir}/b0_ins"
+    )
+    retractions.coalesce(1).write.mode("append").parquet(
+        f"{delta_dir}/b1_del"
+    )
+    final = jobs.stream_ivm_view(
+        spark,
+        delta_dir,
+        view_dir,
+        ckpt,
+        initial_view=ivm.agg_base(base, keys, measures),
+        keys=keys,
+        sum_cols=measures,
+    )
+    return spark.read.parquet(final)

@@ -300,3 +300,51 @@ def test_ivm_roundtrip_fixture_is_non_vacuous(spark):
     ).count()
     assert vanished > 0, "no group was retracted to zero"
     assert created > 0, "no insert-only group appeared"
+
+
+def test_stream_ivm_restart_continuation_matches_one_shot(spark, tmp_path):
+    """Two separate stream drains on one checkpoint (inserts first,
+    retraction file added afterwards) end in exactly the final state of
+    folding everything at once — batch boundaries and restarts cannot
+    change an abelian fold."""
+    from _event_intelligence_data_warehouse_spark.operators import ivm
+    from _event_intelligence_data_warehouse_spark.streaming import jobs
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long"
+    )
+    keys, measures = ["k"], {"sum_v": "v"}
+    delta_dir = str(tmp_path / "delta")
+    ins = spark.createDataFrame(
+        [("a", 100, 1), ("c", 42, 1)], "k string, v long, _op int"
+    )
+    ins.coalesce(1).write.parquet(f"{delta_dir}/b0")
+
+    view_dir, ckpt = str(tmp_path / "view"), str(tmp_path / "ckpt")
+    p1 = jobs.stream_ivm_view(
+        spark, delta_dir, view_dir, ckpt,
+        initial_view=ivm.agg_base(base, keys, measures),
+        keys=keys, sum_cols=measures,
+    )
+    got1 = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(p1).collect()}
+    assert got1 == {"a": (3, 130), "b": (1, 5), "c": (1, 42)}
+
+    dels = spark.createDataFrame(
+        [("b", 5, -1), ("a", 10, -1)], "k string, v long, _op int"
+    )
+    dels.coalesce(1).write.parquet(f"{delta_dir}/b1")
+    p2 = jobs.stream_ivm_view(
+        spark, delta_dir, view_dir, ckpt,
+        initial_view=ivm.agg_base(base, keys, measures),
+        keys=keys, sum_cols=measures,
+    )
+    got2 = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(p2).collect()}
+    # one-shot equivalent
+    exp = {
+        r.k: (r.n_rows, r.sum_v)
+        for r in ivm.agg_delta_apply(
+            ivm.agg_base(base, keys, measures),
+            ins.unionByName(dels), keys, measures,
+        ).collect()
+    }
+    assert got2 == exp == {"a": (2, 120), "c": (1, 42)}
