@@ -6206,3 +6206,49 @@ def embedding_covariance_exact(
     recomputes it with a flat self-join."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.covariance_pairs(emb, scale=1_000)
+
+
+_PHRASES = ["scan slow fast", "query big"]
+
+
+def _phrase_sql(phrases: list[str]) -> str:
+    """Positional-adjacency phrase oracle: the postings CTE is
+    MATERIALIZED (each phrase references it once per term; inlined it
+    would re-tokenize the corpus that many times)."""
+    parts = [f"""
+    WITH posts AS MATERIALIZED (
+        SELECT doc_id, pos - 1 AS pos, tk[pos] AS term FROM (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk))) AS pos
+            FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+        )
+    )"""]
+    selects = []
+    for ph in phrases:
+        terms = ph.split()
+        frm = "posts t0"
+        conds = [f"t0.term = '{terms[0]}'"]
+        for i, t in enumerate(terms[1:], 1):
+            frm += (
+                f" JOIN posts t{i} ON t{i}.doc_id = t0.doc_id"
+                f" AND t{i}.pos = t0.pos + {i}"
+            )
+            conds.append(f"t{i}.term = '{t}'")
+        selects.append(f"""
+    SELECT '{ph}' AS phrase, t0.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(t0.pos) AS BIGINT) AS first_pos
+    FROM {frm} WHERE {" AND ".join(conds)}
+    GROUP BY t0.doc_id""")
+    return parts[0] + " UNION ALL ".join(selects)
+
+
+@query("text_phrase_search", _phrase_sql(_PHRASES))
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-word phrase retrieval via positional-postings
+    adjacency joins (operators/text.py::phrase_search) — the IR
+    primitive BM25 cannot express (bag-of-words scoring finds the
+    TERMS; this finds them ADJACENT, in order). Work is bounded by the
+    query terms' posting lists, never the corpus text."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.phrase_search(docs, _PHRASES)

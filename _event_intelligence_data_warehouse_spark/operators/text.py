@@ -1977,3 +1977,67 @@ def rake_keyphrases(
         .orderBy(F.desc("score_ppm"), F.asc("phrase"))
         .limit(top_k)
     )
+
+
+def positional_postings(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted-index postings: one (doc_id, pos, term) row
+    per token occurrence, 0-based positions. This is the index layout
+    phrase and proximity queries join against — at scale it is a stored,
+    term-bucketed table, so a query's first move (filter to ITS terms)
+    is a pushed-down scan of a few term buckets, never the corpus."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over positional postings: a phrase of terms
+    t0..tk matches where postings for each ti align at consecutive
+    positions (pos_i = pos_0 + i) within one document — the classic
+    positional-index adjacency join, NOT a regex scan of the text.
+
+    Why this shape at 100 TB: the postings frame is filtered to the
+    query's terms before any join (a pushed-down IN over the term
+    column — on a term-bucketed stored index this reads only those
+    buckets), and each adjacency join is an equi-join on
+    (doc_id, pos), so the work is bounded by the PHRASE TERMS' posting
+    lists. The anchor is the phrase's first term; joining rare-first
+    would shrink intermediates further, but the fixed left-to-right
+    chain keeps the plan deterministic and lets AQE pick the join
+    strategy per stage. Output: (phrase, doc_id, n_matches, first_pos)
+    with one row per matching document."""
+    out = None
+    for phrase in phrases:
+        terms = [t for t in phrase.lower().split() if t]
+        posts = positional_postings(
+            df, text_col=text_col, id_col=id_col
+        ).filter(F.col("term").isin(terms))
+        cur = (
+            posts.filter(F.col("term") == terms[0])
+            .select("doc_id", F.col("pos").alias("p0"))
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = posts.filter(F.col("term") == t).select(
+                F.col("doc_id").alias("d_i"), F.col("pos").alias("p_i")
+            )
+            cur = cur.join(
+                nxt,
+                (cur.doc_id == nxt.d_i)
+                & (nxt.p_i == cur.p0 + F.lit(i)),
+            ).select("doc_id", "p0")
+        hit = cur.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("p0").cast("bigint").alias("first_pos"),
+        ).select(F.lit(phrase).alias("phrase"), "doc_id",
+                 "n_matches", "first_pos")
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -751,3 +751,26 @@ def test_c4_line_filter_rules(spark):
     assert got[5].has_brace and not got[5].keep_doc
     assert got[6].has_lorem and not got[6].keep_doc
     assert got[7].n_sentences == 2 and not got[7].keep_doc
+
+
+def test_phrase_search_adjacency_and_counts(spark):
+    """Phrase matches require adjacency IN ORDER: 'big data' must not
+    match 'data big' or 'big fast data'; overlapping repeats count per
+    anchor position ('ha ha ha' holds 'ha ha' twice)."""
+    df = spark.createDataFrame(
+        [
+            (1, "big data systems move big data fast"),
+            (2, "data big is not the phrase"),
+            (3, "big fast data inserts a gap"),
+            (4, "ha ha ha"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.phrase, r.doc_id): (r.n_matches, r.first_pos)
+        for r in tx.phrase_search(df, ["big data", "ha ha"]).collect()
+    }
+    assert got == {
+        ("big data", 1): (2, 0),
+        ("ha ha", 4): (2, 0),
+    }
