@@ -2026,8 +2026,10 @@ def pca_project(
 ) -> DataFrame:
     """Project vectors onto the given principal components: each score
     is a literal-compiled dot product (the component constants fold
-    into the projection expression — shuffle-free, whole-stage codegen,
-    no join against a model table). Output: (id, pc_1..pc_k)."""
+    into the projection expression — shuffle-free, one Project over the
+    scan, no join against a model table; higher-order array exprs run
+    JVM-side though outside whole-stage codegen).
+    Output: (id, pc_1..pc_k)."""
     cols = [F.col(id_col)]
     for ix, (_, comp) in enumerate(components, start=1):
         lits = F.array(*[F.lit(float(x)) for x in comp])

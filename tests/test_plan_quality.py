@@ -404,3 +404,62 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     )
     rows = joined.collect()
     assert rows and rows[0]["count"] > 0
+
+
+def test_covariance_pairs_single_aggregate_shuffle(spark):
+    """The covariance claim in similarity.py: per-row dim products are
+    generated inside the array, so the plan holds exactly one
+    partial/final aggregate pair for the (dim_i, dim_j) groups plus the
+    tiny per-dim sums — no self-join anywhere."""
+    from _event_intelligence_data_warehouse_spark.contract import load
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    plan = _plan(sim.covariance_pairs(emb, scale=1_000))
+    assert "SortMergeJoin" not in plan, (
+        "covariance must not self-join the flattened components"
+    )
+    assert "CartesianProduct" not in plan
+    # dims frame is tiny: both attach joins must broadcast
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_pca_projection_is_shuffle_free(spark):
+    """Literal-compiled projection: no exchange, no join — the model
+    constants fold into one whole-stage-codegen projection."""
+    from _event_intelligence_data_warehouse_spark.contract import load
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    comps = sim.pca_model(emb, k=2)
+    plan = _plan(sim.pca_project(emb, comps))
+    assert "Exchange" not in plan and "Join" not in plan
+    # Higher-order array functions run JVM-side but OUTSIDE whole-stage
+    # codegen; the property that matters is a single Project over the
+    # scan with the model folded in as literals.
+    assert "Project" in plan and "BatchEvalPython" not in plan
+
+
+def test_phrase_search_filters_postings_before_joins(spark):
+    """The adjacency joins must consume postings already filtered to
+    the query's terms — the optimized plan shows the term predicate
+    below every join, so on a stored term-bucketed index the scan reads
+    only those buckets."""
+    from _event_intelligence_data_warehouse_spark.contract import load
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx,
+    )
+
+    docs = load(spark, SF, "documents")
+    out = tx.phrase_search(docs, ["scan slow fast"])
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    first_join = opt.find("Join")
+    assert first_join != -1
+    below = opt[first_join:]
+    assert below.count("scan") >= 1 and "slow" in below and "fast" in below, (
+        "term filters must sit below the adjacency joins"
+    )
