@@ -122,6 +122,18 @@ HEADLINE = [
     "sketch_kmv_set_ops",
     "stats_ks_two_sample",
     "timeseries_peak_concurrency",
+    # round-6 additions, each guarding a new shape: iterative edge-frame
+    # peeling (k-core), the O(days^2) pairwise-slope window (Theil-Sen),
+    # the in-array outer-product aggregate (covariance), the signed
+    # delta fold + its foreachBatch form (IVM), and the positional
+    # adjacency join chain (phrase search)
+    "dedup_kcore_survivors",
+    "stats_theil_sen_trend",
+    "stats_changepoint_daily",
+    "embedding_covariance_exact",
+    "ivm_retraction_roundtrip",
+    "streaming_ivm_cdc_view",
+    "text_phrase_search",
 ]
 
 

@@ -292,10 +292,17 @@ def test_late_round4_operator_plans(spark):
     emb = load(spark, SF, "embeddings")
     docs = load(spark, SF, "documents")
 
-    # PQ: the literal-compiled encode is ONE shuffle-free projection
+    # PQ encode (r6 form): broadcast the (m x k) codebook frame onto the
+    # exploded subvectors and argmin via a map-side-combined
+    # min(struct(d2, code)) — the ONE exchange is the OUTPUT-sized
+    # aggregate (corpus x m code rows), never the codebook or a sort.
     cb = sim.pq_codebooks(emb, m=8, k=16, max_train=256, iters=1)
     enc_plan = _plan(sim.pq_encode(emb, cb))
-    assert "Exchange" not in enc_plan, "PQ encode gained a shuffle"
+    assert enc_plan.count("Exchange hashpartitioning") <= 1, (
+        "PQ encode must cost exactly the output-sized argmin shuffle"
+    )
+    assert "BroadcastHashJoin" in enc_plan, "codebook join must broadcast"
+    assert "SortMergeJoin" not in enc_plan
     assert "BatchEvalPython" not in enc_plan
 
     # JL random projection: per-row algebra, no exchange, no UDF
@@ -318,14 +325,19 @@ def test_late_round4_operator_plans(spark):
 
 
 def test_incremental_dedup_prunes_index_read_with_semi_join(spark):
-    """The contract's steady-state incremental dedup runs with
-    prune_index_read=True: the stored token-set read must be narrowed
-    to collision ids via a LeftSemi join before the verify join, so
-    untouched corpus docs' hash arrays never enter the shuffle."""
+    """The steady-state PRUNED contract fixture narrows the stored
+    token-set read to collision ids via a LeftSemi join before the
+    verify join, so untouched corpus docs' hash arrays never enter the
+    shuffle. The headline dedup_minhash_incremental entry auto-selects
+    the UNpruned plan for its ~25%-batch live-lineage fixture (r5
+    verdict item 3), so the semi-join is asserted where it belongs."""
     from _event_intelligence_data_warehouse_spark.contract import QUERIES
 
-    plan = _plan(QUERIES["dedup_minhash_incremental"](spark, SF))
+    plan = _plan(QUERIES["dedup_minhash_incremental_pruned"](spark, SF))
     assert "LeftSemi" in plan
+    assert "LeftSemi" not in _plan(
+        QUERIES["dedup_minhash_incremental"](spark, SF)
+    ), "the live-lineage fixture must auto-select the unpruned plan"
 
 
 def test_round5_operator_plans(spark):

@@ -136,6 +136,17 @@ FAMILIES = {
         "storage_schema_evolution_roundtrip",
         "storage_zorder_scan_roundtrip",
     ],
+    # round-6 families: graph peeling, robust/changepoint stats,
+    # covariance/PCA model build, IVM (batch + streamed), phrase search.
+    "r6": [
+        "dedup_kcore_survivors",
+        "stats_theil_sen_trend",
+        "stats_changepoint_daily",
+        "embedding_covariance_exact",
+        "ivm_retraction_roundtrip",
+        "streaming_ivm_cdc_view",
+        "text_phrase_search",
+    ],
 }
 
 # 10x data may cost up to this factor before the gate trips. Chosen
