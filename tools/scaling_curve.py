@@ -220,6 +220,17 @@ def main() -> None:
         f"Gate: {'FAILED — ' + '; '.join(flagged) if flagged else 'clean'}",
         "",
     ]
+    # Hand-written appendix sections (e.g. the r5 winnowing-ratio
+    # attribution) survive regeneration: everything from the first
+    # "## " heading of the existing file is carried over verbatim.
+    try:
+        with open(args.out) as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            lines.append(old[idx + 1:])
+    except OSError:
+        pass
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print(json.dumps({"flagged": flagged, "queries": times}))
