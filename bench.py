@@ -32,6 +32,20 @@ entries common with the second session sum ~141 s vs 139.4 s (+1%,
 noise band); the 5 new entries (nation market share, dominant supply
 share, KMV set ops, exact KS, peak concurrency) add 8.0 s; the only
 guard flag remains the attributed pruned-minhash entry above.
+
+Round-6 check (suite 57 timed entries incl. the 7 new r6 shapes,
+174.7 s on a box measuring ~1.3-1.65x slower than the r5 recording —
+identical-code phases like the cluster-density build read 12.9 -> 21 s):
+dedup_minhash_incremental lands at 5.55 s in-suite, back at its
+r4-recorded 5.34 s reference with the auto-selected unpruned plan (r5
+verdict item 3 closed). The single guard flag, similarity_ivfpq_topk
+4.73 -> 6.01 s (+27%), is adjudicated as run variance plus the encode
+redesign trade: the SAME query on the scaling probe runs 6.57 s at
+sf0.1 vs 9.10 s recorded in r5 (FASTER), and the redesign that moved
+PQ encode from a literal-interpolated interpreted-lambda projection to
+a broadcast-codebook argmin aggregate cut the residual pipeline's
+fixed cost 41 -> 9-10 s — a deliberate +1 s on the small config to
+buy 4.5x on the large one.
 """
 
 from __future__ import annotations
