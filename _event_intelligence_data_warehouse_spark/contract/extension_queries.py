@@ -6252,3 +6252,34 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query terms' posting lists, never the corpus text."""
     docs = load(spark, sf_dir, "documents")
     return tx.phrase_search(docs, _PHRASES)
+
+
+_PROX_A, _PROX_B, _PROX_W = "spark", "merge", 3
+
+
+@query(
+    "text_proximity_search",
+    f"""
+    WITH posts AS MATERIALIZED (
+        SELECT doc_id, pos - 1 AS pos, tk[pos] AS term FROM (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk))) AS pos
+            FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+        )
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cooccurrences,
+           CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT) AS min_distance
+    FROM posts a JOIN posts b
+      ON b.doc_id = a.doc_id AND ABS(a.pos - b.pos) <= {_PROX_W}
+    WHERE a.term = '{_PROX_A}' AND b.term = '{_PROX_B}'
+    GROUP BY a.doc_id
+    """,
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval ('{a} NEAR/{w} {b}'): co-occurrence within a
+    token window via a banded range join over the two terms' posting
+    lists (operators/text.py::proximity_search) — between bag-of-words
+    relevance (any distance) and exact phrase adjacency (distance 1)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.proximity_search(docs, _PROX_A, _PROX_B, window=_PROX_W)

@@ -2041,3 +2041,46 @@ def phrase_search(
                  "n_matches", "first_pos")
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def proximity_search(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    *,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity retrieval: documents where ``term_a`` and ``term_b``
+    co-occur within ``window`` tokens, via a banded range join over
+    positional postings (|pos_a - pos_b| <= window, the two terms'
+    posting lists only) — the relevance primitive between bag-of-words
+    scoring (any distance) and exact phrase adjacency (distance 1, in
+    order). Output: (doc_id, n_cooccurrences, min_distance) — one row
+    per matching document; n_cooccurrences counts (pos_a, pos_b) pairs
+    inside the band, min_distance the tightest one.
+
+    Scale: same bound as phrase_search — postings are filtered to the
+    two query terms before the join, and the band predicate rides an
+    equi-join on doc_id, so per-doc work is |A_d| x |B_d| for the two
+    terms' in-doc occurrence counts, never document length."""
+    posts = positional_postings(df, text_col=text_col, id_col=id_col)
+    a = posts.filter(F.col("term") == term_a.lower()).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = posts.filter(F.col("term") == term_b.lower()).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    dist = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        a.join(
+            b,
+            (a.doc_id == b.doc_b) & (dist <= window),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cooccurrences"),
+            F.min(dist).cast("bigint").alias("min_distance"),
+        )
+    )

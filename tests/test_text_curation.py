@@ -774,3 +774,24 @@ def test_phrase_search_adjacency_and_counts(spark):
         ("big data", 1): (2, 0),
         ("ha ha", 4): (2, 0),
     }
+
+
+def test_proximity_search_window_and_counts(spark):
+    """NEAR/2 must accept pairs at distance <= 2 in either order,
+    reject wider gaps, and count every in-band position pair."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha x beta"),            # dist 2 -> match
+            (2, "beta alpha"),              # reverse order, dist 1
+            (3, "alpha x y z beta"),        # dist 4 -> no match
+            (4, "alpha beta alpha"),        # pairs: (0,1), (2,1)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_cooccurrences, r.min_distance)
+        for r in tx.proximity_search(
+            df, "alpha", "beta", window=2
+        ).collect()
+    }
+    assert got == {1: (1, 2), 2: (1, 1), 4: (2, 1)}
