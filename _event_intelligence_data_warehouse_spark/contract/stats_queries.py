@@ -1605,3 +1605,74 @@ def stats_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((s - p) * 1000000 div (n - t) AS BIGINT)")
             .alias("mean_right_ppm"),
     )
+
+
+@query(
+    "stats_hodges_lehmann",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ), walsh AS (
+        SELECT i.event_type, i.y + j.y AS w
+        FROM daily i JOIN daily j
+          ON j.event_type = i.event_type AND j.x >= i.x
+    ), ranked AS (
+        SELECT event_type, w,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY w)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM walsh
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_walsh,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN w ELSE 0 END)
+                + SUM(CASE WHEN rn = n // 2 + 1 THEN w ELSE 0 END)
+                AS BIGINT) AS pseudo_median_x4
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of daily volume per event type —
+    the location companion to Theil-Sen's slope (same 29% breakdown
+    point; the estimator behind the Wilcoxon signed-rank confidence
+    interval): the median of all Walsh averages (y_i + y_j)/2 over
+    unordered day pairs INCLUDING i = j. Exactness: Walsh values are
+    kept as integer SUMS (y_i + y_j) and the median is reported doubled
+    (lower-mid + upper-mid), so the output is pseudo-median x4 in pure
+    integers. Scale: O(days^2) per type, bounded by the calendar like
+    the Theil-Sen join."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    i, j = daily.alias("i"), daily.alias("j")
+    walsh = i.join(
+        j,
+        (F.col("j.event_type") == F.col("i.event_type"))
+        & (F.col("j.x") >= F.col("i.x")),
+    ).select(
+        F.col("i.event_type").alias("event_type"),
+        (F.col("i.y") + F.col("j.y")).alias("w"),
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = walsh.select(
+        "event_type", "w",
+        F.row_number().over(wt.orderBy("w")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_walsh"),
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("w"))
+                  .otherwise(F.lit(0)))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("w"))
+                    .otherwise(F.lit(0)))
+        ).cast("bigint").alias("pseudo_median_x4"),
+    )

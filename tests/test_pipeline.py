@@ -160,3 +160,35 @@ def test_pipeline_end_to_end_in_manifest_mode(spark, tmp_path):
     r2 = pipeline.run_pipeline(spark, whdir, args)
     assert r2["summary"]["fact_events"] == 80
     assert wh._current_version("fact_events") == v_before
+
+
+def test_driver_sample_head_slate_invariants():
+    """The driver verifies the FIRST 50 registry entries; the explicit
+    head slate must stay exactly 50 known names, duplicate-free, first
+    in registration order, and keep the §2-critical warehouse rows
+    resident (the r6 regression this guards: a new query registering
+    mid-head silently pushed the S4 covering row out of the sample)."""
+    from _event_intelligence_data_warehouse_spark.contract import (
+        _DRIVER_SAMPLE_HEAD,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert len(_DRIVER_SAMPLE_HEAD) == 50
+    assert len(set(_DRIVER_SAMPLE_HEAD)) == 50
+    assert list(QUERIES)[:50] == _DRIVER_SAMPLE_HEAD
+    assert list(ORACLES)[:50] == _DRIVER_SAMPLE_HEAD
+    missing = [n for n in _DRIVER_SAMPLE_HEAD if n not in QUERIES]
+    assert not missing, f"head slate names unregistered: {missing}"
+    for must in (
+        "json_extract_props",        # S4
+        "staging_cleanse",           # P1-P10 / V1
+        "fact_build_star",           # J1-J7 / F5-F7
+        "quality_five_checks",       # G4 / A9-A11
+        "kpi_weekend_vs_weekday",    # V2 / W1
+        "scd2_change_intervals",     # U5
+        "upsert_merge_latest_state", # U3-U4
+        "dim_date_attributes",       # D1-D6
+        "keys_md5_concat_split",     # F1-F3
+    ):
+        assert must in _DRIVER_SAMPLE_HEAD, f"{must} lost its driver row"

@@ -292,3 +292,37 @@ def test_changepoint_matches_brute_force_argmax(spark):
         if best is None or stat > best[0]:
             best = (stat, t)
     assert best[1] == 25
+
+
+def test_hodges_lehmann_matches_scipy_convention(spark):
+    """pseudo_median_x4 / 4 equals the brute-force median of Walsh
+    averages (i <= j, including i = j) computed in Python on the same
+    daily series."""
+    import statistics
+
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["stats_hodges_lehmann"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    series: dict[str, list[int]] = {}
+    for et, _x, y in _daily(con, by_type=True):
+        series.setdefault(et, []).append(int(y))
+    assert rows
+    for et, ys in series.items():
+        walsh = [
+            ys[a] + ys[b]
+            for a in range(len(ys))
+            for b in range(a, len(ys))
+        ]
+        walsh.sort()
+        n = len(walsh)
+        doubled = walsh[(n + 1) // 2 - 1] + walsh[n // 2]
+        r = rows[et]
+        assert r.n_walsh == n
+        assert r.pseudo_median_x4 == doubled
+        # sanity: the estimator sits at the statistics.median of the
+        # float Walsh averages
+        assert abs(doubled / 4 - statistics.median(w / 2 for w in walsh)) < 1e-9
