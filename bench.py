@@ -148,6 +148,8 @@ HEADLINE = [
     "ivm_retraction_roundtrip",
     "streaming_ivm_cdc_view",
     "text_phrase_search",
+    "text_proximity_search",
+    "stats_hodges_lehmann",
 ]
 
 
