@@ -247,6 +247,24 @@ def main() -> None:
     }
     here = os.path.dirname(os.path.abspath(__file__))
     print("bench full: " + json.dumps(full), file=sys.stderr)
+    # A SPARK_GRAFT_BENCH_ONLY subset run must MERGE into the local
+    # record, not replace it — clobbering the full record would strip
+    # the regression guard's fallback reference down to the subset.
+    if only:
+        try:
+            with open(os.path.join(here, "BENCH_LOCAL_FULL.json")) as f:
+                prev_full = json.load(f)
+            merged_q = dict(prev_full.get("queries") or {})
+            merged_q.update(timings)
+            full["queries"] = merged_q
+            # value = the canonical suite total: HEADLINE entries only
+            # (attribution sub-entries are components of their canonical
+            # entry and would double-count).
+            full["value"] = round(
+                sum(v for k, v in merged_q.items() if k in HEADLINE), 3
+            )
+        except (OSError, ValueError):
+            pass
     # Report BEFORE overwriting the local record: the guard's fallback
     # reference must be the PREVIOUS run's timings.
     _regression_report(timings)
