@@ -6283,3 +6283,124 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance (any distance) and exact phrase adjacency (distance 1)."""
     docs = load(spark, sf_dir, "documents")
     return tx.proximity_search(docs, _PROX_A, _PROX_B, window=_PROX_W)
+
+
+_JSZ_HV = (
+    "CAST(('0x' || substr(md5(CAST(l_partkey AS STRING)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "sketch_join_size_estimate",
+    f"""
+    WITH la AS (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+    ), lb AS (
+        SELECT l_partkey FROM lineitem WHERE l_quantity < 25
+    ), da AS (SELECT DISTINCT {_JSZ_HV} AS hv FROM la),
+    db AS (SELECT DISTINCT {_JSZ_HV} AS hv FROM lb),
+    ka AS (SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv)
+                           AS rn FROM da) WHERE rn <= 64),
+    kb AS (SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv)
+                           AS rn FROM db) WHERE rn <= 64),
+    ku AS (SELECT hv FROM (
+               SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+               FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+           ) WHERE rn <= 64),
+    common AS (
+        SELECT hv FROM ku
+        WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)
+    ),
+    ca AS (SELECT {_JSZ_HV} AS hv, CAST(COUNT(*) AS BIGINT) AS ma
+           FROM la GROUP BY l_partkey),
+    cb AS (SELECT {_JSZ_HV} AS hv, CAST(COUNT(*) AS BIGINT) AS mb
+           FROM lb GROUP BY l_partkey),
+    samp AS (
+        SELECT c.hv, ca.ma, cb.mb
+        FROM common c JOIN ca USING (hv) JOIN cb USING (hv)
+    ),
+    st AS (
+        SELECT (SELECT COUNT(*) FROM samp) AS c_both,
+               (SELECT coalesce(SUM(CAST(ma AS HUGEINT) * mb),
+                                CAST(0 AS HUGEINT)) FROM samp)
+                   AS sum_prod,
+               (SELECT COUNT(*) FROM ku) AS u_cnt,
+               (SELECT MAX(hv) FROM ku) AS u_kth
+        FROM (SELECT 1)
+    ),
+    est AS (
+        -- divisor = registers actually in the union sketch (u_cnt in
+        -- the sub-k regime, where the sketch IS the key set)
+        SELECT c_both, sum_prod,
+               CAST(c_both AS HUGEINT)
+                 * (CASE WHEN u_cnt < 64 THEN CAST(u_cnt AS HUGEINT)
+                         ELSE CAST(63 AS HUGEINT) * 1152921504606846976
+                              // u_kth END)
+                 // least(64, greatest(u_cnt, 1)) AS est_common
+        FROM st
+    ),
+    exacts AS (
+        SELECT (SELECT COUNT(*) FROM (
+                    SELECT DISTINCT l_partkey FROM la
+                    INTERSECT SELECT DISTINCT l_partkey FROM lb
+                )) AS ex_common,
+               (SELECT coalesce(SUM(CAST(x.ma AS HUGEINT) * y.mb),
+                                CAST(0 AS HUGEINT))
+                FROM (SELECT l_partkey, COUNT(*) AS ma FROM la
+                      GROUP BY 1) x
+                JOIN (SELECT l_partkey, COUNT(*) AS mb FROM lb
+                      GROUP BY 1) y USING (l_partkey)) AS ex_join
+        FROM (SELECT 1)
+    )
+    SELECT 'common_keys' AS measure,
+           CAST(est_common AS BIGINT) AS kmv_estimate,
+           CAST(ex_common AS BIGINT) AS exact_value
+    FROM est CROSS JOIN exacts
+    UNION ALL
+    SELECT 'join_rows',
+           CAST(CASE WHEN c_both = 0 THEN 0
+                     ELSE est_common * sum_prod // c_both END AS BIGINT),
+           CAST(ex_join AS BIGINT)
+    FROM est CROSS JOIN exacts
+    """,
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-execution equi-join cardinality estimation from KMV
+    synopses (operators/sketches.py::kmv_join_size_estimate) — the
+    optimizer statistic behind build-side choice and broadcast
+    thresholds, here predicting |bulk lineitems join non-bulk
+    lineitems on l_partkey| from two 64-register sketches plus the
+    sampled keys' multiplicity products, with the exact answer
+    alongside so estimate quality is part of the contract. Everything
+    is integer-exact on the deterministic hash family: both engines
+    produce bit-identical estimates."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_partkey")
+    b = li.filter(F.col("l_quantity") < 25).select("l_partkey")
+    est = sk.kmv_join_size_estimate(a, b, "l_partkey")
+    ca = a.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ma"))
+    cb = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("mb"))
+    ex = ca.join(cb, "l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ex_common"),
+        F.coalesce(
+            F.sum(F.col("ma").cast("decimal(38,0)") * F.col("mb")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("bigint").alias("ex_join"),
+    )
+    one = est.crossJoin(ex)
+    return one.selectExpr(
+        "'common_keys' AS measure",
+        "est_common_keys AS kmv_estimate",
+        "ex_common AS exact_value",
+    ).unionByName(
+        one.selectExpr(
+            "'join_rows' AS measure",
+            "est_join_rows AS kmv_estimate",
+            "ex_join AS exact_value",
+        )
+    )

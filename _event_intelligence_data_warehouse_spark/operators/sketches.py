@@ -382,3 +382,74 @@ def kmv_estimate_expr(cnt: str, kth: str, k: int = KMV_K) -> Column:
             f" div {kth} AS BIGINT)"
         )
     )
+
+
+def kmv_join_size_estimate(
+    a: DataFrame, b: DataFrame, col: str, k: int = KMV_K
+) -> DataFrame:
+    """Equi-join cardinality estimate from KMV sketches — the
+    optimizer statistic a planner needs BEFORE running the join
+    (build-side choice, skew handling, broadcast thresholds):
+    |A join B| = (distinct common keys) x (mean per-key multiplicity
+    product), both factors estimated from the same bottom-k synopsis.
+
+    The union sketch's registers that appear in BOTH input sketches
+    are a uniform sample of the common keys [Beyer et al. 2007], so
+    (1) est_common = c_both/k x est(union), and (2) the sampled keys'
+    multiplicity products average to the population mean: est_join =
+    est_common x sum(mult_a x mult_b over sampled keys) / c_both.
+    Multiplicities come from per-key count aggregates semi-joined down
+    to the <= k sampled hashes (broadcast — the synopsis never grows
+    with the data); every step is exact integer arithmetic on the
+    deterministic 60-bit hash family, so two engines produce
+    bit-identical ESTIMATES, not just close ones.
+
+    Output: one row (est_common_keys, est_join_rows, c_both,
+    sum_sampled_products). Scale: sketches are two-level tournaments,
+    count aggregates shuffle once per side; everything downstream is
+    O(k)."""
+    ka = kmv_sketch(a, col, k)
+    kb = kmv_sketch(b, col, k)
+    ku = kmv_merge(ka, kb, k)
+    common = ku.join(ka, "hv", "left_semi").join(kb, "hv", "left_semi")
+    ca = a.groupBy(col).agg(F.count(F.lit(1)).alias("ma")).select(
+        _hash60(F.col(col)).alias("hv"), "ma"
+    )
+    cb = b.groupBy(col).agg(F.count(F.lit(1)).alias("mb")).select(
+        _hash60(F.col(col)).alias("hv"), "mb"
+    )
+    # The SAMPLE (<= k hashes) broadcasts; the per-key count aggregates
+    # are corpus-sized and stream past it — never the other way around.
+    sa = ca.join(F.broadcast(common), "hv")
+    sampled = cb.join(F.broadcast(sa), "hv")
+    sstats = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_both"),
+        F.coalesce(
+            F.sum(F.col("ma").cast("decimal(38,0)") * F.col("mb")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sum_prod"),
+    )
+    ustats = kmv_stats(ku, "u")
+    est_u = kmv_estimate_expr("u_cnt", "u_kth", k)
+    return (
+        sstats.crossJoin(ustats)
+        .withColumn("est_u", est_u)
+        .select(
+            # The common-key ratio divides by the registers actually in
+            # the union sketch: k when full, u_cnt in the sub-k regime
+            # (where the sketch IS the key set and the estimate must be
+            # exact — dividing by k would floor small answers to 0).
+            F.expr(
+                f"CAST(CAST(c_both AS DECIMAL(38,0)) * est_u"
+                f" div least({k}, greatest(u_cnt, 1)) AS BIGINT)"
+            ).alias("est_common_keys"),
+            F.expr(
+                f"CASE WHEN c_both = 0 THEN CAST(0 AS BIGINT) ELSE "
+                f"CAST((CAST(c_both AS DECIMAL(38,0)) * est_u"
+                f" div least({k}, greatest(u_cnt, 1)))"
+                " * sum_prod div c_both AS BIGINT) END"
+            ).alias("est_join_rows"),
+            "c_both",
+            F.col("sum_prod").cast("bigint").alias("sum_sampled_products"),
+        )
+    )

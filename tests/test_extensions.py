@@ -1394,3 +1394,38 @@ def test_pca_project_matches_numpy_dot(spark):
         assert abs(got[i][1] - exp[1]) < 1e-9
     var1 = np.var([got[i][0] for i, _ in pts], ddof=1)
     assert abs(var1 - comps[0][0]) / comps[0][0] < 0.01
+
+
+def test_kmv_join_size_exact_in_subk_regime(spark):
+    """With fewer than k distinct keys per side the sketches ARE the
+    key sets, so both estimates must equal the exact answers: common
+    keys and sum over common keys of multiplicity products."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 7]], "key long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [2, 2, 2, 2, 3, 9, 9]], "key long"
+    )
+    r = sk.kmv_join_size_estimate(a, b, "key").collect()[0]
+    # common keys {2, 3}; join rows = 2*4 + 1*1 = 9
+    assert r.est_common_keys == 2
+    assert r.est_join_rows == 9
+    assert r.c_both == 2
+    assert r.sum_sampled_products == 9
+
+
+def test_kmv_join_size_disjoint_keys(spark):
+    """Disjoint key sets: zero common keys, zero join rows, no
+    divide-by-zero."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    a = spark.createDataFrame([(1,), (2,)], "key long")
+    b = spark.createDataFrame([(3,), (4,)], "key long")
+    r = sk.kmv_join_size_estimate(a, b, "key").collect()[0]
+    assert r.est_common_keys == 0 and r.est_join_rows == 0
