@@ -150,6 +150,7 @@ HEADLINE = [
     "text_phrase_search",
     "text_proximity_search",
     "stats_hodges_lehmann",
+    "sketch_join_size_estimate",
 ]
 
 

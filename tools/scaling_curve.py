@@ -148,6 +148,7 @@ FAMILIES = {
         "text_phrase_search",
         "text_proximity_search",
         "stats_hodges_lehmann",
+        "sketch_join_size_estimate",
     ],
 }
 
