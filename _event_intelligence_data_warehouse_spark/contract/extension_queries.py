@@ -6392,15 +6392,22 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("decimal(38,0)"),
         ).cast("bigint").alias("ex_join"),
     )
+    # One lineage pass: a union of two selects over the same one-row
+    # frame would re-run the whole estimator AND the exact audit twice.
     one = est.crossJoin(ex)
-    return one.selectExpr(
-        "'common_keys' AS measure",
-        "est_common_keys AS kmv_estimate",
-        "ex_common AS exact_value",
-    ).unionByName(
-        one.selectExpr(
-            "'join_rows' AS measure",
-            "est_join_rows AS kmv_estimate",
-            "ex_join AS exact_value",
-        )
-    )
+    return one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("common_keys").alias("measure"),
+                    F.col("est_common_keys").alias("kmv_estimate"),
+                    F.col("ex_common").alias("exact_value"),
+                ),
+                F.struct(
+                    F.lit("join_rows").alias("measure"),
+                    F.col("est_join_rows").alias("kmv_estimate"),
+                    F.col("ex_join").alias("exact_value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -408,9 +408,14 @@ def kmv_join_size_estimate(
     sum_sampled_products). Scale: sketches are two-level tournaments,
     count aggregates shuffle once per side; everything downstream is
     O(k)."""
-    ka = kmv_sketch(a, col, k)
-    kb = kmv_sketch(b, col, k)
-    ku = kmv_merge(ka, kb, k)
+    # Each sketch is consumed 2-3 times below (union, semi-joins,
+    # stats); localCheckpoint the <= k-row frames so every reuse reads
+    # the materialized registers instead of re-running the corpus-wide
+    # tournament — the audit measured 41 exchanges without this, most
+    # of them repeated distinct-scans of the input.
+    ka = kmv_sketch(a, col, k).localCheckpoint()
+    kb = kmv_sketch(b, col, k).localCheckpoint()
+    ku = kmv_merge(ka, kb, k).localCheckpoint()
     common = ku.join(ka, "hv", "left_semi").join(kb, "hv", "left_semi")
     ca = a.groupBy(col).agg(F.count(F.lit(1)).alias("ma")).select(
         _hash60(F.col(col)).alias("hv"), "ma"
