@@ -1676,3 +1676,120 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(F.lit(0)))
         ).cast("bigint").alias("pseudo_median_x4"),
     )
+
+
+_HSEL_B = 32
+_HSEL_LO, _HSEL_HI = 2_000_000, 4_500_000  # cents: $20,000 .. $45,000
+
+
+@query(
+    "stats_histogram_selectivity",
+    f"""
+    WITH pts AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM pts),
+    cum AS (
+        SELECT v, c,
+               CAST(SUM(c) OVER (ORDER BY v) AS HUGEINT) AS cm
+        FROM pts
+    ), bkt AS (
+        SELECT v, c,
+               CAST((cm - 1) * {_HSEL_B} // n AS BIGINT) + 1 AS b
+        FROM cum CROSS JOIN tot
+    ), hist AS (
+        SELECT b, CAST(SUM(c) AS BIGINT) AS cnt,
+               MIN(v) AS lo, MAX(v) AS hi
+        FROM bkt GROUP BY b
+    ), est AS (
+        SELECT CAST(SUM(CASE WHEN least({_HSEL_HI}, hi)
+                                  >= greatest({_HSEL_LO}, lo)
+                 THEN CAST(cnt AS HUGEINT)
+                      * (least({_HSEL_HI}, hi)
+                         - greatest({_HSEL_LO}, lo) + 1)
+                      // (hi - lo + 1)
+                 ELSE 0 END) AS BIGINT) AS est_rows
+        FROM hist
+    ), exact AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS exact_rows
+        FROM pts WHERE v BETWEEN {_HSEL_LO} AND {_HSEL_HI}
+    )
+    SELECT est_rows, exact_rows,
+           CAST((SELECT COUNT(*) FROM hist) AS BIGINT) AS n_buckets,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_total
+    FROM est CROSS JOIN exact
+    """,
+)
+def stats_histogram_selectivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANALYZE-style equi-depth histogram + range-predicate selectivity
+    estimation — the cost-based-optimizer statistic that prices a scan
+    filter BEFORE running it (row-count estimates drive join order and
+    broadcast decisions). 32 equal-mass buckets over exact price cents
+    (bucket of a value = its cumulative-count quantile — heavy values
+    keep all their rows in one bucket, the standard equi-depth
+    compromise), then the estimate for a range interpolates each
+    bucket's overlap fraction uniformly, in pure integer floor
+    arithmetic — bit-identical estimates on both engines, with the
+    exact count alongside so estimate quality is part of the contract.
+
+    Scale: the cumulative counts run the two-level bucketed prefix-sum
+    pattern (per-coarse-bucket totals -> O(#buckets) global prefix ->
+    within-bucket window), so no global ordered window ever sees the
+    distinct-value rows in one task; the histogram is 32 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    pts = pts.withColumn("_cb", F.expr("v div 100000"))
+    bucket_tot = pts.groupBy("_cb").agg(F.sum("c").alias("_bc"))
+    wb = Window.orderBy("_cb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_prefix = bucket_tot.select(
+        "_cb", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_pc")
+    )
+    wi = Window.partitionBy("_cb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pts.join(bucket_prefix, "_cb").select(
+        "v", "c",
+        (F.col("_pc") + F.sum("c").over(wi))
+        .cast("decimal(38,0)").alias("cm"),
+    )
+    tot = pts.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
+    bkt = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "c",
+        (F.expr(f"CAST((cm - 1) * {_HSEL_B} div n AS BIGINT)") + 1)
+        .alias("b"),
+    )
+    hist = bkt.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("cnt"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    est = hist.agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN least({_HSEL_HI}, hi)"
+                f" >= greatest({_HSEL_LO}, lo)"
+                f" THEN CAST(cnt AS DECIMAL(38,0))"
+                f" * (least({_HSEL_HI}, hi) - greatest({_HSEL_LO}, lo) + 1)"
+                f" div (hi - lo + 1) ELSE 0 END"
+            )
+        ).cast("bigint").alias("est_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    exact = pts.filter(
+        F.col("v").between(_HSEL_LO, _HSEL_HI)
+    ).agg(F.sum("c").cast("bigint").alias("exact_rows"))
+    return (
+        est.crossJoin(exact)
+        .crossJoin(tot.select(F.col("n").cast("bigint").alias("n_total")))
+        .select("est_rows", "exact_rows", "n_buckets", "n_total")
+    )

@@ -326,3 +326,17 @@ def test_hodges_lehmann_matches_scipy_convention(spark):
         # sanity: the estimator sits at the statistics.median of the
         # float Walsh averages
         assert abs(doubled / 4 - statistics.median(w / 2 for w in walsh)) < 1e-9
+
+
+def test_histogram_selectivity_accuracy_and_shape(spark):
+    """Equi-depth histogram invariants on real data: exactly 32
+    buckets, near-equal masses (no bucket above ~2x the ideal mass on
+    this near-continuous column), and the range estimate lands within
+    5% of the exact count (uniform intra-bucket interpolation is
+    near-exact when values are dense)."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    r = QUERIES["stats_histogram_selectivity"](spark, SF).collect()[0]
+    assert r.n_buckets == 32
+    assert r.n_total > 0 and r.exact_rows > 0
+    assert abs(r.est_rows - r.exact_rows) <= max(0.05 * r.exact_rows, 5)
