@@ -151,6 +151,7 @@ HEADLINE = [
     "text_proximity_search",
     "stats_hodges_lehmann",
     "sketch_join_size_estimate",
+    "stats_histogram_selectivity",
 ]
 
 

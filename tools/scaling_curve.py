@@ -149,6 +149,7 @@ FAMILIES = {
         "text_proximity_search",
         "stats_hodges_lehmann",
         "sketch_join_size_estimate",
+        "stats_histogram_selectivity",
     ],
 }
 
