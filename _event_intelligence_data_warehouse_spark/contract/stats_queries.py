@@ -1793,3 +1793,114 @@ def stats_histogram_selectivity(
         .crossJoin(tot.select(F.col("n").cast("bigint").alias("n_total")))
         .select("est_rows", "exact_rows", "n_buckets", "n_total")
     )
+
+
+@query(
+    "stats_mann_kendall",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT i.event_type,
+               CAST(SUM(CASE WHEN j.y > i.y THEN 1
+                             WHEN j.y < i.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM daily i JOIN daily j
+          ON j.event_type = i.event_type AND j.x > i.x
+        GROUP BY 1
+    ), n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               CAST(coalesce(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                    AS BIGINT) AS tie_term
+        FROM (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, y
+        ) GROUP BY 1
+    )
+    SELECT s.event_type, s.s_stat, s.n_pairs, n.n_days,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - t.tie_term AS BIGINT) AS var_s_x18,
+           CAST(CASE WHEN s.s_stat = 0 THEN 0
+                WHEN (ABS(s.s_stat) - 1) * (ABS(s.s_stat) - 1)
+                     * 18 * 10000
+                     > 38416
+                       * (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                          - t.tie_term)
+                THEN CASE WHEN s.s_stat > 0 THEN 1 ELSE -1 END
+                ELSE 0 END AS BIGINT) AS trend_direction
+    FROM s JOIN n USING (event_type) JOIN ties t USING (event_type)
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type — the SIGNIFICANCE
+    companion to Theil-Sen's slope (the pairing hydrology standardized):
+    S = sum of sign(y_j - y_i) over time-ordered day pairs, tie-corrected
+    variance Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]/18, and the
+    two-sided 5% decision taken MULTIPLIED THROUGH so no square root or
+    float enters: |S|-1 squared x 18 x 10^4 > 1.96^2 x 10^4 x
+    (18 Var(S)) — trend_direction is +1/-1/0, exactly reproducible on
+    both engines. Scale: the pairwise join is O(days^2) per type,
+    calendar-bounded like its Theil-Sen companion; the continuity
+    correction uses |S|-1 per the standard normal approximation."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    i, j = daily.alias("i"), daily.alias("j")
+    s = (
+        i.join(
+            j,
+            (F.col("j.event_type") == F.col("i.event_type"))
+            & (F.col("j.x") > F.col("i.x")),
+        )
+        .groupBy(F.col("i.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("j.y") > F.col("i.y"), 1)
+                .when(F.col("j.y") < F.col("i.y"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s_stat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    out = s.join(n, "event_type").join(ties, "event_type")
+    var18 = (
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+    )
+    return out.select(
+        "event_type", "s_stat", "n_pairs", "n_days",
+        F.expr(f"CAST({var18} AS BIGINT)").alias("var_s_x18"),
+        F.expr(
+            "CAST(CASE WHEN s_stat = 0 THEN 0"
+            " WHEN (ABS(s_stat) - 1) * (ABS(s_stat) - 1) * 18 * 10000"
+            f" > 38416 * ({var18})"
+            " THEN CASE WHEN s_stat > 0 THEN 1 ELSE -1 END"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("trend_direction"),
+    )

@@ -152,6 +152,7 @@ HEADLINE = [
     "stats_hodges_lehmann",
     "sketch_join_size_estimate",
     "stats_histogram_selectivity",
+    "stats_mann_kendall",
 ]
 
 

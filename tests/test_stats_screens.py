@@ -340,3 +340,43 @@ def test_histogram_selectivity_accuracy_and_shape(spark):
     assert r.n_buckets == 32
     assert r.n_total > 0 and r.exact_rows > 0
     assert abs(r.est_rows - r.exact_rows) <= max(0.05 * r.exact_rows, 5)
+
+
+def test_mann_kendall_matches_scipy_formula(spark):
+    """S, the tie-corrected variance and the 5% decision match a
+    brute-force Python recomputation (normal approximation with
+    continuity correction, z > 1.96 two-sided) on the same series."""
+    import math
+
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["stats_mann_kendall"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, x, y in _daily(con, by_type=True):
+        series.setdefault(et, []).append((int(x), int(y)))
+    assert rows
+    for et, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts]
+        n = len(ys)
+        s = sum(
+            (ys[b] > ys[a]) - (ys[b] < ys[a])
+            for a in range(n) for b in range(a + 1, n)
+        )
+        from collections import Counter
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        r = rows[et]
+        assert (r.s_stat, r.var_s_x18) == (s, var18), et
+        if s == 0:
+            exp = 0
+        else:
+            z = (abs(s) - 1) / math.sqrt(var18 / 18)
+            exp = (1 if s > 0 else -1) if z > 1.96 else 0
+        assert r.trend_direction == exp, (et, s, var18)

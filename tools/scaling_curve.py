@@ -150,6 +150,7 @@ FAMILIES = {
         "stats_hodges_lehmann",
         "sketch_join_size_estimate",
         "stats_histogram_selectivity",
+        "stats_mann_kendall",
     ],
 }
 
