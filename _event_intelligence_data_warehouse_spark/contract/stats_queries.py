@@ -1904,3 +1904,139 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("trend_direction"),
     )
+
+
+_KW_CRIT_MILLI = (
+    "CASE df WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815"
+    " WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592 END"
+)
+
+
+@query(
+    "stats_kruskal_wallis",
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), pts AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY 1
+    ), ranked AS (
+        SELECT y, c,
+               (SUM(c) OVER (ORDER BY y) - c + 1)
+                 + SUM(c) OVER (ORDER BY y) AS rank2
+        FROM pts
+    ), grp AS (
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(r.rank2) AS HUGEINT) AS s2_i
+        FROM daily d JOIN ranked r ON r.y = d.y
+        GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_i) AS HUGEINT) AS n,
+               CAST(SUM(s2_i * s2_i // n_i) AS HUGEINT) AS g
+        FROM grp
+    ), ties AS (
+        SELECT CAST(coalesce(SUM(c * c * c - c), 0) AS HUGEINT) AS t
+        FROM pts
+    ), h AS (
+        SELECT k, n,
+               CAST(3 AS HUGEINT) * g * 1000000 // (n * (n + 1))
+                 - CAST(3 AS HUGEINT) * (n + 1) * 1000000 AS h_ppm,
+               (n * n * n - n) AS n3n, t
+        FROM agg CROSS JOIN ties
+    ), hc AS (
+        SELECT k, n, h_ppm,
+               CASE WHEN n3n - t > 0
+                    THEN h_ppm * n3n // (n3n - t)
+                    ELSE h_ppm END AS hc_ppm,
+               CAST(k - 1 AS BIGINT) AS df
+        FROM h
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_total,
+           CAST(h_ppm AS BIGINT) AS h_ppm,
+           CAST(hc_ppm AS BIGINT) AS h_tie_corrected_ppm,
+           df,
+           coalesce(hc_ppm > CAST(({_KW_CRIT_MILLI}) AS HUGEINT) * 1000,
+                    FALSE) AS significant_5pct
+    FROM hc
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types' daily-volume samples —
+    the k-group extension of Mann-Whitney (one-way ANOVA on ranks,
+    distribution-free): do the event types draw their daily volumes
+    from the same distribution?
+
+    Exactness: pooled tie groups get integral DOUBLED midranks
+    (2*midrank = lo+hi, the stats_mann_whitney_u construction), the
+    per-group term S2_i^2/n_i floors once per group (mirrored on both
+    engines; error < k absolute on a ~1e12 quantity), H lands in exact
+    ppm, and the tie correction (N^3-N)/((N^3-N)-T) multiplies through
+    in integers. The 5% decision compares against chi-square critical
+    values hardcoded in milli-units per df (1..6) — no distribution
+    functions at query time. Scale: ranks live on the DISTINCT daily
+    values (domain-bounded), groups aggregate once; everything after is
+    k-row arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    pts = daily.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pts.select(
+        "y", "c",
+        (
+            (F.sum("c").over(wv) - F.col("c") + 1) + F.sum("c").over(wv)
+        ).alias("rank2"),
+    )
+    grp = (
+        daily.join(ranked.select("y", "rank2"), "y")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum("rank2").cast("decimal(38,0)").alias("s2_i"),
+        )
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_i").cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr("s2_i * s2_i div n_i")).cast("decimal(38,0)")
+        .alias("g"),
+    )
+    ties = pts.agg(
+        F.coalesce(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("t")
+    )
+    h = agg.crossJoin(ties).selectExpr(
+        "k", "n", "t",
+        "CAST(3 AS DECIMAL(38,0)) * g * 1000000 div (n * (n + 1))"
+        " - CAST(3 AS DECIMAL(38,0)) * (n + 1) * 1000000 AS h_ppm",
+        "(n * n * n - n) AS n3n",
+    )
+    hc = h.selectExpr(
+        "k", "n", "h_ppm",
+        "CASE WHEN n3n - t > 0 THEN h_ppm * n3n div (n3n - t)"
+        " ELSE h_ppm END AS hc_ppm",
+        "CAST(k - 1 AS BIGINT) AS df",
+    )
+    return hc.selectExpr(
+        "CAST(k AS BIGINT) AS n_groups",
+        "CAST(n AS BIGINT) AS n_total",
+        "CAST(h_ppm AS BIGINT) AS h_ppm",
+        "CAST(hc_ppm AS BIGINT) AS h_tie_corrected_ppm",
+        "df",
+        f"coalesce(hc_ppm > CAST(({_KW_CRIT_MILLI}) AS DECIMAL(38,0))"
+        " * 1000, FALSE) AS significant_5pct",
+    )

@@ -157,6 +157,7 @@ HEADLINE = [
     "sketch_join_size_estimate",
     "stats_histogram_selectivity",
     "stats_mann_kendall",
+    "stats_kruskal_wallis",
 ]
 
 

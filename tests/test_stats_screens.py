@@ -380,3 +380,38 @@ def test_mann_kendall_matches_scipy_formula(spark):
             z = (abs(s) - 1) / math.sqrt(var18 / 18)
             exp = (1 if s > 0 else -1) if z > 1.96 else 0
         assert r.trend_direction == exp, (et, s, var18)
+
+
+def test_kruskal_wallis_matches_scipy_convention(spark):
+    """h_tie_corrected_ppm tracks scipy.stats.kruskal's H within the
+    documented floor error (< k absolute on the ppm value), computed on
+    the same per-type daily series."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    r = QUERIES["stats_kruskal_wallis"](spark, SF).collect()[0]
+    con = duckdb.connect()
+    series: dict[str, list[int]] = {}
+    for et, _x, y in _daily(con, by_type=True):
+        series.setdefault(et, []).append(int(y))
+    # independent float recomputation (scipy formula, midranks)
+    pooled = sorted(v for ys in series.values() for v in ys)
+    n = len(pooled)
+    # midrank per value
+    import collections
+    first = {}
+    cnt = collections.Counter(pooled)
+    run = 0
+    rank = {}
+    for v in sorted(cnt):
+        rank[v] = (run + 1 + run + cnt[v]) / 2
+        run += cnt[v]
+    h = 12 / (n * (n + 1)) * sum(
+        (sum(rank[v] for v in ys)) ** 2 / len(ys)
+        for ys in series.values()
+    ) - 3 * (n + 1)
+    t = sum(c ** 3 - c for c in cnt.values())
+    hc = h / (1 - t / (n ** 3 - n))
+    assert r.n_groups == len(series) and r.n_total == n
+    assert abs(r.h_tie_corrected_ppm / 1e6 - hc) < 1e-3
+    crit = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.07}[r.df]
+    assert r.significant_5pct == (hc > crit)

@@ -151,6 +151,7 @@ FAMILIES = {
         "sketch_join_size_estimate",
         "stats_histogram_selectivity",
         "stats_mann_kendall",
+        "stats_kruskal_wallis",
     ],
 }
 
