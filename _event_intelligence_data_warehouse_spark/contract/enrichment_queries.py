@@ -2714,5 +2714,8 @@ def streaming_ivm_cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         initial_view=ivm.agg_base(base, keys, measures),
         keys=keys,
         sum_cols=measures,
+        # the caller knows the delta schema (it wrote the deltas) —
+        # passing it keeps setup lazy on an empty delta dir
+        delta_schema=inserts.schema,
     )
     return spark.read.parquet(final)

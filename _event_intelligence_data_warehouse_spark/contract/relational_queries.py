@@ -267,14 +267,23 @@ def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_not_exists",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
     """,
 )
 def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3's engine primitive: left-anti join (insert-if-absent is
-    new.join(existing, key, 'left_anti') before append)."""
+    new.join(existing, key, 'left_anti') before append). Anti-joins
+    against the FINISHED-order subset, not all orders: at every
+    testdata SF each customer has some order, so the all-orders anti
+    set is empty and a gate row over it verifies nothing (round-6
+    VERDICT "vacuous oracle"); customers whose orders are all still
+    open make the expected result provably non-empty."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

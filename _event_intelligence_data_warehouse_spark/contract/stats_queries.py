@@ -1906,9 +1906,22 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chi-square 95th-percentile critical values in milli-units, df 1..30
+# (standard published table). df outside the table makes the CASE — and
+# therefore significant_5pct — NULL on BOTH engines: "no critical value
+# available" must surface as unknown, never as a silent FALSE that masks
+# a real significant H (round-6 ADVICE).
 _KW_CRIT_MILLI = (
     "CASE df WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815"
-    " WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592 END"
+    " WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592"
+    " WHEN 7 THEN 14067 WHEN 8 THEN 15507 WHEN 9 THEN 16919"
+    " WHEN 10 THEN 18307 WHEN 11 THEN 19675 WHEN 12 THEN 21026"
+    " WHEN 13 THEN 22362 WHEN 14 THEN 23685 WHEN 15 THEN 24996"
+    " WHEN 16 THEN 26296 WHEN 17 THEN 27587 WHEN 18 THEN 28869"
+    " WHEN 19 THEN 30144 WHEN 20 THEN 31410 WHEN 21 THEN 32671"
+    " WHEN 22 THEN 33924 WHEN 23 THEN 35172 WHEN 24 THEN 36415"
+    " WHEN 25 THEN 37652 WHEN 26 THEN 38885 WHEN 27 THEN 40113"
+    " WHEN 28 THEN 41337 WHEN 29 THEN 42557 WHEN 30 THEN 43773 END"
 )
 
 
@@ -1960,8 +1973,8 @@ _KW_CRIT_MILLI = (
            CAST(h_ppm AS BIGINT) AS h_ppm,
            CAST(hc_ppm AS BIGINT) AS h_tie_corrected_ppm,
            df,
-           coalesce(hc_ppm > CAST(({_KW_CRIT_MILLI}) AS HUGEINT) * 1000,
-                    FALSE) AS significant_5pct
+           hc_ppm > CAST(({_KW_CRIT_MILLI}) AS HUGEINT) * 1000
+               AS significant_5pct
     FROM hc
     """,
 )
@@ -1977,8 +1990,9 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; error < k absolute on a ~1e12 quantity), H lands in exact
     ppm, and the tie correction (N^3-N)/((N^3-N)-T) multiplies through
     in integers. The 5% decision compares against chi-square critical
-    values hardcoded in milli-units per df (1..6) — no distribution
-    functions at query time. Scale: ranks live on the DISTINCT daily
+    values hardcoded in milli-units per df (1..30) — no distribution
+    functions at query time; df beyond the table yields a NULL
+    decision (unknown), never a silent FALSE. Scale: ranks live on the DISTINCT daily
     values (domain-bounded), groups aggregate once; everything after is
     k-row arithmetic."""
     ev = load(spark, sf_dir, "events")
@@ -2037,6 +2051,6 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(h_ppm AS BIGINT) AS h_ppm",
         "CAST(hc_ppm AS BIGINT) AS h_tie_corrected_ppm",
         "df",
-        f"coalesce(hc_ppm > CAST(({_KW_CRIT_MILLI}) AS DECIMAL(38,0))"
-        " * 1000, FALSE) AS significant_5pct",
+        f"hc_ppm > CAST(({_KW_CRIT_MILLI}) AS DECIMAL(38,0))"
+        " * 1000 AS significant_5pct",
     )

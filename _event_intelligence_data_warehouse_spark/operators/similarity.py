@@ -1934,9 +1934,19 @@ def covariance_pairs(
     Plan shape: the per-row upper-triangle products are generated
     INSIDE the array (index-aware transform + slice), so the only
     shuffle is the final d(d+1)/2-group aggregate with map-side
-    partial combine — no self-join, no N x d flat join. At milli scale
-    the int64 numerator holds past 1e13 rows x unit-norm dims; widen
-    ``scale`` only with a DECIMAL combine."""
+    partial combine — no self-join, no N x d flat join.
+
+    Overflow discipline: the per-row product ``x*y`` is int64-safe
+    (|q| <= scale for unit-norm dims), but the accumulated ``sxy`` and
+    the combine ``n*sxy - si*sj`` grow ~n^2*scale^2/d — past int64
+    near ~1e9 unit-norm rows at milli scale, where non-ANSI Spark
+    would wrap silently while DuckDB widens SUM(BIGINT) to HUGEINT.
+    Both the sums and the combine therefore run in DECIMAL(38,0)
+    (exact to 1e38, the same pattern as kmv_join_size_estimate and
+    stats_kruskal_wallis), casting to BIGINT only at output — valid
+    while the final covariance numerator itself fits int64, i.e.
+    ~1e9 rows at scale=1000; beyond that, read ``cov_num`` before the
+    output cast or lower ``scale``."""
     q = df.select(
         F.col(id_col).alias("_id"), _int_vec(vec_col, scale).alias("qv")
     )
@@ -1950,11 +1960,12 @@ def covariance_pairs(
         ).alias("t")
     ).select("t.dim_i", "t.dim_j", "t.p")
     spp = pairs.groupBy("dim_i", "dim_j").agg(
-        F.sum("p").alias("sxy"), F.count(F.lit(1)).alias("n")
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sxy"),
+        F.count(F.lit(1)).alias("n"),
     )
     dsum = q.select(F.posexplode("qv").alias("pos", "qx")).groupBy(
         "pos"
-    ).agg(F.sum("qx").alias("s"))
+    ).agg(F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"))
     return (
         spp.join(
             dsum.select(F.col("pos").alias("dim_i"), F.col("s").alias("si")),
@@ -1969,7 +1980,8 @@ def covariance_pairs(
             F.col("dim_j").cast("bigint").alias("dim_j"),
             F.col("n").cast("bigint").alias("n_vectors"),
             (
-                F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")
+                F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("si") * F.col("sj")
             ).cast("bigint").alias("cov_num"),
         )
     )

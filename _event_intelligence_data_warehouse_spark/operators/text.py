@@ -2014,10 +2014,21 @@ def phrase_search(
     would shrink intermediates further, but the fixed left-to-right
     chain keeps the plan deterministic and lets AQE pick the join
     strategy per stage. Output: (phrase, doc_id, n_matches, first_pos)
-    with one row per matching document."""
+    with one row per matching document.
+
+    Raises ``ValueError`` on an empty phrase list or a phrase with no
+    tokens — silently returning None / crashing in the join chain
+    (round-6 ADVICE) would hide a malformed query."""
+    if not phrases:
+        raise ValueError("phrase_search: phrases must be non-empty")
     out = None
     for phrase in phrases:
         terms = [t for t in phrase.lower().split() if t]
+        if not terms:
+            raise ValueError(
+                "phrase_search: phrase with no tokens: "
+                f"{phrase!r}"
+            )
         posts = positional_postings(
             df, text_col=text_col, id_col=id_col
         ).filter(F.col("term").isin(terms))

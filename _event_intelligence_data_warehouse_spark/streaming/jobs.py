@@ -581,24 +581,42 @@ def stream_gdpr_erasure(
             # crash landed between the delete publish and the audit
             # append: reconstruct the original accounting. The commit's
             # newly-added DV files hold exactly the positions it
-            # deleted, so their row count IS rows_deleted.
+            # deleted, so their row count IS rows_deleted. The WHOLE
+            # reconstruction (stamped manifest fetch, parent fetch, DV
+            # file read) runs under the retention-race fallback: vacuum
+            # can expire any of those artifacts between the crash and
+            # the replay, and an unhandled error inside foreachBatch
+            # would wedge the stream forever (round-6 ADVICE). Accurate
+            # reconstruction therefore requires vacuum retention longer
+            # than the crash-replay window; past it, the erasure itself
+            # is still durable (the commit is in history) and only its
+            # accounting degrades — to an overcount if just the parent
+            # expired, to 0 if the stamped commit's own artifacts did.
+            from pyspark.errors import AnalysisException
+
             v = prior["version"]
-            dv_v = set(wh._manifest(target_table, v).get("dv_files") or [])
             try:
-                dv_p = set(
-                    wh._manifest(target_table, prior["parent"])
-                    .get("dv_files") or []
+                dv_v = set(
+                    wh._manifest(target_table, v).get("dv_files") or []
                 )
-            except FileNotFoundError:
-                # parent manifest expired mid-replay (vacuum raced the
-                # restart): counting every live vector can only
-                # overcount, never lose the erasure
-                dv_p = set()
-            added = sorted(dv_v - dv_p)
-            n = (
-                wh._read_file_list(wh.path(target_table), added).count()
-                if added else 0
-            )
+                try:
+                    dv_p = set(
+                        wh._manifest(target_table, prior["parent"])
+                        .get("dv_files") or []
+                    )
+                except FileNotFoundError:
+                    # parent manifest expired mid-replay: counting every
+                    # live vector can only overcount, never lose the
+                    # erasure
+                    dv_p = set()
+                added = sorted(dv_v - dv_p)
+                n = (
+                    wh._read_file_list(wh.path(target_table), added)
+                    .count()
+                    if added else 0
+                )
+            except (FileNotFoundError, AnalysisException):
+                n = 0
             _audit(n, v)
             return
         with wh.commit_metadata(gdpr_app=app, gdpr_batch=batch_id):
@@ -709,6 +727,7 @@ def stream_ivm_view(
     keys: list[str],
     sum_cols: dict[str, str],
     max_files_per_trigger: int = 1,
+    delta_schema=None,
 ) -> str:
     """Continuously maintain an aggregate view over a signed CDC delta
     stream (operators/ivm.py algebra) and return the path of the final
@@ -752,12 +771,22 @@ def stream_ivm_view(
 
     # Delta batches may land as one subdirectory per CDC emission;
     # recursive lookup makes both the schema sample and the file-stream
-    # source see them (the stream still triggers per FILE).
-    sample = (
-        spark.read.option("recursiveFileLookup", "true").parquet(delta_dir)
-    )
+    # source see them (the stream still triggers per FILE). Callers
+    # that know the delta schema (streaming_ivm_cdc_view does) pass it
+    # via ``delta_schema`` so an empty / not-yet-populated delta dir
+    # starts an IDLE stream instead of failing at setup; the eager
+    # sample read is only the fallback when the schema is omitted
+    # (round-6 ADVICE). Note: the final-version scan below uses
+    # os.listdir — this local-parquet sink stand-in assumes a local
+    # filesystem view_dir, like the rest of the versioned-view layout.
+    schema = delta_schema
+    if schema is None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(delta_dir).schema
+        )
     stream = (
-        spark.readStream.schema(sample.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("recursiveFileLookup", "true")
         .parquet(delta_dir)

@@ -79,6 +79,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    vacuous = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -96,6 +97,8 @@ def main() -> int:
 
             cache.release_all()
         if name not in oracles:
+            if not srows:
+                vacuous.append(name)
             print(f"ok?  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
             continue
@@ -152,11 +155,21 @@ def main() -> int:
             for a, b in diff:
                 print(f"   spark : {a[:220]}")
                 print(f"   oracle: {b[:220]}")
+        elif sn == 0:
+            # Vacuity screen (round-6 VERDICT): two engines agreeing on
+            # the EMPTY set verifies nothing about the query's
+            # semantics. An empty-result oracle row is a defect in the
+            # fixture, not a pass — restrict or plant data until the
+            # expected result is provably non-empty.
+            vacuous.append(name)
+            print(f"VACUOUS {name}: both engines returned 0 rows "
+                  f"({time.time()-t0:.1f}s) — fixture proves nothing")
         else:
             print(f"PASS {name} ({sn} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(failures)} failures / {len(queries) if not only else len(only)} checked")
-    return 1 if failures else 0
+    print(f"\n{len(failures)} failures / {len(queries) if not only else len(only)} checked"
+          + (f"; {len(vacuous)} VACUOUS: {sorted(vacuous)}" if vacuous else "; 0 vacuous"))
+    return 1 if failures or vacuous else 0
 
 
 if __name__ == "__main__":
