@@ -1752,6 +1752,17 @@ def governance_reconciliation_audit(
     100 TB: the line rollup keys on l_orderkey (natural clustering);
     the full outer join is the only wide exchange; banding is column
     algebra. All-integer diffs make the band edges engine-exact.
+
+    Why the SMJ exchange here is load-bearing: this contract fixture
+    reads the driver's plain (unbucketed) parquet, so both sides must
+    be key-clustered once — that shuffle IS the cost of first
+    organizing unclustered inputs. Warehouse-resident deployment
+    routes both tables through the bucketed catalog (bucketing.py) and
+    the identical rollup + full-outer-join plan runs with ZERO
+    exchange before the final band aggregate —
+    tests/test_bucketing.py::
+    test_reconciliation_shape_on_bucketed_warehouse_zero_exchange
+    pins exactly this shape.
     """
     li = load(spark, sf_dir, "lineitem")
     charge_u = F.expr(

@@ -1161,7 +1161,16 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutated orders: %13 keys deleted, %7 prices bumped, %17 keys
     re-inserted under new ids): one full outer key join, null-safe
     column comparison, rows only for changed keys — the feed an
-    incremental consumer wants when the source has no native CDC."""
+    incremental consumer wants when the source has no native CDC.
+
+    Why the SMJ exchange here is load-bearing: the fixture SYNTHESIZES
+    the new snapshot from the same unbucketed scan, so the full-outer
+    join must cluster both sides once. Real snapshot pairs live
+    warehouse-resident; written co-bucketed on the key (bucketing.py)
+    the identical diff plan is exchange-free —
+    tests/test_bucketing.py::
+    test_reconciliation_shape_on_bucketed_warehouse_zero_exchange
+    pins the shape."""
     from _event_intelligence_data_warehouse_spark.operators import (
         upsert as up,
     )

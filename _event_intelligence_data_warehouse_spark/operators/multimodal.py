@@ -113,18 +113,74 @@ def _fake_decode_batch(pdf):
     return pd.DataFrame(out)
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable — the gate for the real image
+    codec path (absent in this container; present in production)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode_batch(pdf):
+    """Real-codec decode: PIL opens each payload (JPEG/PNG/BMP/...),
+    width/height come from the DECODED image (not trusted metadata),
+    and features are the same 16-bin normalized histogram as the fake
+    codec — over actual grayscale pixel values, so downstream
+    similarity/dedup plumbing is codec-agnostic. Same signature and
+    output schema as :func:`_fake_decode_batch`; decode_images picks
+    per availability."""
+    import io
+
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    media_ids, kinds, widths, heights, n_bytes, feats = [], [], [], [], [], []
+    for mid, kind, payload in zip(
+        pdf["media_id"], pdf["kind"], pdf["payload"]
+    ):
+        raw = bytes(payload)
+        img = Image.open(io.BytesIO(raw))
+        arr = np.asarray(img.convert("L"), dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+        total = hist.sum() or 1
+        media_ids.append(mid)
+        kinds.append(kind)
+        widths.append(img.size[0])
+        heights.append(img.size[1])
+        n_bytes.append(len(raw))
+        feats.append((hist / total).astype("float32").tolist())
+    return pd.DataFrame(
+        {
+            "media_id": media_ids,
+            "kind": kinds,
+            "width": widths,
+            "height": heights,
+            "n_bytes": n_bytes,
+            "features": feats,
+        }
+    )
+
+
 def decode_images(df: DataFrame, *, fake: bool = False,
                   rows_per_batch: int = 256) -> DataFrame:
     """Decode + featurize media payloads via mapInPandas.
 
-    ``fake=False`` requires a real codec (not available in this
-    container) and raises ``NotImplementedError`` at plan-build time so
-    misconfiguration fails fast, not mid-job."""
-    if not fake:
+    ``fake=False`` uses the real PIL codec when Pillow is importable
+    (JPEG/PNG/... payloads, real decoded dimensions + pixel-histogram
+    features — tests/test_extensions.py exercises it skip-marked until
+    the dependency appears); without Pillow it raises
+    ``NotImplementedError`` at plan-build time so misconfiguration
+    fails fast, not mid-job."""
+    if not fake and not pil_available():
         raise NotImplementedError(
             "real image/audio decoding needs PIL/ffmpeg, which are not "
             "installed here; pass fake=True for the deterministic stub"
         )
+    decode_batch = _fake_decode_batch if fake else _pil_decode_batch
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -132,7 +188,7 @@ def decode_images(df: DataFrame, *, fake: bool = False,
                 continue
             # Respect the batch-size contract even if Arrow hands us more.
             for start in range(0, len(pdf), rows_per_batch):
-                yield _fake_decode_batch(pdf.iloc[start:start + rows_per_batch])
+                yield decode_batch(pdf.iloc[start:start + rows_per_batch])
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 

@@ -216,7 +216,10 @@ def main() -> None:
             continue
         if name == "dedup_cluster_density":
             _bench_density_split(spark, sf_dir, timings)
-            total += timings[name]
+            # the stage builds are real suite work: total carries the
+            # end-to-end sum even though the canonical per-query entry
+            # is the audit-over-prebuilt-stages cost
+            total += timings["cluster_density_e2e"]
             continue
         if name == "dedup_minhash_incremental":
             _bench_incr_dedup_split(spark, sf_dir, timings)
@@ -307,7 +310,8 @@ _SPLIT_SUBENTRIES = frozenset({
     "similarity_ivf_build", "similarity_ivf_serve",
     "similarity_pq_build", "similarity_pq_serve",
     "dedup_semantic_build", "dedup_semantic_apply",
-    "cluster_density_build", "cluster_density_audit",
+    "cluster_density_pairs_stage", "cluster_density_cc_stage",
+    "cluster_density_e2e",
     "quality_fact_build", "quality_checks_only",
     "dedup_minhash_incr_pruned_ss",
 })
@@ -467,11 +471,18 @@ def _bench_incr_dedup_split(spark, sf_dir: str, timings: dict[str, float]) -> No
 
 
 def _bench_density_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
-    """Cluster-density audit split: build (minhash pairs + connected
-    components — in production these are the persisted outputs of the
-    dedup run itself) vs audit (vertex/edge/triangle stats over the
-    persisted graph). Introduced end-to-end this round, so the sum IS
-    the cross-round comparable entry."""
+    """Cluster-density audit over STAGE-SHARED inputs (round-6 VERDICT
+    item 3): in production, ``pairs`` and ``labels`` are the persisted
+    outputs of the dedup pipeline stages that ran anyway — the audit
+    never recomputes the minhash+CC lineage from parquet. The canonical
+    ``dedup_cluster_density`` entry therefore times the AUDIT over the
+    persisted stage outputs (the per-audit marginal cost a user pays);
+    the two stage builds are timed as their own sub-entries
+    (``cluster_density_pairs_stage``, ``cluster_density_cc_stage`` —
+    the pairs stage usually rides the signature cache warmed by
+    dedup_minhash_lsh_pairs earlier in the suite), and
+    ``cluster_density_e2e`` preserves the r5/r6-comparable end-to-end
+    sum. All three components still count toward the suite total."""
     from _event_intelligence_data_warehouse_spark import cache
     from _event_intelligence_data_warehouse_spark.contract import (
         extension_queries as ext,
@@ -483,20 +494,24 @@ def _bench_density_split(spark, sf_dir: str, timings: dict[str, float]) -> None:
     docs = ext._docs_near(spark, sf_dir)
     t0 = time.time()
     pairs = cache.persist(dd.minhash_dedup(docs, threshold=0.8))
+    pairs.write.mode("overwrite").format("noop").save()
+    timings["cluster_density_pairs_stage"] = round(time.time() - t0, 3)
+    t0 = time.time()
     labels = cache.persist(
         dd.connected_components(docs.select("doc_id"), pairs)
     )
-    pairs.write.mode("overwrite").format("noop").save()
     labels.write.mode("overwrite").format("noop").save()
-    build = round(time.time() - t0, 3)
+    timings["cluster_density_cc_stage"] = round(time.time() - t0, 3)
     t0 = time.time()
     dd.graph_cluster_stats(pairs, labels).write.mode("overwrite").format(
         "noop"
     ).save()
-    audit = round(time.time() - t0, 3)
-    timings["cluster_density_build"] = build
-    timings["cluster_density_audit"] = audit
-    timings["dedup_cluster_density"] = round(build + audit, 3)
+    timings["dedup_cluster_density"] = round(time.time() - t0, 3)
+    timings["cluster_density_e2e"] = round(
+        timings["cluster_density_pairs_stage"]
+        + timings["cluster_density_cc_stage"]
+        + timings["dedup_cluster_density"], 3
+    )
 
 
 def _bench_quality_split(spark, sf_dir: str, timings: dict[str, float]) -> None:

@@ -122,3 +122,53 @@ def test_mismatched_bucket_counts_fall_back_to_shuffle(spark, bcat):
         assert j.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_reconciliation_shape_on_bucketed_warehouse_zero_exchange(
+    spark, bcat
+):
+    """The governance_reconciliation_audit / cdc_snapshot_diff join
+    shape (per-key rollup + full outer key join) over WAREHOUSE-RESIDENT
+    co-bucketed tables runs with ZERO shuffle Exchange before the final
+    tiny band aggregate — the deployment answer to the one SMJ exchange
+    those contract queries show over the driver's plain (unbucketed)
+    parquet (round-6 VERDICT item 8). The rollup rides the bucket
+    distribution of b_lines; the full outer join consumes both bucketed
+    distributions directly."""
+    orders, lines = _frames(spark)
+    lines = lines.withColumn(
+        "charge", (F.col("qty") * 7 + F.col("okey") % 11).cast("bigint")
+    )
+    bcat.write("b_orders", orders, bucket_col="okey", n_buckets=8)
+    bcat.write("b_lines", lines, bucket_col="okey", n_buckets=8)
+    bo, bl = bcat.read("b_orders"), bcat.read("b_lines")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rollup = bl.groupBy("okey").agg(F.sum("charge").alias("charge"))
+        joined = bo.join(rollup, "okey", "full_outer").select(
+            "okey",
+            F.when(F.col("charge").isNull(), "order_no_lines")
+            .when(F.col("total").isNull(), "lines_no_order")
+            .otherwise("matched").alias("category"),
+        )
+        joined.collect()
+        assert _exchanges(joined) == 0
+        # and with the band aggregate on top, only that one exchange
+        banded = joined.groupBy("category").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        got = {r.category: r.n for r in banded.collect()}
+        assert _exchanges(banded) == 1
+        # correctness vs the plain unbucketed equivalent
+        plain = orders.join(
+            lines.groupBy("okey").agg(F.sum("charge").alias("charge")),
+            "okey", "full_outer",
+        ).select(
+            F.when(F.col("charge").isNull(), "order_no_lines")
+            .when(F.col("total").isNull(), "lines_no_order")
+            .otherwise("matched").alias("category"),
+        ).groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+        assert got == {r.category: r.n for r in plain.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -144,9 +144,51 @@ def test_multimodal_real_decode_fails_fast(spark):
 
     from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
 
+    if mm.pil_available():
+        pytest.skip("Pillow installed: the real path decodes, no gate")
     media = mm.synthetic_media(spark, 2)
     with pytest.raises(NotImplementedError):
         mm.decode_images(media, fake=False)
+
+
+def test_multimodal_real_pil_decode(spark):
+    """Real-codec coverage, live the day Pillow appears (round-6
+    VERDICT item 7): generate actual PNGs with PIL, run the NON-fake
+    decode_images path, and check decoded dimensions + normalized
+    pixel-histogram features. Skipped (not failed) in containers
+    without Pillow."""
+    import pytest
+
+    from _event_intelligence_data_warehouse_spark.operators import multimodal as mm
+
+    if not mm.pil_available():
+        pytest.skip("Pillow not installed in this container")
+
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rows = []
+    for i in range(8):
+        w, h = 10 + i, 6 + (i % 3)
+        rng = np.random.default_rng(i)
+        arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, format="PNG")
+        rows.append(
+            (i, "image", bytearray(buf.getvalue()),
+             ("png", w, h, None, None))
+        )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.decode_images(media, fake=False).collect()}
+    assert len(out) == 8
+    for i in range(8):
+        r = out[i]
+        assert (r.width, r.height) == (10 + i, 6 + (i % 3))
+        assert len(r.features) == mm.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-5
+        assert r.n_bytes > 0
 
 
 def test_multimodal_features_feed_similarity(spark):
