@@ -499,26 +499,43 @@ _DRIVER_SAMPLE_TAIL = [
     "embedding_random_projection",
     "text_url_canonicalize",
     "profile_key_skew",
-]
-
-# Round-6 promoted slate + the exact driver sample, pinned (r5 verdict
-# item 7). The driver verifies the FIRST 50 registry entries; inferring
-# those 50 from "registration order minus tail" broke silently when a
-# new query registered mid-head (dedup_minhash_incremental_pruned pushed
-# json_extract_props — the §2 S4 covering row — out to position 50), so
-# the head is now an explicit slate: exactly these 50, in this order.
-# Promoted this round:
-# - json_extract_props: restored (§2 S4's driver row)
-# - governance_duplicate_payments: de-vacuified this round (planted
-#   replay corpus) — needs a driver row with spark_rows > 0
-# - storage_schema_evolution_roundtrip / storage_bucketed_join_roundtrip
-#   / storage_zorder_scan_roundtrip: the never-driver-verified storage
-#   family
-# - olap_min_cost_supplier (Q2) / olap_dominant_supply_share (Q11): the
-#   final TPC-H shapes
-# - stats_mann_whitney_u / stats_runs_test / olap_tier_migration_matrix:
-#   the newest stats screens
-_DRIVER_SAMPLE_HEAD = [
+    # Round-7 demotions (r6 verdict item 1): every entry below earned a
+    # green CORRECTNESS_r06 row; they rotate out so the head can take
+    # the never-driver-verified r6 mechanisms, the r5 leftovers and the
+    # five r7 additions. Mechanism coverage after demotion:
+    # - dedup_minhash_incremental(+_pruned) / dedup_cc_incremental /
+    #   dedup_semantic(+_incremental) / dedup_containment_pairs /
+    #   dedup_exact_substrings / dedup_cluster_density: r6-green; the
+    #   minhash->LSH->CC lineage still runs head-sampled inside
+    #   dedup_kcore_survivors (promoted), and the semantic/cell
+    #   machinery inside similarity_knn_graph (promoted, same scorer)
+    # - similarity_pq_topk / similarity_pq_recall / similarity_ivfpq_topk:
+    #   the ANN serve family verified r6; embedding model math keeps a
+    #   head row via embedding_covariance_exact (promoted)
+    # - text_quality_score / text_pack_sequences / text_decontaminate /
+    #   text_boilerplate_lines / text_bpe_encode / curation_dsir_affinity
+    #   / curation_mixture_sample / curation_pipeline_v3 /
+    #   split_leakage_safe: the text/curation battery, all r6-green;
+    #   text keeps head rows via text_phrase_search, text_proximity_search
+    #   and text_bm25_search (promoted)
+    # - multimodal_media_features: r6-green; the multimodal family keeps
+    #   a head row via multimodal_phash_dedup (promoted)
+    # - streaming_stateful_sessions: r6-green; streaming keeps head rows
+    #   via streaming_ivm_cdc_view and window_session_native (promoted)
+    # - storage_schema_evolution/bucketed_join/zorder_scan roundtrips:
+    #   r6-green; storage keeps THREE head rows via storage_dv_roundtrip,
+    #   storage_partition_evolution_roundtrip and
+    #   storage_compaction_roundtrip (promoted)
+    # - olap_min_cost_supplier / olap_dominant_supply_share /
+    #   olap_tier_migration_matrix: r6-green; OLAP keeps a head row via
+    #   olap_nation_market_share (promoted, the widest snowflake)
+    # - stats_mann_whitney_u / stats_runs_test: r6-green; the stats
+    #   screen family takes SEVEN promoted head rows
+    # - pivot_status_by_priority / join_asof_event_run: r1-r6-green
+    #   multiple rounds; pivot/as-of mechanics unchanged since r4
+    # - governance_duplicate_payments: de-vacuified + verified r6
+    # - sketch_bloom_membership: r6-green; sketches keep head rows via
+    #   sketch_kmv_set_ops and sketch_gk_error_audit (promoted)
     "pivot_status_by_priority",
     "join_asof_event_run",
     "split_leakage_safe",
@@ -553,6 +570,74 @@ _DRIVER_SAMPLE_HEAD = [
     "stats_runs_test",
     "olap_tier_migration_matrix",
     "governance_duplicate_payments",
+]
+
+# Round-7 promoted slate + the exact driver sample, pinned. The head is
+# an explicit list (r5 lesson: registration-order inference broke when a
+# new query registered mid-head): exactly these 50, in this order.
+# Promoted this round (r6 verdict item 1 — every never-driver-verified
+# r6 mechanism, by name):
+# - dedup_kcore_survivors, stats_theil_sen_trend, stats_changepoint_daily,
+#   stats_mann_kendall, stats_kruskal_wallis, stats_hodges_lehmann,
+#   embedding_covariance_exact, ivm_retraction_roundtrip,
+#   streaming_ivm_cdc_view, text_phrase_search, text_proximity_search,
+#   sketch_join_size_estimate, stats_histogram_selectivity — the full
+#   r6 slate — plus graph_pagerank_incremental (and graph_pagerank,
+#   its cold-start base).
+# The five r7 additions take driver rows from day one (the r6 pattern):
+# - graph_label_propagation, similarity_knn_graph,
+#   storage_compaction_roundtrip, timeseries_downsample_lttb,
+#   stats_spearman_daily.
+# r5-leftover promotions filling the remaining slots, one per distinct
+# never-verified mechanism/family: graph_khop_reachability (iterative
+# BFS), entity_resolution_clusters (blocked fuzzy ER + CC),
+# linkage_fellegi_sunter (probabilistic linkage), text_bm25_search
+# (ranked retrieval), multimodal_phash_dedup (dHash + Hamming LSH),
+# storage_dv_roundtrip (deletion vectors),
+# storage_partition_evolution_roundtrip (partition respec),
+# sketch_kmv_set_ops (KMV set algebra), sketch_gk_error_audit
+# (GK quantile bounds), stats_ks_two_sample (exact KS),
+# window_session_native (native session windows),
+# timeseries_peak_concurrency (sweep-line), governance_functional_deps
+# (FD profiling), olap_nation_market_share (widest snowflake, Q8).
+# The de-vacuified join_anti_not_exists keeps its row (r6 verdict
+# item 2: must re-verify with spark_rows > 0), and the 15 §2 warehouse
+# core entries keep theirs (every §2 id stays head-covered).
+_DRIVER_SAMPLE_HEAD = [
+    "dedup_kcore_survivors",
+    "stats_theil_sen_trend",
+    "stats_changepoint_daily",
+    "stats_mann_kendall",
+    "stats_kruskal_wallis",
+    "stats_hodges_lehmann",
+    "embedding_covariance_exact",
+    "ivm_retraction_roundtrip",
+    "streaming_ivm_cdc_view",
+    "text_phrase_search",
+    "text_proximity_search",
+    "sketch_join_size_estimate",
+    "stats_histogram_selectivity",
+    "graph_pagerank",
+    "graph_pagerank_incremental",
+    "graph_label_propagation",
+    "similarity_knn_graph",
+    "storage_compaction_roundtrip",
+    "timeseries_downsample_lttb",
+    "stats_spearman_daily",
+    "graph_khop_reachability",
+    "entity_resolution_clusters",
+    "linkage_fellegi_sunter",
+    "text_bm25_search",
+    "multimodal_phash_dedup",
+    "storage_dv_roundtrip",
+    "storage_partition_evolution_roundtrip",
+    "sketch_kmv_set_ops",
+    "sketch_gk_error_audit",
+    "stats_ks_two_sample",
+    "window_session_native",
+    "timeseries_peak_concurrency",
+    "governance_functional_deps",
+    "olap_nation_market_share",
     "kpi_events_by_category",
     "staging_cleanse",
     "kpi_weekend_vs_weekday",

@@ -22,6 +22,9 @@ from _event_intelligence_data_warehouse_spark.contract.extension_queries import 
     _TOKS,
 )
 from _event_intelligence_data_warehouse_spark.operators import graph as g
+from _event_intelligence_data_warehouse_spark.operators import (
+    similarity as sim,
+)
 from _event_intelligence_data_warehouse_spark.operators import text as tx
 from _event_intelligence_data_warehouse_spark.operators import validate as vl
 
@@ -2730,3 +2733,248 @@ def streaming_ivm_cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta_schema=inserts.schema,
     )
     return spark.read.parquet(final)
+
+
+_LPA_ITERS = 3
+
+_LPA_EDGES = """
+    SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+    FROM lineitem WHERE l_quantity >= 30
+"""
+
+
+def _lpa_sql(iters: int) -> str:
+    """Unrolled synchronous label propagation mirroring
+    operators.graph.label_propagation: per round, each node adopts the
+    mode of its neighbors' labels (count DESC, label ASC tie-break) —
+    plain CTE layers, no recursion, bit-exact on both engines."""
+    head = f"""
+    WITH und AS ({_LPA_EDGES}
+    ), sym AS (
+        SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und
+    ), l0 AS (
+        SELECT DISTINCT u AS node_id, u AS community FROM sym
+    )"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+    , vt{i} AS (
+        SELECT s.u, l.community AS lbl, COUNT(*) AS n
+        FROM sym s JOIN l{p} l ON l.node_id = s.v
+        GROUP BY 1, 2
+    ), l{i} AS (
+        SELECT u AS node_id, lbl AS community FROM (
+            SELECT u, lbl, row_number() OVER (
+                PARTITION BY u ORDER BY n DESC, lbl ASC) AS rn
+            FROM vt{i}
+        ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT CAST(community AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{iters} GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+@query("graph_label_propagation", _lpa_sql(_LPA_ITERS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the bulk-shipment part<->supplier graph
+    (relations with quantity >= 30) by synchronous label propagation,
+    exactly 3 rounds: the coarse-grained companion to connected
+    components — CC answers "transitively touching?", LPA splits a
+    weakly-bridged blob into its dense cores (two boilerplate families
+    chained by one borderline pair stay two communities). Deterministic
+    by construction (mode of neighbor labels, min-label tie-break, fixed
+    rounds) so the oracle unrolls the identical recurrence; output is
+    the community-size histogram. See operators/graph.py::
+    label_propagation for the Pregel-shaped per-round plan."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    labels = g.label_propagation(edges, iterations=_LPA_ITERS)
+    return labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+@query(
+    "similarity_knn_graph",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS sim
+        FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+    ), topk AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    )
+    SELECT CAST(a.query_id AS BIGINT) AS vec_a,
+           CAST(a.neighbor_id AS BIGINT) AS vec_b,
+           CAST(a.rank AS BIGINT) AS rank_ab,
+           CAST(b.rank AS BIGINT) AS rank_ba
+    FROM topk a JOIN topk b
+      ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+    WHERE a.query_id < a.neighbor_id
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor graph over the embedding corpus (k=5,
+    exact cosine, ties on neighbor id): an edge survives only if BOTH
+    endpoints rank each other in their top-5 — the density-robust
+    construction semantic-clustering pipelines build before running
+    components/communities (a hub vector everything points at keeps
+    only reciprocated edges, so hub-chaining artifacts never form).
+    Output: undirected edge list with both ranks. The 100 TB path swaps
+    the exact scorer for the IVF-bounded server with the mutual join
+    unchanged — operators/similarity.py::knn_graph."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.knn_graph(emb, k=5)
+
+
+@query(
+    "storage_compaction_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           TRUE AS files_reduced,
+           TRUE AS history_preserved
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def storage_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-file compaction (storage.py::compact — the OPTIMIZE
+    bin-packing maintenance every long-lived table needs): orders lands
+    across three appends x 6 partitions = 18 small files, compact()
+    rewrites them into a handful of right-sized ones, and the aggregate
+    over the compacted table must equal the plain-parquet oracle
+    exactly — compaction is layout, never content. The row also pins
+    two structural facts computed against the manifests:
+    ``files_reduced`` (live file count strictly dropped) and
+    ``history_preserved`` (time travel to the pre-compaction version
+    still serves the identical row count — the commit log survives the
+    rewrite).
+
+    100 TB: many-small-file landing zones are the #1 scan-latency
+    killer (footer fetches dominate); bin-packing compaction is the
+    amortized fix, and manifest time travel is what makes it safe to
+    run online."""
+    from _event_intelligence_data_warehouse_spark.contract import staging_dir
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    # retain_versions=8: compact() runs vacuum under the warehouse's
+    # retention, and the whole point of this row is that maintenance
+    # must NOT erase pinned history — keep every pre-compaction version
+    # readable for the time-travel check below.
+    wh = Warehouse(
+        spark, staging_dir("storage_compaction", sf_dir), manifest=True,
+        retain_versions=8,
+    )
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    for m in range(3):
+        wh.append("ord", orders.filter(k % 3 == m).repartition(6))
+    files_before, _ = wh.file_stats("ord")
+    v_before = wh._current_version("ord")
+    n_before = wh.read("ord").count()
+    wh.compact("ord")
+    files_after, _ = wh.file_stats("ord")
+    n_travel = wh.read("ord", version=v_before).count()
+    return (
+        wh.read("ord")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+        .withColumn("files_reduced", F.lit(files_after < files_before))
+        .withColumn("history_preserved", F.lit(n_travel == n_before))
+    )
+
+
+@query(
+    "timeseries_downsample_lttb",
+    """
+    WITH pts AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), o AS (
+        SELECT x, y, row_number() OVER (ORDER BY x) AS idx,
+               COUNT(*) OVER () AS n
+        FROM pts
+    ), firstp AS (
+        SELECT x, y, CAST(-1 AS BIGINT) AS bucket FROM o WHERE idx = 1
+    ), lastp AS (
+        SELECT x, y, CAST(8 AS BIGINT) AS bucket FROM o WHERE idx = n
+    ), interior AS (
+        SELECT x, y, CAST((idx - 2) * 8 // (n - 2) AS BIGINT) AS bucket
+        FROM o WHERE idx > 1 AND idx < n
+    ), bsum AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM interior GROUP BY 1
+    ), anchors AS (
+        SELECT bucket, c, sx, sy FROM bsum
+        UNION ALL SELECT bucket, 1, x, y FROM firstp
+        UNION ALL SELECT bucket, 1, x, y FROM lastp
+    ), scored AS (
+        SELECT i.x, i.y, i.bucket,
+               abs((l.sx * r.c - r.sx * l.c) * (i.y * r.c - r.sy)
+                   - (i.x * r.c - r.sx) * (l.sy * r.c - r.sy * l.c))
+                   AS area2
+        FROM interior i
+        JOIN anchors l ON l.bucket = i.bucket - 1
+        JOIN anchors r ON r.bucket = i.bucket + 1
+    ), chosen AS (
+        SELECT x, y, bucket FROM (
+            SELECT x, y, bucket, row_number() OVER (
+                PARTITION BY bucket ORDER BY area2 DESC, x ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT x, y, bucket FROM firstp
+    UNION ALL SELECT x, y, bucket FROM chosen
+    UNION ALL SELECT x, y, bucket FROM lastp
+    """,
+)
+def timeseries_downsample_lttb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample of the daily event
+    volume series to 8 buckets (+ the always-kept endpoints) — the
+    perceptual decimator dashboards use so a year of points renders as
+    the ~10 that preserve peaks/troughs/trend breaks, where bucket
+    means would flatten every spike. Parallel bucket-mean-anchor
+    variant with the triangle-area comparison multiplied through to
+    EXACT integers — engine-portable argmax, min-x tie-break
+    (operators/timeseries.py::lttb_downsample)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as ts,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint").alias("x")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    return ts.lttb_downsample(daily, x_col="x", y_col="y", n_buckets=8)

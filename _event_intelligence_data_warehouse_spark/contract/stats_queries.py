@@ -2054,3 +2054,132 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"hc_ppm > CAST(({_KW_CRIT_MILLI}) AS DECIMAL(38,0))"
         " * 1000 AS significant_5pct",
     )
+
+
+@query(
+    "stats_spearman_daily",
+    """
+    WITH va AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), vb AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), ab AS (
+        SELECT va.d, va.y AS ya, vb.y AS yb FROM va JOIN vb USING (d)
+    ), ra AS (
+        -- doubled midranks (lo+hi of each tie run) of the A series
+        SELECT y, (SUM(c) OVER (ORDER BY y) - c + 1)
+                    + SUM(c) OVER (ORDER BY y) AS rank2
+        FROM (SELECT ya AS y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ab GROUP BY 1)
+    ), rb AS (
+        SELECT y, (SUM(c) OVER (ORDER BY y) - c + 1)
+                    + SUM(c) OVER (ORDER BY y) AS rank2
+        FROM (SELECT yb AS y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ab GROUP BY 1)
+    ), rr AS (
+        SELECT ab.d, ra.rank2 AS r2a, rb.rank2 AS r2b
+        FROM ab JOIN ra ON ra.y = ab.ya JOIN rb ON rb.y = ab.yb
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(r2a * r2b) AS HUGEINT) AS sab,
+               CAST(SUM(r2a) AS HUGEINT) AS sa,
+               CAST(SUM(r2b) AS HUGEINT) AS sb,
+               CAST(SUM(r2a * r2a) AS HUGEINT) AS saa,
+               CAST(SUM(r2b * r2b) AS HUGEINT) AS sbb
+        FROM rr
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n * sab - sa * sb AS BIGINT) AS spearman_num,
+           CAST(n * saa - sa * sa AS BIGINT) AS den_a,
+           CAST(n * sbb - sb * sb AS BIGINT) AS den_b,
+           CAST(CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0
+                THEN ((n * sab - sa * sb) * (n * sab - sa * sb) * 1000000)
+                     // ((n * saa - sa * sa) * (n * sbb - sb * sb))
+                ELSE NULL END AS BIGINT) AS rho_sq_ppm,
+           CAST(CASE WHEN n * sab - sa * sb > 0 THEN 1
+                     WHEN n * sab - sa * sb < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS direction
+    FROM agg
+    """,
+)
+def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily-volume series of two
+    event types ('view' vs 'click', aligned on shared days) — the
+    distribution-free monotone-association screen (Pearson on RANKS):
+    are busy view days also busy click days, without assuming
+    linearity or normality?
+
+    Exactness: each series gets integral DOUBLED midranks (2*midrank =
+    lo+hi of the tie run — the stats_mann_whitney_u construction, so
+    ties cost no fractions), and Spearman = Pearson over those integer
+    ranks: num = n*S(ra*rb) - S(ra)*S(rb) and the two denominator
+    terms are exact integers; rho^2 lands as an exact ppm ratio
+    (num^2*1e6 floor-div den_a*den_b) with the sign reported
+    separately — no sqrt, no floats, same multiplied-through decision
+    discipline as stats_mann_kendall. Accumulation in HUGEINT /
+    DECIMAL(38,0): num^2*1e6 passes int64 around ~1 year of data.
+
+    Scale: two day-grain aggregates, rank windows over the DISTINCT
+    daily values (calendar-bounded), then one 1-row fold."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint")
+
+    def _daily(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(day.alias("d"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        )
+
+    ab = (
+        _daily("view").select("d", F.col("y").alias("ya"))
+        .join(_daily("click").select("d", F.col("y").alias("yb")), "d")
+    )
+
+    def _rank2(col: str) -> DataFrame:
+        pts = ab.groupBy(F.col(col).alias("y")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        w = Window.orderBy("y").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return pts.select(
+            "y",
+            (
+                (F.sum("c").over(w) - F.col("c") + 1) + F.sum("c").over(w)
+            ).alias("rank2"),
+        )
+
+    rr = (
+        ab.join(
+            _rank2("ya").select(F.col("y").alias("ya"),
+                                F.col("rank2").alias("r2a")), "ya")
+        .join(
+            _rank2("yb").select(F.col("y").alias("yb"),
+                                F.col("rank2").alias("r2b")), "yb")
+    )
+    agg = rr.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("r2a") * F.col("r2b")).cast("decimal(38,0)").alias("sab"),
+        F.sum("r2a").cast("decimal(38,0)").alias("sa"),
+        F.sum("r2b").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("r2a") * F.col("r2a")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.col("r2b") * F.col("r2b")).cast("decimal(38,0)").alias("sbb"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(n * sab - sa * sb AS BIGINT) AS spearman_num",
+        "CAST(n * saa - sa * sa AS BIGINT) AS den_a",
+        "CAST(n * sbb - sb * sb AS BIGINT) AS den_b",
+        "CAST(CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0"
+        " THEN ((n * sab - sa * sb) * (n * sab - sa * sb) * 1000000)"
+        " div ((n * saa - sa * sa) * (n * sbb - sb * sb))"
+        " ELSE NULL END AS BIGINT) AS rho_sq_ppm",
+        "CAST(CASE WHEN n * sab - sa * sb > 0 THEN 1"
+        " WHEN n * sab - sa * sb < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        " AS direction",
+    )

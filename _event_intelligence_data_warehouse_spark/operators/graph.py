@@ -490,3 +490,87 @@ def kcore_peel(
         .groupBy("node_id")
         .agg(F.count("*").cast("bigint").alias("degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    a_col: str = "src",
+    b_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected
+    graph: every node starts as its own label; each round it adopts the
+    MODE of its neighbors' labels, ties broken toward the smallest
+    label, isolated semantics irrelevant (vertices come from edges).
+    Returns (node_id, community) after exactly ``iterations`` rounds.
+
+    Community detection is the coarse-grained companion to connected
+    components in dedup/link curation: CC answers "transitively
+    touching?", LPA splits a weakly-bridged blob into its dense cores —
+    e.g. two boilerplate families chained by one borderline pair.
+
+    Fixed-round, deterministic by construction (mode + min-label
+    tie-break has no randomness, unlike the textbook asynchronous LPA),
+    so an external oracle can unroll the identical recurrence as plain
+    CTE layers — the same engine-portability contract as
+    :func:`pagerank` and :func:`kcore_peel`. Synchronous LPA can
+    oscillate on bipartite structures rather than converge; a FIXED
+    iteration count makes that a defined, reproducible output instead
+    of a termination hazard.
+
+    Scale: the symmetric edge frame is hash-partitioned once and
+    localCheckpointed; each round moves one O(V) label frame through a
+    join + two-level aggregate (count per (node, label), argmax per
+    node) — the Pregel lowering, like pagerank's."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    ac = F.col(a_col).cast("bigint")
+    bc = F.col(b_col).cast("bigint")
+    und = (
+        edges.select(ac.alias("u"), bc.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        und.unionByName(und.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+        .distinct()
+        .repartition(F.col("v"))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node_id"))
+        .distinct()
+        .withColumn("community", F.col("node_id"))
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node_id").alias("v"),
+                    F.col("community").alias("nbr_lbl"),
+                ),
+                "v",
+            )
+            .groupBy("u", "nbr_lbl")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.desc("n"), F.asc("nbr_lbl")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("u").alias("node_id"),
+                F.col("nbr_lbl").alias("community"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node_id").cast("bigint").alias("node_id"),
+        F.col("community").cast("bigint").alias("community"),
+    )

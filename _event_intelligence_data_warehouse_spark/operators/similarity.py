@@ -2055,3 +2055,63 @@ def pca_project(
             ).alias(f"pc_{ix}")
         )
     return df.select(*cols)
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = True,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus; with
+    ``mutual=True`` (the default) only RECIPROCATED edges survive —
+    i is in knn(j) AND j is in knn(i) — which is the classic
+    density-robust construction: a hub vector that everything points at
+    keeps only the edges it points back to, so chain-through-hub
+    artifacts (the ANN analog of the transitive-dup chains
+    graph_cluster_stats flags) never form.
+
+    Output: one row per undirected edge (vec_a < vec_b, rank_ab,
+    rank_ba) — ranks, not raw similarities, same engine-portability
+    contract as :func:`brute_force_topk` (cosine ties break on
+    neighbor id).
+
+    The kNN lists here come from the exact brute-force scorer — right
+    for corpora up to ~10^5 where the k*n output dwarfs the n^2/cell
+    candidate cost. The 100 TB path swaps :func:`brute_force_topk` for
+    the IVF-bounded server (:func:`ivf_index` +
+    :func:`ivf_topk_prebuilt` with queries = the corpus itself):
+    candidates come from nprobe cells instead of the full corpus, the
+    mutual join below is unchanged, and the result is the approximate
+    mutual-kNN graph every large-scale semantic-clustering pipeline
+    builds (SemDeDup/DBSCAN-over-ANN shape). Downstream consumers
+    (connected_components, label_propagation, graph_cluster_stats)
+    take the edge list either way."""
+    topk = brute_force_topk(
+        corpus, corpus, k, id_col=id_col, vec_col=vec_col
+    )
+    if not mutual:
+        # directed kNN list: one row per (query -> neighbor) edge
+        return topk.select(
+            F.col("query_id").cast("bigint").alias("vec_a"),
+            F.col("neighbor_id").cast("bigint").alias("vec_b"),
+            F.col("rank").cast("bigint").alias("rank_ab"),
+        )
+    a = topk.select(
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        F.col("rank").alias("rank_ab"),
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    b = topk.select(
+        F.col("neighbor_id").alias("vec_a"),
+        F.col("query_id").alias("vec_b"),
+        F.col("rank").alias("rank_ba"),
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    return a.join(b, ["vec_a", "vec_b"]).select(
+        F.col("vec_a").cast("bigint").alias("vec_a"),
+        F.col("vec_b").cast("bigint").alias("vec_b"),
+        F.col("rank_ab").cast("bigint").alias("rank_ab"),
+        F.col("rank_ba").cast("bigint").alias("rank_ba"),
+    )

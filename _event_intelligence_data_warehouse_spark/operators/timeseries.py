@@ -396,3 +396,110 @@ def holt_linear(
             "CAST((l + b) DIV 1000000 AS BIGINT)"
         ).alias("forecast_milli"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of an integer series
+    — the standard perceptual decimator for dashboard rendering (keep
+    the ~2B points that preserve the line's visual shape: peaks,
+    troughs, trend breaks — where a per-bucket mean would flatten every
+    spike).
+
+    This is the PARALLEL variant: both triangle anchors are the
+    neighboring buckets' MEAN points (the classic formulation anchors
+    on the previously SELECTED point, a sequential dependency no
+    engine parallelizes). First and last points are always kept and
+    serve as the edge buckets' outer anchors. With integer x/y the
+    triangle area comparison is multiplied through by cl*cr^2 (the
+    anchor means' denominators), so selection is EXACT integer
+    arithmetic — no float area, no engine drift — and ties break
+    toward the smaller x.
+
+    Output: (x, y, bucket) for the selected points; bucket -1 is the
+    first point, ``n_buckets`` the last. Interior points split into
+    ``n_buckets`` equal-COUNT ranges by rank, per the original
+    algorithm.
+
+    Scale: one global rank window over the series (bounded by the
+    calendar/grain, same contract as the Theil-Sen / Mann-Kendall
+    screens), one 3-way join of O(B)-row bucket aggregates, one argmax
+    per bucket."""
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    pts = df.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    w = Window.orderBy("x")
+    idx = pts.withColumn("idx", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    first = idx.filter(F.col("idx") == 1).select(
+        "x", "y", F.lit(-1).cast("bigint").alias("bucket")
+    )
+    last = idx.filter(F.col("idx") == F.col("n")).select(
+        "x", "y", F.lit(n_buckets).cast("bigint").alias("bucket")
+    )
+    interior = idx.filter(
+        (F.col("idx") > 1) & (F.col("idx") < F.col("n"))
+    ).withColumn(
+        "bucket",
+        F.expr(f"CAST((idx - 2) * {n_buckets} div (n - 2) AS BIGINT)"),
+    )
+    # anchor frame: per-bucket integer sums, plus the first/last points
+    # as single-point pseudo-buckets -1 and n_buckets
+    bsum = interior.groupBy("bucket").agg(
+        F.count("*").alias("c"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    anchors = bsum.unionByName(
+        first.select("bucket", F.lit(1).alias("c"),
+                     F.col("x").alias("sx"), F.col("y").alias("sy"))
+    ).unionByName(
+        last.select("bucket", F.lit(1).alias("c"),
+                    F.col("x").alias("sx"), F.col("y").alias("sy"))
+    )
+    lft = anchors.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("c").alias("cl"), F.col("sx").alias("sxl"),
+        F.col("sy").alias("syl"),
+    )
+    rgt = anchors.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("c").alias("cr"), F.col("sx").alias("sxr"),
+        F.col("sy").alias("syr"),
+    )
+    scored = interior.join(lft, "bucket").join(rgt, "bucket").withColumn(
+        "area2",
+        F.abs(
+            (F.col("sxl") * F.col("cr") - F.col("sxr") * F.col("cl"))
+            * (F.col("y") * F.col("cr") - F.col("syr"))
+            - (F.col("x") * F.col("cr") - F.col("sxr"))
+            * (F.col("syl") * F.col("cr") - F.col("syr") * F.col("cl"))
+        ),
+    )
+    pick = Window.partitionBy("bucket").orderBy(
+        F.desc("area2"), F.asc("x")
+    )
+    chosen = (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("x", "y", "bucket")
+    )
+    return (
+        first.unionByName(chosen).unionByName(last)
+        .select(
+            F.col("x").cast("bigint").alias("x"),
+            F.col("y").cast("bigint").alias("y"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+        )
+    )

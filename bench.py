@@ -158,6 +158,16 @@ HEADLINE = [
     "stats_histogram_selectivity",
     "stats_mann_kendall",
     "stats_kruskal_wallis",
+    # round-7 additions, each guarding a new shape: synchronous LPA
+    # (per-round two-level mode aggregate), the mutual-kNN self-join,
+    # small-file compaction + time travel through the manifest layer,
+    # the integer LTTB bucket-anchor join, and the rank-product
+    # Spearman fold
+    "graph_label_propagation",
+    "similarity_knn_graph",
+    "storage_compaction_roundtrip",
+    "timeseries_downsample_lttb",
+    "stats_spearman_daily",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Round-7 operator units: synchronous label propagation, mutual-kNN
+graph construction, and exact-integer LTTB downsampling — hand-sized
+fixtures with worked-out expected outputs (the contract queries pin the
+same mechanisms against DuckDB oracles at SF scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.operators import graph as g
+from _event_intelligence_data_warehouse_spark.operators import (
+    similarity as sim,
+)
+from _event_intelligence_data_warehouse_spark.operators import (
+    timeseries as ts,
+)
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    # two triangles joined by one bridge edge: CC would merge them into
+    # one component; 3-round LPA keeps two communities
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {
+        r.node_id: r.community
+        for r in g.label_propagation(edges, iterations=3).collect()
+    }
+    assert len(got) == 6
+    left = {got[1], got[2], got[3]}
+    right = {got[4], got[5], got[6]}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_deterministic_and_fixed_rounds(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "src long, dst long"
+    )
+    a = sorted(map(tuple, g.label_propagation(edges, iterations=2).collect()))
+    b = sorted(map(tuple, g.label_propagation(edges, iterations=2).collect()))
+    assert a == b
+    # 0 iterations = identity labels
+    ident = g.label_propagation(edges, iterations=0)
+    assert all(r.node_id == r.community for r in ident.collect())
+
+
+def test_knn_graph_keeps_only_mutual_edges(spark):
+    # two tight pairs plus one outlier that points at a pair member
+    # without being pointed back at (k=1)
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.01, 0.999, 0.0]),
+            (5, [0.6, 0.55, 0.0]),  # nearest to 2, but 2's nearest is 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    edges = {(r.vec_a, r.vec_b) for r in sim.knn_graph(vecs, k=1).collect()}
+    assert edges == {(1, 2), (3, 4)}
+    # non-mutual mode is the directed kNN list: the outlier's outbound
+    # edge (5 -> 2) survives even though 2 never points back
+    all_edges = {
+        (r.vec_a, r.vec_b)
+        for r in sim.knn_graph(vecs, k=1, mutual=False).collect()
+    }
+    assert (5, 2) in all_edges
+    assert len(all_edges) == 5
+
+
+def test_lttb_keeps_endpoints_and_spikes(spark):
+    # flat series with one spike per half: LTTB must keep both spikes;
+    # a bucket-mean downsample would flatten them
+    rows = [(x, 10) for x in range(20)]
+    rows[5] = (5, 100)
+    rows[14] = (14, 90)
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = ts.lttb_downsample(df, n_buckets=4)
+    got = {r.x: (r.y, r.bucket) for r in out.collect()}
+    assert got[0][1] == -1 and got[19][1] == 4      # endpoints kept
+    assert 5 in got and got[5][0] == 100            # spike 1 kept
+    assert 14 in got and got[14][0] == 90           # spike 2 kept
+    assert len(got) == 6                            # 4 buckets + 2 ends
+
+
+def test_lttb_tie_breaks_to_smaller_x(spark):
+    # all-equal series: every area is 0, each bucket picks its smallest x
+    df = spark.createDataFrame(
+        [(x, 7) for x in range(10)], "x long, y long"
+    )
+    out = {r.bucket: r.x for r in ts.lttb_downsample(df, n_buckets=2).collect()}
+    assert out[-1] == 0 and out[2] == 9
+    interior = sorted(x for b, x in out.items() if b in (0, 1))
+    assert interior == [1, 5]
+
+
+def test_knn_graph_ranks_consistent_with_bruteforce(spark):
+    import random
+
+    random.seed(7)
+    vecs = spark.createDataFrame(
+        [
+            (i, [random.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    topk = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in sim.brute_force_topk(vecs, vecs, 4).collect()
+    }
+    for r in sim.knn_graph(vecs, k=4).collect():
+        assert topk[(r.vec_a, r.vec_b)] == r.rank_ab
+        assert topk[(r.vec_b, r.vec_a)] == r.rank_ba
+
+
+def test_ngram_jaccard_lsh_regime_subset_and_recall(spark):
+    """Regime 3 of ngram_jaccard_pairs (dense universe + corpus past the
+    all-pairs budget): LSH-prefiltered exact verify must emit a SUBSET
+    of the exact all-pairs result with identical scores, and recall
+    >= 90% on comfortably-above-threshold near-dups."""
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    words = ["aba", "bab", "abc", "cab", "bca", "cba"]
+    rows = []
+    for i in range(120):
+        base = " ".join(words[(i + j) % len(words)] for j in range(12))
+        rows.append((i, base))
+        if i % 3 == 0:
+            # planted near-dup: one word swapped
+            rows.append((i + 10_000, base.replace(words[i % 6], words[(i + 1) % 6], 1)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            df, n=3, threshold=0.6, dense_allpairs_max_docs=10**9
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            df, n=3, threshold=0.6, dense_allpairs_max_docs=10
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-12          # verify stays exact
+    strong = {k for k, v in exact.items() if v >= 0.75}
+    if strong:
+        got = len(strong & set(lsh)) / len(strong)
+        assert got >= 0.9, f"LSH recall {got:.2f} on planted near-dups"

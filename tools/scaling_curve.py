@@ -153,6 +153,15 @@ FAMILIES = {
         "stats_mann_kendall",
         "stats_kruskal_wallis",
     ],
+    # round-7 family: synchronous LPA, the mutual-kNN self-join,
+    # manifest compaction, integer LTTB, Spearman rank fold.
+    "r7": [
+        "graph_label_propagation",
+        "similarity_knn_graph",
+        "storage_compaction_roundtrip",
+        "timeseries_downsample_lttb",
+        "stats_spearman_daily",
+    ],
 }
 
 # 10x data may cost up to this factor before the gate trips. Chosen
