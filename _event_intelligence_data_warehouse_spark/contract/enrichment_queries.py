@@ -2743,19 +2743,19 @@ _LPA_EDGES = """
 """
 
 
-def _lpa_sql(iters: int) -> str:
-    """Unrolled synchronous label propagation mirroring
+def _lpa_rounds_sql(edges_cte: str, iters: int) -> str:
+    """CTE chain for unrolled synchronous label propagation mirroring
     operators.graph.label_propagation: per round, each node adopts the
     mode of its neighbors' labels (count DESC, label ASC tie-break) —
-    plain CTE layers, no recursion, bit-exact on both engines."""
-    head = f"""
-    WITH und AS ({_LPA_EDGES}
+    plain CTE layers, no recursion, bit-exact on both engines. The
+    final labels land in CTE ``l{iters}`` (node_id, community);
+    ``edges_cte`` must yield (u, v) rows."""
+    parts = [f"""und AS ({edges_cte}
     ), sym AS (
         SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und
     ), l0 AS (
         SELECT DISTINCT u AS node_id, u AS community FROM sym
-    )"""
-    parts = [head]
+    )"""]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(f"""
@@ -2770,12 +2770,16 @@ def _lpa_sql(iters: int) -> str:
             FROM vt{i}
         ) WHERE rn = 1
     )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _lpa_sql(iters: int) -> str:
+    return (
+        "WITH " + _lpa_rounds_sql(_LPA_EDGES, iters) + f"""
     SELECT CAST(community AS BIGINT) AS community,
            CAST(COUNT(*) AS BIGINT) AS n_members
     FROM l{iters} GROUP BY 1
     """)
-    return "".join(parts)
 
 
 @query("graph_label_propagation", _lpa_sql(_LPA_ITERS))
@@ -2978,3 +2982,67 @@ def timeseries_downsample_lttb(
         .cast("bigint").alias("x")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     return ts.lttb_downsample(daily, x_col="x", y_col="y", n_buckets=8)
+
+
+_V5_KNN_EDGES = """
+        SELECT CAST(t_a.query_id AS BIGINT) AS u,
+               CAST(t_a.neighbor_id AS BIGINT) AS v
+        FROM v5_topk t_a JOIN v5_topk t_b
+          ON t_b.query_id = t_a.neighbor_id
+         AND t_b.neighbor_id = t_a.query_id
+        WHERE t_a.query_id < t_a.neighbor_id
+"""
+
+
+@query(
+    "curation_pipeline_v5",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), v5_scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS sim
+        FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+    ), v5_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id)
+                       AS rank
+            FROM v5_scored
+        ) WHERE rank <= 5
+    ), {_lpa_rounds_sql(_V5_KNN_EDGES, 3)}
+    SELECT CAST(community AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node_id) AS BIGINT) AS rep_vec_id
+    FROM l3 GROUP BY 1
+    """,
+)
+def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC CLUSTERING curation pipeline, the v5
+    composition: embeddings -> exact mutual-kNN graph (k=5) ->
+    3-round synchronous label propagation -> one canonical
+    representative per community (min vec_id — embeddings carry no
+    quality score; swap in canonical_keep_best when they do). This is
+    the cluster-then-pick shape SemDeDup-style pipelines run between
+    embedding and training: communities of semantically-interchangeable
+    documents keep one exemplar each.
+
+    Every stage is the already-verified primitive
+    (similarity.knn_graph, graph.label_propagation) composed
+    unchanged; the oracle unrolls the identical kNN ranking + LPA
+    recurrence, so the whole pipeline — not just its stages — is
+    hash-checked. 100 TB: swap the exact kNN scorer for the
+    IVF-bounded server (knn_graph docstring); LPA and election are
+    already Pregel-shaped."""
+    emb = load(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(emb, k=5).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = g.label_propagation(edges, iterations=3)
+    return labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node_id").cast("bigint").alias("rep_vec_id"),
+    )
