@@ -2135,7 +2135,11 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
         )
 
-    ab = (
+    from _event_intelligence_data_warehouse_spark import cache
+
+    # day-grain frame, reused by both rank derivations and the final
+    # join-back: persist so the events aggregate runs once, not thrice
+    ab = cache.persist(
         _daily("view").select("d", F.col("y").alias("ya"))
         .join(_daily("click").select("d", F.col("y").alias("yb")), "d")
     )

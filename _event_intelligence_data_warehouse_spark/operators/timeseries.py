@@ -432,6 +432,8 @@ def lttb_downsample(
     per bucket."""
     from pyspark.sql.window import Window
 
+    from _event_intelligence_data_warehouse_spark import cache
+
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     pts = df.select(
@@ -439,8 +441,15 @@ def lttb_downsample(
         F.col(y_col).cast("bigint").alias("y"),
     )
     w = Window.orderBy("x")
-    idx = pts.withColumn("idx", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy())
+    # The ranked frame feeds FOUR consumers (first/last/interior/anchor
+    # union); it is grain-bounded (one row per series point after the
+    # caller's aggregate), so persist it instead of re-running the
+    # upstream aggregate + rank per branch — collapses the plan from
+    # ~20 exchanges to the handful the algebra actually needs.
+    idx = cache.persist(
+        pts.withColumn("idx", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(Window.partitionBy())
+        )
     )
     first = idx.filter(F.col("idx") == 1).select(
         "x", "y", F.lit(-1).cast("bigint").alias("bucket")

@@ -50,6 +50,21 @@ cut the residual pipeline's fixed cost 41 -> 9-10 s — a deliberate
 clean-box run totals 163.5 s / 57 timed entries with
 dedup_minhash_incremental at 5.37 s, at its r4-recorded 5.34 s
 reference.
+
+Round-7 notes:
+- dedup_cluster_density REDEFINED per the r6 verdict (item 3): the
+  canonical entry now times the AUDIT over stage-shared persisted
+  pairs/labels (the production marginal cost — in deployment those are
+  the dedup pipeline's own outputs); the stage builds are their own
+  sub-entries and cluster_density_e2e preserves the old end-to-end
+  comparable (r6 reference 18.9 s clean / 26.9 s driver). Expect the
+  canonical entry to read ~6-9 s and flag as an IMPROVEMENT, which it
+  is only partly — e2e is the honest cross-round number.
+- Driver-invoked runs write BENCH_LOCAL_LAST.json; the committed
+  curated record only changes under SPARK_GRAFT_BENCH_CURATED=1 (r6
+  verdict item 4 — two rounds of driver runs clobbering it).
+- Five r7 entries appended (LPA, mutual-kNN graph, compaction
+  roundtrip, LTTB, Spearman): first-round numbers, no reference yet.
 """
 
 from __future__ import annotations
