@@ -6420,3 +6420,60 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
+
+
+@query(
+    "multimodal_audio_vad",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+    chunks AS (
+        SELECT i, unnest(generate_series(0, 8 + i % 5 - 1)) AS k
+        FROM ids
+    ), hx AS (
+        SELECT i, k,
+               md5('audio' || CAST(i AS VARCHAR) || ':'
+                   || CAST(k AS VARCHAR)) AS h
+        FROM chunks
+    ), bytes AS (
+        SELECT i, k,
+               CAST(('0x' || substr(h, 2 * js.j + 1, 2)) AS INTEGER)
+                   AS byte
+        FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+    ), fr AS (
+        SELECT i AS media_id, CAST(k AS BIGINT) AS frame_no,
+               CAST(SUM((byte - 128) * (byte - 128)) AS BIGINT) AS energy
+        FROM bytes GROUP BY 1, 2
+    ), act AS (
+        SELECT media_id, frame_no, energy,
+               frame_no - row_number() OVER (
+                   PARTITION BY media_id ORDER BY frame_no) AS grp
+        FROM fr WHERE energy > 87000
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(MIN(frame_no) AS BIGINT) AS seg_start,
+           CAST(MAX(frame_no) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS energy_sum
+    FROM act GROUP BY media_id, grp
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over audio payloads:
+    Arrow-batched numpy frames each recording's bytes into exact int64
+    frame energies (operators/multimodal.py::audio_frame_energies),
+    then gaps-and-islands collapses active frames into maximal
+    segments — the standard speech-curation primitive (silence/music
+    trimming before ASR or audio-text alignment). The synthetic corpus
+    is NON-periodic (per-chunk md5 digests, synthetic_audio) so frame
+    energies genuinely vary; the oracle reconstructs the identical
+    bytes from the same md5 hex and mirrors the island construction —
+    the whole mapInPandas + window pipeline is hash-checked, not
+    rows-only. 100 TB: per-media frames co-locate under one window
+    partition; no self-joins; threshold logic is pure column algebra."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    audio = mm.synthetic_audio(spark, 64)
+    frames = mm.audio_frame_energies(audio, frame_bytes=16)
+    return mm.vad_segments(frames, threshold=87000)

@@ -915,3 +915,104 @@ def synthetic_media_near_dups(spark: SparkSession, n: int = 64) -> DataFrame:
         rows.append((i + n, "image", bytearray(payload), meta))
         rows.append((i + 2 * n, "image", bytearray(near), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_audio(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake PCM-ish audio table with NON-periodic payloads:
+    media i concatenates md5("audio{i}:{k}") digests for k in
+    0..(8 + i%5 - 1), so every 16-byte frame carries a different chunk
+    digest — unlike :func:`synthetic_media`'s repeated-digest payloads,
+    whose frames are all identical and would make any frame-level
+    energy screen degenerate. An external SQL oracle can rebuild the
+    exact bytes from the same md5 hex."""
+    rows = []
+    for i in range(n):
+        chunks = 8 + i % 5
+        payload = b"".join(
+            hashlib.md5(f"audio{i}:{k}".encode()).digest()
+            for k in range(chunks)
+        )
+        rows.append(
+            (i, "audio", bytearray(payload),
+             ("wav", None, None, 16000, chunks))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VAD_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energies(
+    df: DataFrame, *, frame_bytes: int = 16, rows_per_batch: int = 256
+) -> DataFrame:
+    """Per-frame signal energy over raw payload bytes via mapInPandas
+    (Arrow-batched numpy — the sanctioned Python path): each
+    non-overlapping ``frame_bytes`` window yields
+    sum((byte - 128)^2) as an EXACT int64, so downstream thresholds are
+    engine-portable. Trailing partial frames are dropped (standard
+    frame alignment). Production decodes containers first
+    (decode_wav's numpy codec) and frames PCM samples; the energy
+    algebra is identical."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), rows_per_batch):
+                b = pdf.iloc[start:start + rows_per_batch]
+                ids, frames, energies = [], [], []
+                for mid, payload in zip(b["media_id"], b["payload"]):
+                    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    nf = len(arr) // frame_bytes
+                    if nf == 0:
+                        continue
+                    w = (
+                        arr[: nf * frame_bytes]
+                        .astype(np.int64)
+                        .reshape(nf, frame_bytes)
+                    )
+                    e = ((w - 128) ** 2).sum(axis=1)
+                    ids.extend([mid] * nf)
+                    frames.extend(range(nf))
+                    energies.extend(int(x) for x in e)
+                if ids:
+                    yield pd.DataFrame(
+                        {"media_id": ids, "frame_no": frames,
+                         "energy": energies}
+                    )
+
+    return df.mapInPandas(run, schema=VAD_FRAME_SCHEMA)
+
+
+def vad_segments(
+    frames: DataFrame, *, threshold: int = 87000
+) -> DataFrame:
+    """Energy-threshold voice-activity segments: active frames
+    (energy > threshold) collapse into maximal contiguous runs via the
+    gaps-and-islands construction (frame_no minus the per-media active
+    rank is constant within a run). Output one row per segment:
+    (media_id, seg_start, seg_end, n_frames, energy_sum).
+
+    Scale: one window partitioned by media (frames of one recording
+    co-locate), one aggregate — the same per-key-bounded shape as the
+    sessionizers; no self-joins."""
+    from pyspark.sql.window import Window
+
+    act = frames.filter(F.col("energy") > threshold)
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    grp = act.withColumn(
+        "grp", F.col("frame_no") - F.row_number().over(w)
+    )
+    return grp.groupBy("media_id", "grp").agg(
+        F.min("frame_no").cast("bigint").alias("seg_start"),
+        F.max("frame_no").cast("bigint").alias("seg_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("energy_sum"),
+    ).drop("grp")

@@ -152,3 +152,44 @@ def test_ngram_jaccard_lsh_regime_subset_and_recall(spark):
     if strong:
         got = len(strong & set(lsh)) / len(strong)
         assert got >= 0.9, f"LSH recall {got:.2f} on planted near-dups"
+
+
+def test_audio_vad_frames_and_islands(spark):
+    """Frame energies are exact int64 over payload bytes; island
+    segmentation collapses contiguous active frames and splits on
+    gaps."""
+    import hashlib
+
+    import numpy as np
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    audio = mm.synthetic_audio(spark, 8)
+    frames = {
+        (r.media_id, r.frame_no): r.energy
+        for r in mm.audio_frame_energies(audio, frame_bytes=16).collect()
+    }
+    # recompute one media's energies in pure python
+    for i in (0, 5):
+        chunks = 8 + i % 5
+        payload = b"".join(
+            hashlib.md5(f"audio{i}:{k}".encode()).digest()
+            for k in range(chunks)
+        )
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+        for k in range(chunks):
+            e = int(((arr[16 * k:16 * (k + 1)] - 128) ** 2).sum())
+            assert frames[(i, k)] == e
+    # hand-built island fixture
+    fr = spark.createDataFrame(
+        [(1, 0, 100), (1, 1, 100), (1, 2, 1), (1, 3, 100),
+         (2, 0, 1), (2, 1, 1)],
+        "media_id long, frame_no long, energy long",
+    )
+    segs = {
+        (r.media_id, r.seg_start, r.seg_end): (r.n_frames, r.energy_sum)
+        for r in mm.vad_segments(fr, threshold=50).collect()
+    }
+    assert segs == {(1, 0, 1): (2, 200), (1, 3, 3): (1, 100)}
