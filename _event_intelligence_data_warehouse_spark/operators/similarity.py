@@ -2057,6 +2057,14 @@ def pca_project(
     return df.select(*cols)
 
 
+# Above this corpus size knn_graph switches from the exact all-pairs
+# scorer (inherently quadratic: the r7 3-SF gate measured 17.5x on a 4x
+# vector step) to IVF-bounded candidate generation — the approximate
+# regime every corpus-scale kNN-graph pipeline runs. Small corpora stay
+# exact so the sf0.01 oracle checks the exact construction.
+KNN_EXACT_MAX_VECTORS = 1_000
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 5,
@@ -2064,6 +2072,9 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mutual: bool = True,
+    exact_max_vectors: int = KNN_EXACT_MAX_VECTORS,
+    n_cells: int | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus; with
     ``mutual=True`` (the default) only RECIPROCATED edges survive —
@@ -2078,20 +2089,48 @@ def knn_graph(
     contract as :func:`brute_force_topk` (cosine ties break on
     neighbor id).
 
-    The kNN lists here come from the exact brute-force scorer — right
-    for corpora up to ~10^5 where the k*n output dwarfs the n^2/cell
-    candidate cost. The 100 TB path swaps :func:`brute_force_topk` for
-    the IVF-bounded server (:func:`ivf_index` +
-    :func:`ivf_topk_prebuilt` with queries = the corpus itself):
+    Adaptive physical strategy: corpora up to ``exact_max_vectors``
+    take the exact brute-force scorer (what the sf0.01 oracle checks);
+    larger ones take the IVF-bounded server (:func:`ivf_index` +
+    :func:`ivf_topk_prebuilt` with queries = the corpus itself) —
     candidates come from nprobe cells instead of the full corpus, the
     mutual join below is unchanged, and the result is the approximate
     mutual-kNN graph every large-scale semantic-clustering pipeline
-    builds (SemDeDup/DBSCAN-over-ANN shape). Downstream consumers
+    builds (SemDeDup/DBSCAN-over-ANN shape; the all-pairs cost is
+    inherently quadratic, which the r7 3-SF gate measured directly).
+    Recall of the IVF regime against the exact graph is pinned by
+    tests/test_round7_ops.py. Downstream consumers
     (connected_components, label_propagation, graph_cluster_stats)
     take the edge list either way."""
-    topk = brute_force_topk(
-        corpus, corpus, k, id_col=id_col, vec_col=vec_col
-    )
+    n = corpus.count()
+    if n <= exact_max_vectors:
+        topk = brute_force_topk(
+            corpus, corpus, k, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        # cells scale ~sqrt(n) (the classic IVF sizing): per-query
+        # candidate work is nprobe*n/n_cells, so fixed cells would keep
+        # the regime quadratic-in-n with a smaller constant. Training
+        # sample grows with the cell count (a few vectors per cell
+        # minimum) but stays bounded.
+        import math
+
+        cells = n_cells or max(16, math.isqrt(n))
+        centroids, assign = ivf_index(
+            corpus, n_cells=cells, max_train=max(1024, 8 * cells),
+            id_col=id_col, vec_col=vec_col,
+        )
+        # Persist the index: the centroid frame's lineage is the whole
+        # unrolled Lloyd training, and it feeds BOTH rank_cells passes
+        # (assignment + query probes); unpersisted, every consumer
+        # re-trains (measured: the sf1 probe spent most of its 166 s
+        # re-deriving the quantizer, not scoring candidates).
+        centroids = cache.persist(centroids)
+        assign = cache.persist(assign)
+        topk = ivf_topk_prebuilt(
+            centroids, assign, corpus, corpus, k,
+            nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        )
     if not mutual:
         # directed kNN list: one row per (query -> neighbor) edge
         return topk.select(

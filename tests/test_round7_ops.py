@@ -193,3 +193,35 @@ def test_audio_vad_frames_and_islands(spark):
         for r in mm.vad_segments(fr, threshold=50).collect()
     }
     assert segs == {(1, 0, 1): (2, 200), (1, 3, 3): (1, 100)}
+
+
+def test_knn_graph_ivf_regime_recall(spark):
+    """Above exact_max_vectors knn_graph switches to IVF-bounded
+    candidates: edges must be a subset of... NOT generally of the exact
+    graph (a rank can shift when a true neighbor sits outside probed
+    cells), but on a clusterable corpus recall of the exact mutual
+    edges stays high. Pin >= 80% with modest probing."""
+    import random
+
+    random.seed(11)
+    centers = [[1.0 if d == c else 0.0 for d in range(8)] for c in range(4)]
+    rows = []
+    for i in range(240):
+        c = centers[i % 4]
+        rows.append(
+            (i, [x + random.uniform(-0.15, 0.15) for x in c])
+        )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in sim.knn_graph(vecs, k=4, exact_max_vectors=10**6).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in sim.knn_graph(
+            vecs, k=4, exact_max_vectors=10, n_cells=4, nprobe=2
+        ).collect()
+    }
+    assert exact, "fixture produced no mutual edges"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-regime mutual-kNN recall {recall:.2f}"
