@@ -77,6 +77,12 @@ Round-7 notes:
   regression. (An isolated re-run reads 6.9 s but runs the family
   COLD; r6 measured the same isolation effect at 11.4 s cold / 4.9 s
   warm.)
+- Cross-round: the 57 entries common with BENCH_r06 sum 148.6 s
+  clean-box vs 188.1 s driver-recorded (0.79x). embedding_covariance_
+  exact +0.9 s is the one deliberate cost: the r6 ADVICE fix moved the
+  sxy/si/sj accumulation and the n*sxy-si*sj combine to DECIMAL(38,0)
+  (silent int64 wrap past ~1e9 rows otherwise) — exactness bought with
+  a bounded constant factor.
 """
 
 from __future__ import annotations
