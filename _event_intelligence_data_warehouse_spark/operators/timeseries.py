@@ -457,26 +457,37 @@ def lttb_downsample(
     last = idx.filter(F.col("idx") == F.col("n")).select(
         "x", "y", F.lit(n_buckets).cast("bigint").alias("bucket")
     )
+    # Effective bucket count clamps to the interior size: with more
+    # buckets than interior points the rank map leaves EMPTY buckets
+    # between occupied ones, and the bucket+-1 anchor joins below would
+    # silently drop those points (caught by the hypothesis property).
+    # With eff <= n-2 the equal-count map is monotone surjective onto
+    # 0..eff-1, so every anchor exists.
+    eff = f"least({n_buckets}, greatest(n - 2, 1))"
     interior = idx.filter(
         (F.col("idx") > 1) & (F.col("idx") < F.col("n"))
     ).withColumn(
         "bucket",
-        F.expr(f"CAST((idx - 2) * {n_buckets} div (n - 2) AS BIGINT)"),
+        F.expr(f"CAST((idx - 2) * ({eff}) div (n - 2) AS BIGINT)"),
     )
     # anchor frame: per-bucket integer sums, plus the first/last points
-    # as single-point pseudo-buckets -1 and n_buckets
+    # as single-point pseudo-buckets -1 and eff (the last OUTPUT row
+    # still reports bucket = n_buckets; eff only shapes the anchor
+    # layout so the top occupied bucket's right anchor exists)
     bsum = interior.groupBy("bucket").agg(
         F.count("*").alias("c"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
     )
+    last_anchor = idx.filter(F.col("idx") == F.col("n")).select(
+        F.expr(f"CAST(({eff}) AS BIGINT)").alias("bucket"),
+        F.lit(1).alias("c"),
+        F.col("x").alias("sx"), F.col("y").alias("sy"),
+    )
     anchors = bsum.unionByName(
         first.select("bucket", F.lit(1).alias("c"),
                      F.col("x").alias("sx"), F.col("y").alias("sy"))
-    ).unionByName(
-        last.select("bucket", F.lit(1).alias("c"),
-                    F.col("x").alias("sx"), F.col("y").alias("sy"))
-    )
+    ).unionByName(last_anchor)
     lft = anchors.select(
         (F.col("bucket") + 1).alias("bucket"),
         F.col("c").alias("cl"), F.col("sx").alias("sxl"),

@@ -1122,3 +1122,35 @@ def test_mmr_rerank_matches_pure_python_greedy(spark, vecs):
             assert got.get((qid, rank)) == c, (
                 qid, rank, got.get((qid, rank)), c
             )
+
+
+@given(
+    ys=st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=3, max_size=40),
+    b=st.integers(min_value=1, max_value=6),
+)
+@PROP
+def test_lttb_structural_invariants(spark, ys, b):
+    """LTTB downsample invariants on arbitrary integer series: both
+    endpoints always survive (buckets -1 and n_buckets), exactly one
+    point per non-empty interior bucket, every output point is an
+    input point, and output size is min(n, occupied_buckets + 2)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        timeseries as ts,
+    )
+
+    rows = [(i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = ts.lttb_downsample(df, n_buckets=b).collect()
+    pts = dict(rows)
+    by_bucket = {}
+    for r in out:
+        assert pts[r.x] == r.y                      # outputs are inputs
+        by_bucket.setdefault(r.bucket, []).append(r.x)
+    assert by_bucket[-1] == [0]                     # first endpoint
+    assert by_bucket[b] == [len(ys) - 1]            # last endpoint
+    for bk, xs in by_bucket.items():
+        assert len(xs) == 1, f"bucket {bk} picked {xs}"
+    # interior buckets partition ranks 2..n-1: occupied count is
+    # min(b, n-2), so total output is that + the two endpoints
+    assert len(out) == min(b, len(ys) - 2) + 2
