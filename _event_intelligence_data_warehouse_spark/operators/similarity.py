@@ -530,12 +530,21 @@ def ivf_topk_prebuilt(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """The IVF SERVE phase over a prebuilt index: each query probes its
     ``nprobe`` nearest cells and exact cosine re-ranks only those cells'
     members. Per-query work drops from n to ~nprobe*n/n_cells; the cell
     equi-join replaces the cross join, which is the property that
-    survives a 100× scale-up."""
+    survives a 100× scale-up.
+
+    ``broadcast_queries`` (default True) hints the query-vector side of
+    the candidate join — right for the serving shape this is for
+    (bounded query batches against a huge corpus). Pass False when the
+    QUERY SIDE IS THE CORPUS (knn_graph's all-queries construction):
+    broadcasting O(corpus) vectors to every executor is exactly the
+    collect-the-data antipattern, and the shuffled equi-join AQE picks
+    instead is the honest cost."""
     # Queries probe the CORPUS centroids (the cells that exist), never a
     # quantizer re-derived from the query subset.
     qv = queries.select(
@@ -545,7 +554,9 @@ def ivf_topk_prebuilt(
         F.col("cell_rank") <= nprobe
     ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
-        assign.join(F.broadcast(probes), "cell")
+        assign.join(
+            F.broadcast(probes) if broadcast_queries else probes, "cell"
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -556,7 +567,7 @@ def ivf_topk_prebuilt(
                        _vec_double(vec_col).alias("qv"))
     scored = (
         cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(q) if broadcast_queries else q, "query_id")
         .select("query_id", "neighbor_id",
                 cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
@@ -2130,6 +2141,9 @@ def knn_graph(
         topk = ivf_topk_prebuilt(
             centroids, assign, corpus, corpus, k,
             nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            # queries ARE the corpus here: broadcasting them is O(n)
+            # per executor — let the equi-join shuffle instead
+            broadcast_queries=False,
         )
     if not mutual:
         # directed kNN list: one row per (query -> neighbor) edge
