@@ -2187,3 +2187,124 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN n * sab - sa * sb < 0 THEN -1 ELSE 0 END AS BIGINT)"
         " AS direction",
     )
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    """
+    WITH va AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), vb AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), dif AS (
+        SELECT va.d, va.y - vb.y AS diff, abs(va.y - vb.y) AS ad
+        FROM va JOIN vb USING (d)
+        WHERE va.y <> vb.y
+    ), pts AS (
+        SELECT ad, CAST(COUNT(*) AS BIGINT) AS c FROM dif GROUP BY 1
+    ), rk AS (
+        SELECT ad, (SUM(c) OVER (ORDER BY ad) - c + 1)
+                     + SUM(c) OVER (ORDER BY ad) AS rank2, c
+        FROM pts
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CASE WHEN f.diff > 0 THEN r.rank2 ELSE 0 END)
+                    AS HUGEINT) AS w2p,
+               CAST(SUM(CASE WHEN f.diff < 0 THEN r.rank2 ELSE 0 END)
+                    AS HUGEINT) AS w2m
+        FROM dif f JOIN rk r USING (ad)
+    ), ties AS (
+        SELECT CAST(coalesce(SUM(c * c * c - c), 0) AS HUGEINT) AS t
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(w2p AS BIGINT) AS w2_plus,
+           CAST(w2m AS BIGINT) AS w2_minus,
+           CAST(n * (n + 1) AS BIGINT) AS mean2,
+           CAST(2 * n * (n + 1) * (2 * n + 1) - t AS BIGINT) AS var12,
+           (w2p - n * (n + 1)) * (w2p - n * (n + 1)) * 120000
+               > CAST(38416 AS HUGEINT)
+                 * (2 * n * (n + 1) * (2 * n + 1) - t)
+               AS significant_5pct
+    FROM agg CROSS JOIN ties
+    """,
+)
+def stats_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED daily volumes (view vs click
+    on shared days) — the paired companion to Mann-Whitney: do the two
+    series differ in level day-by-day, without assuming normality of
+    the differences? Zero differences drop (standard practice); |diff|
+    gets integral DOUBLED midranks (the house tie construction), W2+/
+    W2- are the doubled signed-rank sums, and the 5% two-sided normal
+    decision is multiplied through to exact integers:
+    z^2 > 1.96^2 <=> (W2+ - n(n+1))^2 * 12 * 10^4 >
+    38416 * (2n(n+1)(2n+1) - T), with T = S(t^3 - t) the tie
+    correction — no sqrt, no floats, the stats_mann_kendall
+    discipline. Scale: day-grain aggregates, a rank window over
+    DISTINCT |diff| values, one 1-row fold."""
+    from _event_intelligence_data_warehouse_spark import cache
+
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint")
+
+    def _daily(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(day.alias("d"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        )
+
+    dif = cache.persist(
+        _daily("view").select("d", F.col("y").alias("ya"))
+        .join(_daily("click").select("d", F.col("y").alias("yb")), "d")
+        .filter(F.col("ya") != F.col("yb"))
+        .select(
+            "d",
+            (F.col("ya") - F.col("yb")).alias("diff"),
+            F.abs(F.col("ya") - F.col("yb")).alias("ad"),
+        )
+    )
+    pts = dif.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = pts.select(
+        "ad",
+        (
+            (F.sum("c").over(wv) - F.col("c") + 1) + F.sum("c").over(wv)
+        ).alias("rank2"),
+        "c",
+    )
+    agg = dif.join(rk.select("ad", "rank2"), "ad").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(
+            F.when(F.col("diff") > 0, F.col("rank2")).otherwise(F.lit(0))
+        ).cast("decimal(38,0)").alias("w2p"),
+        F.sum(
+            F.when(F.col("diff") < 0, F.col("rank2")).otherwise(F.lit(0))
+        ).cast("decimal(38,0)").alias("w2m"),
+    )
+    ties = pts.agg(
+        F.coalesce(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("t")
+    )
+    return agg.crossJoin(ties).selectExpr(
+        "CAST(n AS BIGINT) AS n_pairs",
+        "CAST(w2p AS BIGINT) AS w2_plus",
+        "CAST(w2m AS BIGINT) AS w2_minus",
+        "CAST(n * (n + 1) AS BIGINT) AS mean2",
+        "CAST(2 * n * (n + 1) * (2 * n + 1) - t AS BIGINT) AS var12",
+        "(w2p - n * (n + 1)) * (w2p - n * (n + 1)) * 120000"
+        " > CAST(38416 AS DECIMAL(38,0))"
+        " * (2 * n * (n + 1) * (2 * n + 1) - t) AS significant_5pct",
+    )
