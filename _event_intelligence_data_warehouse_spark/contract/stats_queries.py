@@ -2224,9 +2224,9 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n AS BIGINT) AS n_pairs,
            CAST(w2p AS BIGINT) AS w2_plus,
            CAST(w2m AS BIGINT) AS w2_minus,
-           CAST(n * (n + 1) AS BIGINT) AS mean2,
+           CAST((n * (n + 1)) // 2 AS BIGINT) AS mean2,
            CAST(2 * n * (n + 1) * (2 * n + 1) - t AS BIGINT) AS var12,
-           (w2p - n * (n + 1)) * (w2p - n * (n + 1)) * 120000
+           (2 * w2p - n * (n + 1)) * (2 * w2p - n * (n + 1)) * 30000
                > CAST(38416 AS HUGEINT)
                  * (2 * n * (n + 1) * (2 * n + 1) - t)
                AS significant_5pct
@@ -2241,12 +2241,15 @@ def stats_wilcoxon_signed_rank(
     series differ in level day-by-day, without assuming normality of
     the differences? Zero differences drop (standard practice); |diff|
     gets integral DOUBLED midranks (the house tie construction), W2+/
-    W2- are the doubled signed-rank sums, and the 5% two-sided normal
-    decision is multiplied through to exact integers:
-    z^2 > 1.96^2 <=> (W2+ - n(n+1))^2 * 12 * 10^4 >
+    W2- are the doubled signed-rank sums (W2+ + W2- = n(n+1), null
+    mean of W2+ is n(n+1)/2), and the 5% two-sided normal decision is
+    multiplied through to exact integers:
+    z^2 > 1.96^2 <=> (2*W2+ - n(n+1))^2 * 3 * 10^4 >
     38416 * (2n(n+1)(2n+1) - T), with T = S(t^3 - t) the tie
     correction — no sqrt, no floats, the stats_mann_kendall
-    discipline. Scale: day-grain aggregates, a rank window over
+    discipline. (Derivation: center W2+ at n(n+1)/2, Var(W2+) =
+    (2n(n+1)(2n+1) - T)/12; multiply the squared deviation by 4 to
+    clear the half, then by 12/4=3 and 10^4 for 1.96^2 = 38416/10^4.) Scale: day-grain aggregates, a rank window over
     DISTINCT |diff| values, one 1-row fold."""
     from _event_intelligence_data_warehouse_spark import cache
 
@@ -2302,9 +2305,9 @@ def stats_wilcoxon_signed_rank(
         "CAST(n AS BIGINT) AS n_pairs",
         "CAST(w2p AS BIGINT) AS w2_plus",
         "CAST(w2m AS BIGINT) AS w2_minus",
-        "CAST(n * (n + 1) AS BIGINT) AS mean2",
+        "CAST((n * (n + 1)) div 2 AS BIGINT) AS mean2",
         "CAST(2 * n * (n + 1) * (2 * n + 1) - t AS BIGINT) AS var12",
-        "(w2p - n * (n + 1)) * (w2p - n * (n + 1)) * 120000"
+        "(2 * w2p - n * (n + 1)) * (2 * w2p - n * (n + 1)) * 30000"
         " > CAST(38416 AS DECIMAL(38,0))"
         " * (2 * n * (n + 1) * (2 * n + 1) - t) AS significant_5pct",
     )

@@ -415,3 +415,112 @@ def test_kruskal_wallis_matches_scipy_convention(spark):
     assert abs(r.h_tie_corrected_ppm / 1e6 - hc) < 1e-3
     crit = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.07}[r.df]
     assert r.significant_5pct == (hc > crit)
+
+
+def _wilcoxon_events(spark, tmp_path, diffs):
+    """Realize exact daily (view - click) count differences as a tiny
+    events table: day k gets diff[k] extra 'view' rows (or extra
+    'click' rows when negative), one baseline row of each type."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day, diff in enumerate(diffs, start=1):
+        nv = diff + 1 if diff > 0 else 1
+        nc = 1 if diff > 0 else 1 - diff
+        for etype, cnt in (("view", nv), ("click", nc)):
+            for i in range(cnt):
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 1, day, i // 60, i % 60),
+                        1,
+                        etype,
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _wilcoxon_float(diffs):
+    """Independent float-domain recomputation: doubled midranks over
+    |diff|, normal approximation with tie correction, |z| > 1.96."""
+    import collections
+    import math
+
+    ads = [abs(d) for d in diffs]
+    cnt = collections.Counter(ads)
+    run = 0
+    rank2 = {}
+    for v in sorted(cnt):
+        rank2[v] = (run + 1) + (run + cnt[v])  # doubled midrank
+        run += cnt[v]
+    n = len(diffs)
+    w2p = sum(rank2[abs(d)] for d in diffs if d > 0)
+    t = sum(c**3 - c for c in cnt.values())
+    var_w2p = (2 * n * (n + 1) * (2 * n + 1) - t) / 12.0
+    z = (w2p - n * (n + 1) / 2.0) / math.sqrt(var_w2p)
+    return w2p, abs(z) > 1.96
+
+
+def test_wilcoxon_signed_rank_pinned_decisions(spark, tmp_path):
+    """significant_5pct pinned against hand-computed cases (and the
+    float z-formula) — guards the (2*W2+ - n(n+1))^2 * 3e4 centering;
+    the previous mis-centered form rejected ~99% under H0 and missed
+    an all-positive sample entirely."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    cases = [
+        # (diffs, exp_w2p, exp_w2m, exp_mean2, exp_var12, exp_sig)
+        # all-positive n=6, no ties: exact two-sided p = 2/64 < .05
+        ([1, 2, 3, 4, 5, 6], 42, 0, 21, 1092, True),
+        # mixed signs, z ~ 0.73: not significant
+        ([1, -2, 3, 4, -5, 6], 28, 14, 21, 1092, False),
+        # ties (T=12), z = 7/sqrt(29) ~ 1.30: not significant
+        ([2, -2, 3, 3], 17, 3, 10, 348, False),
+        # all-positive with ties (T=24), z ~ 2.53: significant
+        ([1, 1, 2, 2, 3, 3, 4, 4], 72, 0, 36, 2424, True),
+    ]
+    for i, (diffs, w2p, w2m, mean2, var12, sig) in enumerate(cases):
+        d = tmp_path / f"case{i}"
+        d.mkdir()
+        sf = _wilcoxon_events(spark, d, diffs)
+        r = QUERIES["stats_wilcoxon_signed_rank"](spark, sf).collect()[0]
+        assert r.n_pairs == len(diffs), (i, r)
+        assert (r.w2_plus, r.w2_minus) == (w2p, w2m), (i, r)
+        assert (r.mean2, r.var12) == (mean2, var12), (i, r)
+        assert r.significant_5pct == sig, (i, r)
+        fw2p, fsig = _wilcoxon_float(diffs)
+        assert (fw2p, fsig) == (w2p, sig), (i, fw2p, fsig)
+
+
+def test_wilcoxon_sf001_matches_float_formula(spark):
+    """On the real sf0.01 series the integer decision equals the float
+    z-test decision recomputed independently from DuckDB daily counts."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    con = duckdb.connect()
+    daily: dict[int, dict[str, int]] = {}
+    for et, x, y in _daily(con, by_type=True):
+        if et in ("view", "click"):
+            daily.setdefault(int(x), {})[et] = int(y)
+    diffs = [
+        v["view"] - v["click"]
+        for v in daily.values()
+        if "view" in v and "click" in v and v["view"] != v["click"]
+    ]
+    r = QUERIES["stats_wilcoxon_signed_rank"](
+        spark, SF
+    ).collect()[0]
+    fw2p, fsig = _wilcoxon_float(diffs)
+    assert r.n_pairs == len(diffs)
+    assert r.w2_plus == fw2p
+    assert r.significant_5pct == fsig
