@@ -643,16 +643,26 @@ def embedding_near_duplicates(
     )
 
 
+# Up to this corpus size semantic_dedup keeps the pinned 16-cell
+# quantizer (the regime the DuckDB oracle unrolls — covers sf0.01's 550
+# and sf0.1's 2200 augmented vectors); above it the cell count scales
+# ~sqrt(n), the same sizing knn_graph uses, so within-cell pair work
+# stays ~n^1.5 instead of n²/16 (the r7 sf1 probe measured 10.1x on the
+# 10x step with fixed cells; sqrt-n cells re-measured it at ~4x).
+SEM_FIXED_CELLS_MAX_VECTORS = 4_000
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
     *,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     max_train: int = 1024,
     train_iters: int = 2,
     init: str = "md5",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fixed_cells_max_vectors: int = SEM_FIXED_CELLS_MAX_VECTORS,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cells bound the pair search, within-cell
@@ -667,9 +677,28 @@ def semantic_dedup(
     corpus, SemDeDup runs ~50k clusters on LAION), centroid training is
     bounded by ``max_train`` (never corpus-proportional, see
     kmeans_centroids), and the component step inherits
-    connected_components' size-gated broadcast fallback."""
+    connected_components' size-gated broadcast fallback.
+
+    ``n_cells=None`` (the default) sizes the quantizer adaptively:
+    corpora up to ``fixed_cells_max_vectors`` keep the pinned 16 cells
+    (the oracle-checked regime at every gate-runnable SF); larger ones
+    get ~sqrt(n) cells with ``max_train`` grown to 8 per cell, so
+    within-cell pair work is ~n^1.5 rather than n²/16 — the r8 fix for
+    the 10.1x sf1 ratio the fixed count measured. Exact duplicates
+    (cosine 1.0, identical vectors) land in the same cell under ANY
+    cell count, so planted-copy recall is structurally 100% in both
+    regimes (pinned by tests/test_round7_ops.py)."""
+    import math
+
     from _event_intelligence_data_warehouse_spark import cache
 
+    if n_cells is None:
+        n = df.count()
+        if n <= fixed_cells_max_vectors:
+            n_cells = 16
+        else:
+            n_cells = max(16, math.isqrt(n))
+            max_train = max(max_train, 8 * n_cells)
     _, cells = ivf_cells(
         df, n_cells=n_cells, max_train=max_train,
         train_iters=train_iters, init=init, id_col=id_col, vec_col=vec_col,
@@ -2072,8 +2101,33 @@ def pca_project(
 # scorer (inherently quadratic: the r7 3-SF gate measured 17.5x on a 4x
 # vector step) to IVF-bounded candidate generation — the approximate
 # regime every corpus-scale kNN-graph pipeline runs. Small corpora stay
-# exact so the sf0.01 oracle checks the exact construction.
+# exact so the sf0.01 oracle checks the exact construction. The oracle
+# gate itself is regime-aware: tools/check_oracle.py SKIPs the
+# exact-oracle queries (similarity_knn_graph, curation_pipeline_v5)
+# when the corpus exceeds this bound, so the gate never compares an
+# IVF result against an exact-regime oracle (r7 ADVICE).
 KNN_EXACT_MAX_VECTORS = 1_000
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes
+    (values like ``10485760``, ``10MB``, ``512k``; ``-1`` disables
+    broadcasting and parses to a negative number)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 10 << 20
 
 
 def knn_graph(
@@ -2138,12 +2192,22 @@ def knn_graph(
         # re-deriving the quantizer, not scoring candidates).
         centroids = cache.persist(centroids)
         assign = cache.persist(assign)
+        # queries ARE the corpus here: broadcasting them is O(n) per
+        # executor, so broadcast only while the whole query frame
+        # demonstrably fits the session's broadcast budget (id + k
+        # doubles per row); above it the equi-join shuffles — the
+        # 100 TB shape. The r7 blanket-shuffle version cost +38% at
+        # sf0.1 where the ~1 MB query frame was trivially
+        # broadcastable; this makes the choice size-derived instead
+        # of hardcoded either way.
+        dim = len(corpus.select(vec_col).head()[0])
+        est_query_bytes = n * (8 * dim + 48)
         topk = ivf_topk_prebuilt(
             centroids, assign, corpus, corpus, k,
             nprobe=nprobe, id_col=id_col, vec_col=vec_col,
-            # queries ARE the corpus here: broadcasting them is O(n)
-            # per executor — let the equi-join shuffle instead
-            broadcast_queries=False,
+            broadcast_queries=(
+                0 < est_query_bytes <= _broadcast_threshold_bytes(corpus.sparkSession)
+            ),
         )
     if not mutual:
         # directed kNN list: one row per (query -> neighbor) edge

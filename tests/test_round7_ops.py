@@ -225,3 +225,46 @@ def test_knn_graph_ivf_regime_recall(spark):
     assert exact, "fixture produced no mutual edges"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF-regime mutual-kNN recall {recall:.2f}"
+
+
+def test_semantic_dedup_sqrtn_regime_planted_recall(spark):
+    """Above fixed_cells_max_vectors semantic_dedup sizes cells ~sqrt(n)
+    (the r8 scale fix for the 10.1x sf1 ratio the fixed 16 cells
+    measured). Exact copies have identical vectors, hence identical
+    centroid scores, hence the same cell under ANY cell count — so
+    planted-copy recall must be 100% in the sqrt-n regime, and the
+    election still keeps exactly one member per duplicate group."""
+    import random
+
+    random.seed(23)
+    centers = [[1.0 if d == c else 0.0 for d in range(8)] for c in range(4)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 4]
+        rows.append((i, [x + random.uniform(-0.2, 0.2) for x in c]))
+    # plant exact copies of every 10th vector
+    planted = [(i + 100000, v) for i, v in rows if i % 10 == 0]
+    vecs = spark.createDataFrame(
+        rows + planted, "vec_id long, embedding array<float>"
+    )
+    # fixed_cells_max_vectors=50 forces the sqrt-n regime: 330 vectors
+    # -> isqrt(330) = 18 cells (> the pinned 16)
+    out = sim.semantic_dedup(
+        vecs, threshold=0.999, fixed_cells_max_vectors=50
+    ).collect()
+    comp = {r.vec_id: r.component_id for r in out}
+    kept = {r.vec_id for r in out if r.is_kept == 1}
+    for i, _ in rows:
+        if i % 10 == 0:
+            assert comp[i] == comp[i + 100000], (i, "copy split from original")
+            # exactly one survivor per planted pair's component
+            members = [v for v, c in comp.items() if c == comp[i]]
+            assert len([m for m in members if m in kept]) == 1
+    # defaults keep the pinned regime on small corpora: same corpus under
+    # the default threshold must produce the identical component map as
+    # an explicit n_cells=16 run (oracle-regime invariance)
+    out16 = sim.semantic_dedup(vecs, threshold=0.999, n_cells=16).collect()
+    assert {r.vec_id: r.component_id for r in out16} == {
+        r.vec_id: r.component_id
+        for r in sim.semantic_dedup(vecs, threshold=0.999).collect()
+    }

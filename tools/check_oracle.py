@@ -78,10 +78,44 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # Regime-aware skips (r7 ADVICE): a few oracles pin a small-corpus
+    # EXACT construction that the Spark query adaptively leaves above a
+    # size threshold (exact kNN -> IVF, 16-cell SemDeDup -> sqrt-n
+    # cells). Comparing the approximate regime against the exact-regime
+    # oracle would report spurious failures — skip those queries, with
+    # the reason, at any SF past their pinned regime. The driver's gate
+    # runs at sf0.01, inside every pinned regime, so it never skips.
+    from _event_intelligence_data_warehouse_spark.operators.similarity import (
+        KNN_EXACT_MAX_VECTORS,
+        SEM_FIXED_CELLS_MAX_VECTORS,
+    )
+
+    n_emb = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    regime_skips: dict[str, str] = {}
+    if n_emb > KNN_EXACT_MAX_VECTORS:
+        why = (
+            f"{n_emb} embeddings > KNN_EXACT_MAX_VECTORS="
+            f"{KNN_EXACT_MAX_VECTORS}: query runs the IVF regime, "
+            "oracle pins the exact kNN graph"
+        )
+        regime_skips["similarity_knn_graph"] = why
+        regime_skips["curation_pipeline_v5"] = why
+    sem_corpus = n_emb + (n_emb + 9) // 10  # embeddings + every-10th copies
+    if sem_corpus > SEM_FIXED_CELLS_MAX_VECTORS:
+        regime_skips["dedup_semantic"] = (
+            f"{sem_corpus} sem-corpus vectors > "
+            f"SEM_FIXED_CELLS_MAX_VECTORS={SEM_FIXED_CELLS_MAX_VECTORS}: "
+            "query sizes cells ~sqrt(n), oracle pins 16 cells"
+        )
+
     failures = []
     vacuous = []
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if name in regime_skips:
+            print(f"SKIP {name} (regime): {regime_skips[name]}")
             continue
         t0 = time.time()
         try:
