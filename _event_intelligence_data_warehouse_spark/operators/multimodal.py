@@ -131,7 +131,15 @@ def _pil_decode_batch(pdf):
     codec — over actual grayscale pixel values, so downstream
     similarity/dedup plumbing is codec-agnostic. Same signature and
     output schema as :func:`_fake_decode_batch`; decode_images picks
-    per availability."""
+    per availability.
+
+    Corrupt/truncated payloads do NOT fail the job (at corpus scale a
+    handful of bad images per billion is the norm, and one poisoned
+    row killing a 1000-executor stage mid-run is the real failure
+    mode): each row decodes under its own guard, and undecodable
+    payloads surface as (media_id, kind, n_bytes) rows with NULL
+    width/height/features — filter ``width IS NULL`` downstream to
+    audit or drop them."""
     import io
 
     import numpy as np
@@ -143,15 +151,21 @@ def _pil_decode_batch(pdf):
         pdf["media_id"], pdf["kind"], pdf["payload"]
     ):
         raw = bytes(payload)
-        img = Image.open(io.BytesIO(raw))
-        arr = np.asarray(img.convert("L"), dtype=np.uint8)
-        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
-        total = hist.sum() or 1
         media_ids.append(mid)
         kinds.append(kind)
+        n_bytes.append(len(raw))
+        try:
+            img = Image.open(io.BytesIO(raw))
+            arr = np.asarray(img.convert("L"), dtype=np.uint8)
+        except Exception:
+            widths.append(None)
+            heights.append(None)
+            feats.append(None)
+            continue
+        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+        total = hist.sum() or 1
         widths.append(img.size[0])
         heights.append(img.size[1])
-        n_bytes.append(len(raw))
         feats.append((hist / total).astype("float32").tolist())
     return pd.DataFrame(
         {

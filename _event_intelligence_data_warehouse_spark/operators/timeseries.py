@@ -426,6 +426,12 @@ def lttb_downsample(
     ``n_buckets`` equal-COUNT ranges by rank, per the original
     algorithm.
 
+    Precondition: one point per x (pre-aggregate to the series grain,
+    as every contract caller does). Duplicate x values are still
+    handled deterministically — the rank orders on (x, y) — but the
+    bucket layout then depends on how many duplicates precede each
+    point, which is rarely the series the caller meant to decimate.
+
     Scale: one global rank window over the series (bounded by the
     calendar/grain, same contract as the Theil-Sen / Mann-Kendall
     screens), one 3-way join of O(B)-row bucket aggregates, one argmax
@@ -440,7 +446,15 @@ def lttb_downsample(
         F.col(x_col).cast("bigint").alias("x"),
         F.col(y_col).cast("bigint").alias("y"),
     )
-    w = Window.orderBy("x")
+    # Rank on (x, y), not x alone: the algorithm expects one point per
+    # x (callers pre-aggregate to the series grain), but if duplicate
+    # x values DO arrive, a bare orderBy("x") would make idx — hence
+    # first/last/bucket assignment — nondeterministic across runs.
+    # With y as tiebreaker the rank is a deterministic total order over
+    # distinct (x, y) points, and fully identical rows are
+    # interchangeable (same bucket arithmetic, same area, same
+    # tie-break), so the output multiset is stable either way.
+    w = Window.orderBy("x", "y")
     # The ranked frame feeds FOUR consumers (first/last/interior/anchor
     # union); it is grain-bounded (one row per series point after the
     # caller's aggregate), so persist it instead of re-running the

@@ -180,15 +180,22 @@ def test_multimodal_real_pil_decode(spark):
             (i, "image", bytearray(buf.getvalue()),
              ("png", w, h, None, None))
         )
+    # one corrupt payload: must surface as a NULL-feature row, never
+    # fail the stage (r7 ADVICE — per-image decode guard)
+    rows.append((99, "image", bytearray(b"not-an-image"),
+                 ("png", 1, 1, None, None)))
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = {r.media_id: r for r in mm.decode_images(media, fake=False).collect()}
-    assert len(out) == 8
+    assert len(out) == 9
     for i in range(8):
         r = out[i]
         assert (r.width, r.height) == (10 + i, 6 + (i % 3))
         assert len(r.features) == mm.FEATURE_DIM
         assert abs(sum(r.features) - 1.0) < 1e-5
         assert r.n_bytes > 0
+    bad = out[99]
+    assert bad.width is None and bad.height is None
+    assert bad.features is None and bad.n_bytes == len(b"not-an-image")
 
 
 def test_multimodal_features_feed_similarity(spark):

@@ -268,3 +268,26 @@ def test_semantic_dedup_sqrtn_regime_planted_recall(spark):
         r.vec_id: r.component_id
         for r in sim.semantic_dedup(vecs, threshold=0.999).collect()
     }
+
+
+def test_lttb_duplicate_x_is_deterministic(spark):
+    """Callers pre-aggregate to distinct x, but if duplicate x values
+    arrive the rank orders on (x, y) — so repeated runs over a
+    shuffled duplicate-x frame must produce the identical output set
+    (r7 ADVICE: bare orderBy(x) made idx nondeterministic)."""
+    rows = [(1, 10), (2, 5), (2, 50), (2, 7), (3, 1), (4, 9), (5, 2)]
+    outs = []
+    for seed in (1, 2, 3):
+        df = (
+            spark.createDataFrame(rows, "x long, y long")
+            .repartition(4)  # scramble physical order across runs
+        )
+        outs.append(
+            sorted(
+                (r.x, r.y, r.bucket)
+                for r in ts.lttb_downsample(df, n_buckets=3).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    xs = [(x, y) for x, y, _ in outs[0]]
+    assert (1, 10) in xs and (5, 2) in xs  # endpoints kept
