@@ -570,40 +570,21 @@ _DRIVER_SAMPLE_TAIL = [
     "stats_runs_test",
     "olap_tier_migration_matrix",
     "governance_duplicate_payments",
-]
-
-# Round-7 promoted slate + the exact driver sample, pinned. The head is
-# an explicit list (r5 lesson: registration-order inference broke when a
-# new query registered mid-head): exactly these 50, in this order.
-# Promoted this round (r6 verdict item 1 — every never-driver-verified
-# r6 mechanism, by name):
-# - dedup_kcore_survivors, stats_theil_sen_trend, stats_changepoint_daily,
-#   stats_mann_kendall, stats_kruskal_wallis, stats_hodges_lehmann,
-#   embedding_covariance_exact, ivm_retraction_roundtrip,
-#   streaming_ivm_cdc_view, text_phrase_search, text_proximity_search,
-#   sketch_join_size_estimate, stats_histogram_selectivity — the full
-#   r6 slate — plus graph_pagerank_incremental (and graph_pagerank,
-#   its cold-start base).
-# The five r7 additions take driver rows from day one (the r6 pattern):
-# - graph_label_propagation, similarity_knn_graph,
-#   storage_compaction_roundtrip, timeseries_downsample_lttb,
-#   stats_spearman_daily.
-# r5-leftover promotions filling the remaining slots, one per distinct
-# never-verified mechanism/family: graph_khop_reachability (iterative
-# BFS), entity_resolution_clusters (blocked fuzzy ER + CC),
-# linkage_fellegi_sunter (probabilistic linkage), text_bm25_search
-# (ranked retrieval), multimodal_phash_dedup (dHash + Hamming LSH),
-# storage_dv_roundtrip (deletion vectors),
-# storage_partition_evolution_roundtrip (partition respec),
-# sketch_kmv_set_ops (KMV set algebra), sketch_gk_error_audit
-# (GK quantile bounds), stats_ks_two_sample (exact KS),
-# window_session_native (native session windows),
-# timeseries_peak_concurrency (sweep-line), governance_functional_deps
-# (FD profiling), olap_nation_market_share (widest snowflake, Q8).
-# The de-vacuified join_anti_not_exists keeps its row (r6 verdict
-# item 2: must re-verify with spark_rows > 0), and the 15 §2 warehouse
-# core entries keep theirs (every §2 id stays head-covered).
-_DRIVER_SAMPLE_HEAD = [
+    # Round-8 demotions (r7 verdict item 1): every r7 head entry earned
+    # a green CORRECTNESS_r07 row AND the r7 judge re-ran the ENTIRE
+    # 262-query oracle gate end-to-end (0 failures, 0 vacuous), so all
+    # demotees carry judge-reproduced evidence, not just driver rows.
+    # The whole head rotates onto 50 never-driver-verified names —
+    # after 7 rounds 115 of 262 had never had a driver row, and the
+    # verdict names that tail (olap 23, text 14, timeseries 7,
+    # governance 6, analytics 6, streaming 4) as the single biggest
+    # evidence gap. Mechanism coverage for every demotee: its §2 id
+    # and operator machinery are pinned by the judge-rerun full gate +
+    # the 403-test suite, and the r8 head keeps the same FAMILIES
+    # sampled through different queries (e.g. stats via bootstrap/
+    # benford/correlations/wilcoxon, storage via jsonl_export, graph
+    # via events_markov_transitions, similarity via mmr_rerank +
+    # ivf_incremental).
     "dedup_kcore_survivors",
     "stats_theil_sen_trend",
     "stats_changepoint_daily",
@@ -654,6 +635,85 @@ _DRIVER_SAMPLE_HEAD = [
     "dim_date_attributes",
     "keys_md5_concat_split",
     "json_extract_props",
+]
+
+# Round-8 promoted slate + the exact driver sample, pinned. The head is
+# an explicit list (r5 lesson: registration-order inference broke when a
+# new query registered mid-head): exactly these 50, in this order.
+# ALL 50 are never-driver-verified (r7 verdict item 1: after 7 rounds
+# 115 of 262 queries had never had a driver row; this head moves
+# cumulative driver coverage from 147 to 197 = 75.2%). Slate
+# composition mirrors the verdict's named tail:
+# - the three r7 additions still without a driver row:
+#   multimodal_audio_vad (byte-exact WAV VAD), curation_pipeline_v5
+#   (kNN->LPA->election, exact regime at sf0.01),
+#   stats_wilcoxon_signed_rank (centering FIXED this round — the
+#   driver row is the regression evidence);
+# - olap_* x16 (the biggest never-verified block: TPC-H-shaped
+#   snowflake joins, EXISTS/histogram/Pareto/RFM/ABC shapes);
+# - text_* x8 (tf-idf, gopher/C4 filters, RAKE, trigram backoff LM,
+#   winnowing overlap, repetition, vocab growth);
+# - timeseries_* x5 (gapfill, OHLC, STL-ish seasonal anomaly, Holt,
+#   linear interpolation);
+# - governance_* x4 (k-anonymity, l-diversity, masked read,
+#   reconciliation audit);
+# - streaming_* x3 (watermark dedup, outer interval join, EWMA);
+# - analytics/cohort/basket x6 (growth accounting, rolling WAU,
+#   cohort LTV, multitouch attribution, retention, pair lift);
+# - stats_* x3 (bootstrap CI, Benford, numeric correlations);
+# - one each: events_markov_transitions (first-order chain),
+#   sketch_cms_heavy_hitters (CMS).
+_DRIVER_SAMPLE_HEAD = [
+    "multimodal_audio_vad",
+    "curation_pipeline_v5",
+    "stats_wilcoxon_signed_rank",
+    "olap_pricing_summary",
+    "olap_shipping_priority",
+    "olap_local_supplier_volume",
+    "olap_top_supplier_share",
+    "olap_small_order_revenue",
+    "olap_large_orders",
+    "olap_promo_revenue_share",
+    "olap_returned_item_report",
+    "olap_margin_by_nation_year",
+    "olap_rfm_segmentation",
+    "olap_pareto_frontier",
+    "olap_abc_classification",
+    "olap_customer_order_histogram",
+    "olap_share_of_parent",
+    "olap_order_priority_exists",
+    "olap_dormant_rich_customers",
+    "text_tfidf_top_terms",
+    "text_gopher_filters",
+    "text_c4_line_filter",
+    "text_rake_keyphrases",
+    "text_lm_trigram_backoff",
+    "text_winnowing_overlap_pairs",
+    "text_repetition_filter",
+    "text_vocab_growth",
+    "timeseries_gapfill_daily",
+    "timeseries_ohlc_hourly",
+    "timeseries_seasonal_anomaly",
+    "timeseries_holt_forecast",
+    "timeseries_interpolate_linear",
+    "governance_k_anonymity",
+    "governance_l_diversity",
+    "governance_masked_read",
+    "governance_reconciliation_audit",
+    "streaming_dedup_within_watermark",
+    "streaming_attribution_outer",
+    "streaming_ewma_daily",
+    "analytics_growth_accounting",
+    "analytics_rolling_wau",
+    "analytics_cohort_ltv",
+    "analytics_multitouch_attribution",
+    "cohort_retention",
+    "basket_part_pair_lift",
+    "stats_bootstrap_mean_ci",
+    "stats_benford_screen",
+    "stats_numeric_correlations",
+    "events_markov_transitions",
+    "sketch_cms_heavy_hitters",
 ]
 
 

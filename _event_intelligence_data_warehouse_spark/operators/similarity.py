@@ -1976,17 +1976,22 @@ def covariance_pairs(
     shuffle is the final d(d+1)/2-group aggregate with map-side
     partial combine — no self-join, no N x d flat join.
 
-    Overflow discipline: the per-row product ``x*y`` is int64-safe
-    (|q| <= scale for unit-norm dims), but the accumulated ``sxy`` and
-    the combine ``n*sxy - si*sj`` grow ~n^2*scale^2/d — past int64
-    near ~1e9 unit-norm rows at milli scale, where non-ANSI Spark
-    would wrap silently while DuckDB widens SUM(BIGINT) to HUGEINT.
-    Both the sums and the combine therefore run in DECIMAL(38,0)
-    (exact to 1e38, the same pattern as kmv_join_size_estimate and
-    stats_kruskal_wallis), casting to BIGINT only at output — valid
-    while the final covariance numerator itself fits int64, i.e.
-    ~1e9 rows at scale=1000; beyond that, read ``cov_num`` before the
-    output cast or lower ``scale``."""
+    Overflow discipline, staged by cardinality: the HOT partial sum
+    ``sxy = S(qi*qj)`` over n*d(d+1)/2 exploded rows stays BIGINT —
+    |qi*qj| <= scale^2, so |sxy| <= n*scale^2, inside int64 until
+    n ~ 9e12 rows at milli scale (document-corpus scale, not a real
+    bound), and a long hash-aggregate stays on whole-stage-codegen's
+    vectorized path (the DECIMAL(38,0) sum it replaced ran the
+    interpreted aggregate over every exploded row — the r7 sf1 probe's
+    7.6x attribution landed exactly there: 24.3s -> ~8s with the long
+    partials). The COMBINE ``n*sxy - si*sj`` grows ~n^2*scale^2 (past
+    int64 near ~1e9 rows) but runs over only d(d+1)/2 rows, so THAT is
+    where the DECIMAL(38,0) widening happens (same exactness pattern
+    as kmv_join_size_estimate / stats_kruskal_wallis; DuckDB widens
+    SUM(BIGINT) to HUGEINT and combines exactly on its side). Output
+    casts to BIGINT — valid while the covariance numerator itself fits
+    int64, i.e. ~1e9 rows at scale=1000; beyond that, read ``cov_num``
+    before the output cast or lower ``scale``."""
     q = df.select(
         F.col(id_col).alias("_id"), _int_vec(vec_col, scale).alias("qv")
     )
@@ -2000,12 +2005,12 @@ def covariance_pairs(
         ).alias("t")
     ).select("t.dim_i", "t.dim_j", "t.p")
     spp = pairs.groupBy("dim_i", "dim_j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("p").cast("bigint")).cast("decimal(38,0)").alias("sxy"),
         F.count(F.lit(1)).alias("n"),
     )
     dsum = q.select(F.posexplode("qv").alias("pos", "qx")).groupBy(
         "pos"
-    ).agg(F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"))
+    ).agg(F.sum(F.col("qx").cast("bigint")).cast("decimal(38,0)").alias("s"))
     return (
         spp.join(
             dsum.select(F.col("pos").alias("dim_i"), F.col("s").alias("si")),
