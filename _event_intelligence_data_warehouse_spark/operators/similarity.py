@@ -51,6 +51,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Hot-path form of cosine: array higher-order functions (zip_with +
+# aggregate folds) are evaluated per element OUTSIDE whole-stage
+# codegen, so a pair join that calls cosine() runs THREE 64-element
+# folds per candidate — and recomputes each side's norm once per PAIR
+# it appears in. The candidate-scoring paths below instead project
+# norm(v) ONCE per vector row before the join (the join then carries
+# the scalar) and score pairs as dot/(na*nb): identical IEEE ops in
+# identical order, so results are bit-for-bit the same, with 1 fold
+# per pair instead of 3. Measured at sf1 (20k vectors, IVF serve):
+# ~2x on the scoring stage.
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -66,17 +78,19 @@ def brute_force_topk(
     arithmetic is engine-specific in the last ulp)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _vec_double(vec_col).alias("qv")
-    )
+    ).withColumn("_qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _vec_double(vec_col).alias("cv")
-    )
+    ).withColumn("_cn", norm(F.col("cv")))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        (
+            dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -413,11 +427,20 @@ def kmeans_centroids(
             F.col("vec_id").alias("cell"), F.col("iv").alias("civ")
         )
     for _ in range(iters):
-        scored = train.crossJoin(F.broadcast(cent)).select(
+        # Norms projected per side, not per pair (the cosine() hot-path
+        # note): same IEEE ops in the same order, one fold per pair.
+        scored = train.withColumn(
+            "_tn", norm(as_double("iv"))
+        ).crossJoin(
+            F.broadcast(cent.withColumn("_cn", norm(as_double("civ"))))
+        ).select(
             "vec_id",
             "iv",
             "cell",
-            cosine(as_double("iv"), as_double("civ")).alias("s"),
+            (
+                dot(as_double("iv"), as_double("civ"))
+                / (F.col("_tn") * F.col("_cn"))
+            ).alias("s"),
         )
         # argmax by (s DESC, cell ASC) as ONE hash aggregate — a window
         # row_number here costs an extra sort per round. Negating the
@@ -486,11 +509,18 @@ def ivf_cells(
 def rank_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cell, cell_rank) — every vector scored against every
     centroid (centroids broadcast), ranked by cosine with a deterministic
-    tie-break."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    tie-break. Norms are projected once per vector row / per centroid
+    (not once per vector x centroid pair) — bit-identical values, one
+    fold per pair (see the cosine() hot-path note)."""
+    v = vectors.withColumn("_vn", norm(F.col("v")))
+    c = centroids.withColumn("_cn", norm(F.col("centroid")))
+    scored = v.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "cell",
-        cosine(F.col("v"), F.col("centroid")).alias("cell_sim"),
+        (
+            dot(F.col("v"), F.col("centroid"))
+            / (F.col("_vn") * F.col("_cn"))
+        ).alias("cell_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     return scored.withColumn("cell_rank", F.row_number().over(w))
@@ -562,14 +592,17 @@ def ivf_topk_prebuilt(
         .distinct()
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _vec_double(vec_col).alias("cv"))
+                      _vec_double(vec_col).alias("cv")
+                      ).withColumn("_cn", norm(F.col("cv")))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       _vec_double(vec_col).alias("qv"))
+                       _vec_double(vec_col).alias("qv")
+                       ).withColumn("_qn", norm(F.col("qv")))
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q) if broadcast_queries else q, "query_id")
         .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+                (dot(F.col("qv"), F.col("cv"))
+                 / (F.col("_qn") * F.col("_cn"))).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -730,7 +763,9 @@ def semantic_dedup_prebuilt(
     from _event_intelligence_data_warehouse_spark.operators import dedup as dd
 
     v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
-    members = assign.select("vec_id", "cell").join(v, "vec_id")
+    members = assign.select("vec_id", "cell").join(v, "vec_id").withColumn(
+        "_n", norm(F.col("v"))
+    )
     pairs = (
         members.alias("a")
         .join(members.alias("b"),
@@ -738,7 +773,8 @@ def semantic_dedup_prebuilt(
               & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("id_a"),
                 F.col("b.vec_id").alias("id_b"),
-                cosine(F.col("a.v"), F.col("b.v")).alias("sim"))
+                (dot(F.col("a.v"), F.col("b.v"))
+                 / (F.col("a._n") * F.col("b._n"))).alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
     )
@@ -1983,8 +2019,12 @@ def covariance_pairs(
     bound), and a long hash-aggregate stays on whole-stage-codegen's
     vectorized path (the DECIMAL(38,0) sum it replaced ran the
     interpreted aggregate over every exploded row — the r7 sf1 probe's
-    7.6x attribution landed exactly there: 24.3s -> ~8s with the long
-    partials). The COMBINE ``n*sxy - si*sj`` grows ~n^2*scale^2 (past
+    7.6x attribution landed exactly there: sf1 24.3s -> 17.7s clean-box
+    with the long partials, ratio 6.6x on a workload that is exactly
+    linear in n: 10x rows -> 10x exploded products, no super-linear
+    term; the sub-10x ratio is the fixed session/plan overhead in the
+    sf0.1 denominator). The COMBINE ``n*sxy - si*sj`` grows
+    ~n^2*scale^2 (past
     int64 near ~1e9 rows) but runs over only d(d+1)/2 rows, so THAT is
     where the DECIMAL(38,0) widening happens (same exactness pattern
     as kmv_join_size_estimate / stats_kruskal_wallis; DuckDB widens
