@@ -90,17 +90,34 @@ def doc_token_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, ths: array<long>) — distinct token hashes per document,
-    computed entirely with array higher-order functions. No explode and no
-    shuffle: the whole tokenize+hash step is a stateless projection that
-    scales with executors and leaves signature/band derivation shuffle-free
-    too. Empty documents are dropped (they have no signature)."""
+    computed entirely with array higher-order functions. No explode and
+    no data-proportional shuffle: the whole tokenize+hash step is a
+    stateless projection that scales with executors and leaves
+    signature/band derivation shuffle-free too. Empty documents are
+    dropped (they have no signature).
+
+    Small-file inputs are spread across the session's cores first
+    (text._spread_cpu_dense): the per-token md5 work plus the k
+    minhash passes stacked on this projection otherwise run inside the
+    scan's 1-2 tasks on a compressed few-MB documents file — the same
+    starvation the r8 sf1 probe measured on winnowing. An
+    already-parallel scan passes through untouched."""
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        _spread_cpu_dense,
+    )
+
     toks = F.array_distinct(tokens(F.col(text_col)))
     ths = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.array_distinct(ths).alias("ths")
+    # Spread the RAW rows, then hash: the exchange must sit below the
+    # md5 projection or the heavy work stays inside the scan's tasks.
+    base = _spread_cpu_dense(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    )
+    return base.select(
+        "doc_id", F.array_distinct(ths).alias("ths")
     ).filter(F.size("ths") > 0)
 
 
@@ -545,10 +562,18 @@ def char_ngram_sets(
     *, hashed: bool = False,
 ) -> DataFrame:
     """(doc_id, grams: array) — distinct character n-grams of the
-    normalized text, array-native (no explode, no shuffle). With
+    normalized text, array-native (no explode, no data-proportional
+    shuffle; small-file scans are spread across cores first — one md5
+    per character position is minutes of work behind a 1-2 task scan,
+    see text._spread_cpu_dense). With
     ``hashed`` the grams become 32-bit md5-prefix ints: long arrays
     shuffle/compare ~10× cheaper than n-char strings, and the hash is
     engine-portable so oracles fold collisions identically."""
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        _spread_cpu_dense,
+    )
+
+    df = _spread_cpu_dense(df.select(F.col(id_col), F.col(text_col)))
     norm = normalized_text(F.col(text_col))
     if hashed:
         gram_expr = F.expr(

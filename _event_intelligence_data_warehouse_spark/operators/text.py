@@ -141,7 +141,11 @@ def _spread_cpu_dense(df: DataFrame) -> DataFrame:
     same plan at 47s on the scan's 2 tasks vs 9.5s spread over 32.
     Only repartitions UP to the session's parallelism: a 100 TB scan
     already carries thousands of tasks and must never be shuffled for
-    this, so an already-parallel input passes through untouched."""
+    this, so an already-parallel input passes through untouched.
+    Streaming frames pass through untouched too (no .rdd on a
+    streaming plan; micro-batch sizing is the stream's own knob)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
