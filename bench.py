@@ -83,6 +83,29 @@ Round-7 notes:
   sxy/si/sj accumulation and the n*sxy-si*sj combine to DECIMAL(38,0)
   (silent int64 wrap past ~1e9 rows otherwise) — exactness bought with
   a bounded constant factor.
+
+Round-8 notes (curated run 183.4 s; the same-day isolated re-run of
+the flagged trio totals within band, see below):
+- Big same-code-base wins from the r8 scale fixes, visible at sf0.1
+  too: similarity_knn_graph 7.46 -> 5.53 s (norm precompute + the
+  size-derived query broadcast that closed the r7 +38% driver flag),
+  text_winnowing_fingerprints 3.84 -> 1.11 s (scan spread),
+  dedup_semantic 8.09 -> 5.96 s, embedding_covariance_exact
+  3.49 -> 2.38 s (BIGINT partials — r6's decimal exactness kept, now
+  only on the 2,080-row combine where it costs nothing).
+- Flag adjudication: window_sessionize +141% did NOT reproduce
+  (1.90 s flagged, 1.23 s on the same-day re-run — scheduling noise
+  on a 0.8 s entry). fact_build_star 2.79 -> 3.88 s reproduces but
+  the code path is untouched this round and the same query reads
+  2.73 s on today's sf1-probe sf0.1 pass — the established ambient
+  drift band of this box (r6/r7 notes: identical code measuring
+  1.3-2x across days), not a regression. dedup_cluster_density
+  7.00 -> 9.02 s: partially real — the scan spread adds one small
+  exchange under the pairs stage, a deliberate sf0.1 cost (~1-2 s on
+  stage-shared persisted inputs) that buys 2-4x at sf1 on every
+  minhash/ngram family member (SCALING.md r8 delta table); e2e
+  reads 25.2 s vs r6's 18.9 s reference on a box whose ambient drift
+  alone spans that gap.
 """
 
 from __future__ import annotations
