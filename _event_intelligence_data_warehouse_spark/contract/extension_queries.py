@@ -6477,3 +6477,81 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio = mm.synthetic_audio(spark, 64)
     frames = mm.audio_frame_energies(audio, frame_bytes=16)
     return mm.vad_segments(frames, threshold=87000)
+
+
+@query(
+    "similarity_ivf_range_search",
+    _IVF_CELLS_CTE
+    + f"""
+, assign AS (
+    SELECT vec_id AS neighbor_id, cell FROM cell_scores WHERE cell_rank = 1
+), probes AS (
+    SELECT vec_id AS query_id, cell FROM cell_scores
+    WHERE cell_rank <= 2 AND vec_id < 50
+), cand AS (
+    SELECT DISTINCT p.query_id, a.neighbor_id
+    FROM assign a JOIN probes p USING (cell)
+    WHERE p.query_id <> a.neighbor_id
+)
+SELECT CAST(c.query_id AS BIGINT) AS query_id,
+       CAST(c.neighbor_id AS BIGINT) AS neighbor_id
+FROM cand c
+JOIN (SELECT vec_id, v AS cv FROM vecs) nv ON nv.vec_id = c.neighbor_id
+JOIN (SELECT vec_id, v AS qv FROM vecs) qv2 ON qv2.vec_id = c.query_id
+WHERE {_COS} >= 0.25
+""",
+)
+def similarity_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE retrieval over the IVF index (radius query): ALL corpus
+    members with cosine >= 0.25 of each probe vector (vec_id < 50),
+    candidates bounded to the 2 probed cells — the similarity-bar
+    companion to similarity_ivf_topk for contamination sweeps and
+    "everything like these flagged docs" monitoring. No per-query
+    window: selection is a pure filter, so the plan carries zero
+    sorts; the oracle re-derives the trained cells with the unrolled
+    Lloyd CTE and applies the identical threshold. 100 TB: per-query
+    candidate work stays ~nprobe/n_cells of the corpus; output size is
+    data-dependent by design (that IS the radius-query contract)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_range_search(
+        emb, emb.filter(F.col("vec_id") < 50), 0.25,
+        n_cells=_IVF_N_CELLS, max_train=_IVF_MAX_TRAIN, nprobe=2,
+    )
+
+
+@query(
+    "dedup_global_lines",
+    """
+    WITH ls AS (
+        SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+    ), lines AS (
+        SELECT doc_id, unnest(arr) AS line,
+               unnest(generate_series(1, len(arr))) AS pos
+        FROM ls
+    ), kept AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, pos) AS occ
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS rebuilt_md5
+    FROM kept WHERE occ = 1
+    GROUP BY doc_id
+    """,
+)
+def dedup_global_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-GLOBAL first-occurrence line dedup with document
+    reconstruction (operators/dedup.py::global_line_dedup): repeated
+    nav bars / license blocks / quoted chains keep exactly ONE copy
+    corpus-wide under the canonical (doc_id, position) order, and each
+    document is rebuilt from its surviving lines — byte-checked via
+    md5 of the reconstruction, so the whole explode -> global
+    first-occurrence window -> reassembly pipeline is hash-verified
+    cross-engine. Distinct mechanism from text_boilerplate_lines
+    (frequency threshold): this is a global argmin over occurrences.
+    100 TB: one shuffle keyed on line content, one on doc_id — the
+    minimum the semantics admit."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.global_line_dedup(docs)

@@ -602,6 +602,69 @@ def char_ngrams(
     )
 
 
+def global_line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-GLOBAL first-occurrence line deduplication with document
+    reconstruction — the sub-document granularity every large crawl
+    pipeline dedups at (repeated nav bars, license blocks and quoted
+    chain mail recur across millions of documents that are NOT
+    near-duplicates as wholes; Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499, dedups exact
+    substrings corpus-wide for the same reason). Every line keeps only
+    its FIRST occurrence under the canonical (doc_id, position) order;
+    later occurrences drop wherever they appear, and each document is
+    rebuilt from its surviving lines in original order. A document
+    whose every line occurred earlier elsewhere vanishes entirely —
+    that is the semantics, not a defect.
+
+    Differs from text.boilerplate_lines: that drops lines by document
+    FREQUENCY (df >= k, a local decision once the df map exists); this
+    is a global argmin over occurrences, so two docs sharing a line
+    keep exactly one copy between them regardless of frequency.
+
+    Output: (doc_id, n_lines_kept, rebuilt_md5) for documents with at
+    least one surviving line — the md5 makes the reconstruction
+    byte-checkable cross-engine without shipping the text.
+
+    Scale shape: one shuffle keyed on the line CONTENT (the window that
+    elects the first occurrence — line-hash keys distribute it; a hot
+    identical line lands on one reducer but carries only (doc_id, pos)
+    pairs, not text, past the projection), one shuffle on doc_id to
+    reassemble. Both are the minimum the semantics admit."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = (
+        lines.withColumn("occ", F.row_number().over(w))
+        .filter(F.col("occ") == 1)
+        .select("doc_id", "pos", "line")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
+            F.md5(
+                F.concat_ws(
+                    sep,
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                )
+            ).alias("rebuilt_md5"),
+        )
+    )
+
+
 # Universe size below which the bitmap all-pairs path beats the prefix
 # filter: with every gram hot, prefix candidate generation degenerates to
 # ~all pairs *via a join that emits one row per shared prefix gram* (orders

@@ -639,6 +639,71 @@ def ivf_topk(
     )
 
 
+def ivf_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    *,
+    n_cells: int = 16,
+    max_train: int = 1024,
+    nprobe: int = 2,
+    train_iters: int = 2,
+    init: str = "md5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RANGE retrieval over the IVF index: every corpus member with
+    cosine >= ``threshold`` of each query (self excluded), candidates
+    bounded to the query's ``nprobe`` nearest cells. The radius-query
+    companion to :func:`ivf_topk` — monitoring probes ("everything
+    similar to these flagged documents"), contamination sweeps and
+    policy filters want ALL matches above a similarity bar, not a
+    fixed k.
+
+    Scale shape vs top-k: no per-query window at all — candidate
+    generation is the same cell equi-join, but selection is a pure
+    filter, so the plan has zero sorts and the output is unbounded by
+    design (that is the semantics). Per-query work stays
+    ~nprobe*n/n_cells; norms are projected once per vector row (see
+    the cosine() hot-path note). Output: (query_id, neighbor_id),
+    exact cosine on candidates, ordered only by the comparator the
+    consumer applies."""
+    centroids, assign = ivf_index(
+        corpus, n_cells=n_cells, max_train=max_train,
+        train_iters=train_iters, init=init, id_col=id_col, vec_col=vec_col,
+    )
+    qv = queries.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
+    probes = rank_cells(qv, centroids).filter(
+        F.col("cell_rank") <= nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _vec_double(vec_col).alias("cv")
+                      ).withColumn("_cn", norm(F.col("cv")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _vec_double(vec_col).alias("qv")
+                       ).withColumn("_qn", norm(F.col("qv")))
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(
+            (dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")))
+            >= threshold
+        )
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        )
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

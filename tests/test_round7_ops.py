@@ -291,3 +291,68 @@ def test_lttb_duplicate_x_is_deterministic(spark):
     assert outs[0] == outs[1] == outs[2]
     xs = [(x, y) for x, y, _ in outs[0]]
     assert (1, 10) in xs and (5, 2) in xs  # endpoints kept
+
+
+def test_ivf_range_search_exact_on_candidates_and_subset(spark):
+    """Range results are (a) truly above the threshold — scoring on
+    candidates is exact — and (b) a subset of the exact brute-force
+    range set; on a clusterable corpus recall stays high."""
+    import math
+    import random
+
+    random.seed(31)
+    centers = [[1.0 if d == c else 0.0 for d in range(8)] for c in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + random.uniform(-0.2, 0.2) for x in c]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = vecs.filter(F.col("vec_id") < 8)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_range_search(
+            vecs, qs, 0.9, n_cells=4, nprobe=2
+        ).collect()
+    }
+    by_id = {i: v for i, v in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    exact = {
+        (q, n)
+        for q in range(8)
+        for n in by_id
+        if n != q and cos(by_id[q], by_id[n]) >= 0.9
+    }
+    assert got, "range search returned nothing on a clustered corpus"
+    assert got <= exact, "range result contains a below-threshold pair"
+    assert len(got) / len(exact) >= 0.8, (len(got), len(exact))
+
+
+def test_global_line_dedup_first_occurrence_and_reconstruction(spark):
+    """Hand-checked corpus: each line survives only at its first
+    (doc_id, pos); docs rebuild from surviving lines in order; a doc
+    whose every line occurred earlier vanishes."""
+    import hashlib
+
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta"),
+            (2, "beta\ngamma"),
+            (3, "alpha\ngamma"),          # both lines seen -> vanishes
+            (4, "beta\ndelta\nbeta"),     # in-doc repeat also dedups
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.global_line_dedup(docs).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert set(out) == {1, 2, 4}
+    assert (out[1].n_lines_kept, out[1].rebuilt_md5) == (2, md5("alpha\nbeta"))
+    assert (out[2].n_lines_kept, out[2].rebuilt_md5) == (1, md5("gamma"))
+    assert (out[4].n_lines_kept, out[4].rebuilt_md5) == (1, md5("delta"))
