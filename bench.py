@@ -224,6 +224,9 @@ HEADLINE = [
     "storage_compaction_roundtrip",
     "timeseries_downsample_lttb",
     "stats_spearman_daily",
+    # round-8 additions: first-round numbers, no reference yet
+    "similarity_ivf_range_search",
+    "dedup_global_lines",
 ]
 
 
