@@ -47,12 +47,22 @@ def test_star_join_broadcasts_all_dims(spark):
 def test_projection_operators_are_shuffle_free(spark):
     from _event_intelligence_data_warehouse_spark.contract import QUERIES
 
-    for name in ("staging_cleanse", "text_metrics", "dedup_minhash_signatures",
-                  "text_quality_score"):
+    for name in ("staging_cleanse", "text_metrics", "text_quality_score"):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, (
             f"{name} is a stateless projection but its plan shuffles"
         )
+    # dedup_minhash_signatures is still a stateless projection, but its
+    # input passes through text._spread_cpu_dense (r8): on a small-file
+    # scan ONE round-robin rebalance is allowed below the hashing
+    # projection — and nothing else. No hash/range exchange may appear
+    # (those would mean a data-proportional shuffle crept in).
+    plan = _plan(QUERIES["dedup_minhash_signatures"](spark, SF))
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+    assert len(exchanges) <= 1, f"more than the one spread rebalance: {exchanges}"
 
 
 def test_round2_text_ops_are_shuffle_free(spark):
