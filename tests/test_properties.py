@@ -1154,3 +1154,44 @@ def test_lttb_structural_invariants(spark, ys, b):
     # interior buckets partition ranks 2..n-1: occupied count is
     # min(b, n-2), so total output is that + the two endpoints
     assert len(out) == min(b, len(ys) - 2) + 2
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd d", ""]),
+                 min_size=1, max_size=5),
+        min_size=1, max_size=8,
+    ),
+)
+@PROP
+def test_global_line_dedup_invariants(spark, docs):
+    """On arbitrary small corpora: (1) the total of n_lines_kept equals
+    the number of DISTINCT lines in the corpus — every distinct line
+    survives exactly once globally; (2) each doc's rebuilt_md5 matches
+    a pure-Python replay of first-occurrence filtering in (doc_id,
+    pos) order; (3) docs whose lines all occurred earlier are absent."""
+    import hashlib
+
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.global_line_dedup(df).collect()}
+
+    seen: set[str] = set()
+    expect: dict[int, list[str]] = {}
+    for i, lines in enumerate(docs):
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        if kept:
+            expect[i] = kept
+    assert set(out) == set(expect)
+    assert sum(r.n_lines_kept for r in out.values()) == len(seen)
+    for i, kept in expect.items():
+        assert out[i].n_lines_kept == len(kept)
+        assert out[i].rebuilt_md5 == hashlib.md5(
+            "\n".join(kept).encode()
+        ).hexdigest(), (i, kept)
