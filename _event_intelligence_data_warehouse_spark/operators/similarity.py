@@ -507,23 +507,56 @@ def ivf_cells(
 
 
 def rank_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cell, cell_rank) — every vector scored against every
-    centroid (centroids broadcast), ranked by cosine with a deterministic
-    tie-break. Norms are projected once per vector row / per centroid
-    (not once per vector x centroid pair) — bit-identical values, one
-    fold per pair (see the cosine() hot-path note)."""
-    v = vectors.withColumn("_vn", norm(F.col("v")))
-    c = centroids.withColumn("_cn", norm(F.col("centroid")))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "vec_id",
-        "cell",
-        (
-            dot(F.col("v"), F.col("centroid"))
-            / (F.col("_vn") * F.col("_cn"))
-        ).alias("cell_sim"),
+    """(vec_id, cell, cell_sim, cell_rank) — every vector scored against
+    every centroid, ranked by cosine with a deterministic tie-break.
+
+    Physical shape (r8): the whole centroid model rides in ONE
+    broadcast single-row array (bounded — n_cells structs of dim
+    doubles), and scoring + ranking happen inside one projection per
+    vector row: transform scores the cells, sort_array ranks them,
+    posexplode emits the ranked rows. No vector-x-centroid crossJoin
+    row blowup and — the term that dominated the sf1 profile at ~20s
+    per call — NO per-vector window (the old plan shuffled and sorted
+    n*n_cells rows twice per IVF pipeline, once for assignment and
+    once for probes). Values are bit-identical: same dot fold, same
+    norm factors in the same order, and sort_array(asc=False) over
+    struct(cell_sim, -cell) reproduces the window's (sim DESC, cell
+    ASC) total order exactly, including NaN-largest placement for
+    degenerate zero-norm inputs."""
+    cents = centroids.select(
+        F.collect_list(
+            F.struct(
+                F.col("cell"),
+                F.col("centroid").alias("cw"),
+                norm(F.col("centroid")).alias("cn"),
+            )
+        ).alias("_cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
-    return scored.withColumn("cell_rank", F.row_number().over(w))
+    v = vectors.withColumn("_vn", norm(F.col("v")))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.posexplode(
+            F.sort_array(
+                F.transform(
+                    "_cents",
+                    lambda c: F.struct(
+                        (
+                            dot(F.col("v"), c["cw"])
+                            / (F.col("_vn") * c["cn"])
+                        ).alias("cs"),
+                        (-c["cell"]).alias("nc"),
+                    ),
+                ),
+                asc=False,
+            )
+        ).alias("_pos", "_s"),
+    )
+    return scored.select(
+        "vec_id",
+        (-F.col("_s.nc")).alias("cell"),
+        F.col("_s.cs").alias("cell_sim"),
+        (F.col("_pos") + 1).cast("int").alias("cell_rank"),
+    )
 
 
 def ivf_index(
