@@ -106,6 +106,15 @@ the flagged trio totals within band, see below):
   minhash/ngram family member (SCALING.md r8 delta table); e2e
   reads 25.2 s vs r6's 18.9 s reference on a box whose ambient drift
   alone spans that gap.
+- CLOSING curated run (after the rank_cells rework landed): 166.4 s,
+  ZERO flags — every mid-round flag self-resolved (fact_build_star
+  2.95 s, confirming the drift-band adjudication;
+  dedup_cluster_density 6.83 s, back under its r5 12 s target;
+  window_sessionize 1.0 s band). similarity_knn_graph 5.6 s (r7
+  driver: 10.3 s), dedup_semantic 5.3 s, winnowing 0.94 s,
+  covariance 2.25 s; the two r8 additions record
+  similarity_ivf_range_search 2.38 s / dedup_global_lines sub-1 s
+  first-round references.
 """
 
 from __future__ import annotations
