@@ -1056,13 +1056,23 @@ def duplicate_text_spans(
     intervals with the classic gaps-and-islands windows partitioned by
     document. No step is quadratic and nothing corpus-sized is
     collected or broadcast."""
-    from _event_intelligence_data_warehouse_spark.operators.text import tokens
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        _spread_cpu_dense,
+        tokens,
+    )
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    toks = _spread_cpu_dense(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= n)
     # (doc_id, pos, gram digest): pos is the 0-based start token index.
-    grams = toks.select(
+    # Persisted: the digest stream feeds BOTH the document-frequency
+    # aggregate and the flagged-position join — unpersisted, the
+    # md5-per-position projection (the whole operator's CPU) runs
+    # twice. This is the ExactSubstr pipeline's materialized digest
+    # table; at cluster scale it spills to disk, it never collects.
+    grams = cache.persist(toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -1070,7 +1080,7 @@ def duplicate_text_spans(
                 f"i -> md5(concat_ws(' ', slice(toks, i, {n}))))"
             )
         ).alias("pos", "gh"),
-    )
+    ))
     dup = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("ndocs"))

@@ -610,10 +610,15 @@ def word_ngram_hashes(
     """(doc_id, gram_hash): DISTINCT word n-gram hashes per document.
     Grams are space-joined lowercase whitespace tokens hashed through the
     engine's md5-prefix scheme (module docstring) — engine-portable, so
-    derived operators stay oracle-checkable. Pure projection + explode,
-    shuffle-free; array_distinct runs per-row so no global distinct is
-    needed."""
-    d = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    derived operators stay oracle-checkable. Pure projection + explode
+    (no data-proportional shuffle); small-file scans are spread across
+    cores first — the md5-per-position work behind a 1-2 task
+    compressed scan is the starvation pattern the r8 sf1 probe
+    measured, see :func:`_spread_cpu_dense`. array_distinct runs
+    per-row so no global distinct is needed."""
+    d = _spread_cpu_dense(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select("doc_id", tokens(text_col).alias("toks"))
     grams = F.expr(
         f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
         f"i -> cast(conv(substr(md5(array_join(slice(toks, i, {n}), ' ')), "
