@@ -1195,3 +1195,65 @@ def test_global_line_dedup_invariants(spark, docs):
         assert out[i].rebuilt_md5 == hashlib.md5(
             "\n".join(kept).encode()
         ).hexdigest(), (i, kept)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3),
+                 min_size=3, max_size=3).filter(lambda v: any(v)),
+        min_size=1, max_size=8,
+    ),
+    cents=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3),
+                 min_size=3, max_size=3).filter(lambda v: any(v)),
+        min_size=1, max_size=5,
+    ),
+)
+@PROP
+def test_rank_cells_matches_python_ranking(spark, vecs, cents):
+    """The r8 single-projection rank_cells (broadcast model +
+    sort_array) must rank exactly like the window it replaced:
+    cosine DESC, cell ASC on ties — checked against a pure-Python
+    replay on small integer vectors, duplicate centroids included
+    (ties exercise the -cell descending trick). Zero vectors are
+    outside the operator's domain (cosine undefined; ANSI division
+    raises, exactly as the replaced window formulation did)."""
+    import math
+
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(cents)],
+        "cell long, centroid array<double>",
+    )
+    got = {
+        (r.vec_id, r.cell_rank): r.cell
+        for r in sim.rank_cells(vdf, cdf).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else float("nan")
+
+    for i, v in enumerate(vecs):
+        sims = [(cos(v, c), j) for j, c in enumerate(cents)]
+        # NaN ranks first (Spark float total order: NaN largest),
+        # then sim DESC, then cell ASC
+        order = sorted(
+            sims,
+            key=lambda t: (
+                0 if math.isnan(t[0]) else 1,
+                -(t[0] if not math.isnan(t[0]) else 0.0),
+                t[1],
+            ),
+        )
+        for rank, (_, j) in enumerate(order, start=1):
+            assert got[(i, rank)] == j, (i, rank, got[(i, rank)], j, sims)
