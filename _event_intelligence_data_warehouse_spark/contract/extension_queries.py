@@ -2495,8 +2495,9 @@ def topk_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, dim,
-           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))
-                AS DOUBLE) / COUNT(*) AS avg_val
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000 + 0.5)
+                         AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 / COUNT(*) AS avg_val
     FROM ex
     GROUP BY label, dim
     """,
@@ -2506,18 +2507,26 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, dim, avg_val) — the element-wise group aggregate every
     IVF/clustering pipeline needs. posexplode + hash aggregate: one
     shuffle on (label, dim), partial aggregation map-side. Element sums
-    run in the decimal domain (exact, order-free) because double
-    accumulation order is partition-dependent."""
+    run as integer NANOS (floor(v*1e9 + 0.5) — pure double floor, the
+    _int_vec discipline): exact and order-free like the previous
+    DECIMAL(18,9) sum, but WITHOUT the decimal-quantization rounding
+    tie that bit at sf0.1 (Spark HALF_UP vs DuckDB HALF_EVEN disagreed
+    on exactly one element's 10th digit; floor-half-up is identical
+    IEEE arithmetic on both engines). Sum bound: int64-safe to ~9e9
+    rows per (label, dim) group at nano scale."""
     e = load(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
             (
-                # float -> double -> decimal: the double hop pins the
-                # engine-portable decimal rendering of float32 values.
-                F.sum(F.col("v").cast("double").cast("decimal(18,9)"))
-                .cast("double")
+                F.sum(
+                    F.floor(
+                        F.col("v").cast("double") * F.lit(1000000000.0)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1000000000.0)
                 / F.count("*")
             ).alias("avg_val")
         )
