@@ -3772,10 +3772,11 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(generate_series(0, 7)) AS dim
     )
     SELECT vec_id, CAST(d.dim AS BIGINT) AS dim,
-           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) *
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000 + 0.5)
+                         AS BIGINT) *
                (CASE WHEN CAST(('0x' || substr(md5(
                     'rp|' || i || '|' || d.dim), 1, 1)) AS INT) % 2 = 0
-                THEN 1 ELSE -1 END)) AS DOUBLE) AS value
+                THEN 1 ELSE -1 END)) AS DOUBLE) / 1000000000.0 AS value
     FROM ex CROSS JOIN dims d
     GROUP BY vec_id, d.dim
     """,
@@ -4700,7 +4701,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(CAST(floor(v * 1000000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 / COUNT(*)
                AS avg_val_trimmed
     FROM tr
     WHERE rk > (n * 1) // 10 AND rk <= n - (n * 1) // 10

@@ -1410,11 +1410,15 @@ def random_projection(
     (1±eps) for k = O(log n / eps^2), which is what lets 100 TB of
     384-dim embeddings shrink ~24x before the ANN index pays for them.
 
-    Output LONG form: (vec_id, dim, value), value exact — element
-    products and the per-dim sum run in the decimal domain (float ->
-    double -> DECIMAL(18,9) pins the engine-portable rendering; the
-    sum is order-free), so the projection is oracle-checkable
-    bit-for-bit.
+    Output LONG form: (vec_id, dim, value), value exact — elements are
+    quantized to integer NANOS (floor(x*1e9 + 0.5), pure double floor:
+    identical IEEE arithmetic on every engine) and the ±1-signed sum
+    folds in BIGINT, so the projection is oracle-checkable
+    bit-for-bit. (The previous DECIMAL(19,9) quantization carried a
+    latent rounding-mode tie — Spark HALF_UP vs DuckDB HALF_EVEN on a
+    value landing exactly on the 10th digit — the class of drift the
+    r8 sf0.1 gate caught on embedding_label_centroids.) Sum bound:
+    |sum| <= dims * 1e9 nanos, int64-safe to ~9e9 dims.
 
     Scale: per-row column algebra — no shuffle, no UDF, no matrix
     broadcast; each of the k output dims is one codegen'd aggregate
@@ -1425,17 +1429,12 @@ def random_projection(
     )
     projs = F.array(*[
         F.expr(
-            f"aggregate(zip_with({vec_col}, "
+            f"CAST(aggregate(zip_with({vec_col}, "
             f"sequence(0, size({vec_col}) - 1), (x, i) -> "
-            f"CAST(CAST(x AS DOUBLE) AS DECIMAL(19,9)) * {sign(j)}), "
-            # precision-30 accumulator: decimal + at precision 38 would
-            # hit Spark's cap and silently ROUND the scale down to 8
-            # mid-fold; 30+30 -> 31 stays exact, and the re-cast keeps
-            # the fold type stable (unit-norm embeddings can't overflow
-            # 21 integer digits)
-            f"CAST(0 AS DECIMAL(30,9)), "
-            f"(acc, y) -> CAST(acc + CAST(y AS DECIMAL(30,9)) "
-            f"AS DECIMAL(30,9)))"
+            f"CAST(floor(CAST(x AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)"
+            f" * {sign(j)}), "
+            f"CAST(0 AS BIGINT), (acc, y) -> acc + y) AS DOUBLE)"
+            f" / 1000000000.0"
         )
         for j in range(k)
     ])
@@ -1924,7 +1923,15 @@ def trimmed_label_centroids(
         .agg(
             F.count("*").cast("bigint").alias("n_kept"),
             (
-                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                # integer-nanos sum (floor half-up): same exactness as
+                # the DECIMAL(18,9) it replaces, without the
+                # HALF_UP-vs-HALF_EVEN quantization tie across engines
+                F.sum(
+                    F.floor(
+                        F.col("v") * F.lit(1000000000.0) + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1000000000.0)
                 / F.count("*")
             ).alias("avg_val_trimmed"),
         )
