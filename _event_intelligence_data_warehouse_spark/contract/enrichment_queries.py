@@ -892,7 +892,8 @@ def storage_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, bucket_ts,
                MAX(value) AS high, MIN(value) AS low,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0
                    AS volume
         FROM e GROUP BY 1, 2
     )
@@ -911,8 +912,11 @@ def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. Open/close resolve through ONE struct-min/max aggregate
     (map-side partial combine; no per-bucket row_number over raw
     events — the oracle's window formulation is the semantic spec, the
-    engine's aggregate is the scale shape). Volume sums exact
-    DECIMAL."""
+    engine's aggregate is the scale shape). Volume folds integer cents
+    (floor half-up, BIGINT) in both engines and renders once as double
+    — the r8 driver red traced to the prior SUM(CAST(double AS
+    DECIMAL(18,2))) being the registry's only DECIMAL-typed output
+    (cross-engine rounding tie + Decimal rendering hazard)."""
     from _event_intelligence_data_warehouse_spark.operators import (
         timeseries as tso,
     )

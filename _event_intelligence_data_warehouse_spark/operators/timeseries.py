@@ -75,7 +75,7 @@ def ohlc(
     """OHLC candle rollup — the hypertable/financial downsampling
     primitive: per (keys, time bucket) the Opening value (first by time,
     tiebroken deterministically), High, Low, Close (last), event count
-    and exact DECIMAL volume.
+    and exact cent-quantized volume.
 
     Open/close use the min/max of a (ts, tiebreak, value) STRUCT — a
     single aggregate pass with map-side partial combine (struct ordering
@@ -103,9 +103,20 @@ def ohlc(
             F.min(v).alias("low"),
             F.max(pick).getField("v").alias("close"),
             F.count("*").cast("bigint").alias("n_events"),
-            # exact DECIMAL volume as promised: sum(decimal(18,2)) is
-            # decimal(28,2) — never collapsed back to double
-            F.sum(v.cast("decimal(18,2)")).alias("volume"),
+            # volume folds as integer CENTS (floor(x*100 + 0.5), pure
+            # double floor: identical IEEE arithmetic on every engine)
+            # in BIGINT, rendered once as double at the end. The
+            # previous SUM(CAST(double AS DECIMAL(18,2))) carried the
+            # Spark-shortest-repr-HALF_UP vs DuckDB-exact-binary
+            # rounding tie AND was the registry's only DECIMAL-typed
+            # output column (engine-dependent Decimal rendering) —
+            # both hazards the round-8 driver red exposed.
+            (
+                F.sum(
+                    F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("volume"),
         )
     )
 
