@@ -636,9 +636,17 @@ def global_line_dedup(
     identical line lands on one reducer but carries only (doc_id, pos)
     pairs, not text, past the projection), one shuffle on doc_id to
     reassemble. Both are the minimum the semantics admit."""
+    # sep is a LITERAL separator everywhere else in this function (the
+    # concat_ws rebuild, the md5 oracle) — regex-escape it for F.split,
+    # which would otherwise read a metacharacter sep (e.g. ".") as a
+    # pattern and silently diverge from its own reconstruction
+    import re as _re
+
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     )
     w = Window.partitionBy("line").orderBy("doc_id", "pos")
     kept = (

@@ -506,6 +506,15 @@ def ivf_cells(
     return centroids, rank_cells(v, centroids)
 
 
+#: Above this cell count rank_cells abandons the single-row packed
+#: model (n_cells structs of dim doubles in ONE array cell — ~12 MB at
+#: 4096 cells x 384 dims) for the row-per-centroid broadcast + window
+#: formulation: a single row/array value has hard engine limits the
+#: row-per-centroid broadcast does not, and at sqrt-n sizing a 1e9-
+#: vector corpus would pack ~100 MB into one cell (r8 ADVICE).
+RANK_CELLS_PACKED_MAX_CELLS = 4096
+
+
 def rank_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cell, cell_sim, cell_rank) — every vector scored against
     every centroid, ranked by cosine with a deterministic tie-break.
@@ -522,7 +531,17 @@ def rank_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     norm factors in the same order, and sort_array(asc=False) over
     struct(cell_sim, -cell) reproduces the window's (sim DESC, cell
     ASC) total order exactly, including NaN-largest placement for
-    degenerate zero-norm inputs."""
+    degenerate zero-norm inputs.
+
+    Above :data:`RANK_CELLS_PACKED_MAX_CELLS` the packed single row
+    would stress single-value limits, so the plan falls back to the
+    row-per-centroid broadcast crossJoin + per-vector window — same
+    values, same total order, just n_cells shuffle-sorted rows per
+    vector instead of one packed projection. The model-cardinality
+    probe is O(model): every caller passes a post-collapse
+    LocalRelation (see :func:`_collapse_model`)."""
+    if centroids.count() > RANK_CELLS_PACKED_MAX_CELLS:
+        return _rank_cells_window(vectors, centroids)
     cents = centroids.select(
         F.collect_list(
             F.struct(
@@ -556,6 +575,31 @@ def rank_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         (-F.col("_s.nc")).alias("cell"),
         F.col("_s.cs").alias("cell_sim"),
         (F.col("_pos") + 1).cast("int").alias("cell_rank"),
+    )
+
+
+def _rank_cells_window(
+    vectors: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Row-per-centroid rank_cells: broadcast crossJoin + per-vector
+    window. The pre-r8 formulation, retained as the large-model path —
+    value- and order-identical to the packed projection (same dot fold,
+    same norm factors, row_number over (sim DESC, cell ASC))."""
+    v = vectors.withColumn("_vn", norm(F.col("v")))
+    c = centroids.withColumn("_cn", norm(F.col("centroid")))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cell",
+        (
+            dot(F.col("v"), F.col("centroid"))
+            / (F.col("_vn") * F.col("_cn"))
+        ).alias("cell_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), F.asc("cell")
+    )
+    return scored.withColumn(
+        "cell_rank", F.row_number().over(w).cast("int")
     )
 
 
@@ -2350,8 +2394,12 @@ def knn_graph(
         # sf0.1 where the ~1 MB query frame was trivially
         # broadcastable; this makes the choice size-derived instead
         # of hardcoded either way.
-        dim = len(corpus.select(vec_col).head()[0])
-        est_query_bytes = n * (8 * dim + 48)
+        # sampled-row sizing, guarded: a NULL/absent first embedding
+        # means we can't estimate — fall back to the shuffle join
+        # (broadcast_queries=False via est=0) instead of crashing
+        head = corpus.select(vec_col).head(1)
+        vec0 = head[0][0] if head else None
+        est_query_bytes = n * (8 * len(vec0) + 48) if vec0 else 0
         topk = ivf_topk_prebuilt(
             centroids, assign, corpus, corpus, k,
             nprobe=nprobe, id_col=id_col, vec_col=vec_col,

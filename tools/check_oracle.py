@@ -103,11 +103,17 @@ def main() -> int:
         regime_skips["curation_pipeline_v5"] = why
     sem_corpus = n_emb + (n_emb + 9) // 10  # embeddings + every-10th copies
     if sem_corpus > SEM_FIXED_CELLS_MAX_VECTORS:
-        regime_skips["dedup_semantic"] = (
+        sem_why = (
             f"{sem_corpus} sem-corpus vectors > "
             f"SEM_FIXED_CELLS_MAX_VECTORS={SEM_FIXED_CELLS_MAX_VECTORS}: "
             "query sizes cells ~sqrt(n), oracle pins 16 cells"
         )
+        regime_skips["dedup_semantic"] = sem_why
+        # same corpus (embeddings + every-10th perturbed copies), same
+        # default n_cells=None inside sim.semantic_dedup — above the
+        # threshold the recall audit runs sqrt-n cells while its oracle
+        # CTE pins 16 (r8 ADVICE)
+        regime_skips["dedup_semantic_recall"] = sem_why
 
     failures = []
     vacuous = []

@@ -104,9 +104,15 @@ def main() -> int:
             from _event_intelligence_data_warehouse_spark import cache
 
             cache.release_all()
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            log[name] = {"status": "oracle-error", "err": str(exc)[:300]}
+            print(f"FAIL {name}: oracle error: {exc}")
+            continue
         sn, sh, _ = fingerprint(scols, srows)
         on, oh, _ = fingerprint(ocols, orows)
         ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh
