@@ -637,83 +637,94 @@ _DRIVER_SAMPLE_TAIL = [
     "json_extract_props",
 ]
 
-# Round-8 promoted slate + the exact driver sample, pinned. The head is
+# Round-9 rotated slate + the exact driver sample, pinned. The head is
 # an explicit list (r5 lesson: registration-order inference broke when a
 # new query registered mid-head): exactly these 50, in this order.
-# ALL 50 are never-driver-verified (r7 verdict item 1: after 7 rounds
-# 115 of 262 queries had never had a driver row; this head moves
-# cumulative driver coverage from 147 to 197 = 75.2%). Slate
-# composition mirrors the verdict's named tail:
-# - the three r7 additions still without a driver row:
-#   multimodal_audio_vad (byte-exact WAV VAD), curation_pipeline_v5
-#   (kNN->LPA->election, exact regime at sf0.01),
-#   stats_wilcoxon_signed_rank (centering FIXED this round — the
-#   driver row is the regression evidence);
-# - olap_* x16 (the biggest never-verified block: TPC-H-shaped
-#   snowflake joins, EXISTS/histogram/Pareto/RFM/ABC shapes);
-# - text_* x8 (tf-idf, gopher/C4 filters, RAKE, trigram backoff LM,
-#   winnowing overlap, repetition, vocab growth);
-# - timeseries_* x5 (gapfill, OHLC, STL-ish seasonal anomaly, Holt,
-#   linear interpolation);
-# - governance_* x4 (k-anonymity, l-diversity, masked read,
-#   reconciliation audit);
-# - streaming_* x3 (watermark dedup, outer interval join, EWMA);
-# - analytics/cohort/basket x6 (growth accounting, rolling WAU,
-#   cohort LTV, multitouch attribution, retention, pair lift);
-# - stats_* x3 (bootstrap CI, Benford, numeric correlations);
-# - one each: events_markov_transitions (first-order chain),
-#   sketch_cms_heavy_hitters (CMS).
+# Third WHOLESALE rotation onto never-driver-verified names (r8 verdict
+# item 2): after r8, 68 of 264 registry entries still had no driver row;
+# these 50 move cumulative coverage 196 -> ~246 (93%), leaving an
+# 18-name residue for r10 (agg_quantiles_interpolated,
+# analytics_activity_streaks, clean_mad_outliers,
+# curation_mixture_temperature, daily_event_stats, dedup_cluster_sizes,
+# dedup_similarity_histogram, embedding_contrastive_pairs,
+# events_top_paths, fx_case_mapping, governance_bot_regularity,
+# join_left_unmatched, round_nullif_guard, sample_weighted_by_quality,
+# setop_customer_cohorts, sketch_binned_quantiles,
+# stats_analyze_columns, trending_types_weekly).
+# One deliberate exception to "never verified": timeseries_ohlc_hourly
+# carries an r8 driver-RED row (hash mismatch, rows/schema green —
+# the registry's only DECIMAL-typed output column, since rebuilt as an
+# integer-cents fold); it re-enters the head so the fix lands a green
+# driver row, per r8 verdict item 1. The no-prior-GREEN invariant in
+# tests/test_pipeline.py still holds for it.
+# Slate composition: olap x7 (disjunctive OR-of-ANDs, forecast delta,
+# important-part value, late-shipment priority, single-late-supplier,
+# supplier part counts, trade volume pairs — the last never-verified
+# TPC-H shapes), text x6 (ccnet buckets, keyword chi2, fertility,
+# langid confusion, n-gram novelty, PMI), dedup x5 (bloom-prefiltered
+# incremental, canonical keep-best, distinct pairs, global lines,
+# semantic recall), join x4 (as-of, fuzzy-blocked, lateral top-k,
+# null-safe), similarity x4 (incremental IVF, range search, IVF-PQ
+# residual, MMR rerank), stats x4 (A/B conversion, autocorr, group
+# variance, regression trend), embedding x3 (int8 quantize, quantized
+# recall, trimmed centroids), timeseries x3 (CUSUM, EWMA, OHLC),
+# curation x2 (pipeline_v4, prototypes), and one each: agg_unpivot,
+# analytics_user_concentration, clean_winsorize, governance_stats_drift,
+# json_variant_stats, sample_stratified_exact, setop_multiset_ops,
+# sketch_hll_grouped_merge, sql_frontend_daily_mix,
+# storage_jsonl_export_roundtrip, streaming_static_enrich_cohort,
+# window_value_family.
 _DRIVER_SAMPLE_HEAD = [
-    "multimodal_audio_vad",
-    "curation_pipeline_v5",
-    "stats_wilcoxon_signed_rank",
-    "olap_pricing_summary",
-    "olap_shipping_priority",
-    "olap_local_supplier_volume",
-    "olap_top_supplier_share",
-    "olap_small_order_revenue",
-    "olap_large_orders",
-    "olap_promo_revenue_share",
-    "olap_returned_item_report",
-    "olap_margin_by_nation_year",
-    "olap_rfm_segmentation",
-    "olap_pareto_frontier",
-    "olap_abc_classification",
-    "olap_customer_order_histogram",
-    "olap_share_of_parent",
-    "olap_order_priority_exists",
-    "olap_dormant_rich_customers",
-    "text_tfidf_top_terms",
-    "text_gopher_filters",
-    "text_c4_line_filter",
-    "text_rake_keyphrases",
-    "text_lm_trigram_backoff",
-    "text_winnowing_overlap_pairs",
-    "text_repetition_filter",
-    "text_vocab_growth",
-    "timeseries_gapfill_daily",
     "timeseries_ohlc_hourly",
-    "timeseries_seasonal_anomaly",
-    "timeseries_holt_forecast",
-    "timeseries_interpolate_linear",
-    "governance_k_anonymity",
-    "governance_l_diversity",
-    "governance_masked_read",
-    "governance_reconciliation_audit",
-    "streaming_dedup_within_watermark",
-    "streaming_attribution_outer",
-    "streaming_ewma_daily",
-    "analytics_growth_accounting",
-    "analytics_rolling_wau",
-    "analytics_cohort_ltv",
-    "analytics_multitouch_attribution",
-    "cohort_retention",
-    "basket_part_pair_lift",
-    "stats_bootstrap_mean_ci",
-    "stats_benford_screen",
-    "stats_numeric_correlations",
-    "events_markov_transitions",
-    "sketch_cms_heavy_hitters",
+    "olap_disjunctive_promo_revenue",
+    "olap_forecast_revenue_change",
+    "olap_important_part_value",
+    "olap_late_shipment_priority",
+    "olap_single_late_supplier",
+    "olap_supplier_part_counts",
+    "olap_trade_volume_pairs",
+    "text_ccnet_buckets",
+    "text_keyword_chi2",
+    "text_lang_fertility",
+    "text_langid_confusion",
+    "text_ngram_novelty",
+    "text_pmi_collocations",
+    "dedup_bloom_prefilter_incremental",
+    "dedup_canonical_keep_best",
+    "dedup_distinct_pairs",
+    "dedup_global_lines",
+    "dedup_semantic_recall",
+    "join_asof_nearest_run",
+    "join_fuzzy_blocked",
+    "join_lateral_topk",
+    "join_null_safe",
+    "similarity_ivf_incremental",
+    "similarity_ivf_range_search",
+    "similarity_ivfpq_residual_topk",
+    "similarity_mmr_rerank",
+    "stats_ab_conversion",
+    "stats_autocorr_daily",
+    "stats_group_variance",
+    "stats_regression_daily_trend",
+    "embedding_quantize_int8",
+    "embedding_quantized_topk_recall",
+    "embedding_trimmed_centroids",
+    "timeseries_cusum_total",
+    "timeseries_ewma_daily",
+    "curation_pipeline_v4",
+    "curation_prototypes",
+    "agg_unpivot_metrics",
+    "analytics_user_concentration",
+    "clean_winsorize_values",
+    "governance_stats_drift",
+    "json_variant_stats",
+    "sample_stratified_exact",
+    "setop_multiset_ops",
+    "sketch_hll_grouped_merge",
+    "sql_frontend_daily_mix",
+    "storage_jsonl_export_roundtrip",
+    "streaming_static_enrich_cohort",
+    "window_value_family",
 ]
 
 

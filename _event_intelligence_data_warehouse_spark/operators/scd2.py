@@ -90,8 +90,9 @@ def scd2_apply(
         fresh = fresh.withColumn(
             c, defaults.get(c, F.lit(None).cast(dict(current_table.dtypes)[c]))
         )
+    # bulk=False: SCD2 change slices are dimension-cardinality
     fresh = assign_surrogate_keys(
-        current_table, fresh, sk_col, order_by or [nk]
+        current_table, fresh, sk_col, order_by or [nk], bulk=False
     ).select(current_table.columns)
 
     return (

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from _event_intelligence_data_warehouse_spark import cache
+
 
 def dedup_keys(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
     """Top-1-per-group with a deterministic ordering (U2): the engine's
@@ -79,28 +81,96 @@ def merge_upsert(
     )
 
 
+#: Above this many new rows the global-window surrogate path would sort
+#: the whole batch on ONE reducer; assign_surrogate_keys switches to the
+#: range-partitioned two-phase plan instead. Steady-state dimension
+#: batches sit far below it; an initial fact backfill (where every row
+#: is new) sits far above.
+SURROGATE_GLOBAL_WINDOW_MAX_ROWS = 1_000_000
+
+
 def assign_surrogate_keys(
     existing: DataFrame,
     new_rows: DataFrame,
     sk_col: str,
     order_by: list[str],
+    *,
+    bulk: bool | None = None,
 ) -> DataFrame:
-    """Deterministic surrogate keys for new dimension rows (U6): continue
-    from max(existing sk) with row_number over the natural-key order.
+    """Deterministic surrogate keys for new rows (U6): continue from
+    max(existing sk) in the total order of ``order_by`` — which must be
+    a UNIQUE key of ``new_rows`` (the natural key), or the total order
+    (and therefore the assignment) is not well defined.
 
-    The single-partition window only ever sees the *new distinct dimension
-    rows of one batch* (dimension cardinality, not fact cardinality), so
-    it is not a scale hazard; determinism is what makes results
-    reproducible across runs (SURVEY.md §7.3a).
+    Two value-identical physical regimes:
+
+    - **incremental** (``bulk=False``, or auto below
+      :data:`SURROGATE_GLOBAL_WINDOW_MAX_ROWS`): one unpartitioned
+      row_number window. The batch sorts on a single reducer — fine for
+      the bounded new-key slices of a steady-state load, a scale-killer
+      for a backfill. Dimension call sites (plans/dims.py, scd2) pin
+      ``bulk=False``: their batches are dimension-cardinality by
+      construction and the auto-probe's count job would be waste.
+    - **bulk** (``bulk=True``, or auto above the threshold — the FACT
+      path, plans/facts.py, auto-detects): repartitionByRange on the
+      natural key, per-range-partition row_number, plus an exclusive
+      prefix-sum of partition counts as offsets. Every partition sorts
+      in parallel; the only global window runs over O(#partitions)
+      count rows — the aggregate-scale frame class. Keys are identical
+      to the incremental path because range partitions tile the same
+      total order (pinned by tests/test_upsert_scd2.py).
+
+    The r8 docstring claimed the window "only ever sees dimension
+    cardinality" — false on the fact path (plans/facts.py assigns
+    event_sk through here), which is exactly why the bulk regime
+    exists (r8 verdict item 4).
     """
     base = existing.agg(
         F.coalesce(F.max(sk_col), F.lit(0)).cast("long").alias("__base")
     )
-    w = Window.orderBy(*order_by)
+    if bulk is None:
+        # auto-probe: persist first so the count job doesn't recompute
+        # the (join-shaped) lineage a second time for the real pass
+        new_rows = cache.persist(new_rows)
+        bulk = new_rows.count() > SURROGATE_GLOBAL_WINDOW_MAX_ROWS
+    if not bulk:
+        w = Window.orderBy(*order_by)
+        return (
+            new_rows.crossJoin(F.broadcast(base))
+            .withColumn(
+                sk_col,
+                (F.row_number().over(w) + F.col("__base")).cast("long"),
+            )
+            .drop("__base")
+        )
+    ranked = cache.persist(
+        new_rows.repartitionByRange(*[F.col(c) for c in order_by])
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(*order_by)
+            ),
+        )
+    )
+    # exclusive prefix-sum over O(#partitions) rows — bounded frame
+    counts = ranked.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    off_w = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+    )
     return (
-        new_rows.crossJoin(F.broadcast(base))
-        .withColumn(sk_col, (F.row_number().over(w) + F.col("__base")).cast("long"))
-        .drop("__base")
+        ranked.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(base))
+        .withColumn(
+            sk_col,
+            (F.col("__rn") + F.col("__off") + F.col("__base")).cast("long"),
+        )
+        .drop("__pid", "__rn", "__off", "__base")
     )
 
 

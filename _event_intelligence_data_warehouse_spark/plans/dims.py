@@ -57,7 +57,9 @@ def update_dim_date(existing: DataFrame, stg: DataFrame) -> DataFrame:
     )
     new = insert_if_absent(existing.select("full_date"), dates, ["full_date"])
     new = new.select(F.col("full_date"), *date_attributes(F.col("full_date")))
-    new = assign_surrogate_keys(existing, new, "date_id", ["full_date"])
+    new = assign_surrogate_keys(
+        existing, new, "date_id", ["full_date"], bulk=False
+    )
     return existing.unionByName(new.select(existing.columns))
 
 
@@ -77,8 +79,11 @@ def update_dim_category(
         new.withColumn("segment", F.lit(None).cast("string"))
         .withColumn("created_at", now)
     )
+    # bulk=False: distinct dimension slices are dimension-cardinality
+    # by construction; skip the auto-probe count job
     new = assign_surrogate_keys(
-        existing, new, "category_sk", ["category_name", "subcategory"]
+        existing, new, "category_sk", ["category_name", "subcategory"],
+        bulk=False,
     )
     return existing.unionByName(new.select(existing.columns))
 
@@ -92,7 +97,9 @@ def update_dim_source(existing: DataFrame, stg: DataFrame, now: Column) -> DataF
         new.withColumn("source_type", source_type_expr("source_name"))
         .withColumn("created_at", now)
     )
-    new = assign_surrogate_keys(existing, new, "source_sk", ["source_name"])
+    new = assign_surrogate_keys(
+        existing, new, "source_sk", ["source_name"], bulk=False
+    )
     return existing.unionByName(new.select(existing.columns))
 
 

@@ -201,13 +201,16 @@ def test_driver_sample_head_slate_invariants():
         assert must in QUERIES and must in ORACLES, (
             f"{must} lost its registration/oracle"
         )
-    # And the r8 head must actually BE the rotation it claims: no name
-    # may carry a prior-round driver-green row.
+    # And the r9 head must actually BE the rotation it claims: no name
+    # may carry a prior-round driver-green row. (timeseries_ohlc_hourly
+    # re-enters with an r8 RED row — rows green, hash red — which this
+    # invariant deliberately permits: a red row is exactly why a name
+    # re-enters the head.)
     import glob
     import json as _json
 
     prior_green: set[str] = set()
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0[1-7].json")):
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0[1-8].json")):
         for k, v in _json.load(open(f)).items():
             if v.get("rows_match") and v.get("hash_match"):
                 prior_green.add(k)

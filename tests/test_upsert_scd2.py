@@ -234,3 +234,62 @@ def test_validate_row_local_rules_share_one_scan(spark):
     assert plan.count("Range (0, 100") == 1, (
         "row-local rules re-scanned the input instead of sharing one pass"
     )
+
+
+def test_assign_surrogate_keys_bulk_path_identical(spark):
+    """The bulk regime (repartitionByRange + per-partition row_number +
+    exclusive prefix-sum offsets) must assign EXACTLY the keys the
+    global-window regime assigns — the r8 verdict item 4 contract."""
+    existing = spark.createDataFrame([(100, "zzz")], "sk long, nk string")
+    new = spark.range(0, 5000).selectExpr(
+        "concat('k', lpad(cast(id as string), 6, '0')) as nk",
+        "id * 2 as payload",
+    )
+    incremental = {
+        r.nk: r.sk
+        for r in assign_surrogate_keys(
+            existing, new, "sk", ["nk"], bulk=False
+        ).collect()
+    }
+    bulk = {
+        r.nk: r.sk
+        for r in assign_surrogate_keys(
+            existing, new, "sk", ["nk"], bulk=True
+        ).collect()
+    }
+    assert bulk == incremental
+    assert incremental["k000000"] == 101
+    assert incremental["k004999"] == 5100
+    assert len(set(incremental.values())) == 5000
+
+
+def test_assign_surrogate_keys_bulk_plan_has_no_global_sort(spark):
+    """The bulk plan's row-scale sort must be range-partitioned (every
+    partition sorts in parallel); the only single-partition window runs
+    over the O(#partitions) count frame."""
+    from _event_intelligence_data_warehouse_spark.operators.upsert import (
+        assign_surrogate_keys,
+    )
+
+    existing = spark.createDataFrame([(0, "x")], "sk long, nk string")
+    new = spark.range(0, 10000).selectExpr("cast(id as string) as nk")
+    plan = (
+        assign_surrogate_keys(existing, new, "sk", ["nk"], bulk=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning(nk" in plan, plan[:1500]
+    # the row-scale window partitions by __pid — never an empty
+    # PARTITION BY over the new-rows frame
+    assert "windowspecdefinition(__pid" in plan or "__pid" in plan
+
+
+def test_assign_surrogate_keys_auto_probe_routes_small_batch(spark):
+    """bulk=None on a small batch must keep the incremental keys (the
+    auto-probe threshold sits far above any dimension batch)."""
+    existing = spark.createDataFrame([(5, "x")], "sk long, nk string")
+    new = spark.createDataFrame([("b",), ("a",)], "nk string")
+    out = {
+        r.nk: r.sk
+        for r in assign_surrogate_keys(existing, new, "sk", ["nk"]).collect()
+    }
+    assert out == {"a": 6, "b": 7}
