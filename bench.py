@@ -115,6 +115,20 @@ the flagged trio totals within band, see below):
   covariance 2.25 s; the two r8 additions record
   similarity_ivf_range_search 2.38 s / dedup_global_lines sub-1 s
   first-round references.
+
+Round-9 notes:
+- Flag adjudication (r8 verdict item 3): the DRIVER-side
+  dedup_semantic_apply +34% (2.96 -> 3.96 s in BENCH_r08.json) does
+  NOT reproduce as a code regression. Clean-box A/B on 2026-08-16,
+  same box same hour, r7 round commit (d442814) vs r9 HEAD, sf0.1,
+  local[32], 3 reps each: r7 apply 7.93/5.90/5.53 s vs HEAD apply
+  4.58/3.73/3.71 s — the r8 rework (norm precompute in
+  semantic_dedup_prebuilt's pair scoring) made apply 1.5-1.7x
+  FASTER at identical semantics; the driver's delta is the
+  documented ambient drift band (same class as r8's
+  fact_build_star adjudication). Build: 12.4 s (r7) vs 13.3 s
+  (HEAD) — within band, and HEAD's build includes the new
+  rank_cells model-cardinality probe (one O(model) count job).
 """
 
 from __future__ import annotations

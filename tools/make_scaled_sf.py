@@ -37,6 +37,11 @@ defaults to /root/repo/.scaled/sf1 (gitignored).
 
 Usage: python tools/make_scaled_sf.py [--src /root/testdata/sf0.1]
                                       [--out /root/repo/.scaled/sf1]
+                                      [--copies 10]
+
+``--copies 3`` builds an intermediate "sf0.3" for three-point scaling
+curves (r8 verdict item 6: distinguish linear candidate growth from a
+super-linear term needs more than one step).
 """
 
 from __future__ import annotations
@@ -50,7 +55,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-COPIES = 10
+COPIES = 10  # default; overridden by --copies
 ORDER_STRIDE = 10_000_000
 CUST_STRIDE = 1_000_000
 EVENT_STRIDE = 100_000_000
@@ -61,10 +66,12 @@ VEC_STRIDE = 1_000_000
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
 
-def _shifted_copies(table: pa.Table, shifts: dict[str, int]) -> list[pa.Table]:
+def _shifted_copies(
+    table: pa.Table, shifts: dict[str, int], copies: int
+) -> list[pa.Table]:
     out = [table]
     df = table.to_pandas()
-    for i in range(1, COPIES):
+    for i in range(1, copies):
         c = df.copy()
         for col, stride in shifts.items():
             c[col] = c[col] + i * stride
@@ -105,7 +112,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scaled/sf1")
+    ap.add_argument("--copies", type=int, default=COPIES)
     args = ap.parse_args()
+    copies = args.copies
     os.makedirs(args.out, exist_ok=True)
 
     # fixed dims: carry verbatim
@@ -125,8 +134,8 @@ def main() -> None:
         if os.path.exists(dst):
             continue
         src = pq.read_table(os.path.join(args.src, f"{t}.parquet"))
-        _write(_shifted_copies(src, shifts), dst)
-        print(f"wrote {t}: {src.num_rows} -> {src.num_rows * COPIES} rows")
+        _write(_shifted_copies(src, shifts, copies), dst)
+        print(f"wrote {t}: {src.num_rows} -> {src.num_rows * copies} rows")
 
     dst = os.path.join(args.out, "documents.parquet")
     if not os.path.exists(dst):
@@ -135,10 +144,10 @@ def main() -> None:
         parts = [src] + [
             pa.Table.from_pandas(_docs_copy(df, i), schema=src.schema,
                                  preserve_index=False)
-            for i in range(1, COPIES)
+            for i in range(1, copies)
         ]
         _write(parts, dst)
-        print(f"wrote documents: {src.num_rows} -> {src.num_rows * COPIES} rows")
+        print(f"wrote documents: {src.num_rows} -> {src.num_rows * copies} rows")
 
     dst = os.path.join(args.out, "embeddings.parquet")
     if not os.path.exists(dst):
@@ -147,10 +156,10 @@ def main() -> None:
         parts = [src] + [
             pa.Table.from_pandas(_emb_copy(df, i), schema=src.schema,
                                  preserve_index=False)
-            for i in range(1, COPIES)
+            for i in range(1, copies)
         ]
         _write(parts, dst)
-        print(f"wrote embeddings: {src.num_rows} -> {src.num_rows * COPIES} rows")
+        print(f"wrote embeddings: {src.num_rows} -> {src.num_rows * copies} rows")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,71 @@ SMJ_ADJUDICATED = {
         "zero-exchange in test_bucketing",
 }
 
+# Unpartitioned (single-reducer) Window nodes, sanctioned per site the
+# way py-eval nodes are (r8 verdict item 5: 378 runtime "No Partition
+# Defined for Window" warnings were invisible in this audit). A global
+# window is legitimate ONLY over an aggregate-scale frame — O(groups),
+# O(buckets), O(days), O(model) rows that have already been reduced —
+# never over a row-scale frame (that hazard class is what
+# assign_surrogate_keys' bulk regime exists for). Names are FAMILY
+# PREFIXES mapped to the bounded frame the window runs over; a query
+# whose plan shows a global Window and matches no entry fails the
+# audit (exit 1), same as a row-at-a-time UDF.
+GLOBAL_WINDOW_OK: dict[str, str] = {}
+
+
+def _sanction_global_window(name: str) -> str | None:
+    """Reason the named query's global window is aggregate-scale, or
+    None if unsanctioned. Checked per-query below; reasons surface in
+    the notes column."""
+    return GLOBAL_WINDOW_OK.get(name)
+
+
+def count_global_windows(plan: str) -> int:
+    """Count physical Window nodes with NO partition spec.
+
+    A Window line carries bracketed argument groups after the node
+    name: ``Window [exprs], [partitionBy], [orderBy]`` when partitioned
+    AND ordered, ``Window [exprs], [orderBy]`` when GLOBAL ordered,
+    ``Window [exprs], [partitionBy]`` when partitioned UNordered (an
+    aggregate-over-partition frame — hash-partitioned, NOT global).
+    The 2-group shapes disambiguate by content: an orderBy group
+    carries sort directions (`ASC`/`DESC`); a partitionBy group is
+    bare columns. An EMPTY trailing group (``Window.partitionBy()``
+    with no order) is also global. Depth-tracked so nested brackets
+    inside expressions don't split groups; verified against Spark 4.1
+    executedPlan output."""
+    import re
+
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?<![A-Za-z])Window \[", line)
+        if not m:
+            continue
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in line[m.end() - 1:]:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                else:
+                    buf.append(ch)
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                else:
+                    buf.append(ch)
+            elif depth > 0:
+                buf.append(ch)
+        if len(groups) == 2:
+            tail = groups[1]
+            if tail.strip() == "" or re.search(r"\b(ASC|DESC)\b", tail):
+                n += 1
+    return n
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -56,13 +121,14 @@ def main() -> None:
 
     rows = []
     row_udf_offenders = []
+    global_window_offenders = []
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, sf_dir)
             df.collect()  # drive to completion so AQE finalizes the plan
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # pragma: no cover
-            rows.append((name, "-", "-", "-", "-", f"ERROR {exc}"))
+            rows.append((name, "-", "-", "-", "-", "-", f"ERROR {exc}"))
             continue
         # Keep only the final adaptive plan; the "Initial Plan" section
         # repeats the pre-AQE tree and would double-count.
@@ -80,6 +146,7 @@ def main() -> None:
         row_udf = plan.count("BatchEvalPython")
         if row_udf:
             row_udf_offenders.append(name)
+        n_gw = count_global_windows(plan)
         notes = []
         if n_ex == 0:
             notes.append("shuffle-free")
@@ -87,9 +154,16 @@ def main() -> None:
             notes.append("arrow-batched pandas (sanctioned)")
         if name in SMJ_ADJUDICATED and n_smj:
             notes.append(SMJ_ADJUDICATED[name])
+        if n_gw:
+            reason = _sanction_global_window(name)
+            if reason:
+                notes.append(f"global window sanctioned: {reason}")
+            else:
+                global_window_offenders.append(name)
+                notes.append("GLOBAL WINDOW UNSANCTIONED")
         rows.append(
             (name, str(n_ex), str(n_bc), str(n_smj),
-             str(arrow + row_udf), "; ".join(notes))
+             str(arrow + row_udf), str(n_gw), "; ".join(notes))
         )
         cache.release_all()
 
@@ -103,10 +177,14 @@ def main() -> None:
         "Columns: exchanges (shuffle/broadcast materialization points), "
         "broadcast joins, sort-merge joins, python-eval nodes "
         "(Arrow-batched Pandas only — row-at-a-time BatchEvalPython is "
-        "a hard failure).",
+        "a hard failure), global windows (unpartitioned Window nodes — "
+        "legitimate only over aggregate-scale frames; every nonzero "
+        "count carries a per-site sanction in notes, an unsanctioned "
+        "one is a hard failure).",
         "",
-        "| query | exchanges | bcast joins | sortmerge | py-eval | notes |",
-        "|---|---|---|---|---|---|",
+        "| query | exchanges | bcast joins | sortmerge | py-eval "
+        "| glob-win | notes |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in sorted(rows):
         out.append("| " + " | ".join(r) + " |")
@@ -123,10 +201,25 @@ def main() -> None:
             f"{sorted(ARROW_OK)}."
         )
     out.append("")
+    if global_window_offenders:
+        out.append(
+            "**UNSANCTIONED GLOBAL WINDOWS FOUND**: "
+            + ", ".join(sorted(global_window_offenders))
+        )
+    else:
+        out.append(
+            "No unsanctioned global (unpartitioned) Window nodes: every "
+            "nonzero glob-win row carries an aggregate-scale sanction "
+            "from tools/plan_audit.py GLOBAL_WINDOW_OK."
+        )
+    out.append("")
     with open(f"{REPO}/PLAN_AUDIT.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLAN_AUDIT.md ({len(rows)} queries)")
-    if row_udf_offenders:
+    if global_window_offenders:
+        print("UNSANCTIONED GLOBAL WINDOWS:",
+              ", ".join(sorted(global_window_offenders)))
+    if row_udf_offenders or global_window_offenders:
         sys.exit(1)
 
 
