@@ -219,18 +219,19 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ranked AS (
         SELECT event_type,
-               CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY CAST(value AS DECIMAL(18,2)),
+                                  ORDER BY CAST(floor(value * 100 + 0.5)
+                                                AS BIGINT),
                                            event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events
     )
     SELECT event_type,
            CAST(MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
-                         THEN v END) AS DOUBLE) AS p50,
+                         THEN v END) AS DOUBLE) / 100.0 AS p50,
            CAST(MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
-                         THEN v END) AS DOUBLE) AS p95
+                         THEN v END) AS DOUBLE) / 100.0 AS p95
     FROM ranked
     GROUP BY event_type
     """,
@@ -240,9 +241,12 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(p*(n-1))+1 — selection, not interpolation, because continuous
     quantile interpolation arithmetic is engine-specific while rank
     selection is pure integer logic. (The deterministic tie-break on
-    event_id makes the picked element unique even among equal values.)"""
+    event_id makes the picked element unique even among equal values.)
+    Values quantize to integer CENTS (floor(x*100+0.5), identical IEEE
+    both engines) rather than a double->DECIMAL cast — the r8
+    timeseries_ohlc_hourly driver-red rounding-tie class (r9 sweep)."""
     e = load(spark, sf_dir, "events")
-    v = F.col("value").cast(_DEC)
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     w = Window.partitionBy("event_type").orderBy(v, "event_id")
     wn = Window.partitionBy("event_type")
     ranked = e.select(
@@ -257,8 +261,8 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.max(F.when(F.col("rn") == target, F.col("v")))
 
     return ranked.groupBy("event_type").agg(
-        pick(0.5).cast("double").alias("p50"),
-        pick(0.95).cast("double").alias("p95"),
+        (pick(0.5).cast("double") / F.lit(100.0)).alias("p50"),
+        (pick(0.95).cast("double") / F.lit(100.0)).alias("p95"),
     )
 
 
@@ -268,13 +272,13 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_value
         FROM events
         GROUP BY 1
     )
     SELECT day, n_events,
            CAST(AVG(n_events) OVER w AS DOUBLE) AS avg_events_7d,
-           CAST(SUM(day_value) OVER w AS DOUBLE) AS sum_value_7d
+           CAST(SUM(day_value) OVER w AS DOUBLE) / 100.0 AS sum_value_7d
     FROM daily
     WINDOW w AS (ORDER BY day - DATE '1970-01-01'
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -285,12 +289,14 @@ def window_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     series — a RANGE frame over the integer day number, so gap days
     shrink the window instead of silently stretching it (a ROWS frame
     would span >7 days across gaps). The frame runs over the AGGREGATED
-    daily frame (≤ days rows), never the raw events; framed sums stay in
-    the decimal domain until the final double cast."""
+    daily frame (≤ days rows), never the raw events; framed sums fold
+    integer cents (floor(x*100+0.5), identical IEEE both engines — the
+    r8 ohlc driver-red tie class, r9 sweep) until the final double."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast(_DEC)).alias("day_value"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .alias("day_value"),
     )
     day_num = F.datediff("day", F.lit("1970-01-01").cast("date"))
     w = Window.orderBy(day_num).rangeBetween(-6, Window.currentRow)
@@ -298,7 +304,8 @@ def window_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_events",
         F.avg("n_events").over(w).cast("double").alias("avg_events_7d"),
-        F.sum("day_value").over(w).cast("double").alias("sum_value_7d"),
+        (F.sum("day_value").over(w).cast("double") / F.lit(100.0))
+        .alias("sum_value_7d"),
     )
 
 

@@ -434,7 +434,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-               CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
                lag(CAST(ts AS TIMESTAMP)) OVER (
                    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
                ) AS prev
@@ -455,7 +455,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 6 HOUR AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(v) AS DOUBLE) AS total_value
+           CAST(SUM(v) AS DOUBLE) / 100.0 AS total_value
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -477,8 +477,9 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double").alias("total_value"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("bigint")).cast("double") / F.lit(100.0))
+            .alias("total_value"),
         )
         .select(
             "user_id",
@@ -2144,7 +2145,7 @@ def analytics_user_concentration(
                f.cohort_day,
                DATE_DIFF('day', f.cohort_day,
                          CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS age,
-               SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
                    AS rev_c
         FROM events e JOIN firstday f USING (user_id)
         WHERE e.event_type = 'purchase'
@@ -2200,7 +2201,7 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
             ).alias("rev_c")
         )
     )
@@ -3049,4 +3050,75 @@ def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("community").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("node_id").cast("bigint").alias("rep_vec_id"),
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT pa AS n, pb AS m FROM e
+        UNION ALL
+        SELECT pb AS n, pa AS m FROM e
+    ), deg AS (
+        SELECT n, COUNT(*) AS d FROM sym GROUP BY 1
+    ), symf AS (
+        SELECT s.n, s.m FROM sym s JOIN deg ON deg.n = s.n
+        WHERE deg.d <= 64
+    ), w AS (
+        SELECT x.m AS node_a, y.m AS node_b, COUNT(*) AS cn
+        FROM symf x JOIN symf y ON x.n = y.n AND x.m < y.m
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT w.* FROM w
+        LEFT JOIN e ON e.pa = w.node_a AND e.pb = w.node_b
+        WHERE e.pa IS NULL
+    )
+    SELECT CAST(c.node_a AS BIGINT) AS node_a,
+           CAST(c.node_b AS BIGINT) AS node_b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           CAST(da.d * db.d AS BIGINT) AS degree_product
+    FROM cand c
+    JOIN deg da ON da.n = c.node_a
+    JOIN deg db ON db.n = c.node_b
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph
+    (operators/graph.py::common_neighbors): parts co-occurring in >= 2
+    orders form the undirected edge set; every NON-adjacent part pair
+    sharing a neighbor scores its common-neighbor count plus degree
+    product (preferential attachment) — the Liben-Nowell/Kleinberg
+    baseline, the "probably related but unlinked" candidates a
+    recommender or entity-merge pass consumes. Hub suppression at
+    degree 64 is mirrored exactly in the oracle (no effect at tested
+    SFs — max degree 13 — but bounds the wedge fan-out at scale the
+    way dedup hot buckets do). 100 TB: wedge counting is one
+    equi-self-join on the shared-middle key with map-side-combinable
+    counts; the anti-join runs on the sparse candidate output."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"),
+              (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+              & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("pa"),
+                 F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= 2)
+        .select("pa", "pb")
+    )
+    return g.common_neighbors(
+        edges, src_col="pa", dst_col="pb", min_common=1, max_hub_degree=64
     )

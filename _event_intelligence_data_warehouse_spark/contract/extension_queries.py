@@ -2016,12 +2016,12 @@ def sketch_hll_grouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)))
-                AS DOUBLE) AS sum_value,
-           CAST(MIN(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)))
-                AS DOUBLE) AS min_value,
-           CAST(MAX(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)))
-                AS DOUBLE) AS max_value
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+           CAST(MIN(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+           CAST(MAX(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS max_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -2262,9 +2262,12 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
-           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_value,
+           CAST(MIN(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS min_value,
+           CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS max_value
     FROM events
     GROUP BY event_type
     """,
@@ -2279,7 +2282,8 @@ def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
-        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint").alias("v"),
     )
     out = skew.salted_agg(
         e,
@@ -2296,9 +2300,12 @@ def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n_events",
-        F.col("sum_value").cast("double").alias("sum_value"),
-        F.col("min_value").cast("double").alias("min_value"),
-        F.col("max_value").cast("double").alias("max_value"),
+        (F.col("sum_value").cast("double") / F.lit(100.0))
+        .alias("sum_value"),
+        (F.col("min_value").cast("double") / F.lit(100.0))
+        .alias("min_value"),
+        (F.col("max_value").cast("double") / F.lit(100.0))
+        .alias("max_value"),
     )
 
 
@@ -2315,7 +2322,8 @@ def agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * 3600000000 + 3600000000) AS window_end,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -2381,7 +2389,8 @@ def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_value,
            (epoch_us(MAX(ts)) // 1000000) - (epoch_us(MIN(ts)) // 1000000)
                AS duration_seconds
     FROM sessions
@@ -3576,9 +3585,10 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ranked AS (
         SELECT event_id, event_type,
-               CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY CAST(value AS DECIMAL(18,2)),
+                                  ORDER BY CAST(floor(value * 100 + 0.5)
+                                                AS BIGINT),
                                            event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events
@@ -3591,7 +3601,7 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked GROUP BY event_type
     )
     SELECT r.event_id, r.event_type,
-           CAST(least(greatest(r.v, c.lo), c.hi) AS DOUBLE)
+           CAST(least(greatest(r.v, c.lo), c.hi) AS DOUBLE) / 100.0
                AS value_clamped,
            CAST(CASE WHEN r.v < c.lo OR r.v > c.hi
                      THEN 1 ELSE 0 END AS BIGINT) AS clamped
@@ -3602,14 +3612,19 @@ def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise winsorization of event values at exact p05/p95 rank
     selections — robust preprocessing before normalization; clamp
     bounds are integer rank picks, so both engines choose the identical
-    element."""
+    element. Values quantize to integer CENTS (floor(x*100+0.5), pure
+    double floor — identical IEEE both engines) instead of a
+    double->DECIMAL cast, whose Spark-shortest-repr-HALF_UP vs
+    DuckDB-exact-binary rounding splits on half-cent ties (the r8
+    timeseries_ohlc_hourly driver-red class; r9 registry sweep)."""
     from _event_intelligence_data_warehouse_spark.operators import (
         sampling as smp,
     )
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type",
-        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint").alias("value"),
     )
     out = smp.winsorize(
         e, "value", ["event_type"], p_lo=0.05, p_hi=0.95,
@@ -3617,7 +3632,8 @@ def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "event_type",
-        F.col("value_clamped").cast("double").alias("value_clamped"),
+        (F.col("value_clamped").cast("double") / F.lit(100.0))
+        .alias("value_clamped"),
         "clamped",
     )
 
@@ -4821,7 +4837,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH vals AS (
         SELECT event_id, event_type,
-               CAST(value AS DECIMAL(18,2)) AS v
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
         FROM events
     ), med AS (
         SELECT event_type, v AS group_median FROM (
@@ -4845,9 +4861,9 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rk = (n + 1) // 2
     )
     SELECT d.event_id, d.event_type,
-           CAST(d.v AS DOUBLE) AS value,
-           CAST(d.group_median AS DOUBLE) AS group_median,
-           CAST(a.group_mad AS DOUBLE) AS group_mad,
+           CAST(d.v AS DOUBLE) / 100.0 AS value,
+           CAST(d.group_median AS DOUBLE) / 100.0 AS group_median,
+           CAST(a.group_mad AS DOUBLE) / 100.0 AS group_mad,
            (d.d > 3 * a.group_mad) AS is_outlier
     FROM dev d JOIN mad a USING (event_type)
     """,
@@ -4863,16 +4879,19 @@ def clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type",
-        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint").alias("v"),
     )
     out = smp.mad_outliers(
         e, "v", ["event_type"], k=3, tiebreak_col="event_id"
     )
     return out.select(
         "event_id", "event_type",
-        F.col("v").cast("double").alias("value"),
-        F.col("group_median").cast("double").alias("group_median"),
-        F.col("group_mad").cast("double").alias("group_mad"),
+        (F.col("v").cast("double") / F.lit(100.0)).alias("value"),
+        (F.col("group_median").cast("double") / F.lit(100.0))
+        .alias("group_median"),
+        (F.col("group_mad").cast("double") / F.lit(100.0))
+        .alias("group_mad"),
         "is_outlier",
     )
 
@@ -5740,7 +5759,7 @@ WITH ev AS (
     SELECT * FROM events WHERE {_LERP_KEEP}
 ), daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day,
-           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
                AS value_c
     FROM ev GROUP BY 1, 2
 ), span AS (
@@ -5806,7 +5825,7 @@ def timeseries_interpolate_linear(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(
         F.sum(
-            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
         ).alias("value_c")
     )
     span = e.agg(
@@ -6566,3 +6585,232 @@ def dedup_global_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum the semantics admit."""
     docs = load(spark, sf_dir, "documents")
     return dd.global_line_dedup(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: density clustering, graded contamination, video frame sampling
+# ---------------------------------------------------------------------------
+
+# DBSCAN corpus: embeddings plus deterministic SATELLITES around every
+# 10th vector — v + (j/10)*reverse(v) for j = 1..(1 + (vec_id//10) % 4),
+# ids offset by +1_000_000*j. Pure double arithmetic in one fixed
+# evaluation order, so both engines materialize bit-identical vectors;
+# satellite counts vary 1-4 so the corpus genuinely mixes core / border
+# / noise roles at eps_sim=0.98, min_pts=4 (empirically 46/50/527 at
+# sf0.01, 209/190/2101 at sf0.1 — no role class is vacuous).
+_DB_VECS_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT e.vec_id + 1000000 * j.j AS vec_id,
+           list_transform(generate_series(1, len(e.v)),
+                          i -> e.v[i] + (j.j / 10.0)
+                               * e.v[len(e.v) + 1 - i]) AS v
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id % 10 = 0) e
+    JOIN (SELECT unnest(generate_series(1, 4)) AS j) j
+      ON j.j <= 1 + (e.vec_id // 10) % 4"""
+
+_DB_EPS = 0.98
+_DB_MIN_PTS = 4
+
+_DB_COS = (
+    "list_dot_product(x.v, y.v)"
+    " / (sqrt(list_dot_product(x.v, x.v))"
+    " * sqrt(list_dot_product(y.v, y.v)))"
+)
+
+_DBSCAN_SQL = (
+    _ivf_train_cte(_DB_VECS_SRC).replace("WITH vecs", "WITH RECURSIVE vecs", 1)
+    + _CELL_SCORES_CTE
+    + f"""
+, assign AS (
+    SELECT vec_id, cell FROM cell_scores WHERE cell_rank = 1
+), m AS (
+    SELECT a.vec_id, a.cell, v.v FROM assign a JOIN vecs v USING (vec_id)
+), pr AS (
+    SELECT x.vec_id AS ia, y.vec_id AS ib
+    FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE {_DB_COS} >= {_DB_EPS}
+), sym AS (
+    SELECT ia AS a, ib AS b FROM pr
+    UNION ALL
+    SELECT ib AS a, ia AS b FROM pr
+), core AS (
+    SELECT a AS vec_id FROM sym GROUP BY a
+    HAVING COUNT(*) + 1 >= {_DB_MIN_PTS}
+), ce AS (
+    SELECT s.a, s.b FROM sym s
+    JOIN core c1 ON c1.vec_id = s.a
+    JOIN core c2 ON c2.vec_id = s.b
+), reach AS (
+    SELECT vec_id AS src, vec_id AS node FROM core
+    UNION
+    SELECT r.src, e.b AS node FROM reach r JOIN ce e ON r.node = e.a
+), comp AS (
+    SELECT src AS vec_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+), border AS (
+    SELECT s.a AS vec_id, MIN(c.cluster_id) AS cluster_id
+    FROM sym s JOIN comp c ON c.vec_id = s.b
+    WHERE s.a NOT IN (SELECT vec_id FROM core)
+    GROUP BY s.a
+)
+SELECT a.vec_id,
+       CASE WHEN cm.vec_id IS NOT NULL THEN 'core'
+            WHEN b.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cm.cluster_id, b.cluster_id, -1) AS BIGINT)
+           AS cluster_id
+FROM assign a
+LEFT JOIN comp cm ON cm.vec_id = a.vec_id
+LEFT JOIN border b ON b.vec_id = a.vec_id
+"""
+)
+
+
+def _dbscan_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _DB_VECS_SRC: same arithmetic, same evaluation
+    order, so the satellite vectors are bit-identical doubles."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("embedding")
+    )
+    sats = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .withColumn(
+            "j",
+            F.explode(F.expr(
+                "sequence(1, CAST(1 + (vec_id div 10) % 4 AS INT))"
+            )),
+        )
+        .select(
+            (F.col("vec_id") + 1000000 * F.col("j")).alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, size(embedding)), "
+                "i -> embedding[i-1] + (CAST(j AS DOUBLE) / 10.0) "
+                "* embedding[size(embedding) - i])"
+            ).alias("embedding"),
+        )
+    )
+    return emb.unionByName(sats)
+
+
+@query("similarity_dbscan_clusters", _DBSCAN_SQL)
+def similarity_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-restricted DBSCAN density clustering
+    (operators/similarity.py::dbscan_cells): cosine >= 0.98 same-cell
+    neighborhoods, min_pts=4 cores, clusters = connected components of
+    the core-core graph (min core id label), borders attach to their
+    smallest adjacent core's cluster, noise carries -1 — mode-collapse
+    / template detection and outlier mining over an embedding corpus,
+    one level up from SemDeDup's drop-the-copies contract. The oracle
+    re-derives the trained cells with the unrolled Lloyd CTE and the
+    clusters with a recursive reachability CTE over core-core edges.
+    100 TB: same scale shape as dedup_semantic — within-cell pairs
+    (sqrt-n cells above the pinned regime), bounded training, one
+    degree aggregate, size-gated component propagation."""
+    return sim.dbscan_cells(
+        _dbscan_corpus(spark, sf_dir), eps_sim=_DB_EPS, min_pts=_DB_MIN_PTS
+    )
+
+
+@query(
+    "text_rouge2_contamination",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+1], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM toks WHERE len(t) >= 2
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM grams
+    ), bench AS (
+        SELECT doc_id AS bench_id, gram_hash FROM ex WHERE doc_id % 20 = 0
+    ), tot AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bench GROUP BY 1
+    ), sh AS (
+        SELECT e.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+        FROM ex e JOIN bench b USING (gram_hash)
+        WHERE e.doc_id <> b.bench_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.bench_id,
+           CAST(s.shared_ngrams AS BIGINT) AS shared_ngrams,
+           CAST(t.bench_ngrams AS BIGINT) AS bench_ngrams,
+           CAST(1000000 * s.shared_ngrams // t.bench_ngrams AS BIGINT)
+               AS rouge_recall_ppm
+    FROM sh s JOIN tot t USING (bench_id)
+    WHERE 1000000 * s.shared_ngrams // t.bench_ngrams >= 250000
+    """,
+)
+def text_rouge2_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED benchmark contamination (operators/text.py::rouge_recall):
+    set-ROUGE-2 recall of every benchmark document (stand-in: doc_id %
+    20 == 0) against every corpus document covering >= 25% of its
+    distinct bigrams — exact ppm integer division, the severity table
+    a decontamination report publishes where text_decontaminate gives
+    only the binary flag. The 25% cut keeps the output the genuine
+    suspect set (10 pairs at sf0.01, ~4k at sf0.1) on this
+    template-heavy synthetic corpus; production tunes it per corpus.
+    100 TB: 8-byte gram hashes join against a broadcast benchmark
+    index; per-bench totals are a tiny aggregate joined onto the
+    sparse pair frame, and the ppm filter prunes before anything
+    corpus-sized materializes."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return tx.rouge_recall(docs, bench, n=2, min_recall_ppm=250000)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 47)) AS i),
+    fr AS (
+        SELECT i, unnest(generate_series(0, 24 + (i % 7) * 8 - 1)) AS f
+        FROM ids
+    ), samp AS (
+        SELECT i, f FROM fr WHERE f % 4 = 0
+    ), ch AS (
+        SELECT s.i, s.f, c.c,
+               md5('video' || CAST(s.i AS VARCHAR) || ':'
+                   || CAST(s.f AS VARCHAR) || ':'
+                   || CAST(c.c AS VARCHAR)) AS h
+        FROM samp s
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c) c
+    ), hx AS (
+        SELECT i, f, string_agg(h, '' ORDER BY c) AS frame_hex
+        FROM ch GROUP BY i, f
+    ), bs AS (
+        SELECT i, f,
+               SUM(CAST(('0x' || substr(h, 2 * j.j + 1, 2)) AS INTEGER))
+                   AS byte_sum
+        FROM ch CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+        GROUP BY i, f
+    )
+    SELECT CAST(hx.i AS BIGINT) AS media_id,
+           CAST(hx.f AS BIGINT) AS frame_no,
+           hx.frame_hex,
+           CAST(bs.byte_sum AS BIGINT) AS byte_sum
+    FROM hx JOIN bs ON bs.i = hx.i AND bs.f = hx.f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride video frame sampling
+    (operators/multimodal.py::sample_frames_stride): every 4th frame of each
+    raw-container payload sliced out executor-side (Arrow-batched
+    mapInPandas), summarized as frame hex + exact byte sum — the
+    pre-embedding cost bound every video pipeline applies. The
+    synthetic corpus (synthetic_video) concatenates per-frame md5
+    chunks, so the oracle rebuilds the identical bytes from the same
+    md5 hex and the whole demux -> slice -> sample pipeline is
+    hash-checked, not rows-only. 100 TB: pure per-row scan work, no
+    shuffle; payload bytes never leave the executor — only sampled
+    frame summaries do."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        multimodal as mm,
+    )
+
+    video = mm.synthetic_video(spark, 48, frame_bytes=32)
+    return mm.sample_frames_stride(video, every_k=4, frame_bytes=32)

@@ -1010,3 +1010,77 @@ def sql_frontend_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily d JOIN tot t USING (day)
         """
     )
+
+
+@query(
+    "sql_recursive_event_chains",
+    """
+    WITH RECURSIVE nxt AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               lead(event_id) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt_id,
+               lead(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts
+        FROM events
+    ), e AS (
+        SELECT event_id AS src, nxt_id AS dst FROM nxt
+        WHERE nxt_id IS NOT NULL
+          AND epoch(nxt_ts) - epoch(CAST(ts AS TIMESTAMP)) <= 1800
+    ), chain AS (
+        SELECT event_id AS seed_id, event_id, 0 AS hop
+        FROM events WHERE event_id % 101 = 0
+        UNION ALL
+        SELECT c.seed_id, e.dst AS event_id, c.hop + 1
+        FROM chain c JOIN e ON e.src = c.event_id
+        WHERE c.hop < 8
+    )
+    SELECT CAST(seed_id AS BIGINT) AS seed_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(hop AS BIGINT) AS hop
+    FROM chain
+    """,
+)
+def sql_recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop
+    operator) walking successor chains: each event's successor is the
+    same user's next event within 30 minutes (lead() edge, ties broken
+    by event_id), seeds are the deterministic event_id % 101 sample,
+    recursion emits (seed_id, event_id, hop) to depth 8. The successor
+    relation is FUNCTIONAL (<= 1 out-edge per node, time-increasing),
+    so UNION ALL recursion cannot multiply rows or cycle — each level
+    is a bounded equi-join, exactly the shape khop_min_hops hand-rolls
+    with DataFrame loops; this query pins the engine's built-in
+    recursion against the same semantics (DuckDB's recursive CTE is
+    the oracle). 100 TB: per-level work is one hash join keyed on
+    event_id; depth is contract-bounded at 8."""
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_chain_src"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE nxt AS (
+            SELECT event_id, user_id, ts,
+                   lead(event_id) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt_id,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt_ts
+            FROM events_chain_src
+        ), e AS (
+            SELECT event_id AS src, nxt_id AS dst FROM nxt
+            WHERE nxt_id IS NOT NULL
+              AND unix_timestamp(nxt_ts) - unix_timestamp(ts) <= 1800
+        ), chain AS (
+            SELECT event_id AS seed_id, event_id,
+                   CAST(0 AS BIGINT) AS hop
+            FROM events_chain_src WHERE event_id % 101 = 0
+            UNION ALL
+            SELECT c.seed_id, e.dst AS event_id, c.hop + 1
+            FROM chain c JOIN e ON e.src = c.event_id
+            WHERE c.hop < 8
+        )
+        SELECT CAST(seed_id AS BIGINT) AS seed_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(hop AS BIGINT) AS hop
+        FROM chain
+        """
+    )

@@ -897,7 +897,7 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_ks_two_sample",
     """
     WITH pts AS (
-        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                COUNT(*) FILTER (WHERE event_type = 'purchase') AS ca,
                COUNT(*) FILTER (WHERE event_type = 'click') AS cb
         FROM events
@@ -948,7 +948,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("purchase", "click")
     )
     pts = e.groupBy(
-        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
             "cents"
         )
     ).agg(
@@ -1136,7 +1136,7 @@ def timeseries_peak_concurrency(
     """
     WITH pts AS (
         SELECT event_type,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                COUNT(*) AS cnt
         FROM events GROUP BY 1, 2
     ), cum AS (
@@ -1199,7 +1199,7 @@ def agg_quantiles_interpolated(
     e = load(spark, sf_dir, "events")
     pts = e.groupBy(
         "event_type",
-        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
             "cents"
         ),
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -1254,7 +1254,7 @@ def agg_quantiles_interpolated(
     "stats_mann_whitney_u",
     """
     WITH pts AS (
-        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                COUNT(*) FILTER (WHERE event_type = 'purchase') AS ca,
                COUNT(*) FILTER (WHERE event_type = 'click') AS cb
         FROM events
@@ -1305,7 +1305,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("purchase", "click")
     )
     pts = e.groupBy(
-        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
             "cents"
         )
     ).agg(
@@ -1351,7 +1351,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
                    AS rev_c
         FROM events GROUP BY 1
     ), moves AS (
@@ -1397,7 +1397,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(
-            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
         ).alias("rev_c")
     )
     w = Window.orderBy("day")
@@ -2310,4 +2310,73 @@ def stats_wilcoxon_signed_rank(
         "(2 * w2p - n * (n + 1)) * (2 * w2p - n * (n + 1)) * 30000"
         " > CAST(38416 AS DECIMAL(38,0))"
         " * (2 * n * (n + 1) * (2 * n + 1) - t) AS significant_5pct",
+    )
+
+
+@query(
+    "basket_frequent_itemsets",
+    """
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), ms AS (
+        SELECT COUNT(DISTINCT b) * 21000 // 1000000 AS m FROM li
+    ), l1 AS (
+        SELECT i, COUNT(*) AS c FROM li GROUP BY 1
+        HAVING COUNT(*) >= (SELECT m FROM ms)
+    ), fb AS (
+        SELECT li.b, li.i FROM li JOIN l1 USING (i)
+    ), l2 AS (
+        SELECT a.i AS i1, b2.i AS i2, COUNT(*) AS c
+        FROM fb a JOIN fb b2 ON a.b = b2.b AND a.i < b2.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT m FROM ms)
+    ), l3 AS (
+        SELECT a.i AS i1, b2.i AS i2, c3.i AS i3, COUNT(*) AS c
+        FROM fb a
+        JOIN fb b2 ON a.b = b2.b AND a.i < b2.i
+        JOIN fb c3 ON b2.b = c3.b AND b2.i < c3.i
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT m FROM ms)
+    )
+    SELECT i AS itemset, CAST(1 AS BIGINT) AS k, CAST(c AS BIGINT) AS support
+    FROM l1
+    UNION ALL
+    SELECT i1 || '|' || i2, CAST(2 AS BIGINT), CAST(c AS BIGINT) FROM l2
+    UNION ALL
+    SELECT i1 || '|' || i2 || '|' || i3, CAST(3 AS BIGINT), CAST(c AS BIGINT)
+    FROM l3
+    """,
+)
+def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent itemsets (operators/mining.py) up to size 3
+    over order baskets of part BRANDS, support threshold = 2.1% of
+    baskets (scale-relative, integer floor both engines). The oracle
+    counts each level directly — by support monotonicity that equals
+    the level-wise Apriori output, so the prune is a physical
+    optimization the gate verifies doesn't change semantics. At this
+    support the 3-itemset level legitimately empties on uniform TPC-H
+    baskets (triple co-occurrence tops out ~0.6% — same
+    self-emptying-fraction pattern as TPC-H Q11); levels 1-2 carry the
+    non-vacuous output, and the crafted-corpus tests pin non-empty L3
+    behavior. 100 TB: within-basket joins fan out by items-per-basket
+    (bounded ~4), frequent sets are threshold-bounded broadcasts,
+    support counts are map-side-combinable."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        mining as mn,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    minsup = n_orders * 21000 // 1000000
+    return mn.frequent_itemsets(
+        li, min_support=minsup, max_k=3,
+        basket_col="l_orderkey", item_col="p_brand",
     )

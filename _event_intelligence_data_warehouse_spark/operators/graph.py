@@ -263,6 +263,93 @@ def fuzzy_hot_blocks(
     )
 
 
+def common_neighbors(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting (the Liben-Nowell &
+    Kleinberg 2003 baseline): for every NON-adjacent node pair sharing
+    at least ``min_common`` neighbors in the undirected graph, emit the
+    common-neighbor count plus the degree product (the preferential-
+    attachment score — the zero-overlap fallback signal). In a curation
+    graph (co-purchase, co-citation, near-dup adjacency) these are the
+    "probably related but unlinked" candidates: transitive near-dup
+    suspects, basket recommendations, entity-merge proposals.
+
+    ``edges`` is read as an undirected simple graph: rows are
+    normalized to (min, max), deduped, self-loops dropped. Output:
+    (node_a, node_b, common_neighbors, degree_product), node_a <
+    node_b, existing edges excluded by an anti-join.
+
+    Scale shape: the only quadratic surface is the per-shared-neighbor
+    fan-out (deg² wedges per node). ``max_hub_degree`` bounds it the
+    way dedup hot buckets are bounded (operators/dedup.py): nodes above
+    the cap do not SERVE as the shared middle node (their own links
+    are unaffected) — a documented semantic knob, mirrored by any
+    oracle, not a silent truncation. Degrees and wedge counts are
+    map-side-combinable aggregates; the anti-join runs on the (sparse)
+    candidate output, never on the wedge space."""
+    from _event_intelligence_data_warehouse_spark import cache
+
+    # Persisted (stage-shared): the normalized edge set feeds the wedge
+    # join (twice via sym), the degree aggregate AND the final
+    # anti-join — recomputing the upstream edge derivation (often a
+    # co-occurrence aggregate) per consumer is the 42-exchange plan
+    # this persist deletes.
+    e = cache.persist(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    sym = e.select(F.col("_a").alias("n"), F.col("_b").alias("m")) \
+        .unionByName(e.select(F.col("_b").alias("n"), F.col("_a").alias("m")))
+    deg = cache.persist(
+        sym.groupBy("n").agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    mid = sym.withColumnRenamed("n", "mid").withColumnRenamed("m", "leaf")
+    if max_hub_degree is not None:
+        mid = mid.join(
+            F.broadcast(deg.filter(F.col("_deg") <= max_hub_degree)
+                        .select(F.col("n").alias("mid"))),
+            "mid",
+        )
+    wedges = (
+        mid.alias("x")
+        .join(mid.alias("y"),
+              (F.col("x.mid") == F.col("y.mid"))
+              & (F.col("x.leaf") < F.col("y.leaf")))
+        .groupBy(F.col("x.leaf").alias("node_a"),
+                 F.col("y.leaf").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    cand = wedges.join(
+        e.withColumnRenamed("_a", "node_a").withColumnRenamed("_b", "node_b"),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("n").alias("node_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("n").alias("node_b"), F.col("_deg").alias("_db"))
+    return (
+        cand.join(da, "node_a").join(db, "node_b")
+        .select(
+            F.col("node_a").cast("bigint").alias("node_a"),
+            F.col("node_b").cast("bigint").alias("node_b"),
+            F.col("common_neighbors").cast("bigint")
+            .alias("common_neighbors"),
+            (F.col("_da") * F.col("_db")).cast("bigint")
+            .alias("degree_product"),
+        )
+    )
+
+
 def khop_min_hops(
     edges: DataFrame,
     seeds: DataFrame,

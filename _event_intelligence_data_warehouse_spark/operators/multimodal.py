@@ -1030,3 +1030,102 @@ def vad_segments(
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum("energy").cast("bigint").alias("energy_sum"),
     ).drop("grp")
+
+
+def synthetic_video(
+    spark: SparkSession, n: int = 48, *, frame_bytes: int = 32
+) -> DataFrame:
+    """Deterministic fake raw-video table: media i carries
+    ``24 + (i % 7) * 8`` frames, each frame ``frame_bytes`` bytes made
+    of consecutive md5("video{i}:{f}:{c}") digests (c = chunk index
+    within the frame) — every frame is distinct and externally
+    reconstructible from the same md5 hex, the discipline
+    :func:`synthetic_audio` established. The payload is the exact
+    concatenation of frames (a raw/uncompressed container): real
+    pipelines land exactly this shape after a demux pass, with the
+    codec decode stubbed behind the container boundary (the build
+    brief's decode-stub mandate — PyAV/ffmpeg are not in this
+    environment, so the SPARK-SIDE plumbing is what's real and
+    tested: schema, batching, frame addressing, sampling)."""
+    chunks_per_frame = frame_bytes // 16
+    rows = []
+    for i in range(n):
+        nf = 24 + (i % 7) * 8
+        payload = b"".join(
+            hashlib.md5(f"video{i}:{f}:{c}".encode()).digest()
+            for f in range(nf)
+            for c in range(chunks_per_frame)
+        )
+        rows.append(
+            (i, "video", bytearray(payload), ("raw", 4, 8, None, nf))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("frame_hex", T.StringType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def sample_frames_stride(
+    df: DataFrame,
+    *,
+    every_k: int = 4,
+    frame_bytes: int = 32,
+    rows_per_batch: int = 256,
+) -> DataFrame:
+    """Fixed-stride frame sampling over raw video payloads via
+    mapInPandas (Arrow-batched numpy — the sanctioned Python path):
+    frames 0, k, 2k, ... of each payload are sliced out of the
+    contiguous byte stream and summarized as (media_id, frame_no,
+    frame_hex, byte_sum) — the lowercase hex of the frame's bytes (the
+    raw feature handle a downstream embedder consumes) plus the exact
+    int64 byte sum (a cheap engine-portable content check). Trailing
+    partial frames are dropped (standard frame alignment).
+
+    This is the video half of the multimodal curation contract: frame
+    sampling before captioning/embedding is how every video pipeline
+    bounds per-clip cost (every-k-th or keyframe; the stride variant is
+    the deterministic one). Production swaps the raw slicer for a
+    demuxed-codec decode INSIDE the same mapInPandas batch loop —
+    partitioning, batch shape and output schema are unchanged, which
+    is exactly the plumbing this operator pins down.
+
+    Scale: pure per-row work (no shuffle at all); payload bytes stay
+    executor-side — only the sampled frames' summaries (hex is
+    2*frame_bytes chars) ever leave the scan stage. Arrow moves bytes
+    in batches, never per-row Python rows."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), rows_per_batch):
+                b = pdf.iloc[start:start + rows_per_batch]
+                ids, frames, hexes, sums = [], [], [], []
+                for mid, payload in zip(b["media_id"], b["payload"]):
+                    raw = bytes(payload)
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    nf = len(arr) // frame_bytes
+                    for f in range(0, nf, every_k):
+                        fr = raw[f * frame_bytes:(f + 1) * frame_bytes]
+                        ids.append(mid)
+                        frames.append(f)
+                        hexes.append(fr.hex())
+                        sums.append(int(
+                            np.frombuffer(fr, dtype=np.uint8)
+                            .astype(np.int64).sum()
+                        ))
+                if ids:
+                    yield pd.DataFrame(
+                        {"media_id": ids, "frame_no": frames,
+                         "frame_hex": hexes, "byte_sum": sums}
+                    )
+
+    return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

@@ -937,6 +937,125 @@ def semantic_dedup_prebuilt(
     )
 
 
+def dbscan_cells(
+    df: DataFrame,
+    eps_sim: float = 0.98,
+    min_pts: int = 4,
+    *,
+    n_cells: int | None = None,
+    max_train: int = 1024,
+    train_iters: int = 2,
+    init: str = "md5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fixed_cells_max_vectors: int = SEM_FIXED_CELLS_MAX_VECTORS,
+) -> DataFrame:
+    """Cell-restricted DBSCAN (Ester et al. 1996) over an embedding
+    corpus with cosine similarity as the neighbor relation: a point's
+    eps-neighborhood is the SAME-CELL vectors with cosine >=
+    ``eps_sim`` (plus itself), cores have ``|N| >= min_pts``, clusters
+    are connected components of the core-core neighbor graph labelled
+    by their minimum core id, borders attach to the smallest adjacent
+    core's cluster, everything else is noise (cluster_id = -1). The
+    grid/cell restriction is the standard scale approximation
+    (grid-DBSCAN): restricting neighbors to a coarse-quantizer cell
+    bounds the pair search exactly the way SemDeDup bounds its
+    duplicate search — and unlike sampling it is deterministic, so the
+    whole pipeline stays oracle-checkable.
+
+    Where semantic_dedup answers "which near-identical copies do I
+    drop", DBSCAN answers the curation question one level up: "which
+    DENSITY regions exist, and which points are isolated" — mode
+    collapse / template detection (big dense clusters), outlier mining
+    (noise points), and stratified inspection sampling per cluster.
+
+    Returns (vec_id, role, cluster_id): role in {'core','border',
+    'noise'}, cluster_id = min reachable core id (borders take the min
+    over adjacent cores' clusters; noise carries -1, never NULL, so
+    hash comparisons stay total).
+
+    Scale shape: identical to semantic_dedup — the quadratic pair
+    search is confined to one cell (``n_cells`` grows ~sqrt(n) above
+    ``fixed_cells_max_vectors``, the oracle-pinned 16-cell regime
+    below), centroid training is bounded by ``max_train``, degree
+    counting is one map-side-combinable aggregate over the pair list,
+    and the component step inherits connected_components' size-gated
+    broadcast fallback. Border attachment is one extra join of the
+    (sparse) pair list against the (thresholded) core set."""
+    import math
+
+    from _event_intelligence_data_warehouse_spark.operators import dedup as dd
+
+    if n_cells is None:
+        n = df.count()
+        if n <= fixed_cells_max_vectors:
+            n_cells = 16
+        else:
+            n_cells = max(16, math.isqrt(n))
+            max_train = max(max_train, 8 * n_cells)
+    _, cells = ivf_cells(
+        df, n_cells=n_cells, max_train=max_train,
+        train_iters=train_iters, init=init, id_col=id_col, vec_col=vec_col,
+    )
+    assign = cells.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    members = assign.join(v, "vec_id").withColumn("_n", norm(F.col("v")))
+    pairs = cache.persist(
+        members.alias("a")
+        .join(members.alias("b"),
+              (F.col("a.cell") == F.col("b.cell"))
+              & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                (dot(F.col("a.v"), F.col("b.v"))
+                 / (F.col("a._n") * F.col("b._n"))).alias("sim"))
+        .filter(F.col("sim") >= eps_sim)
+        .select("id_a", "id_b")
+    )
+    sym = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")) \
+        .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                  F.col("id_a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+    nodes = cache.persist(
+        assign.select("vec_id")
+        .join(deg.withColumnRenamed("a", "vec_id"), "vec_id", "left")
+        .select("vec_id",
+                ((F.coalesce(F.col("_d"), F.lit(0)) + 1) >= min_pts)
+                .alias("is_core"))
+    )
+    core = nodes.filter("is_core").select("vec_id")
+    core_edges = (
+        sym.join(core.withColumnRenamed("vec_id", "a"), "a")
+        .join(core.withColumnRenamed("vec_id", "b"), "b")
+        .select("a", "b")
+    )
+    comp = dd.connected_components(
+        core, core_edges, id_col="vec_id", src_col="a", dst_col="b",
+    ).withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+        "component_id", "cluster_id"
+    )
+    border = (
+        sym.join(comp.withColumnRenamed("vec_id", "b"), "b")
+        .groupBy("a").agg(F.min("cluster_id").alias("_bcl"))
+        .withColumnRenamed("a", "vec_id")
+    )
+    return (
+        nodes.join(comp, "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("_bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")).alias("role"),
+            F.coalesce(
+                F.when(F.col("is_core"), F.col("cluster_id")),
+                F.when(~F.col("is_core"), F.col("_bcl")),
+                F.lit(-1),
+            ).cast("bigint").alias("cluster_id"),
+        )
+    )
+
+
 def ivf_pq_residual_topk(
     df: DataFrame, queries: DataFrame, k: int = 5, *,
     n_cells: int = 16, nprobe: int = 2,

@@ -35,6 +35,18 @@ MONTHLY = "agg_events_monthly"
 
 _DEC = "decimal(18,2)"
 
+def _cents():
+    """Integer cents of the event value (exact-same floor on every
+    engine). Built lazily — Column construction needs a live session."""
+    return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
+
+def _cents_dec(cents_col):
+    """Exact cents -> decimal(18,2): bigint cents cast to decimal and
+    divided IN THE DECIMAL DOMAIN (exact — cents/100 always has <= 2
+    decimals), then pinned back to the stored (18,2) scale."""
+    return (cents_col.cast("decimal(18,2)") / 100).cast(_DEC)
+
 
 def hourly_partials(events: DataFrame) -> DataFrame:
     """Raw events -> hourly partials (the only level that reads raw).
@@ -50,11 +62,17 @@ def hourly_partials(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            # pin the stored scale: sum(decimal(18,2)) widens to (28,2),
-            # which would physically diverge from refresh-merged files
-            F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("sum_value"),
-            F.min(F.col("value").cast(_DEC)).alias("min_value"),
-            F.max(F.col("value").cast(_DEC)).alias("max_value"),
+            # Measures quantize to integer CENTS first
+            # (floor(x*100+0.5), identical IEEE on every engine) and
+            # convert to the stored decimal(18,2) scale through EXACT
+            # decimal division — never a raw double->DECIMAL cast,
+            # whose Spark-shortest-repr-HALF_UP vs exact-binary
+            # rounding splits on half-cent ties (the r8 ohlc
+            # driver-red class; r9 sweep). Stored scale stays pinned:
+            # refresh-merged files keep decimal(18,2).
+            _cents_dec(F.sum(_cents())).alias("sum_value"),
+            _cents_dec(F.min(_cents())).alias("min_value"),
+            _cents_dec(F.max(_cents())).alias("max_value"),
         )
         .withColumn("d", F.to_date("hour_start"))
     )

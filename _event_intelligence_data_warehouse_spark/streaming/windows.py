@@ -27,8 +27,8 @@ def tumbling_counts(
         events.groupBy(win.alias("w"), *keys)
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("bigint")).cast("double") / F.lit(100.0))
             .alias("sum_value"),
         )
         .select(
@@ -98,8 +98,8 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("bigint")).cast("double") / F.lit(100.0))
             .alias("sum_value"),
         )
         .withColumn(

@@ -250,6 +250,15 @@ HEADLINE = [
     # round-8 additions: first-round numbers, no reference yet
     "similarity_ivf_range_search",
     "dedup_global_lines",
+    # round-9 additions: density clustering (cell-bounded DBSCAN),
+    # graded ROUGE contamination, Apriori itemsets, wedge-count link
+    # prediction, native recursive CTE, video frame sampling
+    "similarity_dbscan_clusters",
+    "text_rouge2_contamination",
+    "basket_frequent_itemsets",
+    "graph_common_neighbors",
+    "sql_recursive_event_chains",
+    "multimodal_frame_sample",
 ]
 
 

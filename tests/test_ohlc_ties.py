@@ -110,3 +110,66 @@ def test_registry_has_no_decimal_output_columns(spark):
     bad = [f.name for f in df.schema.fields
            if isinstance(f.dataType, DecimalType)]
     assert not bad, f"DECIMAL output columns re-introduced: {bad}"
+
+
+def test_r9_sweep_cents_paths_match_duckdb_on_ties(spark, tmp_path):
+    """Round-9 registry sweep: every remaining events.value ->
+    DECIMAL(18,2) site was converted to the integer-cents fold. Pin the
+    three representative Spark paths (tumbling window sum, salted
+    min/max/sum, winsorize rank ordering) against DuckDB on the crafted
+    half-cent tie corpus — the exact inputs on which the old decimal
+    cast split the engines."""
+    from _event_intelligence_data_warehouse_spark.operators import skew
+    from _event_intelligence_data_warehouse_spark.streaming import (
+        windows as win,
+    )
+
+    ev = _events_df(spark)
+    pq = str(tmp_path / "events.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{pq}/*.parquet'")
+
+    # tumbling hourly value sums
+    got = {
+        (str(r.window_start), r.event_type): r.sum_value
+        for r in win.tumbling_counts(
+            spark.read.parquet(pq), "1 hour", extra_keys=["event_type"]
+        ).collect()
+    }
+    for ws, et, sv in con.execute(
+        """
+        SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+               event_type,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall():
+        assert got[(str(ws), et)] == sv
+
+    # salted agg min/max/sum
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(pq).select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint").alias("v"),
+    )
+    out = skew.salted_agg(
+        e, ["event_type"],
+        {"n": ("*", "count"), "s": ("v", "sum"),
+         "lo": ("v", "min"), "hi": ("v", "max")},
+        salt_src="event_id", n_salt=8,
+    )
+    got2 = {r.event_type: (r.s, r.lo, r.hi) for r in out.collect()}
+    for et, s, lo, hi in con.execute(
+        """
+        SELECT event_type,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+               MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+               MAX(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        FROM events GROUP BY 1
+        """
+    ).fetchall():
+        assert got2[et] == (s, lo, hi)

@@ -114,6 +114,18 @@ def main() -> int:
         # threshold the recall audit runs sqrt-n cells while its oracle
         # CTE pins 16 (r8 ADVICE)
         regime_skips["dedup_semantic_recall"] = sem_why
+    # DBSCAN corpus: embeddings + 1..4 satellites per every-10th vector
+    # (contract/extension_queries._DB_VECS_SRC; ids assumed 0..n-1
+    # contiguous like the other skips). Same adaptive sizing as
+    # semantic_dedup: above the pinned regime the query runs sqrt-n
+    # cells while the oracle CTE pins 16.
+    db_corpus = n_emb + sum(1 + b % 4 for b in range((n_emb + 9) // 10))
+    if db_corpus > SEM_FIXED_CELLS_MAX_VECTORS:
+        regime_skips["similarity_dbscan_clusters"] = (
+            f"{db_corpus} dbscan-corpus vectors > "
+            f"SEM_FIXED_CELLS_MAX_VECTORS={SEM_FIXED_CELLS_MAX_VECTORS}: "
+            "query sizes cells ~sqrt(n), oracle pins 16 cells"
+        )
 
     failures = []
     vacuous = []
