@@ -3122,3 +3122,65 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.common_neighbors(
         edges, src_col="pa", dst_col="pb", min_common=1, max_hub_degree=64
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT pa AS n, pb AS m FROM e
+        UNION ALL
+        SELECT pb AS n, pa AS m FROM e
+    ), deg AS (
+        SELECT n, COUNT(*) AS d FROM sym GROUP BY 1
+    ), tri AS (
+        SELECT x.n AS vid, COUNT(*) AS t
+        FROM sym x
+        JOIN sym y ON x.n = y.n AND x.m < y.m
+        JOIN e ON e.pa = x.m AND e.pb = y.m
+        GROUP BY x.n
+    )
+    SELECT CAST(d.n AS BIGINT) AS node_id,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.d >= 2
+                     THEN 2000000 * coalesce(t.t, 0) // (d.d * (d.d - 1))
+                     ELSE 0 END AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN tri t ON t.vid = d.n
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    co-purchase graph (operators/graph.py::clustering_coefficient):
+    lcc = 2*tri/(deg*(deg-1)) in exact ppm — the local-density profile
+    separating cliquish product families (high lcc) from hub parts that
+    glue unrelated baskets (high degree, low lcc). Companion metric to
+    graph_common_neighbors on the same edge derivation. 100 TB:
+    wedges-at-center verified against the edge list — two equi-joins
+    with combinable counts, never global triangle enumeration; the
+    max_hub_degree knob bounds the deg² fan-out when a cap is set
+    (uncapped here, max degree 13)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"),
+              (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+              & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("pa"),
+                 F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= 2)
+        .select("pa", "pb")
+    )
+    return g.clustering_coefficient(edges, src_col="pa", dst_col="pb")

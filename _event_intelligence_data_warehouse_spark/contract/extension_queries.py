@@ -6814,3 +6814,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     video = mm.synthetic_video(spark, 48, frame_bytes=32)
     return mm.sample_frames_stride(video, every_k=4, frame_bytes=32)
+
+
+@query(
+    "similarity_matryoshka_recall",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pvecs AS (
+        SELECT vec_id, v[1:16] AS pv FROM vecs
+    ), pq AS (
+        SELECT vec_id AS query_id, pv AS qv FROM pvecs WHERE vec_id < 50
+    ), pc AS (
+        SELECT vec_id AS neighbor_id, pv AS cv FROM pvecs
+    ), ascored AS (
+        SELECT query_id, neighbor_id, {_COS} AS sim
+        FROM pc CROSS JOIN pq
+        WHERE query_id <> neighbor_id
+    ), approx AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id)
+                       AS rank
+            FROM ascored
+        ) WHERE rank <= 5
+    )
+    {_EXACT_TOPK_CTE}
+    {_RECALL_TAIL}
+    """,
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation retrieval audit (Kusupati et al. 2022,
+    arXiv:2205.13147): top-5 by cosine over the FIRST 16 of 64
+    dimensions vs the full-dimension exact baseline — per-query overlap
+    and top-1 agreement, the accuracy ledger for serving ANN on a
+    truncated prefix (4x less dot-product compute and cache footprint;
+    MRL-trained embedders order information so prefixes degrade
+    gracefully). The prefix slice is exact in both engines (no
+    arithmetic), so the audit itself is hash-checked like every other
+    recall query. 100 TB: prefix scoring cuts candidate-scan FLOPs and
+    bytes by dim_full/dim_prefix; the standard production shape is
+    prefix shortlist -> full-dim rerank, both expressible with the
+    existing topk operators."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("embedding")
+    )
+    pre = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    q_full = emb.filter(F.col("vec_id") < 50)
+    q_pre = pre.filter(F.col("vec_id") < 50)
+    return sim.topk_recall(
+        sim.brute_force_topk(emb, q_full, k=5),
+        sim.brute_force_topk(pre, q_pre, k=5),
+    )

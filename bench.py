@@ -259,6 +259,8 @@ HEADLINE = [
     "graph_common_neighbors",
     "sql_recursive_event_chains",
     "multimodal_frame_sample",
+    "graph_clustering_coefficient",
+    "similarity_matryoshka_recall",
 ]
 
 

@@ -364,3 +364,80 @@ def test_sample_frames_drops_trailing_partial(spark):
     out = mm.sample_frames_stride(df, every_k=1, frame_bytes=32).collect()
     assert sorted(r.frame_no for r in out) == [0, 1]
     assert all(len(r.frame_hex) == 64 for r in out)
+
+
+def test_clustering_coefficient_crafted(spark):
+    from _event_intelligence_data_warehouse_spark.operators import graph as g
+
+    # triangle 1-2-3 plus pendant 4 on node 1; isolated edge 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (8, 9)], ["src", "dst"]
+    )
+    out = {r.node_id: (r.degree, r.n_triangles, r.lcc_ppm)
+           for r in g.clustering_coefficient(edges).collect()}
+    assert out[2] == (2, 1, 1000000) and out[3] == (2, 1, 1000000)
+    # node 1: deg 3, one triangle among its 3 neighbor pairs -> 1/3
+    assert out[1] == (3, 1, 333333)
+    assert out[4] == (1, 0, 0) and out[8] == (1, 0, 0)
+
+
+def test_clustering_coefficient_hub_cap(spark):
+    from _event_intelligence_data_warehouse_spark.operators import graph as g
+
+    # star center 0 with 4 leaves + one leaf-leaf edge (triangle 0-1-2)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)], ["src", "dst"]
+    )
+    full = {r.node_id: r.n_triangles
+            for r in g.clustering_coefficient(edges).collect()}
+    assert full[0] == 1 and full[1] == 1
+    # capping center degree at 3 removes node 0 as a wedge CENTER
+    # (its own triangle count drops) but leaves 1-2's count intact,
+    # since their wedges run through each other and node 0 as leaves
+    capped = {r.node_id: r.n_triangles
+              for r in g.clustering_coefficient(
+                  edges, max_hub_degree=3).collect()}
+    assert capped[0] == 0 and capped[1] == 1 and capped[2] == 1
+
+
+def test_matryoshka_prefix_recall_bounds(spark):
+    """Prefix-dim approx recall: perfect when the prefix carries all
+    the signal, and always within [0, n_exact]."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    # 20 vectors whose LAST 48 dims are constant: the 16-dim prefix is
+    # fully informative, so prefix top-k == full top-k.
+    import random
+
+    rnd = random.Random(9)
+    rows = []
+    for i in range(20):
+        head = [rnd.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in head] + [0.25] * 48))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pre = df.selectExpr("vec_id", "slice(embedding, 1, 16) AS embedding")
+    q = df.filter("vec_id < 5")
+    qp = pre.filter("vec_id < 5")
+    rec = sim.topk_recall(
+        sim.brute_force_topk(df, q, k=3),
+        sim.brute_force_topk(pre, qp, k=3),
+    ).collect()
+    assert len(rec) == 5
+    for r in rec:
+        assert 0 <= r.n_overlap <= r.n_exact
+    # constant tail shifts all cosines monotonically? not exactly — but
+    # the ORDER can differ between prefix and full when the tail adds a
+    # shared component; assert instead on the fully-degenerate case:
+    flat = spark.createDataFrame(
+        [(i, [float((i >> b) & 1) for b in range(16)] + [0.0] * 48)
+         for i in range(1, 21)],  # skip i=0: the all-zero vector has no cosine
+        ["vec_id", "embedding"],
+    )
+    fpre = flat.selectExpr("vec_id", "slice(embedding, 1, 16) AS embedding")
+    rec2 = sim.topk_recall(
+        sim.brute_force_topk(flat, flat.filter("vec_id <= 5"), k=3),
+        sim.brute_force_topk(fpre, fpre.filter("vec_id <= 5"), k=3),
+    ).collect()
+    assert all(r.n_overlap == r.n_exact and r.top1_match for r in rec2)
