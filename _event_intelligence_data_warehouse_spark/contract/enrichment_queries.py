@@ -2088,32 +2088,65 @@ def analytics_user_concentration(
     a single floor division (two separately-floored terms would not be
     engine-portable), in HUGEINT/DECIMAL(38,0).
 
-    100 TB: events collapse to per-user counts first (combinable); the
-    rank windows order the USER aggregate, one row per user. At
-    extreme user counts the rank weights can swap to the distinct-
-    count cumulative pattern (rank = cumulative count of smaller
-    values) — the contract pins the semantics.
+    100 TB: events collapse to per-user counts first (combinable),
+    then users collapse AGAIN to per-count buckets (c, m) — because
+    rank weights are tie-insensitive given equal c, SUM(r*c) has a
+    closed form per bucket: c·(m·o + m(m+1)/2) with o the exclusive
+    prefix of bucket sizes, and the top-decile sum is full buckets
+    plus a partial cutoff bucket (all members tie at c, so WHICH
+    users land inside the cutoff cannot change the sum). The only
+    windows left run over the DISTINCT-COUNT bucket frame (bounded
+    by max events-per-user, thousands not billions) — the r9 plan
+    audit retired the two per-user global rank windows this query
+    carried (the one row-scale unpartitioned window in the registry).
+    The oracle keeps the literal rank form; the closed form is
+    value-identical by the tie argument above.
     """
     e = load(spark, sf_dir, "events")
     cu = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    ranked = cu.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.asc("c"), F.asc("user_id")))
-        .alias("r"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("c"), F.asc("user_id")))
-        .alias("r_desc"),
+    b = cu.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    w_asc = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    tot = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * c")).alias("src"),
+    w_desc = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b2 = b.select(
+        "c",
+        "m",
+        F.coalesce(F.sum("m").over(w_asc), F.lit(0)).alias("o"),
+        F.coalesce(F.sum("m").over(w_desc), F.lit(0)).alias("o_desc"),
+    )
+    tot = b2.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.expr("c * m")).alias("s"),
+        F.sum(
+            # m*(m+1) is always even, so the bigint `div 2` is exact;
+            # the outer products widen to DECIMAL(38,0) BEFORE they can
+            # exceed int64 (same discipline as the original rank form).
+            F.expr(
+                "CAST(c AS DECIMAL(38,0))"
+                " * (CAST(m AS DECIMAL(38,0)) * o"
+                "    + CAST(m * (m + 1) div 2 AS DECIMAL(38,0)))"
+            )
+        ).alias("src"),
     )
     top = (
-        ranked.crossJoin(F.broadcast(tot.select("n")))
-        .where(F.col("r_desc") <= F.greatest(F.lit(1), F.expr("n div 10")))
-        .agg(F.sum("c").alias("top_c"))
+        b2.crossJoin(F.broadcast(tot.select("n")))
+        .select(
+            (
+                F.col("c")
+                * F.least(
+                    F.col("m"),
+                    F.greatest(
+                        F.lit(0),
+                        F.greatest(F.lit(1), F.expr("n div 10"))
+                        - F.col("o_desc"),
+                    ),
+                )
+            ).alias("part_c")
+        )
+        .agg(F.sum("part_c").alias("top_c"))
     )
     return (
         tot.crossJoin(F.broadcast(top))

@@ -485,3 +485,47 @@ def test_phrase_search_filters_postings_before_joins(spark):
     assert below.count("scan") >= 1 and "slow" in below and "fast" in below, (
         "term filters must sit below the adjacency joins"
     )
+
+
+def test_global_window_sanctions_are_exhaustive(spark):
+    """Every committed PLAN_AUDIT row with a nonzero glob-win count
+    must carry a sanction note, every GLOBAL_WINDOW_OK name must be a
+    registered query, and the one row-scale offender the r9 audit
+    found (per-user Gini ranks) must stay retired: its plan's only
+    unpartitioned windows run over the distinct-activity-count bucket
+    frame."""
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import GLOBAL_WINDOW_OK, count_global_windows
+
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    for name in GLOBAL_WINDOW_OK:
+        assert name in QUERIES, f"sanction for unregistered query {name}"
+
+    audit = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.md")
+    with open(audit) as f:
+        for line in f:
+            m = re.match(
+                r"\| (\w+) \| \d+ \| \d+ \| \d+ \| (\d+) \| (\d+) \|(.*)\|",
+                line,
+            )
+            if not m:
+                continue
+            name, py_eval, glob_win, notes = m.groups()
+            if int(glob_win) > 0:
+                assert "sanctioned" in notes or name in GLOBAL_WINDOW_OK, (
+                    f"{name}: {glob_win} global window(s) without sanction"
+                )
+
+    # The reworked Gini: global windows remain only on the bucket frame
+    # (distinct activity counts — 38 buckets at sf0.01, vs 1000 users).
+    df = QUERIES["analytics_user_concentration"](
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_gw = count_global_windows(plan)
+    assert n_gw <= 2  # the asc+desc bucket prefixes, nothing per-user

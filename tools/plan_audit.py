@@ -54,7 +54,68 @@ SMJ_ADJUDICATED = {
 # PREFIXES mapped to the bounded frame the window runs over; a query
 # whose plan shows a global Window and matches no entry fails the
 # audit (exit 1), same as a row-at-a-time UDF.
-GLOBAL_WINDOW_OK: dict[str, str] = {}
+#
+# Sanction rule: the frame must be AGGREGATE-SCALE — bounded by a
+# calendar (days/hours), a bucket count (two-level prefix pattern), a
+# dimension table, a top-k output, or a tournament/strata summary —
+# never by fact/event/user row counts. Each entry names its frame; a
+# reviewer should be able to refute it by pointing at the window's
+# input cardinality.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    # calendar-frame series (<= days/hours rows)
+    "analytics_growth_accounting": "daily-series frame (calendar days)",
+    "window_day_over_day_delta": "daily-series frame (calendar days)",
+    "window_moving_avg_7d": "daily-series frame (calendar days)",
+    "stats_runs_test": "daily-series frame (calendar days)",
+    "timeseries_seasonal_anomaly":
+        "daily residual/deviation frames (calendar days)",
+    "timeseries_downsample_lttb":
+        "daily-series frame (calendar days) + 1-row count",
+    "timeseries_peak_concurrency":
+        "per-hour bucket prefix (two-level pattern, O(#hours))",
+    # two-level prefix finals over bounded bucket frames
+    "text_vocab_growth": "doc-id bucket prefix (two-level pattern)",
+    "stats_histogram_selectivity": "32-bucket equi-depth prefix",
+    "stats_ks_two_sample": "distinct-value cent-bucket prefix",
+    "stats_mann_whitney_u": "distinct-value cent-bucket prefix",
+    "stats_kruskal_wallis": "distinct-value cent-bucket prefix",
+    "analytics_user_concentration":
+        "distinct-activity-count bucket prefix (per-user ranks retired "
+        "r9: closed-form per-bucket rank sums)",
+    # dimension-cardinality frames (warehouse dims / TPC-H dim tables)
+    "fact_build_star":
+        "dimension surrogate windows (dates/venues/categories/sources; "
+        "fact keys use assign_surrogate_keys' bulk path above 1M)",
+    "quality_five_checks":
+        "same star build as fact_build_star (dim-cardinality frames) + "
+        "5-row tiered-status frame",
+    "olap_abc_classification":
+        "part-dimension revenue rank (TPC-H dim table) + 1-row total",
+    "olap_rfm_segmentation":
+        "customer-dimension quintile cuts (TPC-H dim table)",
+    "olap_pareto_frontier":
+        "global skyline over LOCAL skyline survivors (two-phase; "
+        "frame = per-partition frontier union, not the input)",
+    # top-k / tournament / strata summary frames
+    "text_bm25_search":
+        "rank window AFTER TakeOrderedAndProject limit(k) — k-row frame",
+    "sketch_kmv_set_ops":
+        "bottom-k tournament final (n_salt*k rows) per sketch",
+    "sketch_gk_error_audit":
+        "exact-rank audit baseline (the sketch is the scale path; the "
+        "audit pins its error at gate-runnable SFs by design)",
+    "profile_key_skew":
+        "per-key count frame ranked for the top-N hot-key report",
+    "sample_stratified_exact":
+        "strata-summary frames (targets + largest-remainder allocation "
+        "over #strata rows)",
+    "curation_pipeline_v3":
+        "inherits sample_stratified_exact's strata-summary frames",
+    "surrogate_keys_dense":
+        "steady-state incremental batch (contract-pinned); bulk loads "
+        "auto-select the range-partition + prefix-sum path above 1M "
+        "rows (operators/upsert.py::assign_surrogate_keys)",
+}
 
 
 def _sanction_global_window(name: str) -> str | None:
