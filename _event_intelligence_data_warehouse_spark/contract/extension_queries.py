@@ -6593,14 +6593,18 @@ def dedup_global_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DBSCAN corpus: embeddings plus deterministic SATELLITES around every
 # 10th vector — v + (j/10)*reverse(v) for j = 1..(1 + (vec_id//10) % 4),
-# ids offset by +1_000_000*j. Pure double arithmetic in one fixed
+# satellite ids = -(vec_id*10 + j): NEGATIVE, so they cannot collide
+# with ANY non-negative base id space (the sf1 scale-up spreads vec_ids
+# across 1e6-strided blocks, which collided with an additive offset and
+# fanned the pair joins out through duplicate keys — the 21x first-probe
+# ratio; SCALING.md r9 attribution). Pure double arithmetic in one fixed
 # evaluation order, so both engines materialize bit-identical vectors;
 # satellite counts vary 1-4 so the corpus genuinely mixes core / border
 # / noise roles at eps_sim=0.98, min_pts=4 (empirically 46/50/527 at
 # sf0.01, 209/190/2101 at sf0.1 — no role class is vacuous).
 _DB_VECS_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     UNION ALL
-    SELECT e.vec_id + 1000000 * j.j AS vec_id,
+    SELECT -(e.vec_id * 10 + j.j) AS vec_id,
            list_transform(generate_series(1, len(e.v)),
                           i -> e.v[i] + (j.j / 10.0)
                                * e.v[len(e.v) + 1 - i]) AS v
@@ -6681,7 +6685,7 @@ def _dbscan_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )),
         )
         .select(
-            (F.col("vec_id") + 1000000 * F.col("j")).alias("vec_id"),
+            (-(F.col("vec_id") * 10 + F.col("j"))).alias("vec_id"),
             F.expr(
                 "transform(sequence(1, size(embedding)), "
                 "i -> embedding[i-1] + (CAST(j AS DOUBLE) / 10.0) "

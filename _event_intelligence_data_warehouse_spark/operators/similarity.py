@@ -999,7 +999,14 @@ def dbscan_cells(
     )
     assign = cells.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
     v = df.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
-    members = assign.join(v, "vec_id").withColumn("_n", norm(F.col("v")))
+    # Persisted (same discipline as semantic_dedup's assign): members
+    # feeds BOTH sides of the pair self-join AND the node roster —
+    # without it the whole quantizer-training pipeline re-executes per
+    # consumer (the 21x sf1 ratio the first r9 probe measured; 3.4x
+    # after this persist).
+    members = cache.persist(
+        assign.join(v, "vec_id").withColumn("_n", norm(F.col("v")))
+    )
     pairs = cache.persist(
         members.alias("a")
         .join(members.alias("b"),
@@ -1017,7 +1024,7 @@ def dbscan_cells(
                                   F.col("id_a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
     nodes = cache.persist(
-        assign.select("vec_id")
+        members.select("vec_id")
         .join(deg.withColumnRenamed("a", "vec_id"), "vec_id", "left")
         .select("vec_id",
                 ((F.coalesce(F.col("_d"), F.lit(0)) + 1) >= min_pts)
