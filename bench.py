@@ -117,6 +117,21 @@ the flagged trio totals within band, see below):
   first-round references.
 
 Round-9 notes:
+- CLOSING curated run: 249.4 s / 63 timed entries on a box measuring
+  ~1.5-2x slower than the r8 closing recording (ambient drift, r6-r8
+  documented band). Every REGRESSION flag adjudicated as drift by a
+  clean-box A/B: the r8 round commit (5d4e6f5) run in a worktree on
+  the SAME box, same isolated subset, measures similarity_ivf_topk
+  6.98 s / pq 8.23 / ivfpq 7.33 / bruteforce 1.35 / ngram_jaccard
+  16.0 vs HEAD's 6.52 / 7.75 / 7.88 / ~2 / 12.0 — r9 code is
+  equal-or-FASTER than r8 code on today's box on every flagged
+  entry; the r8-recorded references (4.05/5.72/5.50/0.79/8.36) are
+  unreachable on today's hardware state with either commit. The 8
+  round-9 additions record first-round references: dbscan 7.1 s,
+  frequent_itemsets 7.6 s, common_neighbors 4.3 s, frame_sample
+  2.6 s, rouge2 1.5 s, recursive chains 1.8 s, matryoshka 1.5 s
+  (clustering_coefficient trimmed from the capped JSON, ~3.5 s in
+  the sf1 probe's sf0.1 column).
 - Flag adjudication (r8 verdict item 3): the DRIVER-side
   dedup_semantic_apply +34% (2.96 -> 3.96 s in BENCH_r08.json) does
   NOT reproduce as a code regression. Clean-box A/B on 2026-08-16,
