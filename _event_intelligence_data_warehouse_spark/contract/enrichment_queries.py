@@ -3217,3 +3217,112 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return g.clustering_coefficient(edges, src_col="pa", dst_col="pb")
+
+
+@query(
+    "curation_pipeline_v6",
+    """
+    WITH docs2 AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, source
+        FROM documents WHERE doc_id % 5 = 0
+    ), fp AS (
+        SELECT doc_id, text, source,
+               row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                        '\\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM docs2
+    ), keep AS (
+        SELECT doc_id, text, source FROM fp WHERE rn = 1
+    ), toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+'), x -> x != '') AS t
+        FROM keep
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+1], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM toks WHERE len(t) >= 2
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM grams
+    ), bench AS (
+        SELECT doc_id AS bench_id, gram_hash FROM ex WHERE doc_id % 20 = 0
+    ), tot AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bench GROUP BY 1
+    ), sh AS (
+        SELECT e.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+        FROM ex e JOIN bench b USING (gram_hash)
+        WHERE e.doc_id <> b.bench_id
+        GROUP BY 1, 2
+    ), flagged AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN tot t USING (bench_id)
+        WHERE 1000000 * s.shared_ngrams // t.bench_ngrams >= 250000
+    ), cur AS (
+        SELECT k.doc_id, k.source, CAST(len(t.t) AS BIGINT) AS n_tokens
+        FROM keep k
+        JOIN toks t USING (doc_id)
+        LEFT JOIN flagged f USING (doc_id)
+        WHERE f.doc_id IS NULL
+    ), packed AS (
+        SELECT doc_id, source AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS start_token
+        FROM cur
+    )
+    SELECT doc_id, shard, n_tokens, start_token,
+           CAST(start_token // 512 AS BIGINT) AS bin_id,
+           CAST(start_token % 512 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+)
+def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINING-PREP pipeline, the v6 composition: corpus
+    (with planted exact copies) -> exact dedup keep-first
+    (operators/dedup.py::exact_dedup) -> graded ROUGE-2 benchmark
+    decontamination dropping every survivor covering >= 25% of a
+    benchmark doc's bigrams (operators/text.py::rouge_recall, the r9
+    addition) -> per-shard sequence packing of the curated set
+    (operators/text.py::pack_sequences) — dedup, decontaminate, lay
+    out for the tokenizer: the minimal real preprocessing chain
+    between a crawled corpus and a training run, hash-checked END TO
+    END (the oracle recomputes all three stages, so stage coupling —
+    dedup changing which doc carries a fingerprint, decontamination
+    changing pack offsets — is verified, not just each stage alone).
+    100 TB: dedup is one fingerprint groupBy; the decontamination
+    index broadcasts (bounded by the eval suite); packing is one
+    running-sum window per shard. No stage holds more than the gram
+    join's 8-byte hashes."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+    )
+    keep_ids = (
+        dd.exact_dedup(corpus)
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    survivors = corpus.join(keep_ids, "doc_id")
+    bench = survivors.filter(F.col("doc_id") % 20 == 0)
+    flagged = (
+        tx.rouge_recall(survivors, bench, n=2, min_recall_ppm=250000)
+        .select("doc_id")
+        .distinct()
+    )
+    curated = survivors.join(flagged, "doc_id", "left_anti")
+    return tx.pack_sequences(curated, 512)

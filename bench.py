@@ -276,6 +276,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "graph_clustering_coefficient",
     "similarity_matryoshka_recall",
+    "curation_pipeline_v6",
 ]
 
 

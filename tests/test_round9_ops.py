@@ -441,3 +441,38 @@ def test_matryoshka_prefix_recall_bounds(spark):
         sim.brute_force_topk(fpre, fpre.filter("vec_id <= 5"), k=3),
     ).collect()
     assert all(r.n_overlap == r.n_exact and r.top1_match for r in rec2)
+
+
+def test_curation_v6_stage_coupling(spark, tmp_path):
+    """The v6 chain on a crafted corpus: the duplicate drops FIRST (so
+    decontamination never sees it), the contaminated doc drops SECOND,
+    and the packed offsets reflect both removals."""
+    import os
+
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = [
+        # bench doc (id % 20 == 0)
+        (0, "alpha beta gamma delta epsilon", "s1"),
+        # wholesale contamination of the bench doc -> dropped by rouge
+        (1, "alpha beta gamma delta epsilon zeta", "s1"),
+        # clean doc
+        (2, "one two three four five six", "s1"),
+        # exact duplicate of 2 (different id) -> dropped by dedup
+        (3, "one two three four five six", "s1"),
+        # clean doc in another shard
+        (4, "seven eight nine", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: (r.shard, r.n_tokens, r.start_token, r.bin_id,
+                      r.bin_offset)
+           for r in QUERIES["curation_pipeline_v6"](spark, sf).collect()}
+    # corpus adds +100000 copies of ids % 5 == 0 (0 -> 100000); dedup
+    # keeps the originals; rouge drops 1 (6 shared bigrams / 4 bench
+    # bigrams... recall = 4/4 = 100%); 3 is an exact dup of 2.
+    assert set(out) == {0, 2, 4}
+    assert out[0] == ("s1", 5, 0, 0, 0)
+    assert out[2] == ("s1", 6, 5, 0, 5)   # packs AFTER doc 0 only
+    assert out[4] == ("s2", 3, 0, 0, 0)
