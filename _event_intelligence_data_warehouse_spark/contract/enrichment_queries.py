@@ -2121,13 +2121,16 @@ def analytics_user_concentration(
         F.sum("m").alias("n"),
         F.sum(F.expr("c * m")).alias("s"),
         F.sum(
-            # m*(m+1) is always even, so the bigint `div 2` is exact;
-            # the outer products widen to DECIMAL(38,0) BEFORE they can
-            # exceed int64 (same discipline as the original rank form).
+            # m*(m+1) is always even so the decimal /2 is exact; m is
+            # cast to DECIMAL(38,0) BEFORE the m*(m+1) multiply so the
+            # triangular term cannot wrap int64 for buckets with
+            # m >= ~3.04e9 members (the 100 TB c=1 bucket scenario).
+            # True decimal division (not `div`, whose result is BIGINT
+            # and would re-cap headroom at m ~4.3e9).
             F.expr(
                 "CAST(c AS DECIMAL(38,0))"
                 " * (CAST(m AS DECIMAL(38,0)) * o"
-                "    + CAST(m * (m + 1) div 2 AS DECIMAL(38,0)))"
+                "    + CAST(m AS DECIMAL(38,0)) * (m + 1) / 2)"
             )
         ).alias("src"),
     )
@@ -3173,10 +3176,13 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT pb AS n, pa AS m FROM e
     ), deg AS (
         SELECT n, COUNT(*) AS d FROM sym GROUP BY 1
+    ), symf AS (
+        SELECT s.n, s.m FROM sym s JOIN deg ON deg.n = s.n
+        WHERE deg.d <= 64
     ), tri AS (
         SELECT x.n AS vid, COUNT(*) AS t
-        FROM sym x
-        JOIN sym y ON x.n = y.n AND x.m < y.m
+        FROM symf x
+        JOIN symf y ON x.n = y.n AND x.m < y.m
         JOIN e ON e.pa = x.m AND e.pb = y.m
         GROUP BY x.n
     )
@@ -3197,9 +3203,14 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     glue unrelated baskets (high degree, low lcc). Companion metric to
     graph_common_neighbors on the same edge derivation. 100 TB:
     wedges-at-center verified against the edge list — two equi-joins
-    with combinable counts, never global triangle enumeration; the
-    max_hub_degree knob bounds the deg² fan-out when a cap is set
-    (uncapped here, max degree 13)."""
+    with combinable counts, never global triangle enumeration. Hub
+    suppression at degree 64 is set HERE and mirrored exactly in the
+    oracle's symf CTE (same cap as graph_common_neighbors): super-hub
+    centers are excluded from wedge generation (they report
+    n_triangles=0 / lcc_ppm=0 in both engines), bounding the deg²
+    wedge fan-out that was the registry's one surviving super-linear
+    surface at sf1 (r9 verdict item 1). No effect at tested SFs — max
+    degree 13 — but the cap is what survives a 100× densification."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -3216,7 +3227,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n12") >= 2)
         .select("pa", "pb")
     )
-    return g.clustering_coefficient(edges, src_col="pa", dst_col="pb")
+    return g.clustering_coefficient(
+        edges, src_col="pa", dst_col="pb", max_hub_degree=64
+    )
 
 
 @query(
@@ -3326,3 +3339,233 @@ def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     curated = survivors.join(flagged, "doc_id", "left_anti")
     return tx.pack_sequences(curated, 512)
+
+
+@query(
+    "curation_loss_mask_spans",
+    """
+    WITH docs2 AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, source
+        FROM documents WHERE doc_id % 5 = 0
+    ), fp AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS f
+        FROM docs2
+    ), canon AS (
+        SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f
+    ), toks AS (
+        SELECT p.doc_id, p.source,
+               CAST(len(list_filter(regexp_split_to_array(
+                        lower(trim(p.text)), '\\s+'), x -> x != ''))
+                    AS BIGINT) AS n_tokens,
+               CASE WHEN p.doc_id = c.canonical_id THEN 1 ELSE 0 END
+                   AS mask
+        FROM fp p JOIN canon c USING (f)
+    ), packed AS (
+        SELECT doc_id, source AS shard, n_tokens, mask,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - n_tokens AS BIGINT) AS s
+        FROM toks
+    ), spans AS (
+        SELECT doc_id, shard, s, n_tokens, mask,
+               unnest(generate_series(s // 512,
+                                      (s + n_tokens - 1) // 512))
+                   AS bin_id
+        FROM packed WHERE n_tokens >= 1
+    )
+    SELECT doc_id, shard, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(greatest(s, bin_id * 512) - bin_id * 512 AS BIGINT)
+               AS span_start,
+           CAST(least(s + n_tokens, (bin_id + 1) * 512)
+                - greatest(s, bin_id * 512) AS BIGINT) AS span_len,
+           CAST(mask AS BIGINT) AS loss_mask
+    FROM spans
+    """,
+)
+def curation_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level dedup-aware loss-mask layout (r9 verdict item 7a):
+    corpus with planted exact copies -> exact-dedup labels
+    (operators/dedup.py::exact_dedup) -> per-shard packing cut into
+    per-bin spans carrying each document's loss mask
+    (operators/text.py::pack_loss_mask_spans) — duplicates STAY in the
+    packed stream (context is preserved) but train with mask 0, so
+    gradients never overweight repeated bytes. Hash-checked end to
+    end like curation_pipeline_v6: the oracle recomputes dedup,
+    packing offsets AND the bin-boundary span cut, so stage coupling
+    (a dropped mask flipping, an offset shifting every later span) is
+    verified, not just each stage alone. 100 TB: dedup is one
+    fingerprint groupBy, packing one running-sum window per shard, the
+    span cut a codegen'd bounded explode — no stage shuffles text."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+    )
+    labels = dd.exact_dedup(corpus).select("doc_id", "canonical_id")
+    marked = corpus.join(labels, "doc_id").withColumn(
+        "keep_mask",
+        (F.col("doc_id") == F.col("canonical_id")).cast("bigint"),
+    )
+    return tx.pack_loss_mask_spans(marked, 512, mask_col="keep_mask")
+
+
+_V7_BUDGET = 8000
+
+@query(
+    "curation_pipeline_v7",
+    f"""
+    WITH docs2 AS (
+        SELECT doc_id, text, source, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, source, lang
+        FROM documents WHERE doc_id % 5 = 0
+    ), occ AS (
+        SELECT doc_id, unnest(list_transform({_TOKS}, t ->
+            CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096)) AS b
+        FROM docs2
+    ), tocc AS (
+        SELECT o.b FROM occ o JOIN docs2 d USING (doc_id)
+        WHERE d.lang = 'en'
+    ), tf AS (
+        SELECT b, CAST((CAST(COUNT(*) AS HUGEINT) * 1000000) //
+               (SELECT COUNT(*) FROM tocc) AS BIGINT) AS tp
+        FROM tocc GROUP BY b
+    ), rf AS (
+        SELECT b, CAST((CAST(COUNT(*) AS HUGEINT) * 1000000) //
+               (SELECT COUNT(*) FROM occ) AS BIGINT) AS rp
+        FROM occ GROUP BY b
+    ), score AS (
+        SELECT r.b, CAST(coalesce(t.tp, 0) - r.rp AS BIGINT) AS delta_ppm
+        FROM rf r LEFT JOIN tf t USING (b)
+    ), aff AS (
+        SELECT o.doc_id, CAST(SUM(s.delta_ppm) AS BIGINT) AS asum
+        FROM occ o JOIN score s USING (b) GROUP BY o.doc_id
+    ), sel0 AS (
+        SELECT d.doc_id, d.text, d.source
+        FROM docs2 d JOIN aff a USING (doc_id)
+        WHERE a.asum > 0
+    ), tagg AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM sel0 GROUP BY source
+    ), tsqrt AS (
+        SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                      AS sd
+        FROM tagg
+    ), tw AS (
+        SELECT source, n_tokens,
+               CAST(CASE WHEN (sd + 1) * (sd + 1) <= n_tokens THEN sd + 1
+                         WHEN sd * sd <= n_tokens THEN sd
+                         ELSE sd - 1 END AS BIGINT) AS weight
+        FROM tsqrt
+    ), tt AS (
+        SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS wsum FROM tw
+    ), rates AS (
+        SELECT source,
+               CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(least(1000000, CAST(
+                         ((CAST({_V7_BUDGET} AS HUGEINT) * weight) // wsum
+                              * 1000000) // n_tokens AS BIGINT)) AS BIGINT)
+               END AS rate_ppm
+        FROM tt
+    ), picked AS (
+        SELECT s.doc_id, s.source, s.text
+        FROM sel0 s JOIN rates r USING (source)
+        WHERE CAST(('0x' || substr(md5(s.source || '|'
+                       || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 < r.rate_ppm
+    ), fps AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS f
+        FROM picked
+    ), comp AS (
+        SELECT doc_id, source,
+               MIN(doc_id) OVER (PARTITION BY f) AS component_id
+        FROM fps
+    )
+    SELECT doc_id, source,
+           CAST(component_id AS BIGINT) AS component_id,
+           CASE WHEN (CAST(('0x' || substr(md5(
+                          CAST(component_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100) < 20
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def curation_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end data-SELECTION pipeline, the v7 composition (r9
+    verdict item 7b): corpus with planted exact copies -> DSIR
+    target-affinity gate keeping docs whose hashed-feature vocabulary
+    is over-represented in the English target
+    (operators/text.py::dsir_affinity, affinity_sum_ppm > 0) ->
+    temperature-smoothed (alpha=0.5) mixture sampling of the survivors
+    at a fixed token budget
+    (operators/sampling.py::mixture_sample_temperature) ->
+    leakage-safe train/holdout split over the picked set, with the
+    exact-dup pair graph (star edges to each fingerprint group's min
+    id) as the leakage relation
+    (operators/sampling.py::leakage_safe_split) — select
+    target-looking data, rebalance sources, split without separating
+    duplicate twins: the selection chain between a scored corpus and
+    a training mix, hash-checked END TO END (the oracle recomputes
+    all three stages, so stage coupling — the DSIR gate changing
+    per-source token sums, sampling changing which twins survive to
+    the split — is verified, not just each stage alone). 100 TB: the
+    4096-bucket DSIR score table and the sources-sized mixture plan
+    broadcast; the split is a groupBy-sized star propagation; text
+    never shuffles."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text", "source", "lang",
+        )
+    )
+    aff = tx.dsir_affinity(corpus, corpus.filter(F.col("lang") == "en"))
+    sel0 = corpus.join(
+        aff.filter(F.col("affinity_sum_ppm") > 0).select("doc_id"),
+        "doc_id",
+    )
+    picked = smp.mixture_sample_temperature(
+        sel0, _V7_BUDGET, alpha=0.5
+    ).select("doc_id")
+    picked_docs = corpus.select("doc_id", "text", "source").join(
+        picked, "doc_id"
+    )
+    fp = picked_docs.select("doc_id", dd.fingerprint(F.col("text")).alias("f"))
+    gmin = fp.groupBy("f").agg(F.min("doc_id").alias("m"))
+    pairs = (
+        fp.join(gmin, "f")
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("m").alias("doc_b"))
+    )
+    split = smp.leakage_safe_split(
+        picked_docs.select("doc_id"), pairs, 20
+    )
+    return split.join(
+        picked_docs.select("doc_id", "source"), "doc_id"
+    ).select(
+        "doc_id", "source",
+        F.col("component_id").cast("bigint").alias("component_id"),
+        "split",
+    )

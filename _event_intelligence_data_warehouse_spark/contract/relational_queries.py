@@ -1025,7 +1025,8 @@ def sql_frontend_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), e AS (
         SELECT event_id AS src, nxt_id AS dst FROM nxt
         WHERE nxt_id IS NOT NULL
-          AND epoch(nxt_ts) - epoch(CAST(ts AS TIMESTAMP)) <= 1800
+          AND epoch_us(nxt_ts) - epoch_us(CAST(ts AS TIMESTAMP))
+              <= 1800000000
     ), chain AS (
         SELECT event_id AS seed_id, event_id, 0 AS hop
         FROM events WHERE event_id % 101 = 0
@@ -1068,7 +1069,7 @@ def sql_recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), e AS (
             SELECT event_id AS src, nxt_id AS dst FROM nxt
             WHERE nxt_id IS NOT NULL
-              AND unix_timestamp(nxt_ts) - unix_timestamp(ts) <= 1800
+              AND unix_micros(nxt_ts) - unix_micros(ts) <= 1800000000
         ), chain AS (
             SELECT event_id AS seed_id, event_id,
                    CAST(0 AS BIGINT) AS hop

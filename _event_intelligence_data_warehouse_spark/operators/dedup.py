@@ -439,6 +439,7 @@ def connected_components(
     max_iter: int = 25,
     broadcast_labels: bool | None = None,
     broadcast_max_vertices: int = 5_000_000,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Canonical duplicate-group mapping: (doc_id, component_id) where
     component_id = min id reachable through the near-dup pair graph —
@@ -489,6 +490,7 @@ def connected_components(
         # so only the vertex-sized label frame moves per iteration.
         sym = sym.repartition(F.col("dst")).localCheckpoint()
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         lbl_by_dst = labels.select(
             F.col("doc_id").alias("dst"), "component_id"
@@ -510,8 +512,20 @@ def connected_components(
         ).localCheckpoint()
         cur_sum = labels.agg(F.sum("component_id")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if require_converged and not converged:
+        # Min-label propagation needs O(component diameter) rounds, so a
+        # silent early exit mislabels any component whose diameter
+        # exceeds max_iter (e.g. DBSCAN's textbook chain-shaped
+        # clusters). Callers that must match an exact-reachability
+        # oracle opt into fail-fast rather than wrong labels.
+        raise RuntimeError(
+            "connected_components did not reach its label fixpoint "
+            f"within max_iter={max_iter} rounds; the graph has a "
+            "component with diameter > max_iter. Raise max_iter."
+        )
     return labels
 
 

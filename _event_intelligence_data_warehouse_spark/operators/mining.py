@@ -76,7 +76,15 @@ def frequent_itemsets(
     )
 
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
-        return F.broadcast(df)
+        # Auto-select like connected_components' broadcast_max_vertices:
+        # broadcast the frequent frame only while it actually fits the
+        # cap — a low support threshold can make the frequent set huge,
+        # and an unconditional hint would OOM executors where the
+        # shuffle join works. The count is an O(1)-ish action over a
+        # persisted upstream (l1 / cand), cheap next to the level join.
+        if df.count() <= broadcast_frequent_max:
+            return F.broadcast(df)
+        return df
 
     out = l1.select(
         F.col("i1").alias("itemset"),
@@ -91,7 +99,6 @@ def frequent_itemsets(
         b.join(_maybe_broadcast(l1.select("i1")), "i1").select("b", "i1")
     )
     prev = None  # frequent itemsets of the previous level, as sorted arrays
-    prev_l1 = l1.select("i1")
     for k in range(2, max_k + 1):
         if k == 2:
             cand = (

@@ -1036,8 +1036,14 @@ def dbscan_cells(
         .join(core.withColumnRenamed("vec_id", "b"), "b")
         .select("a", "b")
     )
+    # DBSCAN clusters are exactly the chain-shaped components where long
+    # thin diameters arise (the chaining property), and the oracle
+    # computes exact recursive reachability — so run propagation with a
+    # deep iteration budget and FAIL FAST on non-convergence instead of
+    # silently returning partial labels (r9 advice item 3).
     comp = dd.connected_components(
         core, core_edges, id_col="vec_id", src_col="a", dst_col="b",
+        max_iter=100, require_converged=True,
     ).withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
         "component_id", "cluster_id"
     )

@@ -776,6 +776,77 @@ def pack_sequences(
     )
 
 
+def pack_loss_mask_spans(
+    df: DataFrame,
+    seq_len: int,
+    *,
+    mask_col: str = "loss_mask",
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level, dedup-aware loss-mask layout on top of
+    :func:`pack_sequences`: each document's packed token range
+    [start_token, start_token + n_tokens) is cut at the ``seq_len``
+    bin boundaries into per-bin SPANS, and every span carries the
+    document's loss mask (1 = train on these tokens, 0 = present in
+    the stream but excluded from the loss — the duplicate-retention
+    trick: keep duplicate bytes for context, zero their gradient so
+    the model never overweights them). ``df`` must already carry a
+    0/1 ``mask_col`` (e.g. doc_id == canonical_id from exact_dedup).
+
+    Output: (doc_id, shard, bin_id, span_start, span_len, loss_mask)
+    — one row per (document, bin) intersection, which is everything a
+    shard-writer needs to materialize per-sequence loss-mask tensors:
+    for bin b, the tokens [span_start, span_start + span_len) within
+    the sequence take the document's mask. Documents with zero tokens
+    occupy no span and emit no row.
+
+    Scale: the layout inherits pack_sequences' per-shard running-sum
+    window (the only shuffle); the span cut is a codegen'd
+    explode(sequence(bin_lo, bin_hi)) whose fan-out per document is
+    n_tokens/seq_len + 1 — output-proportional, never data-squared.
+    No UDFs, no driver state."""
+    L = int(seq_len)
+    base = pack_sequences(
+        df, L, shard_col=shard_col, text_col=text_col, id_col=id_col
+    ).join(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(mask_col).cast("bigint").alias("_mask"),
+        ),
+        "doc_id",
+    )
+    end = F.col("start_token") + F.col("n_tokens")
+    bin_lo = F.expr(f"start_token div {L}")
+    bin_hi = F.expr(f"(start_token + n_tokens - 1) div {L}")
+    return (
+        base.filter(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "shard",
+            "start_token",
+            "n_tokens",
+            "_mask",
+            F.explode(F.sequence(bin_lo, bin_hi)).alias("bin_id"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            F.col("bin_id").cast("bigint").alias("bin_id"),
+            (
+                F.greatest(F.col("start_token"), F.col("bin_id") * L)
+                - F.col("bin_id") * L
+            ).cast("bigint").alias("span_start"),
+            (
+                F.least(end, (F.col("bin_id") + 1) * L)
+                - F.greatest(F.col("start_token"), F.col("bin_id") * L)
+            ).cast("bigint").alias("span_len"),
+            F.col("_mask").alias("loss_mask"),
+        )
+    )
+
+
 def c4_line_filter(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     min_sentences: int = 5,

@@ -201,18 +201,33 @@ def test_driver_sample_head_slate_invariants():
         assert must in QUERIES and must in ORACLES, (
             f"{must} lost its registration/oracle"
         )
-    # And the r9 head must actually BE the rotation it claims: no name
-    # may carry a prior-round driver-green row. (timeseries_ohlc_hourly
-    # re-enters with an r8 RED row — rows green, hash red — which this
-    # invariant deliberately permits: a red row is exactly why a name
-    # re-enters the head.)
+    # And the r10 head must actually BE the slate it claims (r9 verdict
+    # item 1): the 29 names with NO driver row across r1-r9 (finishing
+    # cumulative coverage at every-query-verified-once), plus 21
+    # OLDEST-verified re-pins — exactly the names whose most recent
+    # green is the stalest in the ledger (all r1 greens, all r2 greens,
+    # then alphabetical-first r3 greens to fill to 50).
     import glob
     import json as _json
 
-    prior_green: set[str] = set()
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0[1-8].json")):
-        for k, v in _json.load(open(f)).items():
-            if v.get("rows_match") and v.get("hash_match"):
-                prior_green.add(k)
-    stale = [n for n in _DRIVER_SAMPLE_HEAD if n in prior_green]
-    assert not stale, f"head names already driver-verified: {stale}"
+    last_round: dict[str, int] = {}
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0[1-9].json")):
+        rnd = int(f.rsplit("r0", 1)[1].split(".")[0])
+        for k in _json.load(open(f)):
+            last_round[k] = max(last_round.get(k, 0), rnd)
+    never = [n for n in QUERIES if n not in last_round]
+    missing_never = [n for n in never if n not in _DRIVER_SAMPLE_HEAD]
+    assert not missing_never, (
+        f"never-driver-verified names left out of the head: "
+        f"{missing_never}"
+    )
+    repins = [n for n in _DRIVER_SAMPLE_HEAD if n in last_round]
+    want_repins = sorted(
+        (n for n in QUERIES if n in last_round),
+        key=lambda n: (last_round[n], n),
+    )[: 50 - len(never)]
+    assert sorted(repins) == sorted(want_repins), (
+        "re-pins must be exactly the oldest-driver-verified names: "
+        f"extra={sorted(set(repins) - set(want_repins))} "
+        f"missing={sorted(set(want_repins) - set(repins))}"
+    )

@@ -795,3 +795,49 @@ def test_proximity_search_window_and_counts(spark):
         ).collect()
     }
     assert got == {1: (1, 2), 2: (1, 1), 4: (2, 1)}
+
+
+def test_pack_loss_mask_spans_layout(spark):
+    # Two shards; doc 2 is an exact duplicate of doc 1 (mask 0). With
+    # seq_len=4, shard A's stream is 6+6+3 = 15 tokens: doc 1 spans
+    # bins 0-1, doc 2 spans bins 1-2, doc 3 sits inside bin 3.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "A", 1),
+            (2, "a b c d e f", "A", 0),
+            (3, "x y z", "A", 1),
+            (4, "p q r s t", "B", 1),
+            (5, "", "B", 1),  # zero tokens -> no span rows
+        ],
+        "doc_id long, text string, source string, keep long",
+    )
+    out = tx.pack_loss_mask_spans(docs, 4, mask_col="keep")
+    rows = {
+        (r["doc_id"], r["bin_id"]): (
+            r["span_start"], r["span_len"], r["loss_mask"], r["shard"]
+        )
+        for r in out.collect()
+    }
+    assert rows[(1, 0)] == (0, 4, 1, "A")
+    assert rows[(1, 1)] == (0, 2, 1, "A")
+    assert rows[(2, 1)] == (2, 2, 0, "A")
+    assert rows[(2, 2)] == (0, 4, 0, "A")
+    assert rows[(3, 3)] == (0, 3, 1, "A")
+    assert rows[(4, 0)] == (0, 4, 1, "B")
+    assert rows[(4, 1)] == (0, 1, 1, "B")
+    assert not any(d == 5 for d, _ in rows)
+    # spans tile each document exactly: per-doc span_len sums = n_tokens
+    sums = {
+        r["doc_id"]: r["s"]
+        for r in out.groupBy("doc_id")
+        .agg(F.sum("span_len").alias("s"))
+        .collect()
+    }
+    assert sums == {1: 6, 2: 6, 3: 3, 4: 5}
+    # every span fits inside its bin
+    bad = out.filter(
+        (F.col("span_start") < 0)
+        | (F.col("span_len") <= 0)
+        | (F.col("span_start") + F.col("span_len") > 4)
+    ).count()
+    assert bad == 0
