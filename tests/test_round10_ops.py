@@ -1,0 +1,122 @@
+"""Round-10 additions: dedup-aware loss-mask span layout and the v7
+selection pipeline (DSIR gate -> temperature mixture -> leakage-safe
+split), plus the convergence fail-fast on connected_components."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_loss_mask_spans_stage_coupling(spark, tmp_path):
+    """On a crafted corpus the mask reflects dedup (copies keep their
+    bytes, train with mask 0) and the spans reflect the packing: a doc
+    crossing the 512 boundary splits into two rows."""
+    long_text = " ".join(f"w{i}" for i in range(510))
+    rows = [
+        (0, long_text, "s1"),          # %5==0 -> planted copy 100000
+        (2, "one two three four", "s1"),
+        (4, "seven eight nine", "s2"),  # %5!=0... (4 % 5 != 0)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        (r.doc_id, r.bin_id): (r.shard, r.span_start, r.span_len,
+                               r.loss_mask)
+        for r in QUERIES["curation_loss_mask_spans"](spark, sf).collect()
+    }
+    # shard s1 stream in id order: doc 0 (510 toks), doc 2 (4 toks),
+    # doc 100000 (the planted copy of 0, 510 toks), = 1024 tokens.
+    assert out[(0, 0)] == ("s1", 0, 510, 1)
+    # doc 2 straddles the 512 boundary: 2 tokens in bin 0, 2 in bin 1
+    assert out[(2, 0)] == ("s1", 510, 2, 1)
+    assert out[(2, 1)] == ("s1", 0, 2, 1)
+    # the copy occupies [514, 1024) — entirely inside bin 1, mask 0
+    assert out[(100000, 1)] == ("s1", 2, 510, 0)
+    assert out[(4, 0)] == ("s2", 0, 3, 1)
+    assert len(out) == 5
+
+
+def test_loss_mask_spans_invariants_sf0001(spark):
+    out = QUERIES["curation_loss_mask_spans"](spark, SF)
+    bad = out.filter(
+        (F.col("span_start") < 0) | (F.col("span_start") >= 512)
+        | (F.col("span_len") <= 0)
+        | (F.col("span_start") + F.col("span_len") > 512)
+        | ~F.col("loss_mask").isin(0, 1)
+    ).count()
+    assert bad == 0
+    # every planted copy (id >= 100000 duplicates an original with a
+    # smaller id) is mask-0; per-doc masks are constant across spans
+    copies = out.filter("doc_id >= 100000")
+    assert copies.count() > 0
+    assert copies.filter("loss_mask != 0").count() == 0
+    assert (
+        out.groupBy("doc_id")
+        .agg(F.countDistinct("loss_mask").alias("k"))
+        .filter("k > 1")
+        .count()
+        == 0
+    )
+
+
+def test_pipeline_v7_leakage_and_gate(spark):
+    out = QUERIES["curation_pipeline_v7"](spark, SF)
+    rows = out.collect()
+    assert rows, "v7 picked nothing at sf0.001"
+    # leakage guard: a component never splits across train/holdout
+    assert (
+        out.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+        == 0
+    )
+    # split label is a pure function of component_id (md5 bucket < 20)
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_hash,
+    )
+
+    chk = out.withColumn(
+        "want",
+        F.when(
+            token_hash(F.col("component_id").cast("string")) % 100 < 20,
+            F.lit("holdout"),
+        ).otherwise("train"),
+    )
+    assert chk.filter("split != want").count() == 0
+    # duplicate twins (planted copies that survived selection together
+    # with their original) share a component
+    ids = {r.doc_id for r in rows}
+    comp = {r.doc_id: r.component_id for r in rows}
+    twins = [(i, i + 100000) for i in ids if i + 100000 in ids]
+    for a, b in twins:
+        assert comp[a] == comp[b]
+
+
+def test_connected_components_fail_fast_on_diameter(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+
+    # a 12-node path graph has diameter 11 > max_iter=3
+    v = spark.range(12).withColumnRenamed("id", "doc_id")
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dd.connected_components(
+            v, e, max_iter=3, require_converged=True
+        ).collect()
+    # same graph converges (and labels to min id 0) with budget
+    lbl = dd.connected_components(
+        v, e, max_iter=20, require_converged=True
+    ).collect()
+    assert all(r.component_id == 0 for r in lbl)

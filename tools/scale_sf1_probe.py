@@ -87,6 +87,14 @@ PROBE = [
     "graph_clustering_coefficient",
     "similarity_matryoshka_recall",
     "curation_pipeline_v6",
+    # round-10 additions: the steady-state APPLY/SERVE increments (r9
+    # verdict item 6 — the paths a 100 TB deployment runs daily were
+    # benched at sf0.1 but never probed at the 10x step) plus the two
+    # new curation compositions
+    "dedup_semantic_incremental",
+    "similarity_ivf_incremental",
+    "curation_loss_mask_spans",
+    "curation_pipeline_v7",
 ]
 
 
