@@ -3569,3 +3569,202 @@ def curation_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component_id").cast("bigint").alias("component_id"),
         "split",
     )
+
+
+@query(
+    "curation_packing_efficiency",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, source AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - n_tokens AS BIGINT) AS s
+        FROM toks
+    ), perdoc AS (
+        SELECT shard, n_tokens,
+               CASE WHEN n_tokens >= 1
+                    THEN (s + n_tokens - 1) // 512 - s // 512
+                    ELSE 0 END AS crossings
+        FROM packed
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_bins,
+           CAST(((SUM(n_tokens) + 511) // 512) * 512 - SUM(n_tokens)
+                AS BIGINT) AS tail_pad_tokens,
+           CAST(SUM(CASE WHEN crossings > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS straddle_docs,
+           CAST(SUM(crossings) AS BIGINT) AS n_crossings,
+           CAST(1000000 * SUM(CASE WHEN crossings > 0 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS straddle_ppm
+    FROM perdoc
+    GROUP BY shard
+    """,
+)
+def curation_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency telemetry per shard for the GPT-style
+    concat-then-chunk layout (operators/text.py::pack_sequences at
+    seq_len 512): total bins, tail padding (the only padding this
+    layout produces — everything before the final bin is dense), and
+    attention fragmentation — how many documents STRADDLE a bin
+    boundary (their tokens split across sequences, the spans
+    curation_loss_mask_spans materializes) and the total number of
+    boundary crossings. These are the numbers a training-infra owner
+    reads to pick seq_len and shard keys: tail_pad is wasted compute,
+    straddle_ppm is context truncation. 100 TB: one running-sum window
+    per shard (the packing itself) folded into a per-shard aggregate —
+    output is shards-sized."""
+    d = load(spark, sf_dir, "documents")
+    layout = tx.pack_sequences(d, 512)
+    per = layout.select(
+        "shard",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") >= 1,
+            F.expr("(start_token + n_tokens - 1) div 512"
+                   " - start_token div 512"),
+        ).otherwise(F.lit(0)).alias("crossings"),
+    )
+    return per.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("(sum(n_tokens) + 511) div 512").cast("bigint")
+        .alias("n_bins"),
+        F.expr("((sum(n_tokens) + 511) div 512) * 512 - sum(n_tokens)")
+        .cast("bigint").alias("tail_pad_tokens"),
+        F.sum((F.col("crossings") > 0).cast("bigint")).cast("bigint")
+        .alias("straddle_docs"),
+        F.sum("crossings").cast("bigint").alias("n_crossings"),
+        F.expr("1000000 * sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END)"
+               " div count(*)").cast("bigint").alias("straddle_ppm"),
+    )
+
+
+_MIXDD_BUDGET = 4000
+
+@query(
+    "curation_dedup_aware_mixture",
+    f"""
+    WITH docs2 AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, source
+        FROM documents WHERE doc_id % 5 = 0
+    ), fp AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS f
+        FROM docs2
+    ), canon AS (
+        SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f
+    ), toks AS (
+        SELECT p.doc_id, p.source,
+               CAST(len(list_filter(regexp_split_to_array(
+                        lower(trim(p.text)), '\\s+'), x -> x != ''))
+                    AS BIGINT) AS nt,
+               p.doc_id = c.canonical_id AS is_canon
+        FROM fp p JOIN canon c USING (f)
+    ), raw AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS raw_docs,
+               CAST(SUM(nt) AS BIGINT) AS raw_tokens
+        FROM toks GROUP BY source
+    ), kept AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(nt) AS BIGINT) AS kept_tokens
+        FROM toks WHERE is_canon GROUP BY source
+    ), tsqrt AS (
+        SELECT source, kept_docs, kept_tokens,
+               CAST(floor(sqrt(CAST(kept_tokens AS DOUBLE))) AS BIGINT)
+                   AS sd
+        FROM kept
+    ), tw AS (
+        SELECT source, kept_docs, kept_tokens,
+               CAST(CASE WHEN (sd + 1) * (sd + 1) <= kept_tokens
+                         THEN sd + 1
+                         WHEN sd * sd <= kept_tokens THEN sd
+                         ELSE sd - 1 END AS BIGINT) AS weight
+        FROM tsqrt
+    ), tt AS (
+        SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS wsum FROM tw
+    )
+    SELECT r.source, r.raw_docs, r.raw_tokens,
+           t.kept_docs, t.kept_tokens,
+           CAST(1000000 * (r.raw_tokens - t.kept_tokens)
+                // r.raw_tokens AS BIGINT) AS dedup_drop_ppm,
+           t.weight,
+           CAST(CASE WHEN t.wsum = 0 THEN 0
+                ELSE (CAST({_MIXDD_BUDGET} AS HUGEINT) * t.weight)
+                     // t.wsum END AS BIGINT) AS target_tokens,
+           CASE WHEN t.kept_tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(least(1000000, CAST(
+                     ((CAST({_MIXDD_BUDGET} AS HUGEINT) * t.weight)
+                          // t.wsum * 1000000) // t.kept_tokens
+                     AS BIGINT)) AS BIGINT)
+           END AS rate_ppm
+    FROM raw r JOIN tt t USING (source)
+    """,
+)
+def curation_dedup_aware_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixture planning on DEDUPED token counts: a temperature-smoothed
+    (alpha=0.5) source plan derived from the tokens that SURVIVE exact
+    dedup, reported next to the raw counts and each source's dedup
+    drop rate — the budget-allocation discipline a real pipeline needs
+    (a source that is 40% duplicates must not claim budget for bytes
+    that dedup will delete; weighting raw counts over-samples
+    crawl-heavy duplicated sources). Composes
+    operators/dedup.py::exact_dedup with
+    operators/sampling.py::mixture_plan_temperature over the planted
+    duplicate corpus; the oracle recomputes both stages, so the
+    coupling (which copy of a cross-source duplicate survives decides
+    which source's kept-count carries it) is hash-checked. 100 TB: one
+    fingerprint groupBy + two wordcount aggregates into sources-sized
+    frames."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+    )
+    keep_ids = (
+        dd.exact_dedup(corpus)
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    kept_docs = corpus.join(keep_ids, "doc_id")
+    raw = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("raw_tokens"),
+    )
+    plan = smp.mixture_plan_temperature(
+        kept_docs, _MIXDD_BUDGET, alpha=0.5
+    ).select(
+        "source",
+        F.col("n_docs").alias("kept_docs"),
+        F.col("n_tokens").alias("kept_tokens"),
+        "weight", "target_tokens", "rate_ppm",
+    )
+    return raw.join(plan, "source").select(
+        "source", "raw_docs", "raw_tokens", "kept_docs", "kept_tokens",
+        F.expr("1000000 * (raw_tokens - kept_tokens) div raw_tokens")
+        .cast("bigint").alias("dedup_drop_ppm"),
+        "weight", "target_tokens", "rate_ppm",
+    )

@@ -2900,7 +2900,16 @@ def dedup_semantic_incremental(
     re-assigned or re-trained, so per-batch cost scales with the
     increment. Must equal a same-centroid full pass's within-cell
     pairs restricted to those touching the batch (the oracle computes
-    exactly that)."""
+    exactly that). Quantizer sizing is ADAPTIVE like semantic_dedup's
+    (r10: the first sf1 probe of this entry measured 11.3x — fixed 16
+    cells densify linearly with the corpus, so the batch-vs-cell pair
+    join grew ~quadratically): corpora up to
+    SEM_FIXED_CELLS_MAX_VECTORS keep the oracle-pinned 16 cells (every
+    gate-runnable SF), larger ones get ~sqrt(n) cells with max_train
+    grown to 8 per cell — check_oracle regime-skips this entry past
+    the pinned regime, same as dedup_semantic."""
+    import math
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
     batch = emb.filter(F.col("vec_id") % 10 == 0).unionByName(
@@ -2908,7 +2917,14 @@ def dedup_semantic_incremental(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
-    centroids, cells = sim.ivf_cells(corpus)
+    n = corpus.count()
+    if n <= sim.SEM_FIXED_CELLS_MAX_VECTORS:
+        centroids, cells = sim.ivf_cells(corpus)
+    else:
+        n_cells = max(16, math.isqrt(n))
+        centroids, cells = sim.ivf_cells(
+            corpus, n_cells=n_cells, max_train=max(1024, 8 * n_cells)
+        )
     corpus_assign = cells.filter(F.col("cell_rank") == 1).select(
         "vec_id", "cell"
     )

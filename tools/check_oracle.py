@@ -126,6 +126,17 @@ def main() -> int:
             f"SEM_FIXED_CELLS_MAX_VECTORS={SEM_FIXED_CELLS_MAX_VECTORS}: "
             "query sizes cells ~sqrt(n), oracle pins 16 cells"
         )
+    # Incremental SemDeDup stored corpus: vec_id % 10 != 0 of the
+    # contiguous 0..n-1 id space. Same adaptive sizing as
+    # dedup_semantic (r10): above the pinned regime the stored
+    # quantizer trains ~sqrt(n) cells while the oracle CTE pins 16.
+    semi_corpus = n_emb - (n_emb + 9) // 10
+    if semi_corpus > SEM_FIXED_CELLS_MAX_VECTORS:
+        regime_skips["dedup_semantic_incremental"] = (
+            f"{semi_corpus} stored-corpus vectors > "
+            f"SEM_FIXED_CELLS_MAX_VECTORS={SEM_FIXED_CELLS_MAX_VECTORS}: "
+            "query sizes cells ~sqrt(n), oracle pins 16 cells"
+        )
 
     failures = []
     vacuous = []

@@ -95,6 +95,8 @@ PROBE = [
     "similarity_ivf_incremental",
     "curation_loss_mask_spans",
     "curation_pipeline_v7",
+    "curation_packing_efficiency",
+    "curation_dedup_aware_mixture",
 ]
 
 
