@@ -3768,3 +3768,95 @@ def curation_dedup_aware_mixture(
         .cast("bigint").alias("dedup_drop_ppm"),
         "weight", "target_tokens", "rate_ppm",
     )
+
+
+@query(
+    "text_pii_scrub",
+    """
+    WITH dec AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' call +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                    4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                            || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+                       ELSE '' END
+               AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+1-555-\\d{4}'))
+                AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+                '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b'))
+                AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '\\+1-555-\\d{4}'))
+              + len(regexp_extract_all(text,
+                '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b'))
+                AS BIGINT) AS n_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\+1-555-\\d{4}', '<PHONE>', 'g'),
+               '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'))
+               AS redacted_md5
+    FROM dec
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (operators/text.py::pii_scrub): the
+    corpus is decorated with deterministic planted emails, NANP
+    test-range phones and IPv4 literals (%3/%4/%5 of doc ids, values
+    derived from the id — mirrored verbatim in the oracle) so every
+    pattern class discriminates; the query reports per-doc detection
+    counts and the md5 of the REDACTED text, so the oracle
+    hash-checks the replacement byte stream itself — any divergence
+    between Java-regex and RE2 semantics on these patterns would
+    surface as a hash mismatch, not pass silently. 100 TB: stateless
+    projection riding the scan; zero shuffles, zero UDFs."""
+    docs = load(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call +1-555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit("."),
+                         F.expr("(doc_id div 7) % 256").cast("string"),
+                         F.lit("."),
+                         (F.col("doc_id") % 250 + 1).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.pii_scrub(decorated).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "n_pii",
+        F.md5("clean_text").alias("redacted_md5"),
+    )

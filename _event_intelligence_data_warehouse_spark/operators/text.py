@@ -2252,3 +2252,49 @@ def proximity_search(
             F.min(dist).cast("bigint").alias("min_distance"),
         )
     )
+
+
+# PII patterns (portable: every construct — \d, \b, bounded repeats,
+# character classes — means the same thing in Java regex (Spark) and
+# RE2 (DuckDB), so a mirrored oracle can redact bit-identically).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-555-\d{4}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def pii_scrub(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction, the pre-training privacy pass: count
+    and replace emails, NANP test-range phone numbers and IPv4
+    literals with typed placeholders (<EMAIL>/<PHONE>/<IP>) — the
+    standard scrub every public-corpus pipeline runs before tokenizer
+    training (the C4/Gopher lineage scrubs exactly these classes; the
+    pattern set here is the deterministic core, extend per
+    deployment). Returns (doc_id, n_emails, n_phones, n_ips, n_pii,
+    clean_text).
+
+    Redaction order is fixed (emails, then phones, then IPs) and the
+    patterns are disjoint on any input, so the composition is
+    deterministic. Scale: a stateless projection — three regexp_count
+    + three regexp_replace per row, zero shuffles, zero UDFs; at
+    100 TB this rides the scan exactly like the cleanse battery."""
+    t = _col(text_col)
+    ne = F.regexp_count(t, F.lit(PII_EMAIL))
+    np_ = F.regexp_count(t, F.lit(PII_PHONE))
+    ni = F.regexp_count(t, F.lit(PII_IPV4))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>",
+        ),
+        PII_IPV4, "<IP>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ne.cast("bigint").alias("n_emails"),
+        np_.cast("bigint").alias("n_phones"),
+        ni.cast("bigint").alias("n_ips"),
+        (ne + np_ + ni).cast("bigint").alias("n_pii"),
+        clean.alias("clean_text"),
+    )

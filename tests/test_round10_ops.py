@@ -120,3 +120,28 @@ def test_connected_components_fail_fast_on_diameter(spark):
         v, e, max_iter=20, require_converged=True
     ).collect()
     assert all(r.component_id == 0 for r in lbl)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or d@e.io call +1-555-0001"),
+            (2, "server at 10.0.0.1 and 192.168.001.255 ok"),
+            (3, "nothing to scrub here"),
+            (4, "+1-555-12345 is too long but matches prefix"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (2, 1, 0)
+    assert out[1].clean_text == "mail <EMAIL> or <EMAIL> call <PHONE>"
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 2)
+    assert out[2].clean_text == "server at <IP> and <IP> ok"
+    assert out[3].n_pii == 0 and out[3].clean_text == "nothing to scrub here"
+    # the phone pattern is prefix-greedy by design: the first 4 digits
+    # match, the trailing digit survives
+    assert out[4].n_phones == 1 and out[4].clean_text.startswith("<PHONE>5")

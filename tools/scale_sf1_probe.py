@@ -97,6 +97,7 @@ PROBE = [
     "curation_pipeline_v7",
     "curation_packing_efficiency",
     "curation_dedup_aware_mixture",
+    "text_pii_scrub",
 ]
 
 
