@@ -75,17 +75,17 @@ def frequent_itemsets(
         .filter(F.col("support") >= min_support)
     )
 
-    def _maybe_broadcast(df: DataFrame) -> DataFrame:
+    def _gate(df: DataFrame, n: int) -> DataFrame:
         # Auto-select like connected_components' broadcast_max_vertices:
         # broadcast the frequent frame only while it actually fits the
         # cap — a low support threshold can make the frequent set huge,
         # and an unconditional hint would OOM executors where the
-        # shuffle join works. The count is an O(1)-ish action over a
-        # persisted upstream (l1 / cand), cheap next to the level join.
-        if df.count() <= broadcast_frequent_max:
-            return F.broadcast(df)
-        return df
+        # shuffle join works. Counts are taken ONCE per level on the
+        # persisted frequent frame (the count doubles as its
+        # materialization), never per broadcast site.
+        return F.broadcast(df) if n <= broadcast_frequent_max else df
 
+    n_l1 = l1.count()
     out = l1.select(
         F.col("i1").alias("itemset"),
         F.lit(1).cast("bigint").alias("k"),
@@ -96,9 +96,10 @@ def frequent_itemsets(
     # Persisted: level k joins fb against the level-(k-1) occurrences,
     # so fb is read max_k-1 times.
     fb = cache.persist(
-        b.join(_maybe_broadcast(l1.select("i1")), "i1").select("b", "i1")
+        b.join(_gate(l1.select("i1"), n_l1), "i1").select("b", "i1")
     )
     prev = None  # frequent itemsets of the previous level, as sorted arrays
+    n_prev = 0
     for k in range(2, max_k + 1):
         if k == 2:
             cand = (
@@ -134,17 +135,21 @@ def frequent_itemsets(
                 F.col("items").alias("_sfx")
             )
             cand = ext.join(
-                _maybe_broadcast(pruned_sets),
+                _gate(pruned_sets, n_prev),
                 F.slice(F.col("items"), 2, k - 1) == F.col("_sfx"),
             ).select("b", "items")
         # cand feeds BOTH the support count and the next level's
         # occurrence frame — persist so the within-basket join runs once.
         cand = cache.persist(cand)
-        sup = (
+        # The level's frequent set feeds the output, the next level's
+        # prune AND the occurrence filter — persist and count ONCE (the
+        # count is also the broadcast gate).
+        sup = cache.persist(
             cand.groupBy("items")
             .agg(F.count(F.lit(1)).alias("support"))
             .filter(F.col("support") >= min_support)
         )
+        n_sup = sup.count()
         lv = sup.select(
             F.array_join("items", "|").alias("itemset"),
             F.lit(k).cast("bigint").alias("k"),
@@ -152,8 +157,9 @@ def frequent_itemsets(
         )
         out = out.unionByName(lv)
         prev = sup.select("items")
+        n_prev = n_sup
         # Occurrences of this level's FREQUENT itemsets, for extension.
-        prev_occ = cand.join(_maybe_broadcast(prev), "items").select(
+        prev_occ = cand.join(_gate(prev, n_sup), "items").select(
             "b", "items"
         )
     return out
