@@ -2277,8 +2277,13 @@ def pii_scrub(
     Redaction order is fixed (emails, then phones, then IPs) and the
     patterns are disjoint on any input, so the composition is
     deterministic. Scale: a stateless projection — three regexp_count
-    + three regexp_replace per row, zero shuffles, zero UDFs; at
-    100 TB this rides the scan exactly like the cleanse battery."""
+    + three regexp_replace per row, zero UDFs; at 100 TB this rides
+    the scan exactly like the cleanse battery. Small-file inputs are
+    spread across the session's cores first (_spread_cpu_dense, the
+    winnowing discipline): six regex passes per document are minutes
+    of single-core time behind a compressed few-MB scan's 1-2 tasks,
+    while an already-parallel scan passes through untouched."""
+    df = _spread_cpu_dense(df)
     t = _col(text_col)
     ne = F.regexp_count(t, F.lit(PII_EMAIL))
     np_ = F.regexp_count(t, F.lit(PII_PHONE))
