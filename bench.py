@@ -277,6 +277,14 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "similarity_matryoshka_recall",
     "curation_pipeline_v6",
+    # round-10 additions: dedup-aware loss-mask span layout, the
+    # DSIR -> mixture -> leakage-split selection pipeline, packing
+    # telemetry, dedup-aware mixture planning, PII scrub
+    "curation_loss_mask_spans",
+    "curation_pipeline_v7",
+    "curation_packing_efficiency",
+    "curation_dedup_aware_mixture",
+    "text_pii_scrub",
 ]
 
 
