@@ -144,7 +144,33 @@ Round-9 notes:
   fact_build_star adjudication). Build: 12.4 s (r7) vs 13.3 s
   (HEAD) — within band, and HEAD's build includes the new
   rank_cells model-cardinality probe (one O(model) count job).
+
+Round-10 notes:
+- CLOSING curated run: 236.97 s / 104 timed entries (the suite grew by
+  the five round-10 queries plus sub-entries) on a box measuring
+  FASTER than the r9 recording (the r9-curated 249.4 s was taken in a
+  ~1.5-2x-degraded interval; same-day probe A/A in SCALING.md r10).
+  This record is the guard's PRIMARY reference from r10 on (precedence
+  flipped per the r9 verdict item 5 — the curated clean-box record
+  wins, driver JSON backfills; flags are code-vs-code on the current
+  box).
+- The four flags this run fired against the r9-curated reference all
+  adjudicated NON-code by the standing same-box worktree A/B (r9 round
+  commit 15d363a vs r10 HEAD, isolated subset, same hour):
+  dedup_kcore_survivors 11.00 vs 11.51 s (band; the 5.87 s reference
+  was an IN-SUITE number riding the cluster-density family's warmed
+  pair cache — isolated runs are cold), embedding_covariance_exact
+  2.45 vs 2.22 s (HEAD faster), streaming_ivm_cdc_view 4.76 vs 3.68 s
+  (HEAD faster), similarity_ivf_range_search 4.84 vs 4.74 s (equal).
+  None of the four had a code change this round.
+- Round-10 additions record first-round references:
+  curation_loss_mask_spans 1.04 s, curation_pipeline_v7 6.64 s,
+  curation_packing_efficiency 0.43 s, curation_dedup_aware_mixture
+  0.95 s, text_pii_scrub 0.42 s. graph_clustering_coefficient reads
+  1.51 s vs 3.5 s uncapped (the contract's max_hub_degree=64 landing);
+  text_winnowing_fingerprints 0.82 s; dedup_semantic 5.13 s.
 """
+
 
 from __future__ import annotations
 
