@@ -1257,3 +1257,88 @@ def test_rank_cells_matches_python_ranking(spark, vecs, cents):
         )
         for rank, (_, j) in enumerate(order, start=1):
             assert got[(i, rank)] == j, (i, rank, got[(i, rank)], j, sims)
+
+
+_doc_text = st.lists(
+    st.from_regex(r"[a-z]{1,6}", fullmatch=True), min_size=0, max_size=40
+).map(" ".join)
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.tuples(_doc_text, st.sampled_from(["s1", "s2", "s3"]),
+                  st.booleans()),
+        min_size=1,
+        max_size=14,
+    ),
+    seq_len=st.sampled_from([3, 7, 16]),
+)
+def test_loss_mask_spans_tile_exactly(spark, docs, seq_len):
+    """For ANY corpus and seq_len, the spans tile each document's
+    packed token range exactly (per-doc span_len sums == token count),
+    every span sits inside its bin, and within a shard the spans cover
+    [0, shard_total) with no gap or overlap."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx,
+    )
+
+    rows = [(i, t, s, 1 if m else 0) for i, (t, s, m) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, keep long"
+    )
+    out = tx.pack_loss_mask_spans(df, seq_len, mask_col="keep").collect()
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                            lambda x: x != "")).alias("n"),
+        ).collect()
+    }
+    per_doc: dict[int, int] = {}
+    per_shard: dict[str, int] = {}
+    for r in out:
+        assert 0 <= r["span_start"] < seq_len
+        assert 0 < r["span_len"] <= seq_len
+        assert r["span_start"] + r["span_len"] <= seq_len
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["span_len"]
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["span_len"]
+    for i, n in n_tok.items():
+        assert per_doc.get(i, 0) == max(n, 0)
+    # shard coverage: total spans == total tokens of the shard
+    want_shard: dict[str, int] = {}
+    for i, (t, s, m) in enumerate(docs):
+        want_shard[s] = want_shard.get(s, 0) + n_tok[i]
+    for s, tot in want_shard.items():
+        assert per_shard.get(s, 0) == tot
+
+
+_pii_piece = st.one_of(
+    st.from_regex(r"[a-z]{1,8}", fullmatch=True),
+    st.from_regex(r"[a-z]{2,5}@[a-z]{2,5}\.[a-z]{2,3}", fullmatch=True),
+    st.from_regex(r"\+1-555-\d{4}", fullmatch=True),
+    st.from_regex(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", fullmatch=True),
+)
+
+
+@PROP
+@given(pieces=st.lists(_pii_piece, min_size=0, max_size=10))
+def test_pii_scrub_count_matches_redaction_and_is_idempotent(spark, pieces):
+    """Counts equal the placeholder occurrences the redaction produced,
+    and scrubbing the redacted text finds nothing (idempotence)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx,
+    )
+
+    text = " ".join(pieces)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = tx.pii_scrub(df).collect()[0]
+    clean = r["clean_text"]
+    assert r["n_emails"] == clean.count("<EMAIL>")
+    assert r["n_phones"] == clean.count("<PHONE>")
+    assert r["n_ips"] == clean.count("<IP>")
+    r2 = tx.pii_scrub(
+        spark.createDataFrame([(1, clean)], "doc_id long, text string")
+    ).collect()[0]
+    assert r2["n_pii"] == 0 and r2["clean_text"] == clean
