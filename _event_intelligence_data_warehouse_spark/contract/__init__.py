@@ -700,15 +700,17 @@ _DRIVER_SAMPLE_TAIL = [
 # names with NO driver row after nine rounds — the 18-name r8 residue,
 # the 9 r9 additions (dbscan, rouge2 decontamination, frame sampling,
 # matryoshka recall, common-neighbors, clustering coefficient,
-# pipeline_v6, recursive chains, apriori), and this round's 5 new
+# pipeline_v6, recursive chains, apriori), and this round's 7 new
 # queries (curation_loss_mask_spans, curation_pipeline_v7,
 # curation_packing_efficiency, curation_dedup_aware_mixture,
-# text_pii_scrub) — plus 18 OLDEST-verified re-pins (every r1 green:
-# 13; the alphabetically first 5 of the 7 r2 greens), whose last
+# text_pii_scrub, governance_pii_exposure,
+# curation_contamination_matrix) — plus 16 OLDEST-verified re-pins
+# (every r1 green: 13; the alphabetically first 3 of the 7 r2
+# greens), whose last
 # driver evidence predates seven rounds of engine rework (the ohlc
 # lesson: local-green can hide cross-environment drift, and r1/r2
 # recordings are the stalest in the ledger). Green across this head
-# makes cumulative driver coverage 278/278 — every registered query
+# makes cumulative driver coverage 280/280 — every registered query
 # driver-verified at least once. The no-prior-green invariant in
 # tests/test_pipeline.py is r10-amended: never-verified names must
 # have no prior row at all, re-pins must be exactly the oldest-green
@@ -746,6 +748,8 @@ _DRIVER_SAMPLE_HEAD = [
     "curation_packing_efficiency",
     "curation_dedup_aware_mixture",
     "text_pii_scrub",
+    "governance_pii_exposure",
+    "curation_contamination_matrix",
     "agg_cube_type_weekday",
     "agg_duplicate_groups",
     "agg_grouping_sets_mix",
@@ -762,8 +766,6 @@ _DRIVER_SAMPLE_HEAD = [
     "embedding_near_duplicates",
     "funnel_view_click_purchase",
     "knn_label_prediction",
-    "kpi_data_quality",
-    "kpi_events_by_city",
 ]
 
 

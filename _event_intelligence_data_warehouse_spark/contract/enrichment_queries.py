@@ -3860,3 +3860,195 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_emails", "n_phones", "n_ips", "n_pii",
         F.md5("clean_text").alias("redacted_md5"),
     )
+
+
+_PII_DEC_SQL = """
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' call +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                    4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                            || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+                       ELSE '' END
+               AS text
+        FROM documents
+"""
+
+
+@query(
+    "governance_pii_exposure",
+    f"""
+    WITH dec AS ({_PII_DEC_SQL}
+    ), per AS (
+        SELECT source,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                   AS ne,
+               len(regexp_extract_all(text, '\\+1-555-\\d{{4}}')) AS np,
+               len(regexp_extract_all(text,
+                   '\\b\\d{{1,3}}(\\.\\d{{1,3}}){{3}}\\b')) AS ni,
+               len(list_filter(regexp_split_to_array(lower(trim(text)),
+                   '\\s+'), x -> x != '')) AS nt
+        FROM dec
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(SUM(ne) AS BIGINT) AS n_emails,
+           CAST(SUM(np) AS BIGINT) AS n_phones,
+           CAST(SUM(ni) AS BIGINT) AS n_ips,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(1000000 * SUM(ne + np + ni) // SUM(nt) AS BIGINT)
+               AS pii_per_mtok
+    FROM per
+    GROUP BY source
+    """,
+)
+def governance_pii_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII-exposure report over the decorated corpus (the
+    governance face of text_pii_scrub): document counts, per-class
+    detection totals and PII density per million tokens — the table a
+    privacy review reads to decide which sources need a stronger
+    scrub before training. Planted PII and patterns identical to
+    text_pii_scrub (mirrored verbatim in the oracle). 100 TB: the
+    regex battery rides the scan; the report is one
+    map-side-combinable aggregate into a sources-sized frame."""
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call +1-555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit("."),
+                         F.expr("(doc_id div 7) % 256").cast("string"),
+                         F.lit("."),
+                         (F.col("doc_id") % 250 + 1).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    per = tx.pii_scrub(decorated).join(
+        decorated.select(
+            "doc_id", "source",
+            token_count("text").cast("bigint").alias("nt"),
+        ),
+        "doc_id",
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_pii") > 0).cast("bigint")).cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.expr("1000000 * sum(n_pii) div sum(nt)").cast("bigint")
+        .alias("pii_per_mtok"),
+    )
+
+
+@query(
+    "curation_contamination_matrix",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+1], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM toks WHERE len(t) >= 2
+    ), ex AS (
+        SELECT doc_id, source, unnest(g) AS gram_hash FROM grams
+    ), bench AS (
+        SELECT doc_id AS bench_id, source AS bench_source, gram_hash
+        FROM ex WHERE doc_id % 20 = 0
+    ), tot AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bench
+        GROUP BY 1
+    ), sh AS (
+        SELECT e.doc_id, e.source, b.bench_id, b.bench_source,
+               COUNT(*) AS shared_ngrams
+        FROM ex e JOIN bench b USING (gram_hash)
+        WHERE e.doc_id <> b.bench_id
+        GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+        SELECT s.source, s.bench_source, s.doc_id, s.bench_id,
+               1000000 * s.shared_ngrams // t.bench_ngrams AS r
+        FROM sh s JOIN tot t USING (bench_id)
+        WHERE 1000000 * s.shared_ngrams // t.bench_ngrams >= 100000
+    )
+    SELECT source, bench_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+           CAST(MAX(r) AS BIGINT) AS max_recall_ppm
+    FROM pairs
+    GROUP BY source, bench_source
+    """,
+)
+def curation_contamination_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination MATRIX: set-ROUGE-2 recall pairs at >= 10%
+    aggregated per (corpus source x benchmark source) — pair counts,
+    distinct suspect docs, distinct touched benchmark docs and the
+    worst recall, i.e. the table a decontamination review reads to
+    decide WHICH source needs scrubbing against WHICH eval suite
+    (the per-pair severity list is text_rouge2_contamination; this is
+    its rollup). 100 TB: the pair frame is the sparse rouge output
+    (8-byte hashes vs a broadcast benchmark index); the matrix is one
+    aggregate into a sources x bench-sources frame."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    pairs = tx.rouge_recall(docs, bench, n=2, min_recall_ppm=100000)
+    src = docs.select("doc_id", "source")
+    bsrc = docs.select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("source").alias("bench_source"),
+    )
+    return (
+        pairs.join(src, "doc_id")
+        .join(F.broadcast(bsrc), "bench_id")
+        .groupBy("source", "bench_source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_id").cast("bigint")
+            .alias("n_corpus_docs"),
+            F.countDistinct("bench_id").cast("bigint")
+            .alias("n_bench_docs"),
+            F.max("rouge_recall_ppm").cast("bigint")
+            .alias("max_recall_ppm"),
+        )
+    )

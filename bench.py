@@ -311,6 +311,8 @@ HEADLINE = [
     "curation_packing_efficiency",
     "curation_dedup_aware_mixture",
     "text_pii_scrub",
+    "governance_pii_exposure",
+    "curation_contamination_matrix",
 ]
 
 

@@ -98,6 +98,8 @@ PROBE = [
     "curation_packing_efficiency",
     "curation_dedup_aware_mixture",
     "text_pii_scrub",
+    "governance_pii_exposure",
+    "curation_contamination_matrix",
 ]
 
 
