@@ -169,6 +169,28 @@ Round-10 notes:
   0.95 s, text_pii_scrub 0.42 s. graph_clustering_coefficient reads
   1.51 s vs 3.5 s uncapped (the contract's max_hub_degree=64 landing);
   text_winnowing_fingerprints 0.82 s; dedup_semantic 5.13 s.
+
+Round-11 notes:
+- ADJUDICATION of the one unadjudicated r10 flag (r10 verdict item 1):
+  dedup_minhash_incr_pruned_ss +22% in the driver's post-closing run
+  (6.16 -> 7.53 s). Standing same-box worktree A/B, r9 round commit
+  15d363a vs r10 HEAD, isolated SPARK_GRAFT_BENCH_ONLY subset, 7
+  interleaved pairs same hour. Verdict: NON-code. (a) The executed
+  path is AST-identical between the two commits (minhash_index,
+  incremental_minhash_dedup, minhash_signatures, the two contract
+  query functions, cache.py, session.py — verified by ast.dump
+  equality, not eyeballing; the only r10 dedup.py change was the
+  opt-in require_converged parameter on connected_components, which
+  this entry never calls). (b) The first 4 pairs showed HEAD slower
+  (+3/+20/+11/+23%), but the raw sequence is monotonically increasing
+  REGARDLESS of side (6.35, 6.56, 6.72, 8.07, 7.92, 8.79 ...) — a
+  within-session box-warming trend, and HEAD ran second in 3 of 4.
+  (c) An order-balanced re-run (both sides in /tmp worktrees, HEAD
+  first each pair, 3 pairs) gives medians HEAD 6.71 s vs r9 6.69 s —
+  0.3% apart. The flag was the warming trend sampled at two points,
+  not a regression. Protocol lesson folded into the guard: single
+  unpaired observations on this box cannot distinguish +-25%; every
+  future flag adjudication uses order-balanced pairs.
 """
 
 
@@ -746,6 +768,7 @@ def _regression_report(timings: dict[str, float]) -> None:
     # commit in a worktree on the same box, same hour; only a
     # flag that reproduces there is code. Old driver recordings
     # remain committed as history (BENCH_r0*.json).
+    driver_prev = dict(prev) if prev else None
     try:
         with open(os.path.join(here, "BENCH_LOCAL_FULL.json")) as f:
             local = json.load(f).get("queries") or {}
@@ -756,18 +779,34 @@ def _regression_report(timings: dict[str, float]) -> None:
         pass
     if not prev:
         return
-    flagged = []
-    for q, now_s in timings.items():
-        was = prev.get(q)
-        if was is None:
-            continue
-        if now_s - was > REGRESSION_MIN_SEC and now_s > was * (
-            1 + REGRESSION_PCT / 100
-        ):
-            flagged.append(f"{q}: {was:.2f}s -> {now_s:.2f}s "
+
+    def _flags(ref: dict[str, float]) -> list[str]:
+        out = []
+        for q, now_s in timings.items():
+            was = ref.get(q)
+            if was is None:
+                continue
+            if now_s - was > REGRESSION_MIN_SEC and now_s > was * (
+                1 + REGRESSION_PCT / 100
+            ):
+                out.append(f"{q}: {was:.2f}s -> {now_s:.2f}s "
                            f"(+{100 * (now_s - was) / was:.0f}%)")
+        return out
+
+    # Dual-reference reporting (r10 advice item 2): the curated record
+    # stays the PRIMARY reference (flags against it are code-vs-code on
+    # the current box), but flags against the raw driver-recorded JSON
+    # print as ADVISORY lines too — so a drift between the self-recorded
+    # and driver-recorded baselines is itself visible instead of being
+    # silently absorbed by the precedence flip.
+    flagged = _flags(prev)
     for line in flagged:
         print(f"REGRESSION {line}", file=sys.stderr)
+    if driver_prev:
+        for line in _flags(driver_prev):
+            if line not in flagged:
+                print(f"REGRESSION-ADVISORY (vs driver record) {line}",
+                      file=sys.stderr)
     if not flagged:
         print("bench: no >20% per-query regressions vs last round",
               file=sys.stderr)
