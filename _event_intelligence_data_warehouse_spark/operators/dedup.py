@@ -491,7 +491,16 @@ def connected_components(
         sym = sym.repartition(F.col("dst")).localCheckpoint()
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1 passes: convergence is detected by a sum-unchanged
+    # check, which consumes one CONFIRMING pass after the fixpoint is
+    # reached (the sum proxy is sound — min-propagation labels are
+    # monotonically non-increasing, so an unchanged sum implies an
+    # unchanged labeling). Without the +1, a graph whose labels land on
+    # the fixpoint exactly at pass max_iter would spuriously trip
+    # require_converged (r10 advice item 4, off-by-one false positive).
+    # The effective propagation budget is therefore the full max_iter
+    # rounds of label movement; the extra pass can only confirm.
+    for _ in range(max_iter + 1):
         lbl_by_dst = labels.select(
             F.col("doc_id").alias("dst"), "component_id"
         )

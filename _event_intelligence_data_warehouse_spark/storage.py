@@ -40,6 +40,34 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def parquet_row_count(path: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata only — the
+    plain-directory analogue of :meth:`Warehouse.stats_count` for
+    inputs that live outside a manifest-managed warehouse (e.g. the
+    driver's testdata tables). O(files) footer reads on the driver,
+    zero Spark jobs, zero data pages: steady-state apply paths that
+    need a corpus-size scalar for sizing decisions (quantizer cells,
+    regime switches) must not pay a per-batch corpus scan for it
+    (r10 verdict item 3). Returns None when the path holds no parquet
+    footers to sum — callers fall back to a real ``count()``."""
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except OSError:
+        return None
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 

@@ -122,6 +122,28 @@ def test_connected_components_fail_fast_on_diameter(spark):
     assert all(r.component_id == 0 for r in lbl)
 
 
+def test_connected_components_fixpoint_on_last_iteration(spark):
+    """Convergence detection consumes one confirming pass, so a graph
+    whose labels land on the fixpoint exactly at pass max_iter must
+    NOT trip require_converged (r10 advice item 4: the loop runs
+    max_iter + 1 passes — full max_iter budget of label movement plus
+    the confirming pass)."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+
+    # 4-node path 0-1-2-3: min-label propagation needs exactly 3
+    # movement rounds for label 0 to reach node 3.
+    v = spark.range(4).withColumnRenamed("id", "doc_id")
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], ["doc_a", "doc_b"]
+    )
+    lbl = dd.connected_components(
+        v, e, max_iter=3, require_converged=True
+    ).collect()
+    assert all(r.component_id == 0 for r in lbl)
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     from _event_intelligence_data_warehouse_spark.operators import (
         text as tx,
