@@ -3793,28 +3793,38 @@ def curation_dedup_aware_mixture(
                AS text
         FROM documents
     )
+    -- counts mirror the engine's PROGRESSIVE semantics: emails on the
+    -- input, phones on the email-redacted text, IPs on the
+    -- email+phone-redacted text — counts equal placeholders emitted.
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                 AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '\\+1-555-\\d{4}'))
+           CAST(len(regexp_extract_all(t1, '\\+1-555-\\d{4}'))
                 AS BIGINT) AS n_phones,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(t2,
                 '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b'))
                 AS BIGINT) AS n_ips,
            CAST(len(regexp_extract_all(text,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-              + len(regexp_extract_all(text, '\\+1-555-\\d{4}'))
-              + len(regexp_extract_all(text,
+              + len(regexp_extract_all(t1, '\\+1-555-\\d{4}'))
+              + len(regexp_extract_all(t2,
                 '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b'))
                 AS BIGINT) AS n_pii,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
-               '\\+1-555-\\d{4}', '<PHONE>', 'g'),
+           md5(regexp_replace(t2,
                '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'))
                AS redacted_md5
-    FROM dec
+    FROM (
+        SELECT doc_id, text,
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1,
+               regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\+1-555-\\d{4}', '<PHONE>', 'g') AS t2
+        FROM dec
+    )
     """,
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3888,17 +3898,27 @@ _PII_DEC_SQL = """
     "governance_pii_exposure",
     f"""
     WITH dec AS ({_PII_DEC_SQL}
+    ), red AS (
+        -- progressive redaction (mirrors pii_scrub): phones counted on
+        -- the email-redacted text, IPs on the email+phone-redacted.
+        SELECT source, text,
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g') AS t1
+        FROM dec
     ), per AS (
         SELECT source,
                len(regexp_extract_all(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
                    AS ne,
-               len(regexp_extract_all(text, '\\+1-555-\\d{{4}}')) AS np,
-               len(regexp_extract_all(text,
+               len(regexp_extract_all(t1, '\\+1-555-\\d{{4}}')) AS np,
+               len(regexp_extract_all(
+                   regexp_replace(t1, '\\+1-555-\\d{{4}}',
+                                  '<PHONE>', 'g'),
                    '\\b\\d{{1,3}}(\\.\\d{{1,3}}){{3}}\\b')) AS ni,
                len(list_filter(regexp_split_to_array(lower(trim(text)),
                    '\\s+'), x -> x != '')) AS nt
-        FROM dec
+        FROM red
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

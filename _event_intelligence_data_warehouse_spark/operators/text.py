@@ -2274,27 +2274,30 @@ def pii_scrub(
     deployment). Returns (doc_id, n_emails, n_phones, n_ips, n_pii,
     clean_text).
 
-    Redaction order is fixed (emails, then phones, then IPs) and the
-    patterns are disjoint on any input, so the composition is
-    deterministic. Scale: a stateless projection — three regexp_count
-    + three regexp_replace per row, zero UDFs; at 100 TB this rides
-    the scan exactly like the cleanse battery. Small-file inputs are
-    spread across the session's cores first (_spread_cpu_dense, the
+    Redaction order is fixed (emails, then phones, then IPs) and each
+    class is COUNTED on the progressively redacted text — emails on
+    the input, phones on the email-redacted text, IPs on the
+    email+phone-redacted text — so every count equals the number of
+    placeholders that replacement emitted BY CONSTRUCTION, even when
+    patterns overlap (r10 advice item 1: a phone or IP embedded in an
+    email local part, e.g. 'a+1-555-1234@x.com', is consumed by the
+    <EMAIL> replacement and must not inflate n_phones). Placeholders
+    contain no digits, so a replacement can never manufacture a later
+    match. Scale: a stateless projection — three regexp_count + three
+    regexp_replace per row, zero UDFs; at 100 TB this rides the scan
+    exactly like the cleanse battery. Small-file inputs are spread
+    across the session's cores first (_spread_cpu_dense, the
     winnowing discipline): six regex passes per document are minutes
     of single-core time behind a compressed few-MB scan's 1-2 tasks,
     while an already-parallel scan passes through untouched."""
     df = _spread_cpu_dense(df)
     t = _col(text_col)
     ne = F.regexp_count(t, F.lit(PII_EMAIL))
-    np_ = F.regexp_count(t, F.lit(PII_PHONE))
-    ni = F.regexp_count(t, F.lit(PII_IPV4))
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_PHONE, "<PHONE>",
-        ),
-        PII_IPV4, "<IP>",
-    )
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    np_ = F.regexp_count(t1, F.lit(PII_PHONE))
+    t2 = F.regexp_replace(t1, PII_PHONE, "<PHONE>")
+    ni = F.regexp_count(t2, F.lit(PII_IPV4))
+    clean = F.regexp_replace(t2, PII_IPV4, "<IP>")
     return df.select(
         F.col(id_col).alias("doc_id"),
         ne.cast("bigint").alias("n_emails"),

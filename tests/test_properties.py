@@ -1319,14 +1319,25 @@ _pii_piece = st.one_of(
     st.from_regex(r"[a-z]{2,5}@[a-z]{2,5}\.[a-z]{2,3}", fullmatch=True),
     st.from_regex(r"\+1-555-\d{4}", fullmatch=True),
     st.from_regex(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", fullmatch=True),
+    # OVERLAPPING classes (r10 advice item 1): a phone or an IP embedded
+    # in an email local part is consumed by the <EMAIL> replacement —
+    # progressive counting must not count it as a phone/IP too.
+    st.from_regex(r"[a-z]\+1-555-\d{4}@[a-z]{2,5}\.[a-z]{2,3}",
+                  fullmatch=True),
+    st.from_regex(
+        r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}@[a-z]{2,5}\.[a-z]{2,3}",
+        fullmatch=True,
+    ),
 )
 
 
 @PROP
 @given(pieces=st.lists(_pii_piece, min_size=0, max_size=10))
 def test_pii_scrub_count_matches_redaction_and_is_idempotent(spark, pieces):
-    """Counts equal the placeholder occurrences the redaction produced,
-    and scrubbing the redacted text finds nothing (idempotence)."""
+    """Counts equal the placeholder occurrences the redaction produced
+    — including when a phone/IP is embedded inside an email and
+    consumed by the <EMAIL> replacement — and scrubbing the redacted
+    text finds nothing (idempotence)."""
     from _event_intelligence_data_warehouse_spark.operators import (
         text as tx,
     )

@@ -155,6 +155,10 @@ def test_pii_scrub_counts_and_redaction(spark):
             (2, "server at 10.0.0.1 and 192.168.001.255 ok"),
             (3, "nothing to scrub here"),
             (4, "+1-555-12345 is too long but matches prefix"),
+            # the r10 advice repro: a phone and an IP embedded in email
+            # local parts are consumed by <EMAIL> — progressive counting
+            # reports 2 PII, matching the 2 placeholders emitted
+            (5, "a+1-555-1234@x.com or 1.2.3.4@ex.io"),
         ],
         "doc_id long, text string",
     )
@@ -167,3 +171,6 @@ def test_pii_scrub_counts_and_redaction(spark):
     # the phone pattern is prefix-greedy by design: the first 4 digits
     # match, the trailing digit survives
     assert out[4].n_phones == 1 and out[4].clean_text.startswith("<PHONE>5")
+    assert (out[5].n_emails, out[5].n_phones, out[5].n_ips) == (2, 0, 0)
+    assert out[5].n_pii == 2
+    assert out[5].clean_text == "<EMAIL> or <EMAIL>"
