@@ -3900,6 +3900,64 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-level decontamination knobs shared by the Spark call and its
+# oracle: 4-token grams over the fixed _BPE_MERGES tokenizer; 80 shared
+# distinct grams ≈ substantial verbatim overlap on this template-heavy
+# corpus (12 pairs at sf0.01, ~2.7k at sf0.1 — the genuine suspect set).
+_TOKDECON_N = 4
+_TOKDECON_MIN_SHARED = 80
+
+
+@query(
+    "text_token_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               flatten(list_transform(
+                   regexp_extract_all(lower(text), '[a-z]+'),
+                   w -> {_bpe_apply_duckdb(_BPE_MERGES)})) AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - {_TOKDECON_N - 1}),
+                   i -> CAST(('0x' || substr(md5(array_to_string(
+                       t[i:i+{_TOKDECON_N - 1}], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM toks WHERE len(t) >= {_TOKDECON_N}
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM grams
+    ), bench AS (
+        SELECT doc_id AS bench_id, gram_hash FROM ex WHERE doc_id % 41 = 0
+    )
+    SELECT e.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ex e JOIN bench b USING (gram_hash)
+    WHERE e.doc_id <> b.bench_id
+    GROUP BY e.doc_id, b.bench_id
+    HAVING COUNT(*) >= {_TOKDECON_MIN_SHARED}
+    """,
+)
+def text_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-level benchmark decontamination (r10 verdict item 5,
+    operators/text.py::token_decontaminate): flag corpus docs sharing
+    >= 80 distinct 4-grams of BPE TOKENIZER output with a benchmark
+    doc (stand-in: doc_id % 41 == 0) — real eval-leak policies operate
+    on token sequences, not raw words, so the overlap rule here is
+    measured in the same units as the model's context window. The
+    token stream composes bpe_encode_stats' fixed-merge-list apply
+    with the ngram_contamination join shape; grams span word
+    boundaries. 100 TB: the tokenizer folds and gram hashing are
+    row-local column algebra riding the scan (zero shuffles before
+    the join); only 8-byte gram hashes join against a broadcast
+    benchmark index bounded by the eval suite."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return tx.token_decontaminate(
+        docs, bench, _BPE_MERGES,
+        n=_TOKDECON_N, min_shared=_TOKDECON_MIN_SHARED,
+    )
+
+
 @query(
     "curation_dsir_affinity",
     f"""

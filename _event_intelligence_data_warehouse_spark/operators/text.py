@@ -728,6 +728,95 @@ def rouge_recall(
     )
 
 
+def token_ngram_hashes(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, gram_hash): DISTINCT n-grams over the document's BPE
+    TOKEN stream — the tokenizer-level analogue of
+    :func:`word_ngram_hashes`. The token stream is the in-order
+    concatenation of each [a-z]+ word's merge-fold output (the same
+    greedy apply as :func:`bpe_encode_stats`), so grams span word
+    boundaries exactly as they do in the model's context window;
+    grams are space-joined token runs hashed through the engine's
+    md5-prefix scheme (engine-portable, oracle-checkable).
+
+    Scale: everything up to the gram explode is ROW-LOCAL column
+    algebra — the word split, every merge fold, the flatten, and the
+    per-row array_distinct all run inside the projection, so the plan
+    is scan → project → explode with zero shuffles (fold cost is
+    words x merges per row; a production 30k-merge tokenizer would
+    swap the inline fold for a broadcast vocab join, the same trade
+    bpe_encode_stats documents). Small-file scans are spread across
+    cores first (_spread_cpu_dense)."""
+    apply_expr = _bpe_apply_sql("split(wtk, '')", merges, "tk")
+    d = _spread_cpu_dense(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
+        F.expr(
+            f"flatten(transform(regexp_extract_all(lower({text_col}), "
+            f"'[a-z]+', 0), wtk -> {apply_expr}))"
+        ).alias("toks"),
+    )
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> cast(conv(substr(md5(array_join(slice(toks, i, {n}), ' ')), "
+        f"1, 8), 16, 10) as bigint)))"
+    )
+    return (
+        d.filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(grams).alias("gram_hash"))
+    )
+
+
+def token_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    n: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """TOKEN-level benchmark decontamination: corpus documents sharing
+    at least ``min_shared`` distinct BPE-token n-grams with a benchmark
+    document. Real eval-leak policies operate on TOKENIZER output, not
+    raw words (the Llama/GPT-4-style "n-token overlap" rule): token
+    grams see through whitespace and casing noise that perturbs word
+    grams, and the gram length is measured in the same units as the
+    model's context. Composition of :func:`token_ngram_hashes` with
+    the :func:`ngram_contamination` join shape.
+
+    Output: (doc_id, bench_id, n_shared) per contaminated pair. Scale:
+    identical to ngram_contamination — only 8-byte gram hashes join,
+    the benchmark index is bounded by the eval suite and broadcasts,
+    the corpus streams past it in one pass; both gram sides are
+    per-doc distinct so COUNT(*) per pair IS the distinct shared-gram
+    count."""
+    cg = token_ngram_hashes(
+        corpus, merges, n=n, text_col=text_col, id_col=id_col
+    )
+    bg = token_ngram_hashes(
+        benchmark, merges, n=n, text_col=text_col, id_col=id_col
+    ).withColumnRenamed("doc_id", "bench_id")
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        cg.join(bg, "gram_hash")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,
