@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from _event_intelligence_data_warehouse_spark.contract import load, query
 from _event_intelligence_data_warehouse_spark.contract.extension_queries import (
+    _STOP_EN_SQL,
     _TOKS,
 )
 from _event_intelligence_data_warehouse_spark.operators import graph as g
@@ -4071,4 +4072,211 @@ def curation_contamination_matrix(
             F.max("rouge_recall_ppm").cast("bigint")
             .alias("max_recall_ppm"),
         )
+    )
+
+
+@query(
+    "governance_contamination_trend",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+1], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM toks WHERE len(t) >= 2
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM grams
+    ), bench AS (
+        SELECT doc_id AS bench_id, gram_hash FROM ex WHERE doc_id % 20 = 0
+    ), tot AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bench GROUP BY 1
+    ), sh AS (
+        SELECT e.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+        FROM ex e JOIN bench b USING (gram_hash)
+        WHERE e.doc_id <> b.bench_id
+        GROUP BY 1, 2
+    ), susp AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN tot t USING (bench_id)
+        WHERE 1000000 * s.shared_ngrams // t.bench_ngrams >= 100000
+    ), dated AS (
+        SELECT d.doc_id, d.source,
+               DATE '2024-01-01' + CAST(d.doc_id % 28 AS INTEGER)
+                   AS ingest_date
+        FROM documents d
+    ), per AS (
+        SELECT source,
+               CAST(weekofyear(ingest_date) AS BIGINT) AS iso_week,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_contaminated
+        FROM dated LEFT JOIN susp s USING (doc_id)
+        GROUP BY 1, 2
+    )
+    SELECT source, iso_week,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(1000000 * n_contaminated // n_docs AS BIGINT)
+               AS contam_ppm,
+           CAST(1000000 * n_contaminated // n_docs
+                - lag(1000000 * n_contaminated // n_docs)
+                  OVER (PARTITION BY source ORDER BY iso_week)
+                AS BIGINT) AS delta_ppm
+    FROM per
+    """,
+)
+def governance_contamination_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source contamination TREND over ingest time (r10 verdict
+    item 8): the contamination-matrix suspect set (set-ROUGE-2 recall
+    >= 10% against the doc_id % 20 benchmark) rolled up per (source,
+    ISO ingest week) with a lag-window week-over-week delta — the
+    chart a governance review reads to see whether a source's eval
+    leakage is growing or responding to scrubbing. Documents carry no
+    timestamp, so ingest_date is the deterministic fixture
+    2024-01-01 + (doc_id % 28) — four exact ISO weeks, mirrored
+    verbatim in the oracle (the same planting discipline as the PII
+    fixtures). 100 TB: the suspect set is the sparse broadcast-joined
+    rouge output; the trend is one aggregate into a sources x weeks
+    frame plus a window over that tiny frame."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    susp = (
+        tx.rouge_recall(docs, bench, n=2, min_recall_ppm=100000)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_susp", F.lit(1))
+    )
+    dated = docs.select(
+        "doc_id",
+        "source",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("doc_id") % 28).cast("int"),
+        ).alias("ingest_date"),
+    )
+    per = (
+        dated.join(susp, "doc_id", "left")
+        .groupBy(
+            "source",
+            F.weekofyear("ingest_date").cast("bigint").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_susp"), F.lit(0)))
+            .cast("bigint").alias("n_contaminated"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("iso_week")
+    ppm = F.expr("1000000 * n_contaminated div n_docs").cast("bigint")
+    return per.select(
+        "source", "iso_week", "n_docs", "n_contaminated",
+        ppm.alias("contam_ppm"),
+        (ppm - F.lag(ppm).over(w)).cast("bigint").alias("delta_ppm"),
+    )
+
+
+@query(
+    "governance_quality_calibration",
+    # plain string (the punctuation class contains literal braces), the
+    # stopword list substituted from extension_queries' shared constant
+    """
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)),
+                           '\\s+'), x -> x != '') AS tl
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(tl) AS DOUBLE) AS n_tok,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - length(regexp_replace(text,
+                         '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS punct,
+               CASE WHEN len(tl) > 0 THEN
+                    CAST(len(list_filter(tl,
+                         x -> list_contains(__STOPS__, x))) AS DOUBLE)
+                    / CAST(len(tl) AS DOUBLE)
+               ELSE 0.0 END AS sw
+        FROM toks
+    ), scored AS (
+        SELECT doc_id,
+               CAST(ROUND(10000 * (
+                   least(n_tok / 20.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+                   + least(sw * 5.0, 1.0) * 0.3)) AS BIGINT) AS milli
+        FROM m
+    ), lab AS (
+        SELECT doc_id, milli,
+               least(milli // 1000, 9) AS bin,
+               CASE WHEN CAST(('0x' || substr(md5(
+                        'qcal|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000 < milli * 100
+                    THEN 1 ELSE 0 END AS label
+        FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(milli * 100) // COUNT(*) AS BIGINT) AS pred_ppm,
+           CAST(1000000 * SUM(label) // COUNT(*) AS BIGINT) AS obs_ppm,
+           CAST(1000000 * SUM(label) // COUNT(*)
+                - SUM(milli * 100) // COUNT(*) AS BIGINT) AS gap_ppm
+    FROM lab
+    GROUP BY bin
+    """.replace("__STOPS__", _STOP_EN_SQL),
+)
+def governance_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier CALIBRATION audit (r10 verdict item 8):
+    reliability bins over text.quality_score against a PLANTED label
+    drawn at exactly the score's own probability (md5 bucket of
+    'qcal|doc_id' in [0, 1M) < score_ppm — deterministic, mirrored
+    verbatim in the oracle), so the classifier is calibrated in
+    expectation by construction and the audit's gap column measures
+    finite-sample deviation per bin. Everything integer-exact: the
+    score's 4 decimals become milli-units via ROUND(score * 10000)
+    (integral up to FP error, safe to round on both engines), bins
+    are milli div 1000 capped at 9, predicted/observed rates are
+    floored ppm divisions. This is the reliability-diagram table a
+    data-quality review reads before trusting a score threshold for
+    corpus filtering. 100 TB: scoring and labeling ride the scan
+    row-locally; the audit is one map-side-combinable aggregate into
+    a 10-row frame."""
+    docs = load(spark, sf_dir, "documents")
+    milli = F.round(tx.quality_score(F.col("text")) * 10000).cast(
+        "bigint"
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('qcal|', cast(doc_id as string))), "
+        "1, 8), 16, 10) as bigint) % 1000000"
+    )
+    scored = docs.select(
+        milli.alias("milli"), bucket.alias("bucket")
+    )
+    lab = scored.select(
+        "milli",
+        F.least(F.expr("milli div 1000"), F.lit(9)).cast("bigint")
+        .alias("bin"),
+        F.when(F.col("bucket") < F.col("milli") * 100, 1).otherwise(0)
+        .alias("label"),
+    )
+    return lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.expr("sum(milli * 100) div count(*)").cast("bigint")
+        .alias("pred_ppm"),
+        F.expr("1000000 * sum(label) div count(*)").cast("bigint")
+        .alias("obs_ppm"),
+        F.expr(
+            "1000000 * sum(label) div count(*) "
+            "- sum(milli * 100) div count(*)"
+        ).cast("bigint").alias("gap_ppm"),
     )
