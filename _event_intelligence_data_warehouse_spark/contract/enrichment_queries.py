@@ -4280,3 +4280,300 @@ def governance_quality_calibration(
             "- sum(milli * 100) div count(*)"
         ).cast("bigint").alias("gap_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Release gate: the end-to-end dataset-card pipeline (r10 verdict item 4)
+# ---------------------------------------------------------------------------
+
+_RG_BUDGET = 6000
+_RG_SHARDS = 8
+_RG_SEQ = 256
+
+_RG_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RG_PHONE = "\\+1-555-\\d{4}"
+_RG_IP = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+
+def _pii_decorated(docs: DataFrame) -> DataFrame:
+    """The text_pii_scrub planting fixture with source carried through
+    (identical expressions to governance_pii_exposure's inline copy —
+    the shared constant for the SQL side is _PII_DEC_SQL)."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call +1-555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit("."),
+                         F.expr("(doc_id div 7) % 256").cast("string"),
+                         F.lit("."),
+                         (F.col("doc_id") % 250 + 1).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "curation_release_gate",
+    f"""
+    WITH dec AS ({_PII_DEC_SQL}
+    ), red AS (
+        SELECT doc_id, source, text,
+               regexp_replace(text, '{_RG_EMAIL}', '<EMAIL>', 'g') AS t1
+        FROM dec
+    ), scrub AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '{_RG_EMAIL}'))
+                  + len(regexp_extract_all(t1, '{_RG_PHONE}'))
+                  + len(regexp_extract_all(
+                        regexp_replace(t1, '{_RG_PHONE}', '<PHONE>', 'g'),
+                        '{_RG_IP}')) AS BIGINT) AS n_pii,
+               regexp_replace(
+                   regexp_replace(t1, '{_RG_PHONE}', '<PHONE>', 'g'),
+                   '{_RG_IP}', '<IP>', 'g') AS clean_text
+        FROM red
+    ), tokso AS (
+        SELECT doc_id, {{_TOKS_}} AS t FROM documents
+    ), gramso AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+1], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM tokso WHERE len(t) >= 2
+    ), exo AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM gramso
+    ), bencho AS (
+        SELECT doc_id AS bench_id, gram_hash FROM exo
+        WHERE doc_id % 20 = 0
+    ), toto AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bencho GROUP BY 1
+    ), sho AS (
+        SELECT e.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+        FROM exo e JOIN bencho b USING (gram_hash)
+        WHERE e.doc_id <> b.bench_id
+        GROUP BY 1, 2
+    ), susp AS (
+        SELECT DISTINCT s.doc_id
+        FROM sho s JOIN toto t USING (bench_id)
+        WHERE 1000000 * s.shared_ngrams // t.bench_ngrams >= 100000
+    ), gated AS (
+        SELECT s.* FROM scrub s
+        WHERE s.doc_id % 20 != 0
+          AND NOT EXISTS (SELECT 1 FROM susp WHERE susp.doc_id = s.doc_id)
+    ), fp AS (
+        SELECT gated.*,
+               md5(trim(regexp_replace(lower(clean_text), '\\s+', ' ',
+                                       'g'))) AS f
+        FROM gated
+    ), canon AS (
+        SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f
+    ), ddp AS (
+        SELECT p.* FROM fp p JOIN canon c USING (f)
+        WHERE p.doc_id = c.canonical_id
+    ), toks AS (
+        SELECT doc_id, source, n_pii, clean_text,
+               CAST(len(list_filter(regexp_split_to_array(
+                        lower(trim(clean_text)), '\\s+'), x -> x != ''))
+                    AS BIGINT) AS nt
+        FROM ddp
+    ), kept AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS kept_tokens
+        FROM toks GROUP BY source
+    ), tsqrt AS (
+        SELECT source, kept_tokens,
+               CAST(floor(sqrt(CAST(kept_tokens AS DOUBLE))) AS BIGINT)
+                   AS sd
+        FROM kept
+    ), tw AS (
+        SELECT source, kept_tokens,
+               CAST(CASE WHEN (sd + 1) * (sd + 1) <= kept_tokens
+                         THEN sd + 1
+                         WHEN sd * sd <= kept_tokens THEN sd
+                         ELSE sd - 1 END AS BIGINT) AS weight
+        FROM tsqrt
+    ), tt AS (
+        SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS wsum FROM tw
+    ), rates AS (
+        SELECT source,
+               CASE WHEN kept_tokens = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(least(1000000, CAST(
+                         ((CAST({_RG_BUDGET} AS HUGEINT) * weight)
+                              // wsum * 1000000) // kept_tokens
+                         AS BIGINT)) AS BIGINT)
+               END AS rate_ppm
+        FROM tt
+    ), picked AS (
+        SELECT t.* FROM toks t JOIN rates r USING (source)
+        WHERE CAST(('0x' || substr(md5(t.source || '|'
+                       || CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 < r.rate_ppm
+    ), packed AS (
+        SELECT doc_id, source, n_pii, nt,
+               CAST(('0x' || substr(md5('rg|'
+                    || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {_RG_SHARDS} AS shard,
+               CAST(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - nt AS BIGINT) AS s
+        FROM picked
+    )
+    SELECT doc_id, source, n_pii, nt AS n_tokens,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(s // {_RG_SEQ} AS BIGINT) AS bin_id,
+           CAST(s % {_RG_SEQ} AS BIGINT) AS bin_offset,
+           CAST(COUNT(*) OVER (PARTITION BY shard) AS BIGINT)
+               AS shard_records
+    FROM packed
+    """.replace("{_TOKS_}", _TOKS),
+)
+def curation_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END RELEASE GATE (r10 verdict item 4) — the dataset-card
+    pipeline a training-data team runs before publishing a corpus,
+    composed from the operators the registry already verifies one by
+    one and hash-checked END TO END like curation_pipeline_v6/v7:
+
+    1. PII scrub (operators/text.py::pii_scrub) over the planted-PII
+       corpus — progressive redaction, per-doc n_pii carried onto the
+       dataset card;
+    2. contamination gate: the ROUGE-2 suspect set (>= 10% recall vs
+       the doc_id % 20 benchmark, operators/text.py::rouge_recall)
+       AND the benchmark members themselves are dropped;
+    3. dedup-aware temperature mixture (alpha=0.5, 6k-token budget):
+       exact-dedup canonicals only (operators/dedup.py::exact_dedup
+       over the SCRUBBED text — redaction can only merge fingerprint
+       groups, so dedup runs downstream of the scrub exactly as in
+       production), rates from surviving token mass
+       (operators/sampling.py::mixture_sample_temperature);
+    4. packing layout (operators/text.py::pack_sequences, 256-token
+       bins per source shard);
+    5. sharded JSONL export with engine-portable shard provenance
+       (sources/jsonl.py::write_jsonl_shards with an md5 shard_of —
+       auditable outside Spark) and PERMISSIVE read-back with a
+       zero-corrupt assertion: the RESULT ROWS ARE BUILT FROM THE
+       RE-READ EXPORT, so a lost, duplicated or mangled line breaks
+       doc rows AND every shard_records manifest count in that shard.
+
+    The oracle recomputes all five stages logically, so stage coupling
+    (scrub changing fingerprints, the gate changing per-source token
+    mass, sampling changing packing offsets) is verified, not just
+    each stage alone. 100 TB: every stage is a pattern already graded
+    at scale — scan-riding regex battery, broadcast benchmark gram
+    index, fingerprint groupBy, sources-sized broadcast plan,
+    per-shard running sums, one hash exchange for the export."""
+    import pyspark.sql.types as T
+
+    from _event_intelligence_data_warehouse_spark.contract import (
+        staging_dir,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+    from _event_intelligence_data_warehouse_spark.sources import (
+        jsonl as jl,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    # 1. scrub the decorated corpus
+    scrub = tx.pii_scrub(_pii_decorated(docs)).select(
+        "doc_id", "n_pii", "clean_text"
+    )
+    # 2. contamination gate (suspects scored on the ORIGINAL text)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    susp = (
+        tx.rouge_recall(docs, bench, n=2, min_recall_ppm=100000)
+        .select("doc_id")
+        .distinct()
+    )
+    gated = (
+        scrub.join(docs.select("doc_id", "source"), "doc_id")
+        .join(susp, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % 20 != 0)
+    )
+    # 3. dedup-aware temperature mixture over the scrubbed text
+    kept0 = gated.select(
+        "doc_id", "source", "n_pii",
+        F.col("clean_text").alias("text"),
+    )
+    keep_ids = (
+        dd.exact_dedup(kept0)
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    deduped = kept0.join(keep_ids, "doc_id")
+    picked = deduped.join(
+        smp.mixture_sample_temperature(
+            deduped, _RG_BUDGET, alpha=0.5
+        ).select("doc_id"),
+        "doc_id",
+    )
+    # 5a. sharded export with engine-portable shard provenance
+    path = staging_dir("curation_release_gate", sf_dir)
+    shard_of = F.expr(
+        "cast(conv(substr(md5(concat('rg|', cast(doc_id as string))), "
+        "1, 8), 16, 10) as bigint)"
+    )
+    jl.write_jsonl_shards(
+        picked.select(
+            "doc_id", "source", "n_pii",
+            F.col("text").alias("clean_text"),
+        ),
+        path,
+        order_col="doc_id",
+        n_shards=_RG_SHARDS,
+        shard_of=shard_of,
+    )
+    # 5b. read back: the released bytes, not the pre-export frame
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_pii", T.LongType()),
+        T.StructField("clean_text", T.StringType()),
+    ])
+    clean, corrupt = jl.split_corrupt(jl.read_jsonl(spark, path, schema))
+    n_bad = corrupt.count()
+    assert n_bad == 0, f"{n_bad} corrupt JSONL lines in release export"
+    # 4. packing layout over the re-read release
+    pack = tx.pack_sequences(
+        clean, _RG_SEQ, shard_col="source", text_col="clean_text"
+    ).select("doc_id", "n_tokens", "bin_id", "bin_offset")
+    prov = Window.partitionBy("shard")
+    return (
+        clean.select(
+            "doc_id", "source",
+            F.col("n_pii").cast("bigint").alias("n_pii"),
+            F.col("shard").cast("bigint").alias("shard"),
+        )
+        .join(pack, "doc_id")
+        .select(
+            "doc_id", "source", "n_pii",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "shard",
+            F.col("bin_id").cast("bigint").alias("bin_id"),
+            F.col("bin_offset").cast("bigint").alias("bin_offset"),
+            F.count(F.lit(1)).over(prov).cast("bigint")
+            .alias("shard_records"),
+        )
+    )

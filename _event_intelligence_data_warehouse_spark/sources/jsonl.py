@@ -74,6 +74,7 @@ def write_jsonl_shards(
     n_shards: int,
     max_records_per_file: int | None = None,
     contiguous_ranges: bool = False,
+    shard_of=None,
 ) -> None:
     """Deterministic sharded JSONL export.
 
@@ -90,7 +91,14 @@ def write_jsonl_shards(
     sampling, which is documented as potentially inconsistent between
     runs — membership near boundaries is NOT a pure key function, so
     use this only when range locality matters more than reproducible
-    shard membership."""
+    shard membership.
+
+    ``shard_of`` overrides the default xxhash64 shard function with a
+    caller-supplied integer Column (still reduced mod ``n_shards``):
+    xxhash64 is the fastest choice but Spark-specific, so a release
+    whose shard membership must be auditable by OTHER engines (e.g. a
+    cross-engine provenance check over the export manifest) passes an
+    engine-portable hash expression instead."""
     if contiguous_ranges:
         writer = (
             df.repartitionByRange(n_shards, F.col(order_col))
@@ -103,9 +111,10 @@ def write_jsonl_shards(
             )
         writer.json(path)
         return
-    shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast(
-        "int"
-    )
+    shard = F.pmod(
+        F.xxhash64(F.col(order_col)) if shard_of is None else shard_of,
+        F.lit(n_shards),
+    ).cast("int")
     writer = (
         df.withColumn(SHARD_COL, shard)
         .repartition(n_shards, F.col(SHARD_COL))

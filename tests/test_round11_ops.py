@@ -54,6 +54,33 @@ def test_token_decontaminate_planted_leak(spark):
     assert toks[900] > 1
 
 
+def test_release_gate_invariants(spark):
+    """Release-gate output invariants at sf0.001: no benchmark member
+    survives the gate, shard provenance counts match the actual rows,
+    and packing offsets tile each source's token stream exactly."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    rows = QUERIES["curation_release_gate"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.doc_id % 20 != 0 for r in rows)
+    per_shard: dict[int, int] = {}
+    for r in rows:
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + 1
+    for r in rows:
+        assert r.shard_records == per_shard[r.shard]
+    # packing: within a source, start offsets (bin_id*256 + bin_offset)
+    # are the running sum of token counts in doc_id order
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rs:
+            assert r.bin_id * 256 + r.bin_offset == run
+            run += r.n_tokens
+
+
 def test_parquet_row_count_matches_scan(spark, tmp_path):
     from _event_intelligence_data_warehouse_spark import storage as st
 
