@@ -100,13 +100,44 @@ PROBE = [
     "text_pii_scrub",
     "governance_pii_exposure",
     "curation_contamination_matrix",
+    # round-11 additions (r10 verdict item 7): the storage/streaming
+    # family whose file-pruning and bounded-state behaviors ARE the
+    # 100 TB story — DV merge-on-read, Z-order skipping, JSONL export,
+    # the MERGE upsert path, and streaming CDC view maintenance
+    "storage_dv_roundtrip",
+    "storage_zorder_scan_roundtrip",
+    "storage_jsonl_export_roundtrip",
+    "upsert_merge_latest_state",
+    "streaming_ivm_cdc_view",
+    # round-11 new queries
+    "text_token_decontaminate",
+    "curation_release_gate",
+    "governance_contamination_trend",
+    "governance_quality_calibration",
 ]
+
+# Rows whose same-code A/A spread exceeded ~2x in the r10 four-run
+# disclosure (SCALING.md r10 appendix): a single observation of these
+# cannot distinguish "fine" from "investigate", so they ALWAYS get the
+# full median-of-reps treatment (r10 verdict item 2).
+HIGH_SPREAD = {
+    "similarity_knn_graph",
+    "curation_pipeline_v6",
+    "dedup_semantic",
+    "dedup_semantic_incremental",
+    "text_winnowing_fingerprints",
+}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", type=float, default=15.0)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.md"))
+    ap.add_argument(
+        "--reps", type=int, default=3,
+        help="measurements per SF for high-spread/near-gate rows "
+             "(median taken); other rows keep a single run",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -124,8 +155,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     probe = args.queries or PROBE
-    times: dict[str, dict[str, float]] = {}
-    for sf_dir, key in (("/root/testdata/sf0.1", "sf0.1"), (SF1_DIR, "sf1")):
+    sf_pairs = (("/root/testdata/sf0.1", "sf0.1"), (SF1_DIR, "sf1"))
+
+    def _measure(q: str, sf_dir: str, key: str) -> float:
+        t0 = time.time()
+        try:
+            QUERIES[q](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            return round(time.time() - t0, 2)
+        except Exception as e:
+            print(f"ERR {q}@{key}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return float("nan")
+        finally:
+            cache.release_all()
+
+    # Pass 1: one measurement per (query, SF) — the sf0.1 denominators
+    # come from the SAME session as the sf1 numerators by construction
+    # (r10 verdict item 2).
+    samples: dict[str, dict[str, list[float]]] = {}
+    for sf_dir, key in sf_pairs:
         for warm in ("agg_orders_by_priority", "daily_event_stats",
                      "dedup_exact", "similarity_topk_bruteforce"):
             QUERIES[warm](spark, sf_dir).write.mode("overwrite").format(
@@ -133,18 +183,44 @@ def main() -> None:
             ).save()
         cache.release_all()
         for q in probe:
-            t0 = time.time()
-            try:
-                QUERIES[q](spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                times.setdefault(q, {})[key] = round(time.time() - t0, 2)
-            except Exception as e:
-                times.setdefault(q, {})[key] = float("nan")
-                print(f"ERR {q}@{key}: {type(e).__name__}: {e}",
-                      file=sys.stderr)
-            finally:
-                cache.release_all()
+            samples.setdefault(q, {}).setdefault(key, []).append(
+                _measure(q, sf_dir, key)
+            )
+
+    # Median-of-reps for rows a single observation cannot adjudicate
+    # (r10 verdict item 2: the four-run A/A disclosure measured +-40%
+    # same-code movement on the heavy rows): every HIGH_SPREAD row, and
+    # every row whose provisional ratio is inside the gate's noise band
+    # (> gate/2), gets reps-1 extra measurements per SF; the table
+    # reports the per-SF MEDIAN and the run count.
+    def _ratio(q: str) -> float:
+        a = samples[q]["sf0.1"][0]
+        b = samples[q]["sf1"][0]
+        if a != a or b != b or a <= 0:
+            return float("nan")
+        return b / a
+
+    extras = [
+        q for q in probe
+        if q in HIGH_SPREAD
+        or (_ratio(q) == _ratio(q) and _ratio(q) > args.gate / 2)
+    ]
+    for _rep in range(max(args.reps - 1, 0)):
+        for sf_dir, key in sf_pairs:
+            for q in extras:
+                samples[q][key].append(_measure(q, sf_dir, key))
+
+    import statistics
+
+    times: dict[str, dict[str, float]] = {}
+    runs: dict[str, int] = {}
+    for q in probe:
+        runs[q] = len(samples[q]["sf1"])
+        for key in ("sf0.1", "sf1"):
+            vals = [v for v in samples[q][key] if v == v]
+            times.setdefault(q, {})[key] = (
+                round(statistics.median(vals), 2) if vals else float("nan")
+            )
 
     flagged = []
     lines = [
@@ -155,15 +231,20 @@ def main() -> None:
         "events, 50k token-rewritten documents, 20k perturbed vectors —",
         "construction notes in that tool's docstring). Same",
         f"{args.gate:.0f}x gate as the shipped-SF curves; at this size",
-        "fixed costs no longer mask a super-linear term.",
+        "fixed costs no longer mask a super-linear term. Both columns",
+        "are measured in the SAME session; rows with runs > 1 report",
+        "the per-SF MEDIAN of that many measurements (median-of-reps",
+        "for the high-spread rows and anything inside the gate's noise",
+        "band — r10 verdict item 2).",
         "",
-        "| query | sf0.1 s | sf1 s | ratio |",
-        "|---|---|---|---|",
+        "| query | sf0.1 s | sf1 s | ratio | runs |",
+        "|---|---|---|---|---|",
     ]
     for q in probe:
         a, b = times[q].get("sf0.1"), times[q].get("sf1")
+        r = runs.get(q, 1)
         if a is None or b is None or a != a or b != b:
-            lines.append(f"| {q} | {a} | {b} | ERR |")
+            lines.append(f"| {q} | {a} | {b} | ERR | {r} |")
             flagged.append(f"{q}: errored")
             continue
         ratio = b / a if a > 0 else float("inf")
@@ -171,7 +252,9 @@ def main() -> None:
         if ratio > args.gate:
             mark = " **SUPER-LINEAR**"
             flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s ({ratio:.1f}x)")
-        lines.append(f"| {q} | {a:.2f} | {b:.2f} | {ratio:.1f}x{mark} |")
+        lines.append(
+            f"| {q} | {a:.2f} | {b:.2f} | {ratio:.1f}x{mark} | {r} |"
+        )
     lines += ["", f"Gate: {'FAILED — ' + '; '.join(flagged) if flagged else 'clean'}", ""]
 
     # A SUBSET run (explicit query names) must not replace the full
