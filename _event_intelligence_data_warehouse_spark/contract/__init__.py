@@ -691,31 +691,12 @@ _DRIVER_SAMPLE_TAIL = [
     "storage_jsonl_export_roundtrip",
     "streaming_static_enrich_cohort",
     "window_value_family",
-]
-
-# Round-10 slate + the exact driver sample, pinned. The head is an
-# explicit list (r5 lesson: registration-order inference broke when a
-# new query registered mid-head): exactly these 50, in this order.
-# Composition (r9 verdict item 1 — FINISH driver coverage): the 29
-# names with NO driver row after nine rounds — the 18-name r8 residue,
-# the 9 r9 additions (dbscan, rouge2 decontamination, frame sampling,
-# matryoshka recall, common-neighbors, clustering coefficient,
-# pipeline_v6, recursive chains, apriori), and this round's 7 new
-# queries (curation_loss_mask_spans, curation_pipeline_v7,
-# curation_packing_efficiency, curation_dedup_aware_mixture,
-# text_pii_scrub, governance_pii_exposure,
-# curation_contamination_matrix) — plus 16 OLDEST-verified re-pins
-# (every r1 green: 13; the alphabetically first 3 of the 7 r2
-# greens), whose last
-# driver evidence predates seven rounds of engine rework (the ohlc
-# lesson: local-green can hide cross-environment drift, and r1/r2
-# recordings are the stalest in the ledger). Green across this head
-# makes cumulative driver coverage 280/280 — every registered query
-# driver-verified at least once. The no-prior-green invariant in
-# tests/test_pipeline.py is r10-amended: never-verified names must
-# have no prior row at all, re-pins must be exactly the oldest-green
-# names (the two new queries postdate every CORRECTNESS file).
-_DRIVER_SAMPLE_HEAD = [
+    # r11 demotions: the entire r10 head — every one of its 50 names is
+    # r10-driver-green (CORRECTNESS_r10 50/50), i.e. the FRESHEST
+    # evidence in the ledger, so none qualifies for the r11
+    # staleness-bounded head. Mechanisms stay covered by the full local
+    # gate and, where §2-critical, by the must-stay-registered list in
+    # tests/test_pipeline.py.
     "similarity_dbscan_clusters",
     "text_rouge2_contamination",
     "multimodal_frame_sample",
@@ -766,6 +747,83 @@ _DRIVER_SAMPLE_HEAD = [
     "embedding_near_duplicates",
     "funnel_view_click_purchase",
     "knn_label_prediction",
+]
+
+# Round-11 slate + the exact driver sample, pinned. The head is an
+# explicit list (r5 lesson: registration-order inference broke when a
+# new query registered mid-head): exactly these 50, in this order.
+# Composition (r10 verdict item 6 — STALENESS-BOUNDED rotation, now
+# that cumulative coverage reached every-query-verified-once in r10):
+# the 4 round-11 additions with NO driver row (text_token_decontaminate,
+# curation_release_gate, governance_contamination_trend,
+# governance_quality_calibration), then the 46 OLDEST-verified names
+# by (last driver-green round, name) — all 4 surviving r2 greens, all
+# 21 r3 greens, all 12 r4 greens, and the alphabetically first 9 of
+# the 10 r5 greens — whose last driver evidence predates six-plus
+# rounds of engine rework (the ohlc lesson: stale green can hide
+# cross-engine drift). Verified programmatically against the
+# CORRECTNESS_r01-r10 ledger (r10 advice item 3: comment arithmetic
+# must match the executable invariant —
+# tests/test_pipeline.py::test_driver_sample_head_slate_invariants
+# computes these exact sets, r10 file included). Green across this
+# head drops the ledger's max staleness from 9 rounds (r2 names) to 5
+# (the remaining r6 names).
+_DRIVER_SAMPLE_HEAD = [
+    # never driver-verified (round-11 additions)
+    "text_token_decontaminate",
+    "curation_release_gate",
+    "governance_contamination_trend",
+    "governance_quality_calibration",
+    # oldest-verified re-pins: r2 (4)
+    "kpi_data_quality",
+    "kpi_events_by_city",
+    "similarity_topk_bruteforce",
+    "window_moving_avg_7d",
+    # r3 (21)
+    "agg_distinct_counts",
+    "agg_exact_percentiles",
+    "agg_rollup_status_priority",
+    "agg_salted_skew_safe",
+    "curation_pipeline",
+    "dedup_simhash",
+    "join_range_price_band",
+    "join_scd2_point_in_time",
+    "join_semi_exists",
+    "join_star_revenue",
+    "rollup_cascade_daily",
+    "sample_stratified_hash",
+    "similarity_lsh_recall",
+    "sketch_hll_distinct",
+    "streaming_purchase_attribution",
+    "text_chunk_documents",
+    "text_redact_pii",
+    "window_pct_of_total",
+    "window_rank_family",
+    "window_sessionize",
+    "window_tumbling_hourly",
+    # r4 (12)
+    "cdc_snapshot_diff",
+    "curation_mixture_plan",
+    "curation_pipeline_v2",
+    "dedup_exact",
+    "embedding_batch_drift",
+    "governance_validate_rules",
+    "kpi_anomalous_days",
+    "similarity_ivf_recall",
+    "similarity_ivf_topk",
+    "split_kfold_leakage_safe",
+    "text_url_host_stats",
+    "text_winnowing_fingerprints",
+    # r5 (alphabetically first 9 of 10)
+    "curation_quality_percentile",
+    "dedup_connected_components",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "embedding_random_projection",
+    "profile_key_skew",
+    "similarity_lsh_topk",
+    "text_bpe_pair_stats",
+    "text_lm_surprise",
 ]
 
 

@@ -335,6 +335,12 @@ HEADLINE = [
     "text_pii_scrub",
     "governance_pii_exposure",
     "curation_contamination_matrix",
+    # round-11 additions: token-level decontamination, the end-to-end
+    # release-gate composition, and the two governance audits
+    "text_token_decontaminate",
+    "curation_release_gate",
+    "governance_contamination_trend",
+    "governance_quality_calibration",
 ]
 
 

@@ -201,18 +201,23 @@ def test_driver_sample_head_slate_invariants():
         assert must in QUERIES and must in ORACLES, (
             f"{must} lost its registration/oracle"
         )
-    # And the r10 head must actually BE the slate it claims (r9 verdict
-    # item 1): the 29 names with NO driver row across r1-r9 (finishing
-    # cumulative coverage at every-query-verified-once), plus 21
-    # OLDEST-verified re-pins — exactly the names whose most recent
-    # green is the stalest in the ledger (all r1 greens, all r2 greens,
-    # then alphabetical-first r3 greens to fill to 50).
+    # And the head must actually BE the slate it claims (r10 verdict
+    # item 6, staleness-bounded rotation; r10 advice item 3 made this
+    # executable check the source of truth over any comment
+    # arithmetic): every name with NO driver row across the full
+    # CORRECTNESS ledger (the round's new queries — 4 in r11), plus
+    # OLDEST-verified re-pins filling to 50 — exactly the names whose
+    # most recent driver green is the stalest, ordered by
+    # (last green round, name). For r11 that is 4 r2 + 21 r3 + 12 r4 +
+    # the alphabetically first 9 of the 10 r5 greens.
     import glob
     import json as _json
+    import re as _re
 
     last_round: dict[str, int] = {}
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0[1-9].json")):
-        rnd = int(f.rsplit("r0", 1)[1].split(".")[0])
+    # numeric round parse: a r0[1-9] glob silently drops r10+ ledgers
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        rnd = int(_re.search(r"r(\d+)", f).group(1))
         for k in _json.load(open(f)):
             last_round[k] = max(last_round.get(k, 0), rnd)
     never = [n for n in QUERIES if n not in last_round]
