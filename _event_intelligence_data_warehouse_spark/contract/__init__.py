@@ -754,26 +754,29 @@ _DRIVER_SAMPLE_TAIL = [
 # new query registered mid-head): exactly these 50, in this order.
 # Composition (r10 verdict item 6 — STALENESS-BOUNDED rotation, now
 # that cumulative coverage reached every-query-verified-once in r10):
-# the 4 round-11 additions with NO driver row (text_token_decontaminate,
+# the 6 round-11 additions with NO driver row (text_token_decontaminate,
 # curation_release_gate, governance_contamination_trend,
-# governance_quality_calibration), then the 46 OLDEST-verified names
-# by (last driver-green round, name) — all 4 surviving r2 greens, all
-# 21 r3 greens, all 12 r4 greens, and the alphabetically first 9 of
-# the 10 r5 greens — whose last driver evidence predates six-plus
-# rounds of engine rework (the ohlc lesson: stale green can hide
-# cross-engine drift). Verified programmatically against the
+# governance_quality_calibration, governance_release_funnel,
+# governance_quality_threshold_sweep), then the 44 OLDEST-verified
+# names by (last driver-green round, name) — all 4 surviving r2
+# greens, all 21 r3 greens, all 12 r4 greens, and the alphabetically
+# first 7 of the 10 r5 greens — whose last driver evidence predates
+# six-plus rounds of engine rework (the ohlc lesson: stale green can
+# hide cross-engine drift). Verified programmatically against the
 # CORRECTNESS_r01-r10 ledger (r10 advice item 3: comment arithmetic
 # must match the executable invariant —
 # tests/test_pipeline.py::test_driver_sample_head_slate_invariants
 # computes these exact sets, r10 file included). Green across this
-# head drops the ledger's max staleness from 9 rounds (r2 names) to 5
-# (the remaining r6 names).
+# head drops the ledger's max staleness from 9 rounds (r2 names) to 6
+# (the three r5 names left for the r12 rotation).
 _DRIVER_SAMPLE_HEAD = [
     # never driver-verified (round-11 additions)
     "text_token_decontaminate",
     "curation_release_gate",
     "governance_contamination_trend",
     "governance_quality_calibration",
+    "governance_release_funnel",
+    "governance_quality_threshold_sweep",
     # oldest-verified re-pins: r2 (4)
     "kpi_data_quality",
     "kpi_events_by_city",
@@ -814,7 +817,7 @@ _DRIVER_SAMPLE_HEAD = [
     "split_kfold_leakage_safe",
     "text_url_host_stats",
     "text_winnowing_fingerprints",
-    # r5 (alphabetically first 9 of 10)
+    # r5 (alphabetically first 7 of 10)
     "curation_quality_percentile",
     "dedup_connected_components",
     "dedup_minhash_lsh_pairs",
@@ -822,8 +825,6 @@ _DRIVER_SAMPLE_HEAD = [
     "embedding_random_projection",
     "profile_key_skew",
     "similarity_lsh_topk",
-    "text_bpe_pair_stats",
-    "text_lm_surprise",
 ]
 
 

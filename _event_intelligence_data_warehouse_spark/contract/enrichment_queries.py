@@ -4577,3 +4577,349 @@ def curation_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shard_records"),
         )
     )
+
+
+@query(
+    "governance_release_funnel",
+    f"""
+    WITH dec AS ({_PII_DEC_SQL}
+    ), red AS (
+        SELECT doc_id, source, text,
+               regexp_replace(text, '{_RG_EMAIL}', '<EMAIL>', 'g') AS t1
+        FROM dec
+    ), scrub AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '{_RG_EMAIL}'))
+                  + len(regexp_extract_all(t1, '{_RG_PHONE}'))
+                  + len(regexp_extract_all(
+                        regexp_replace(t1, '{_RG_PHONE}', '<PHONE>', 'g'),
+                        '{_RG_IP}')) AS BIGINT) AS n_pii,
+               regexp_replace(
+                   regexp_replace(t1, '{_RG_PHONE}', '<PHONE>', 'g'),
+                   '{_RG_IP}', '<IP>', 'g') AS clean_text
+        FROM red
+    ), tokso AS (
+        SELECT doc_id, {{_TOKS_}} AS t FROM documents
+    ), gramso AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+1], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM tokso WHERE len(t) >= 2
+    ), exo AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM gramso
+    ), bencho AS (
+        SELECT doc_id AS bench_id, gram_hash FROM exo
+        WHERE doc_id % 20 = 0
+    ), toto AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bencho GROUP BY 1
+    ), sho AS (
+        SELECT e.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+        FROM exo e JOIN bencho b USING (gram_hash)
+        WHERE e.doc_id <> b.bench_id
+        GROUP BY 1, 2
+    ), susp AS (
+        SELECT DISTINCT s.doc_id
+        FROM sho s JOIN toto t USING (bench_id)
+        WHERE 1000000 * s.shared_ngrams // t.bench_ngrams >= 100000
+    ), staged AS (
+        SELECT s.doc_id, s.source, s.n_pii, s.clean_text,
+               s.doc_id % 20 = 0 AS is_bench,
+               EXISTS (SELECT 1 FROM susp
+                       WHERE susp.doc_id = s.doc_id) AS is_susp
+        FROM scrub s
+    ), gated AS (
+        SELECT * FROM staged WHERE NOT is_bench AND NOT is_susp
+    ), fp AS (
+        SELECT gated.*,
+               md5(trim(regexp_replace(lower(clean_text), '\\s+', ' ',
+                                       'g'))) AS f
+        FROM gated
+    ), canon AS (
+        SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f
+    ), marked AS (
+        SELECT p.*, p.doc_id = c.canonical_id AS is_canon
+        FROM fp p JOIN canon c USING (f)
+    ), toks AS (
+        SELECT doc_id, source, n_pii, is_canon,
+               CAST(len(list_filter(regexp_split_to_array(
+                        lower(trim(clean_text)), '\\s+'), x -> x != ''))
+                    AS BIGINT) AS nt
+        FROM marked
+    ), kept AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS kept_tokens
+        FROM toks WHERE is_canon GROUP BY source
+    ), tsqrt AS (
+        SELECT source, kept_tokens,
+               CAST(floor(sqrt(CAST(kept_tokens AS DOUBLE))) AS BIGINT)
+                   AS sd
+        FROM kept
+    ), tw AS (
+        SELECT source, kept_tokens,
+               CAST(CASE WHEN (sd + 1) * (sd + 1) <= kept_tokens
+                         THEN sd + 1
+                         WHEN sd * sd <= kept_tokens THEN sd
+                         ELSE sd - 1 END AS BIGINT) AS weight
+        FROM tsqrt
+    ), tt AS (
+        SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS wsum FROM tw
+    ), rates AS (
+        SELECT source,
+               CASE WHEN kept_tokens = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(least(1000000, CAST(
+                         ((CAST({_RG_BUDGET} AS HUGEINT) * weight)
+                              // wsum * 1000000) // kept_tokens
+                         AS BIGINT)) AS BIGINT)
+               END AS rate_ppm
+        FROM tt
+    ), final AS (
+        SELECT t.doc_id, t.source, t.n_pii, t.is_canon, t.nt,
+               t.is_canon AND
+               CAST(('0x' || substr(md5(t.source || '|'
+                        || CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < r.rate_ppm AS released
+        FROM toks t JOIN rates r USING (source)
+    ), per_doc AS (
+        SELECT s.doc_id, s.source, s.n_pii, s.is_bench, s.is_susp,
+               coalesce(f.is_canon, FALSE) AS is_canon,
+               coalesce(f.released, FALSE) AS released,
+               coalesce(f.nt, 0) AS nt
+        FROM staged s LEFT JOIN final f USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS raw_docs,
+           CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pii_docs,
+           CAST(SUM(CASE WHEN is_bench THEN 1 ELSE 0 END) AS BIGINT)
+               AS bench_dropped,
+           CAST(SUM(CASE WHEN is_susp AND NOT is_bench
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS contam_dropped,
+           CAST(SUM(CASE WHEN NOT is_bench AND NOT is_susp
+                          AND NOT is_canon THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_dropped,
+           CAST(SUM(CASE WHEN is_canon AND NOT released
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS sample_dropped,
+           CAST(SUM(CASE WHEN released THEN 1 ELSE 0 END) AS BIGINT)
+               AS released,
+           CAST(SUM(CASE WHEN released THEN nt ELSE 0 END) AS BIGINT)
+               AS released_tokens
+    FROM per_doc
+    GROUP BY source
+    """.replace("{_TOKS_}", _TOKS),
+)
+def governance_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSS ACCOUNTING for the release gate: per source, where every
+    raw document went — dropped as a benchmark member, dropped by the
+    contamination gate, dropped as a non-canonical duplicate, sampled
+    out by the mixture, or released (with released token mass) — plus
+    the PII-carrying count the scrub redacted in place. The stages are
+    EXACTLY curation_release_gate's (same fixtures, same thresholds,
+    same md5 buckets), so the funnel is the dataset card's "where did
+    my data go" table and the conservation identity raw = bench +
+    contam + dup + sampled-out + released holds per source BY
+    CONSTRUCTION — any stage-coupling drift between the two queries
+    would hash-mismatch one of them. 100 TB: the same bounded stage
+    frames as the release gate, folded into one sources-sized
+    aggregate; no new corpus-proportional work beyond the stages
+    themselves."""
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    scrub = tx.pii_scrub(_pii_decorated(docs)).select(
+        "doc_id", "n_pii", "clean_text"
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    susp = (
+        tx.rouge_recall(docs, bench, n=2, min_recall_ppm=100000)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_susp0", F.lit(True))
+    )
+    staged = (
+        scrub.join(docs.select("doc_id", "source"), "doc_id")
+        .join(susp, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_pii", "clean_text",
+            (F.col("doc_id") % 20 == 0).alias("is_bench"),
+            F.coalesce(F.col("is_susp0"), F.lit(False)).alias("is_susp"),
+        )
+    )
+    gated = staged.filter(~F.col("is_bench") & ~F.col("is_susp"))
+    kept0 = gated.select(
+        "doc_id", "source", F.col("clean_text").alias("text")
+    )
+    labels = dd.exact_dedup(kept0).select("doc_id", "canonical_id")
+    marked = kept0.join(labels, "doc_id").withColumn(
+        "is_canon", F.col("doc_id") == F.col("canonical_id")
+    )
+    deduped = marked.filter("is_canon").select("doc_id", "source", "text")
+    picked = smp.mixture_sample_temperature(
+        deduped, _RG_BUDGET, alpha=0.5
+    ).select("doc_id").withColumn("released0", F.lit(True))
+    per_doc = (
+        staged.join(
+            marked.select("doc_id", "is_canon"), "doc_id", "left"
+        )
+        .join(picked, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_pii", "is_bench", "is_susp",
+            F.coalesce(F.col("is_canon"), F.lit(False)).alias("is_canon"),
+            F.coalesce(F.col("released0"), F.lit(False)).alias("released"),
+            F.when(
+                F.coalesce(F.col("is_canon"), F.lit(False)),
+                token_count("clean_text"),
+            ).otherwise(F.lit(0)).cast("bigint").alias("nt"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_docs"),
+        F.sum((F.col("n_pii") > 0).cast("bigint")).cast("bigint")
+        .alias("pii_docs"),
+        F.sum(F.col("is_bench").cast("bigint")).cast("bigint")
+        .alias("bench_dropped"),
+        F.sum((F.col("is_susp") & ~F.col("is_bench")).cast("bigint"))
+        .cast("bigint").alias("contam_dropped"),
+        F.sum(
+            (~F.col("is_bench") & ~F.col("is_susp") & ~F.col("is_canon"))
+            .cast("bigint")
+        ).cast("bigint").alias("dup_dropped"),
+        F.sum((F.col("is_canon") & ~F.col("released")).cast("bigint"))
+        .cast("bigint").alias("sample_dropped"),
+        F.sum(F.col("released").cast("bigint")).cast("bigint")
+        .alias("released"),
+        F.sum(F.when(F.col("released"), F.col("nt")).otherwise(0))
+        .cast("bigint").alias("released_tokens"),
+    )
+
+
+@query(
+    "governance_quality_threshold_sweep",
+    """
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)),
+                           '\\s+'), x -> x != '') AS tl
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(tl) AS DOUBLE) AS n_tok,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - length(regexp_replace(text,
+                         '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS punct,
+               CASE WHEN len(tl) > 0 THEN
+                    CAST(len(list_filter(tl,
+                         x -> list_contains(__STOPS__, x))) AS DOUBLE)
+                    / CAST(len(tl) AS DOUBLE)
+               ELSE 0.0 END AS sw
+        FROM toks
+    ), scored AS (
+        SELECT doc_id,
+               CAST(ROUND(10000 * (
+                   least(n_tok / 20.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+                   + least(sw * 5.0, 1.0) * 0.3)) AS BIGINT) AS milli
+        FROM m
+    ), lab AS (
+        SELECT doc_id, milli,
+               least(milli // 1000, 9) AS bin,
+               CASE WHEN CAST(('0x' || substr(md5(
+                        'qcal|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000 < milli * 100
+                    THEN 1 ELSE 0 END AS label
+        FROM scored
+    ), per_bin AS (
+        SELECT bin, COUNT(*) AS n, SUM(label) AS pos
+        FROM lab GROUP BY bin
+    ), tot AS (
+        SELECT SUM(n) AS n_all, SUM(pos) AS pos_all FROM per_bin
+    ), cum AS (
+        SELECT bin,
+               SUM(n) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_kept,
+               SUM(pos) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pos_kept
+        FROM per_bin
+    )
+    SELECT CAST(c.bin AS BIGINT) AS threshold_bin,
+           CAST(c.n_kept AS BIGINT) AS n_kept,
+           CAST(c.pos_kept AS BIGINT) AS pos_kept,
+           CAST(1000000 * c.n_kept // t.n_all AS BIGINT) AS kept_ppm,
+           CAST(1000000 * c.pos_kept // c.n_kept AS BIGINT)
+               AS precision_ppm,
+           CAST(1000000 * c.pos_kept // t.pos_all AS BIGINT)
+               AS recall_ppm
+    FROM cum c CROSS JOIN tot t
+    """.replace("__STOPS__", _STOP_EN_SQL),
+)
+def governance_quality_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPERATING CURVE for the quality classifier: for every candidate
+    threshold bin t (keep documents scoring in bin >= t), the kept
+    volume and the exact precision/recall against the same planted
+    label as governance_quality_calibration — the table a curation
+    review reads to CHOOSE the filter cut (calibration says the score
+    is honest; this says what each cut costs in volume vs purity).
+    Computed as one per-bin aggregate plus a reverse cumulative window
+    over the 10-row bin frame — integer-exact floored ppm throughout.
+    100 TB: scoring/labeling ride the scan; everything after the
+    10-row aggregate is constant-size."""
+    docs = load(spark, sf_dir, "documents")
+    milli = F.round(tx.quality_score(F.col("text")) * 10000).cast(
+        "bigint"
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('qcal|', cast(doc_id as string))), "
+        "1, 8), 16, 10) as bigint) % 1000000"
+    )
+    scored = docs.select(milli.alias("milli"), bucket.alias("bucket"))
+    lab = scored.select(
+        F.least(F.expr("milli div 1000"), F.lit(9)).cast("bigint")
+        .alias("bin"),
+        F.when(F.col("bucket") < F.col("milli") * 100, 1).otherwise(0)
+        .alias("label"),
+    )
+    per_bin = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    w = (
+        Window.orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bin.select(
+        "bin",
+        F.sum("n").over(w).alias("n_kept"),
+        F.sum("pos").over(w).alias("pos_kept"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").alias("n_all"), F.sum("pos").alias("pos_all")
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("bigint").alias("threshold_bin"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("pos_kept").cast("bigint").alias("pos_kept"),
+        F.expr("1000000 * n_kept div n_all").cast("bigint")
+        .alias("kept_ppm"),
+        F.expr("1000000 * pos_kept div n_kept").cast("bigint")
+        .alias("precision_ppm"),
+        F.expr("1000000 * pos_kept div pos_all").cast("bigint")
+        .alias("recall_ppm"),
+    )

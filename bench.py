@@ -341,6 +341,8 @@ HEADLINE = [
     "curation_release_gate",
     "governance_contamination_trend",
     "governance_quality_calibration",
+    "governance_release_funnel",
+    "governance_quality_threshold_sweep",
 ]
 
 

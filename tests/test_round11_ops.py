@@ -81,6 +81,105 @@ def test_release_gate_invariants(spark):
             run += r.n_tokens
 
 
+def test_token_ngram_hashes_matches_python_replay(spark):
+    """The engine's token-gram scheme — greedy left-to-right BPE folds
+    per word, in-order flatten, space-joined n-gram, md5-prefix hash —
+    replayed in pure Python must produce the exact hash set."""
+    import hashlib
+
+    from _event_intelligence_data_warehouse_spark.contract.extension_queries import (  # noqa: E501
+        _BPE_MERGES,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx,
+    )
+    import re
+
+    def bpe(word: str) -> list[str]:
+        syms = list(word)
+        for left, right in _BPE_MERGES:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    text = "The Church Tower weathers LOWER weather at the catch 22"
+    toks: list[str] = []
+    for w in re.findall(r"[a-z]+", text.lower()):
+        toks.extend(bpe(w))
+    n = 4
+    want = {
+        int(hashlib.md5(" ".join(toks[i:i + n]).encode()).hexdigest()[:8],
+            16)
+        for i in range(len(toks) - n + 1)
+    }
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.gram_hash
+        for r in tx.token_ngram_hashes(df, _BPE_MERGES, n=n).collect()
+    }
+    assert got == want
+
+
+def test_token_decontaminate_fast_hash_pair_set(spark):
+    """portable_hash=False (xxhash64 fast path) yields the identical
+    contamination pair set and shared-gram counts as the md5-portable
+    contract — the hash value never reaches the output, only pair
+    membership does."""
+    from _event_intelligence_data_warehouse_spark.contract.extension_queries import (  # noqa: E501
+        _BPE_MERGES,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    a = {
+        (r.doc_id, r.bench_id, r.n_shared)
+        for r in tx.token_decontaminate(
+            docs, bench, _BPE_MERGES, n=4, min_shared=3
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.bench_id, r.n_shared)
+        for r in tx.token_decontaminate(
+            docs, bench, _BPE_MERGES, n=4, min_shared=3,
+            portable_hash=False,
+        ).collect()
+    }
+    assert a and a == b
+
+
+def test_release_funnel_conservation(spark):
+    """Per source: raw = bench + contam + dup + sampled-out + released
+    (every document lands in exactly one funnel stage), and the funnel's
+    released counts equal curation_release_gate's actual output."""
+    from _event_intelligence_data_warehouse_spark.contract import QUERIES
+
+    fun = {r.source: r for r in
+           QUERIES["governance_release_funnel"](spark, SF_DIR).collect()}
+    assert fun
+    for r in fun.values():
+        assert (
+            r.bench_dropped + r.contam_dropped + r.dup_dropped
+            + r.sample_dropped + r.released
+        ) == r.raw_docs
+    gate = QUERIES["curation_release_gate"](spark, SF_DIR).collect()
+    per_src: dict[str, int] = {}
+    for g in gate:
+        per_src[g.source] = per_src.get(g.source, 0) + 1
+    for src, r in fun.items():
+        assert r.released == per_src.get(src, 0)
+
+
 def test_parquet_row_count_matches_scan(spark, tmp_path):
     from _event_intelligence_data_warehouse_spark import storage as st
 

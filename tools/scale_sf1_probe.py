@@ -114,6 +114,8 @@ PROBE = [
     "curation_release_gate",
     "governance_contamination_trend",
     "governance_quality_calibration",
+    "governance_release_funnel",
+    "governance_quality_threshold_sweep",
 ]
 
 # Rows whose same-code A/A spread exceeded ~2x in the r10 four-run
