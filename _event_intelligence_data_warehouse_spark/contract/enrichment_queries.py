@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from _event_intelligence_data_warehouse_spark import cache
 from _event_intelligence_data_warehouse_spark.contract import load, query
 from _event_intelligence_data_warehouse_spark.contract.extension_queries import (
     _STOP_EN_SQL,
@@ -4749,7 +4750,11 @@ def governance_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_susp0", F.lit(True))
     )
-    staged = (
+    # staged feeds three consumers (the dedup chain and two per_doc
+    # joins) and marked feeds two — persist both so the scrub + rouge
+    # lineage runs once instead of being recomputed per consumer
+    # (plan-audit: this cut the funnel's exchange count ~3x)
+    staged = cache.persist(
         scrub.join(docs.select("doc_id", "source"), "doc_id")
         .join(susp, "doc_id", "left")
         .select(
@@ -4763,8 +4768,10 @@ def governance_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("clean_text").alias("text")
     )
     labels = dd.exact_dedup(kept0).select("doc_id", "canonical_id")
-    marked = kept0.join(labels, "doc_id").withColumn(
-        "is_canon", F.col("doc_id") == F.col("canonical_id")
+    marked = cache.persist(
+        kept0.join(labels, "doc_id").withColumn(
+            "is_canon", F.col("doc_id") == F.col("canonical_id")
+        )
     )
     deduped = marked.filter("is_canon").select("doc_id", "source", "text")
     picked = smp.mixture_sample_temperature(

@@ -191,6 +191,21 @@ Round-11 notes:
   not a regression. Protocol lesson folded into the guard: single
   unpaired observations on this box cannot distinguish +-25%; every
   future flag adjudication uses order-balanced pairs.
+- CLOSING curated record: the mid-round clean-interval run (231.19 s
+  / 109 entries, zero flags vs both references) re-merged with the
+  two late additions' first-round references
+  (governance_release_funnel 4.63 s,
+  governance_quality_threshold_sweep 0.82 s — taken in the degraded
+  closing interval, so conservatively high) = canonical-suite sum
+  236.64 s / 111 entries. The degraded closing run itself (260.2 s)
+  fired one primary flag, stats_bootstrap_mean_ci +31%, adjudicated
+  NON-code by the new order-balanced protocol (3 pairs, r10 commit
+  17d4465 vs r11 HEAD, HEAD-first/r10-first mixed: HEAD median
+  4.84 s vs r10 4.92 s — HEAD marginally faster; the entry had no
+  r11 code change), plus three ADVISORY flags vs the driver record
+  (fact_build_star, quality_five_checks, graph_pagerank — uniform
+  +21-54% box slowness in the same interval, the exact drift class
+  the dual-reference reporting exists to make visible).
 """
 
 

@@ -115,6 +115,9 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
         "steady-state incremental batch (contract-pinned); bulk loads "
         "auto-select the range-partition + prefix-sum path above 1M "
         "rows (operators/upsert.py::assign_surrogate_keys)",
+    "governance_quality_threshold_sweep":
+        "reverse cumulative over the 10-row calibration-bin frame "
+        "(post-aggregation; bins are least(milli div 1000, 9))",
 }
 
 
