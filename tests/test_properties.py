@@ -1353,3 +1353,55 @@ def test_pii_scrub_count_matches_redaction_and_is_idempotent(spark, pieces):
         spark.createDataFrame([(1, clean)], "doc_id long, text string")
     ).collect()[0]
     assert r2["n_pii"] == 0 and r2["clean_text"] == clean
+
+
+@PROP
+@given(
+    text=st.text(
+        alphabet="abct h+@.THE ",
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_token_ngram_hashes_matches_python_replay_property(spark, text):
+    """For arbitrary text, the engine's token-gram scheme (greedy BPE
+    folds per [a-z]+ word, in-order flatten, space-joined 4-gram,
+    md5-prefix hash) equals a pure-Python replay — the alphabet biases
+    toward the fixed merge list's symbols so folds actually fire."""
+    import hashlib
+    import re as _re
+
+    from _event_intelligence_data_warehouse_spark.contract.extension_queries import (  # noqa: E501
+        _BPE_MERGES,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx,
+    )
+
+    def bpe(word):
+        syms = list(word)
+        for left, right in _BPE_MERGES:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    toks = []
+    for w in _re.findall(r"[a-z]+", text.lower()):
+        toks.extend(bpe(w))
+    n = 4
+    want = {
+        int(hashlib.md5(" ".join(toks[i:i + n]).encode())
+            .hexdigest()[:8], 16)
+        for i in range(len(toks) - n + 1)
+    }
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.gram_hash
+        for r in tx.token_ngram_hashes(df, _BPE_MERGES, n=n).collect()
+    }
+    assert got == want
