@@ -749,82 +749,85 @@ _DRIVER_SAMPLE_TAIL = [
     "knn_label_prediction",
 ]
 
-# Round-11 slate + the exact driver sample, pinned. The head is an
+# Round-12 slate + the exact driver sample, pinned. The head is an
 # explicit list (r5 lesson: registration-order inference broke when a
 # new query registered mid-head): exactly these 50, in this order.
-# Composition (r10 verdict item 6 — STALENESS-BOUNDED rotation, now
-# that cumulative coverage reached every-query-verified-once in r10):
-# the 6 round-11 additions with NO driver row (text_token_decontaminate,
-# curation_release_gate, governance_contamination_trend,
-# governance_quality_calibration, governance_release_funnel,
-# governance_quality_threshold_sweep), then the 44 OLDEST-verified
-# names by (last driver-green round, name) — all 4 surviving r2
-# greens, all 21 r3 greens, all 12 r4 greens, and the alphabetically
-# first 7 of the 10 r5 greens — whose last driver evidence predates
-# six-plus rounds of engine rework (the ohlc lesson: stale green can
-# hide cross-engine drift). Verified programmatically against the
-# CORRECTNESS_r01-r10 ledger (r10 advice item 3: comment arithmetic
-# must match the executable invariant —
+# Composition (staleness-bounded rotation, r11 verdict item 1): the
+# round-12 additions with NO driver row (inserted at the top as they
+# register this round, each displacing the LAST r7 re-pin below so the
+# list stays at exactly 50), then the OLDEST-verified names by
+# (last driver-green round, name) under the CORRECTNESS_r01-r11 union:
+# the 3 remaining r5 greens, all 34 r6 greens, and the alphabetically
+# first r7 greens filling to 50. The executable source of truth is
 # tests/test_pipeline.py::test_driver_sample_head_slate_invariants
-# computes these exact sets, r10 file included). Green across this
-# head drops the ledger's max staleness from 9 rounds (r2 names) to 6
-# (the three r5 names left for the r12 rotation).
+# (capped at _SLATE_LEDGER_ROUND so a post-close driver ledger cannot
+# turn a fresh clone red — r11 verdict "what's wrong" #1) plus the
+# UNCAPPED rotation alarm tools/check_head_rotation.py that the round
+# protocol runs instead. Green across this head drops max staleness
+# from 7 rounds (r5 names) to 6 (the remaining r7 cohort).
+
+# The newest CORRECTNESS round this slate was computed FROM (the
+# ledgers on disk at rotation time). The pytest invariant recomputes
+# the slate from ledgers <= this round only; newer ledgers landing
+# post-close trip tools/check_head_rotation.py, not the test suite.
+_SLATE_LEDGER_ROUND = 11
+
 _DRIVER_SAMPLE_HEAD = [
-    # never driver-verified (round-11 additions)
-    "text_token_decontaminate",
-    "curation_release_gate",
-    "governance_contamination_trend",
-    "governance_quality_calibration",
-    "governance_release_funnel",
-    "governance_quality_threshold_sweep",
-    # oldest-verified re-pins: r2 (4)
-    "kpi_data_quality",
-    "kpi_events_by_city",
-    "similarity_topk_bruteforce",
-    "window_moving_avg_7d",
-    # r3 (21)
-    "agg_distinct_counts",
-    "agg_exact_percentiles",
-    "agg_rollup_status_priority",
-    "agg_salted_skew_safe",
-    "curation_pipeline",
-    "dedup_simhash",
-    "join_range_price_band",
-    "join_scd2_point_in_time",
-    "join_semi_exists",
-    "join_star_revenue",
-    "rollup_cascade_daily",
-    "sample_stratified_hash",
-    "similarity_lsh_recall",
-    "sketch_hll_distinct",
-    "streaming_purchase_attribution",
-    "text_chunk_documents",
-    "text_redact_pii",
-    "window_pct_of_total",
-    "window_rank_family",
-    "window_sessionize",
-    "window_tumbling_hourly",
-    # r4 (12)
-    "cdc_snapshot_diff",
-    "curation_mixture_plan",
-    "curation_pipeline_v2",
-    "dedup_exact",
-    "embedding_batch_drift",
-    "governance_validate_rules",
-    "kpi_anomalous_days",
-    "similarity_ivf_recall",
-    "similarity_ivf_topk",
-    "split_kfold_leakage_safe",
-    "text_url_host_stats",
-    "text_winnowing_fingerprints",
-    # r5 (alphabetically first 7 of 10)
-    "curation_quality_percentile",
-    "dedup_connected_components",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "embedding_random_projection",
-    "profile_key_skew",
-    "similarity_lsh_topk",
+    # round-12 additions (never driver-verified) go here as they land
+    "text_token_decontaminate_fast",
+    "curation_release_gate_incremental",
+    "text_leakage_attribution",
+    # oldest-verified re-pins: r5 (3)
+    "text_bpe_pair_stats",
+    "text_lm_surprise",
+    "text_url_canonicalize",
+    # r6 (34)
+    "curation_dsir_affinity",
+    "curation_mixture_sample",
+    "curation_pipeline_v3",
+    "dedup_cc_incremental",
+    "dedup_cluster_density",
+    "dedup_containment_pairs",
+    "dedup_exact_substrings",
+    "dedup_minhash_incremental",
+    "dedup_minhash_incremental_pruned",
+    "dedup_semantic",
+    "dedup_semantic_incremental",
+    "governance_duplicate_payments",
+    "join_asof_event_run",
+    "multimodal_media_features",
+    "olap_dominant_supply_share",
+    "olap_min_cost_supplier",
+    "olap_tier_migration_matrix",
+    "pivot_status_by_priority",
+    "similarity_ivfpq_topk",
+    "similarity_pq_recall",
+    "similarity_pq_topk",
+    "sketch_bloom_membership",
+    "split_leakage_safe",
+    "stats_mann_whitney_u",
+    "stats_runs_test",
+    "storage_bucketed_join_roundtrip",
+    "storage_schema_evolution_roundtrip",
+    "storage_zorder_scan_roundtrip",
+    "streaming_stateful_sessions",
+    "text_boilerplate_lines",
+    "text_bpe_encode",
+    "text_decontaminate",
+    "text_pack_sequences",
+    "text_quality_score",
+    # r7 (alphabetically first, filling to 50; each r12 addition above
+    # displaces the LAST name in this block)
+    "agg_pct_scalar_subquery",
+    "dedup_kcore_survivors",
+    "dedup_latest_per_key",
+    "dim_date_attributes",
+    "embedding_covariance_exact",
+    "entity_resolution_clusters",
+    "fact_build_star",
+    "governance_functional_deps",
+    "graph_khop_reachability",
+    "graph_label_propagation",
 ]
 
 

@@ -2433,7 +2433,10 @@ def storage_jsonl_export_roundtrip(
     # corrupt rows would silently shrink a group: fold the count into
     # the plan so the contract fails loudly instead (always 0 here)
     n_bad = corrupt.count()
-    assert n_bad == 0, f"{n_bad} corrupt JSONL lines in round trip"
+    if n_bad != 0:
+        # a bare assert is stripped under python -O, silently
+        # dropping the zero-corrupt-lines check (r11 advice item 5)
+        raise RuntimeError(f"{n_bad} corrupt JSONL lines in round trip")
     return clean.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -4555,7 +4558,10 @@ def curation_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     clean, corrupt = jl.split_corrupt(jl.read_jsonl(spark, path, schema))
     n_bad = corrupt.count()
-    assert n_bad == 0, f"{n_bad} corrupt JSONL lines in release export"
+    if n_bad != 0:
+        # release check must survive python -O (r11 advice item 5)
+        raise RuntimeError(
+            f"{n_bad} corrupt JSONL lines in release export")
     # 4. packing layout over the re-read release
     pack = tx.pack_sequences(
         clean, _RG_SEQ, shard_col="source", text_col="clean_text"
@@ -4929,4 +4935,339 @@ def governance_quality_threshold_sweep(
         .alias("precision_ppm"),
         F.expr("1000000 * pos_kept div pos_all").cast("bigint")
         .alias("recall_ppm"),
+    )
+
+
+# --- Round 12: steady-state incremental release gate -----------------------
+#
+# The daily form a 100 TB pipeline actually runs (r11 verdict item 4):
+# gate ONE NEW BATCH against STORED release state instead of re-running
+# the corpus. Batch = doc_id % 10 == 0 (the slice convention every
+# incremental entry here uses); the stored state is built from the
+# base corpus (doc_id % 10 != 0) inside the query — the amortized
+# prior-release cost, exactly like similarity_ivf_incremental trains
+# its index in-query — while the APPLY phase touches only the batch:
+#   - fixed eval-suite gram index (doc_id % 35 == 0, original text,
+#     ROUGE-2 bigrams) — broadcast;
+#   - seen-fingerprint state: distinct md5(normalized scrubbed text)
+#     of every base doc, compiled into a broadcast Bloom filter; only
+#     maybe-present batch rows pay the exact verify join
+#     (dedup_bloom_prefilter_incremental's shape);
+#   - per-source rate_ppm from the PREVIOUS release's mixture plan
+#     (temperature alpha=0.5 over base canonical scrubbed token mass),
+#     applied to the batch via sampling.apply_mixture_rates — rates
+#     come from state, never recomputed over base+new.
+_RGI_BENCH_MOD = 35
+_RGI_BATCH_MOD = 10
+
+_RGI_SQL = f"""
+    WITH dec AS ({_PII_DEC_SQL}
+    ), red AS (
+        SELECT doc_id, source, text,
+               regexp_replace(text, '{_RG_EMAIL}', '<EMAIL>', 'g') AS t1
+        FROM dec
+    ), scrub AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '{_RG_EMAIL}'))
+                  + len(regexp_extract_all(t1, '{_RG_PHONE}'))
+                  + len(regexp_extract_all(
+                        regexp_replace(t1, '{_RG_PHONE}', '<PHONE>', 'g'),
+                        '{_RG_IP}')) AS BIGINT) AS n_pii,
+               regexp_replace(
+                   regexp_replace(t1, '{_RG_PHONE}', '<PHONE>', 'g'),
+                   '{_RG_IP}', '<IP>', 'g') AS clean_text
+        FROM red
+    ), fpall AS (
+        SELECT doc_id, source, n_pii, clean_text,
+               md5(trim(regexp_replace(lower(clean_text), '\\s+', ' ',
+                                       'g'))) AS f,
+               CAST(len(list_filter(regexp_split_to_array(
+                        lower(trim(clean_text)), '\\s+'), x -> x != ''))
+                    AS BIGINT) AS nt
+        FROM scrub
+    ), basefp AS (
+        SELECT DISTINCT f FROM fpall WHERE doc_id % {_RGI_BATCH_MOD} != 0
+    ), bcanon AS (
+        SELECT f, MIN(doc_id) AS cid FROM fpall
+        WHERE doc_id % {_RGI_BATCH_MOD} != 0 GROUP BY f
+    ), kept AS (
+        SELECT p.source, CAST(SUM(p.nt) AS BIGINT) AS kept_tokens
+        FROM fpall p JOIN bcanon c ON p.doc_id = c.cid
+        GROUP BY p.source
+    ), tsqrt AS (
+        SELECT source, kept_tokens,
+               CAST(floor(sqrt(CAST(kept_tokens AS DOUBLE))) AS BIGINT)
+                   AS sd
+        FROM kept
+    ), tw AS (
+        SELECT source, kept_tokens,
+               CAST(CASE WHEN (sd + 1) * (sd + 1) <= kept_tokens
+                         THEN sd + 1
+                         WHEN sd * sd <= kept_tokens THEN sd
+                         ELSE sd - 1 END AS BIGINT) AS weight
+        FROM tsqrt
+    ), tt AS (
+        SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS wsum FROM tw
+    ), rates AS (
+        SELECT source,
+               CASE WHEN kept_tokens = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(least(1000000, CAST(
+                         ((CAST({_RG_BUDGET} AS HUGEINT) * weight)
+                              // wsum * 1000000) // kept_tokens
+                         AS BIGINT)) AS BIGINT)
+               END AS rate_ppm
+        FROM tt
+    ), tokso AS (
+        SELECT doc_id, {{_TOKS_}} AS t FROM documents
+    ), gramso AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> CAST(('0x' || substr(md5(
+                       array_to_string(t[i:i+1], ' ')), 1, 8)) AS BIGINT)
+               )) AS g
+        FROM tokso
+        WHERE len(t) >= 2
+          AND (doc_id % {_RGI_BATCH_MOD} = 0
+               OR doc_id % {_RGI_BENCH_MOD} = 0)
+    ), exo AS (
+        SELECT doc_id, unnest(g) AS gram_hash FROM gramso
+        WHERE doc_id % {_RGI_BATCH_MOD} = 0
+    ), bencho AS (
+        SELECT doc_id AS bench_id, gram_hash FROM (
+            SELECT doc_id, unnest(g) AS gram_hash FROM gramso
+            WHERE doc_id % {_RGI_BENCH_MOD} = 0
+        )
+    ), toto AS (
+        SELECT bench_id, COUNT(*) AS bench_ngrams FROM bencho GROUP BY 1
+    ), sho AS (
+        SELECT e.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+        FROM exo e JOIN bencho b USING (gram_hash)
+        WHERE e.doc_id <> b.bench_id
+        GROUP BY 1, 2
+    ), susp AS (
+        SELECT DISTINCT s.doc_id
+        FROM sho s JOIN toto t USING (bench_id)
+        WHERE 1000000 * s.shared_ngrams // t.bench_ngrams >= 100000
+    ), flags AS (
+        SELECT p.doc_id, p.source, p.n_pii, p.nt, p.f,
+               p.doc_id % {_RGI_BENCH_MOD} = 0 AS is_bench,
+               p.doc_id IN (SELECT doc_id FROM susp) AS is_cont,
+               p.f IN (SELECT f FROM basefp) AS is_seen
+        FROM fpall p WHERE p.doc_id % {_RGI_BATCH_MOD} = 0
+    ), surv AS (
+        SELECT doc_id, f FROM flags
+        WHERE NOT is_bench AND NOT is_cont AND NOT is_seen
+    ), firsts AS (
+        SELECT f, MIN(doc_id) AS first_id FROM surv GROUP BY f
+    ), kept_ids AS (
+        SELECT s.doc_id
+        FROM surv s
+        JOIN firsts fi USING (f)
+        JOIN flags fl ON s.doc_id = fl.doc_id
+        JOIN rates r ON fl.source = r.source
+        WHERE s.doc_id = fi.first_id
+          AND CAST(('0x' || substr(md5(fl.source || '|'
+                       || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 < r.rate_ppm
+    )
+    SELECT fl.doc_id, fl.source, fl.n_pii, fl.nt AS n_tokens,
+           CASE WHEN fl.is_bench THEN 'bench_member'
+                WHEN fl.is_cont THEN 'contaminated'
+                WHEN fl.is_seen THEN 'dup_vs_released'
+                WHEN fi.first_id IS NOT NULL
+                     AND fl.doc_id <> fi.first_id THEN 'dup_in_batch'
+                WHEN fl.doc_id IN (SELECT doc_id FROM kept_ids)
+                     THEN 'released'
+                ELSE 'sampled_out' END AS disposition
+    FROM flags fl LEFT JOIN firsts fi ON fl.f = fi.f
+"""
+
+
+@query(
+    "curation_release_gate_incremental",
+    _RGI_SQL.replace("{_TOKS_}", _TOKS),
+)
+def curation_release_gate_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEADY-STATE release gate (r11 verdict item 4): disposition
+    ledger for one landing batch, gated against STORED state only —
+    the form a production pipeline runs daily, where
+    curation_release_gate is the form it runs per full release.
+
+    Per batch doc: (doc_id, source, n_pii, n_tokens, disposition) with
+    disposition in {bench_member > contaminated > dup_vs_released >
+    dup_in_batch > released/sampled_out} (first predicate wins):
+
+    1. scrub the batch (pii_scrub over the planted-PII decoration);
+    2. eval-suite members drop (fixed benchmark, doc_id % 35);
+    3. ROUGE-2 gate vs the broadcast benchmark gram index (>= 10%
+       recall on ORIGINAL text, as in curation_release_gate);
+    4. exact dedup vs the RELEASED-fingerprint state: a broadcast
+       Bloom filter over base scrubbed fingerprints pre-screens the
+       batch (no false negatives); only maybe-present rows pay the
+       exact verify semi-join — dedup_bloom_prefilter_incremental's
+       candidate discipline; in-batch copies resolve first-id-wins
+       among gate survivors;
+    5. the PREVIOUS release's per-source rate_ppm (temperature
+       alpha=0.5 plan over base canonical mass — the number the
+       release manifest stores) applies to surviving canonicals via
+       sampling.apply_mixture_rates: stable hash-bucket membership,
+       so today's verdict never flips when tomorrow's batch lands.
+
+    100 TB: the apply phase scales with the INCREMENT — batch scan
+    (scrub + fingerprints + grams ride it), broadcast joins against
+    eval-index/Bloom/rates state, one batch-sized groupBy for
+    in-batch dedup; the base corpus contributes only through its
+    stored summaries. The oracle recomputes every stage logically,
+    state included, so the state definitions themselves are checked.
+    """
+    from _event_intelligence_data_warehouse_spark.operators import (
+        dedup as dd,  # noqa: F401  (fingerprint path documented)
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sampling as smp,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        sketches as sk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    dec = _pii_decorated(docs)
+    base_dec = dec.filter(F.col("doc_id") % _RGI_BATCH_MOD != 0)
+    batch_dec = dec.filter(F.col("doc_id") % _RGI_BATCH_MOD == 0)
+
+    # --- stored state (the previous release, amortized) ---
+    base = (
+        tx.pii_scrub(base_dec)
+        .select("doc_id", "clean_text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source",
+            tx.fingerprint(F.col("clean_text")).alias("f"),
+            tx.token_count("clean_text").cast("bigint").alias("nt"),
+        )
+    )
+    base_fp = base.select("f").distinct()
+    bloom = sk.bloom_build(base_fp, "f")
+    base_canon = base.join(
+        base.groupBy("f").agg(F.min("doc_id").alias("cid")),
+        F.col("doc_id") == F.col("cid"),
+    )
+    # rate table the release manifest would store: plan over canonical
+    # scrubbed token mass (mixture_plan_temperature aggregates token
+    # counts itself, so hand it a text-shaped frame via clean tokens —
+    # reuse the already-computed nt by aggregating manually instead)
+    kept = base_canon.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+
+    def isqrt(col: str):
+        seed = F.floor(F.sqrt(F.col(col).cast("double"))).cast("bigint")
+        up, down = seed + 1, seed - 1
+        return (
+            F.when(up * up <= F.col(col), up)
+            .when(seed * seed <= F.col(col), seed)
+            .otherwise(down)
+            .cast("bigint")
+        )
+
+    w_all = Window.partitionBy()
+    rates = (
+        kept.withColumn("weight", isqrt("n_tokens"))
+        .withColumn("wsum", F.sum("weight").over(w_all).cast("bigint"))
+        .withColumn(
+            "rate_ppm",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.lit(1000000).cast("bigint"),
+                    F.expr(
+                        f"CAST((CAST({_RG_BUDGET} AS DECIMAL(38,0)) "
+                        "* weight) div wsum * 1000000 div n_tokens "
+                        "AS BIGINT)"
+                    ),
+                )
+            ),
+        )
+        .select("source", "rate_ppm")
+    )
+    bench = docs.filter(F.col("doc_id") % _RGI_BENCH_MOD == 0)
+
+    # --- per-batch apply ---
+    batch = (
+        tx.pii_scrub(batch_dec)
+        .select("doc_id", "n_pii", "clean_text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source",
+            F.col("n_pii").cast("bigint").alias("n_pii"),
+            tx.fingerprint(F.col("clean_text")).alias("f"),
+            tx.token_count("clean_text").cast("bigint").alias("nt"),
+        )
+    )
+    susp = (
+        tx.rouge_recall(
+            docs.filter(F.col("doc_id") % _RGI_BATCH_MOD == 0),
+            bench, n=2, min_recall_ppm=100000,
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_cont", F.lit(True))
+    )
+    probed = sk.bloom_probe(
+        batch.select("doc_id", "f"), "f", bloom, id_col="doc_id"
+    )
+    maybe = (
+        batch.join(probed, "doc_id")
+        .filter(F.col("maybe_present") == 1)
+        .select("doc_id", "f")
+    )
+    confirmed = (
+        maybe.join(base_fp, "f", "left_semi")
+        .select("doc_id")
+        .withColumn("_seen", F.lit(True))
+    )
+    flags = (
+        batch.join(susp, "doc_id", "left")
+        .join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_pii", "nt", "f",
+            (F.col("doc_id") % _RGI_BENCH_MOD == 0).alias("is_bench"),
+            F.coalesce(F.col("_cont"), F.lit(False)).alias("is_cont"),
+            F.coalesce(F.col("_seen"), F.lit(False)).alias("is_seen"),
+        )
+    )
+    surv = flags.filter(
+        ~F.col("is_bench") & ~F.col("is_cont") & ~F.col("is_seen")
+    )
+    firsts = surv.groupBy("f").agg(F.min("doc_id").alias("first_id"))
+    canon_surv = surv.join(firsts, "f").filter(
+        F.col("doc_id") == F.col("first_id")
+    )
+    released = smp.apply_mixture_rates(
+        canon_surv.select("doc_id", "source"), rates
+    ).select("doc_id").withColumn("_rel", F.lit(True))
+    return (
+        flags.join(firsts, "f", "left")
+        .join(released, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_pii",
+            F.col("nt").alias("n_tokens"),
+            F.when(F.col("is_bench"), "bench_member")
+            .when(F.col("is_cont"), "contaminated")
+            .when(F.col("is_seen"), "dup_vs_released")
+            .when(
+                F.col("first_id").isNotNull()
+                & (F.col("doc_id") != F.col("first_id")),
+                "dup_in_batch",
+            )
+            .when(F.coalesce(F.col("_rel"), F.lit(False)), "released")
+            .otherwise("sampled_out")
+            .alias("disposition"),
+        )
     )

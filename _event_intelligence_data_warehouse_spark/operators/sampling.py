@@ -275,6 +275,45 @@ def mixture_plan_temperature(
     return out.withColumn("rate_ppm", rate).drop("wsum")
 
 
+def apply_mixture_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a PRECOMPUTED per-source rate table: keep a document iff
+    its per-source md5 bucket in [0, PPM) falls under the source's
+    rate_ppm. This is the application half shared by
+    :func:`mixture_sample` / :func:`mixture_sample_temperature`, split
+    out (r12) so a steady-state pipeline can apply rates from STORED
+    state (the previous release's manifest) to a new batch without
+    recomputing the corpus — membership is a pure function of the row
+    and the rate, so the same doc keeps the same fate across releases
+    while the rate is unchanged. ``rates`` needs (source, rate_ppm);
+    it is sources-sized and broadcasts; ``df`` never shuffles."""
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_hash,
+    )
+
+    plan = rates.select(
+        F.col("source").alias("_mx_source"), "rate_ppm"
+    )
+    bucket = token_hash(
+        F.concat(
+            F.col(source_col).cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        )
+    ) % PPM
+    return (
+        df.join(F.broadcast(plan), F.col(source_col) == F.col("_mx_source"))
+        .filter(bucket < F.col("rate_ppm"))
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(source_col).alias("source"))
+    )
+
+
 def mixture_sample_temperature(
     df: DataFrame,
     token_budget: int,
@@ -293,23 +332,9 @@ def mixture_sample_temperature(
     plan = mixture_plan_temperature(
         df, token_budget, alpha=alpha,
         source_col=source_col, text_col=text_col,
-    ).select(F.col("source").alias("_mx_source"), "rate_ppm")
-    from _event_intelligence_data_warehouse_spark.operators.text import (
-        token_hash,
     )
-
-    bucket = token_hash(
-        F.concat(
-            F.col(source_col).cast("string"),
-            F.lit("|"),
-            F.col(id_col).cast("string"),
-        )
-    ) % PPM
-    return (
-        df.join(F.broadcast(plan), F.col(source_col) == F.col("_mx_source"))
-        .filter(bucket < F.col("rate_ppm"))
-        .select(F.col(id_col).alias("doc_id"),
-                F.col(source_col).alias("source"))
+    return apply_mixture_rates(
+        df, plan, source_col=source_col, id_col=id_col
     )
 
 
@@ -331,23 +356,9 @@ def mixture_sample(
     this is a scan + filter."""
     plan = mixture_plan(
         df, weights, token_budget, source_col=source_col, text_col=text_col
-    ).select(F.col("source").alias("_mx_source"), "rate_ppm")
-    from _event_intelligence_data_warehouse_spark.operators.text import (
-        token_hash,
     )
-
-    bucket = token_hash(
-        F.concat(
-            F.col(source_col).cast("string"),
-            F.lit("|"),
-            F.col(id_col).cast("string"),
-        )
-    ) % PPM
-    return (
-        df.join(F.broadcast(plan), F.col(source_col) == F.col("_mx_source"))
-        .filter(bucket < F.col("rate_ppm"))
-        .select(F.col(id_col).alias("doc_id"),
-                F.col(source_col).alias("source"))
+    return apply_mixture_rates(
+        df, plan, source_col=source_col, id_col=id_col
     )
 
 

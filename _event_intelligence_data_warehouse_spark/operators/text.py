@@ -736,6 +736,7 @@ def token_ngram_hashes(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable_hash: bool = True,
+    fold: str = "inline",
 ) -> DataFrame:
     """(doc_id, gram_hash): DISTINCT n-grams over the document's BPE
     TOKEN stream — the tokenizer-level analogue of
@@ -746,14 +747,36 @@ def token_ngram_hashes(
     grams are space-joined token runs hashed through the engine's
     md5-prefix scheme (engine-portable, oracle-checkable).
 
-    Scale: everything up to the gram explode is ROW-LOCAL column
-    algebra — the word split, every merge fold, the flatten, and the
-    per-row array_distinct all run inside the projection, so the plan
-    is scan → project → explode with zero shuffles (fold cost is
-    words x merges per row; a production 30k-merge tokenizer would
-    swap the inline fold for a broadcast vocab join, the same trade
-    bpe_encode_stats documents). Small-file scans are spread across
-    cores first (_spread_cpu_dense).
+    Scale: with ``fold="inline"`` everything up to the gram explode is
+    ROW-LOCAL column algebra — the word split, every merge fold, the
+    flatten, and the per-row array_distinct all run inside the
+    projection, so the plan is scan → project → explode with zero
+    shuffles; fold cost is word OCCURRENCES x merges per row.
+
+    ``fold`` picks where the merge folds run (r11 verdict item 3 made
+    the fast configuration the benched production default):
+
+    - ``"inline"``: fold every word occurrence in-place. Zero
+      shuffles, but occurrences x merges fold cost — the right shape
+      for a short fixture merge list, unusable at a production 30k
+      merge vocabulary.
+    - ``"row_vocab"``: fold each DISTINCT word once PER ROW
+      (map_from_arrays over array_distinct(words)), then rebuild the
+      stream by row-local map lookup. Still zero shuffles and the
+      fold cost drops by the within-document repetition factor — BUT
+      Spark's MapData is array-backed, so each element_at lookup is a
+      LINEAR scan: the rebuild is O(words x distinct_words) per row,
+      which measured ~10x SLOWER than inline at sf0.1 on this
+      corpus's long documents. Correct (pinned by tests) and viable
+      only for short-document workloads; production uses vocab_join.
+    - ``"vocab_join"``: collapse the corpus to its global VOCABULARY
+      (the bpe_encode_stats trick), fold each distinct word once per
+      CORPUS, broadcast the word→tokens table back onto the
+      positional word explode and reassemble per document. Fold cost
+      is \\|vocab\\| x merges — the only viable shape at 30k merges —
+      at the price of one tokenized-content shuffle (the groupBy
+      reassembly), the same materialization a production tokenize
+      stage performs anyway.
 
     ``portable_hash=True`` (the oracle-checked contract) hashes grams
     through the engine's md5-prefix scheme so a non-Spark engine can
@@ -765,15 +788,62 @@ def token_ngram_hashes(
     resulting PAIR SET is identical up to hash collisions, pinned by
     tests/test_round11_ops.py."""
     apply_expr = _bpe_apply_sql("split(wtk, '')", merges, "tk")
-    d = _spread_cpu_dense(
+    base = _spread_cpu_dense(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    ).select(
-        "doc_id",
-        F.expr(
-            f"flatten(transform(regexp_extract_all(lower({text_col}), "
-            f"'[a-z]+', 0), wtk -> {apply_expr}))"
-        ).alias("toks"),
     )
+    words_expr = f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    if fold == "inline":
+        d = base.select(
+            "doc_id",
+            F.expr(
+                f"flatten(transform({words_expr}, "
+                f"wtk -> {apply_expr}))"
+            ).alias("toks"),
+        )
+    elif fold == "row_vocab":
+        d = (
+            base.select(
+                "doc_id", F.expr(words_expr).alias("ws")
+            )
+            .select(
+                "doc_id", "ws",
+                F.expr("array_distinct(ws)").alias("dws"),
+            )
+            .select(
+                "doc_id", "ws",
+                F.expr(
+                    f"map_from_arrays(dws, "
+                    f"transform(dws, wtk -> {apply_expr}))"
+                ).alias("wm"),
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "flatten(transform(ws, w -> element_at(wm, w)))"
+                ).alias("toks"),
+            )
+        )
+    elif fold == "vocab_join":
+        ex = base.select(
+            "doc_id",
+            F.posexplode(F.expr(words_expr)).alias("pos", "wtk"),
+        )
+        vocab = (
+            ex.select("wtk").distinct()
+            .select("wtk", F.expr(apply_expr).alias("wt"))
+        )
+        d = (
+            ex.join(F.broadcast(vocab), "wtk")
+            .groupBy("doc_id")
+            .agg(
+                F.expr(
+                    "flatten(transform(array_sort("
+                    "collect_list(struct(pos, wt))), s -> s.wt))"
+                ).alias("toks")
+            )
+        )
+    else:
+        raise ValueError(f"unknown fold mode: {fold!r}")
     gram_str = f"array_join(slice(toks, i, {n}), ' ')"
     gram_hash = (
         f"cast(conv(substr(md5({gram_str}), 1, 8), 16, 10) as bigint)"
@@ -801,6 +871,7 @@ def token_decontaminate(
     id_col: str = "doc_id",
     broadcast_benchmark: bool = True,
     portable_hash: bool = True,
+    fold: str = "inline",
 ) -> DataFrame:
     """TOKEN-level benchmark decontamination: corpus documents sharing
     at least ``min_shared`` distinct BPE-token n-grams with a benchmark
@@ -819,11 +890,11 @@ def token_decontaminate(
     count."""
     cg = token_ngram_hashes(
         corpus, merges, n=n, text_col=text_col, id_col=id_col,
-        portable_hash=portable_hash,
+        portable_hash=portable_hash, fold=fold,
     )
     bg = token_ngram_hashes(
         benchmark, merges, n=n, text_col=text_col, id_col=id_col,
-        portable_hash=portable_hash,
+        portable_hash=portable_hash, fold=fold,
     ).withColumnRenamed("doc_id", "bench_id")
     if broadcast_benchmark:
         bg = F.broadcast(bg)

@@ -63,8 +63,18 @@ def parquet_row_count(path: str) -> int | None:
             ]
         if not files:
             return None
+        if not os.path.isfile(path) and any(
+            os.path.isdir(os.path.join(path, f)) for f in os.listdir(path)
+        ):
+            # Nested (partitioned) layout: the flat listing would sum a
+            # subset of the leaves — a silent undercount is worse than
+            # the documented "unknown, fall back to count()" answer.
+            return None
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except OSError:
+    except Exception:
+        # OSError for unreadable paths, pyarrow ArrowInvalid for corrupt
+        # or non-parquet footers: either way the documented contract is
+        # "None -> caller falls back to a Spark count()".
         return None
 
 

@@ -206,6 +206,30 @@ Round-11 notes:
   (fact_build_star, quality_five_checks, graph_pagerank — uniform
   +21-54% box slowness in the same interval, the exact drift class
   the dual-reference reporting exists to make visible).
+
+Round-12 notes:
+- ADJUDICATION of ALL FIVE unadjudicated r11 driver-interval movers
+  (r11 verdict item 2): standing order-balanced same-box worktree A/B,
+  r10 round commit 17d4465 vs r11 round commit 31afe93 (/tmp
+  worktrees), isolated SPARK_GRAFT_BENCH_ONLY subset of exactly the
+  five, 4 pairs alternating which side runs first, same hour. Verdict:
+  ALL FIVE NON-code. Medians (r10 vs r11-HEAD): quality_five_checks
+  4.31 vs 4.60 s (+6.5%), join_star_revenue 1.92 vs 1.80 s (-6.3%),
+  fact_build_star 3.24 vs 3.00 s (-7.2%), dedup_minhash_lsh_pairs
+  6.02 vs 5.82 s (-3.2%), curation_pipeline_v7 6.42 vs 6.57 s
+  (+2.3%) — every delta far inside the box's ~+-25% unpaired band,
+  three of five HEAD-faster, while the driver flags claimed +24-106%.
+  Corroboration: this A/B interval's absolute quality_five_checks
+  (~4.3-4.6 s both sides) matches the r10 driver record (4.74 s) and
+  the curated record, not the r11 driver reading (9.77 s) — the r11
+  driver interval itself was the outlier, exactly the drift signature
+  the verdict's decomposition predicted (no r11 code change touched
+  any of the five; the r11 diff was enrichment/text/dedup/jsonl/
+  storage). Raw per-pair sequences in the r12 commit message's
+  adjudication table.
+- text_token_decontaminate_fast becomes the benched decontamination
+  entry (HEADLINE swap above); the md5 portable entry keeps its
+  registration + cross-engine hash oracle for the gate.
 """
 
 
@@ -351,8 +375,14 @@ HEADLINE = [
     "governance_pii_exposure",
     "curation_contamination_matrix",
     # round-11 additions: token-level decontamination, the end-to-end
-    # release-gate composition, and the two governance audits
-    "text_token_decontaminate",
+    # release-gate composition, and the two governance audits.
+    # r12 (r11 verdict item 3): the BENCHED decontamination entry is
+    # the production-fast configuration (xxhash64 + row_vocab fold);
+    # the portable-md5 entry stays registered with its cross-engine
+    # hash oracle but leaves the suite — a 100 TB deployment never
+    # runs md5 folds in the hot path, so benching it as the canonical
+    # number misstated the engine.
+    "text_token_decontaminate_fast",
     "curation_release_gate",
     "governance_contamination_trend",
     "governance_quality_calibration",
@@ -825,9 +855,14 @@ def _regression_report(timings: dict[str, float]) -> None:
     flagged = _flags(prev)
     for line in flagged:
         print(f"REGRESSION {line}", file=sys.stderr)
+    # Dedup advisory lines on the QUERY NAME, not the formatted string:
+    # the formatted line embeds each reference's baseline seconds, so a
+    # query that regresses against both references never string-matches
+    # and would always print twice (r11 advice item 4).
+    flagged_qs = {line.split(":", 1)[0] for line in flagged}
     if driver_prev:
         for line in _flags(driver_prev):
-            if line not in flagged:
+            if line.split(":", 1)[0] not in flagged_qs:
                 print(f"REGRESSION-ADVISORY (vs driver record) {line}",
                       file=sys.stderr)
     if not flagged:

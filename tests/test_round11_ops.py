@@ -156,6 +156,64 @@ def test_token_decontaminate_fast_hash_pair_set(spark):
         ).collect()
     }
     assert a and a == b
+    # r12: the registered production configuration (xxhash64 +
+    # row_vocab fold — the text_token_decontaminate_fast contract
+    # entry) and the 30k-merge-scale vocab_join fold must both yield
+    # the identical pair set and counts: the fold mode only moves
+    # WHERE the merge folds run, never what they produce, and the
+    # hash value never reaches the output.
+    for mode in ("row_vocab", "vocab_join"):
+        c = {
+            (r.doc_id, r.bench_id, r.n_shared)
+            for r in tx.token_decontaminate(
+                docs, bench, _BPE_MERGES, n=4, min_shared=3,
+                portable_hash=False, fold=mode,
+            ).collect()
+        }
+        assert a == c, f"fold={mode} pair set diverged"
+
+
+def test_token_ngram_fold_modes_identical_grams(spark):
+    """All three fold modes produce byte-identical (doc_id, gram_hash)
+    sets — row_vocab's per-row map lookup and vocab_join's broadcast
+    vocabulary reassembly must reconstruct the exact in-order token
+    stream the inline fold produces, including repeated words, words
+    folding to multi-char tokens, and documents with < n tokens
+    (dropped by every mode)."""
+    from _event_intelligence_data_warehouse_spark.contract.extension_queries import (  # noqa: E501
+        _BPE_MERGES,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import (
+        text as tx,
+    )
+
+    rows = [
+        (1, "The Church Tower weathers LOWER weather at the catch 22"),
+        (2, "the the the atch atch the"),   # heavy repetition
+        (3, "zq"),                          # folds below n tokens
+        (4, ""),                            # no words at all
+        (5, "Watch the weather; watch the catch!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = {
+        (r.doc_id, r.gram_hash)
+        for r in tx.token_ngram_hashes(
+            df, _BPE_MERGES, n=4, portable_hash=False
+        ).collect()
+    }
+    assert ref  # fixture must actually produce grams
+    for mode in ("row_vocab", "vocab_join"):
+        got = {
+            (r.doc_id, r.gram_hash)
+            for r in tx.token_ngram_hashes(
+                df, _BPE_MERGES, n=4, portable_hash=False, fold=mode
+            ).collect()
+        }
+        assert got == ref, f"fold={mode} grams diverged"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.token_ngram_hashes(df, _BPE_MERGES, fold="nope")
 
 
 def test_release_funnel_conservation(spark):
