@@ -777,6 +777,7 @@ _DRIVER_SAMPLE_HEAD = [
     "text_token_decontaminate_fast",
     "curation_release_gate_incremental",
     "text_leakage_attribution",
+    "governance_dataset_card",
     # oldest-verified re-pins: r5 (3)
     "text_bpe_pair_stats",
     "text_lm_surprise",
@@ -827,7 +828,6 @@ _DRIVER_SAMPLE_HEAD = [
     "fact_build_star",
     "governance_functional_deps",
     "graph_khop_reachability",
-    "graph_label_propagation",
 ]
 
 

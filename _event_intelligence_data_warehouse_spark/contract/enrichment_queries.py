@@ -4942,11 +4942,15 @@ def governance_quality_threshold_sweep(
 #
 # The daily form a 100 TB pipeline actually runs (r11 verdict item 4):
 # gate ONE NEW BATCH against STORED release state instead of re-running
-# the corpus. Batch = doc_id % 10 == 0 (the slice convention every
-# incremental entry here uses); the stored state is built from the
-# base corpus (doc_id % 10 != 0) inside the query — the amortized
-# prior-release cost, exactly like similarity_ivf_incremental trains
-# its index in-query — while the APPLY phase touches only the batch:
+# the corpus. The landing slice is a HASH bucket of the doc id (NOT a
+# modular slice: this corpus assigns source = src{doc_id % 20}, so any
+# modular batch is source-degenerate — its sources would never exist in
+# the stored rate table and nothing could release; a hash slice is also
+# the production-faithful shape, since landings are not source-aligned).
+# The stored state is built from the base corpus (the other ~80%)
+# inside the query — the amortized prior-release cost, exactly like
+# similarity_ivf_incremental trains its index in-query — while the
+# APPLY phase touches only the batch:
 #   - fixed eval-suite gram index (doc_id % 35 == 0, original text,
 #     ROUGE-2 bigrams) — broadcast;
 #   - seen-fingerprint state: distinct md5(normalized scrubbed text)
@@ -4958,10 +4962,41 @@ def governance_quality_threshold_sweep(
 #     applied to the batch via sampling.apply_mixture_rates — rates
 #     come from state, never recomputed over base+new.
 _RGI_BENCH_MOD = 35
-_RGI_BATCH_MOD = 10
+_RGI_BATCH_PCT = 20  # hash-bucket % 100 < 20 -> ~20% landing slice
+# Planted batch-vs-state duplicates (the dedup_bloom_prefilter_
+# incremental convention): today's landing re-contains a copy of every
+# 7th base doc under a fresh id. The offset is divisible by
+# lcm(3,4,5)=60 so the planted-PII decoration pattern — which keys on
+# doc_id % 3/4/5 — is preserved and the SCRUBBED fingerprints match
+# the stored state exactly (the phone suffix is also invariant:
+# 900000 % 10000 == 0).
+_RGI_DUP_OFFSET = 900_000
+# Mixture budget for the stored rate table: sized so the per-source
+# rates sit mid-range at the gate-checked SFs (base canonical mass is
+# ~21k tokens at sf0.001/0.01) — both released and sampled_out must be
+# populated for the ledger to exercise the sampling stage at all.
+_RGI_BUDGET = 8_000
+
+_RGI_BATCH_PRED = (
+    f"CAST(('0x' || substr(md5('rgi|' || CAST(doc_id AS VARCHAR)), "
+    f"1, 8)) AS BIGINT) % 100 < {_RGI_BATCH_PCT}"
+)
 
 _RGI_SQL = f"""
-    WITH dec AS ({_PII_DEC_SQL}
+    WITH pl AS (
+        SELECT doc_id + {_RGI_DUP_OFFSET} AS doc_id, source, text
+        FROM documents
+        WHERE NOT ({_RGI_BATCH_PRED}) AND doc_id % 7 = 0
+    ), pl2 AS (
+        SELECT doc_id + {2 * _RGI_DUP_OFFSET} AS doc_id, source, text
+        FROM documents
+        WHERE ({_RGI_BATCH_PRED}) AND doc_id % 7 = 3
+    ), dec0 AS ({_PII_DEC_SQL}
+    ), decp AS ({_PII_DEC_SQL.replace("FROM documents", "FROM pl")}
+    ), decp2 AS ({_PII_DEC_SQL.replace("FROM documents", "FROM pl2")}
+    ), dec AS (
+        SELECT * FROM dec0 UNION ALL SELECT * FROM decp
+        UNION ALL SELECT * FROM decp2
     ), red AS (
         SELECT doc_id, source, text,
                regexp_replace(text, '{_RG_EMAIL}', '<EMAIL>', 'g') AS t1
@@ -4986,10 +5021,12 @@ _RGI_SQL = f"""
                     AS BIGINT) AS nt
         FROM scrub
     ), basefp AS (
-        SELECT DISTINCT f FROM fpall WHERE doc_id % {_RGI_BATCH_MOD} != 0
+        SELECT DISTINCT f FROM fpall
+        WHERE NOT ({_RGI_BATCH_PRED}) AND doc_id < {_RGI_DUP_OFFSET}
     ), bcanon AS (
         SELECT f, MIN(doc_id) AS cid FROM fpall
-        WHERE doc_id % {_RGI_BATCH_MOD} != 0 GROUP BY f
+        WHERE NOT ({_RGI_BATCH_PRED}) AND doc_id < {_RGI_DUP_OFFSET}
+        GROUP BY f
     ), kept AS (
         SELECT p.source, CAST(SUM(p.nt) AS BIGINT) AS kept_tokens
         FROM fpall p JOIN bcanon c ON p.doc_id = c.cid
@@ -5012,7 +5049,7 @@ _RGI_SQL = f"""
         SELECT source,
                CASE WHEN kept_tokens = 0 THEN CAST(0 AS BIGINT)
                     ELSE CAST(least(1000000, CAST(
-                         ((CAST({_RG_BUDGET} AS HUGEINT) * weight)
+                         ((CAST({_RGI_BUDGET} AS HUGEINT) * weight)
                               // wsum * 1000000) // kept_tokens
                          AS BIGINT)) AS BIGINT)
                END AS rate_ppm
@@ -5028,11 +5065,20 @@ _RGI_SQL = f"""
                )) AS g
         FROM tokso
         WHERE len(t) >= 2
-          AND (doc_id % {_RGI_BATCH_MOD} = 0
-               OR doc_id % {_RGI_BENCH_MOD} = 0)
+          AND (({_RGI_BATCH_PRED})
+               OR doc_id % {_RGI_BENCH_MOD} = 0
+               OR doc_id % 7 = 0)
     ), exo AS (
         SELECT doc_id, unnest(g) AS gram_hash FROM gramso
-        WHERE doc_id % {_RGI_BATCH_MOD} = 0
+        WHERE {_RGI_BATCH_PRED}
+        UNION ALL
+        SELECT doc_id + {_RGI_DUP_OFFSET} AS doc_id,
+               unnest(g) AS gram_hash FROM gramso
+        WHERE NOT ({_RGI_BATCH_PRED}) AND doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + {2 * _RGI_DUP_OFFSET} AS doc_id,
+               unnest(g) AS gram_hash FROM gramso
+        WHERE ({_RGI_BATCH_PRED}) AND doc_id % 7 = 3
     ), bencho AS (
         SELECT doc_id AS bench_id, gram_hash FROM (
             SELECT doc_id, unnest(g) AS gram_hash FROM gramso
@@ -5051,10 +5097,12 @@ _RGI_SQL = f"""
         WHERE 1000000 * s.shared_ngrams // t.bench_ngrams >= 100000
     ), flags AS (
         SELECT p.doc_id, p.source, p.n_pii, p.nt, p.f,
-               p.doc_id % {_RGI_BENCH_MOD} = 0 AS is_bench,
+               p.doc_id % {_RGI_BENCH_MOD} = 0
+                   AND p.doc_id < {_RGI_DUP_OFFSET} AS is_bench,
                p.doc_id IN (SELECT doc_id FROM susp) AS is_cont,
                p.f IN (SELECT f FROM basefp) AS is_seen
-        FROM fpall p WHERE p.doc_id % {_RGI_BATCH_MOD} = 0
+        FROM fpall p
+        WHERE ({_RGI_BATCH_PRED}) OR p.doc_id >= {_RGI_DUP_OFFSET}
     ), surv AS (
         SELECT doc_id, f FROM flags
         WHERE NOT is_bench AND NOT is_cont AND NOT is_seen
@@ -5094,7 +5142,12 @@ def curation_release_gate_incremental(
     """STEADY-STATE release gate (r11 verdict item 4): disposition
     ledger for one landing batch, gated against STORED state only —
     the form a production pipeline runs daily, where
-    curation_release_gate is the form it runs per full release.
+    curation_release_gate is the form it runs per full release. The
+    landing is a ~20% HASH slice of doc ids plus planted duplicates
+    under fresh ids (the dedup_bloom_prefilter_incremental
+    convention): a re-landed copy of every 7th base doc (exercises
+    dup-vs-state) and a second copy of every 7th-congruent slice doc
+    (exercises first-id-wins within the landing).
 
     Per batch doc: (doc_id, source, n_pii, n_tokens, disposition) with
     disposition in {bench_member > contaminated > dup_vs_released >
@@ -5103,7 +5156,8 @@ def curation_release_gate_incremental(
     1. scrub the batch (pii_scrub over the planted-PII decoration);
     2. eval-suite members drop (fixed benchmark, doc_id % 35);
     3. ROUGE-2 gate vs the broadcast benchmark gram index (>= 10%
-       recall on ORIGINAL text, as in curation_release_gate);
+       recall on ORIGINAL text, as in curation_release_gate) — a
+       re-landed copy of an eval doc scores ~100% and dies here;
     4. exact dedup vs the RELEASED-fingerprint state: a broadcast
        Bloom filter over base scrubbed fingerprints pre-screens the
        batch (no false negatives); only maybe-present rows pay the
@@ -5114,7 +5168,9 @@ def curation_release_gate_incremental(
        alpha=0.5 plan over base canonical mass — the number the
        release manifest stores) applies to surviving canonicals via
        sampling.apply_mixture_rates: stable hash-bucket membership,
-       so today's verdict never flips when tomorrow's batch lands.
+       so today's verdict never flips when tomorrow's batch lands;
+       a source with NO stored rate releases nothing (a new source
+       needs a rate decision first).
 
     100 TB: the apply phase scales with the INCREMENT — batch scan
     (scrub + fingerprints + grams ride it), broadcast joins against
@@ -5124,21 +5180,44 @@ def curation_release_gate_incremental(
     state included, so the state definitions themselves are checked.
     """
     from _event_intelligence_data_warehouse_spark.operators import (
-        dedup as dd,  # noqa: F401  (fingerprint path documented)
-    )
-    from _event_intelligence_data_warehouse_spark.operators import (
         sampling as smp,
     )
     from _event_intelligence_data_warehouse_spark.operators import (
         sketches as sk,
     )
+    from _event_intelligence_data_warehouse_spark.operators.text import (
+        token_hash,
+    )
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    dec = _pii_decorated(docs)
-    base_dec = dec.filter(F.col("doc_id") % _RGI_BATCH_MOD != 0)
-    batch_dec = dec.filter(F.col("doc_id") % _RGI_BATCH_MOD == 0)
+    in_batch = (
+        token_hash(
+            F.concat(F.lit("rgi|"), F.col("doc_id").cast("string"))
+        ) % 100 < _RGI_BATCH_PCT
+    )
+    # today's landing: the hash slice PLUS a re-landed copy of every
+    # 7th base doc under a fresh id (offset preserves the decoration
+    # mods, so the scrubbed fingerprint equals the stored one — see
+    # _RGI_DUP_OFFSET)
+    planted = docs.filter(~in_batch & (F.col("doc_id") % 7 == 0)).select(
+        (F.col("doc_id") + _RGI_DUP_OFFSET).alias("doc_id"),
+        "text", "source",
+    )
+    # ... and an in-batch duplicate set: copies of (some) slice docs
+    # under a second offset, so first-id-wins within the landing is
+    # exercised too (the copy of a surviving original resolves
+    # dup_in_batch; copies of contaminated originals die with them)
+    planted2 = docs.filter(in_batch & (F.col("doc_id") % 7 == 3)).select(
+        (F.col("doc_id") + 2 * _RGI_DUP_OFFSET).alias("doc_id"),
+        "text", "source",
+    )
+    batch_docs = (
+        docs.filter(in_batch).unionByName(planted).unionByName(planted2)
+    )
+    base_dec = _pii_decorated(docs.filter(~in_batch))
+    batch_dec = _pii_decorated(batch_docs)
 
     # --- stored state (the previous release, amortized) ---
     base = (
@@ -5158,9 +5237,8 @@ def curation_release_gate_incremental(
         F.col("doc_id") == F.col("cid"),
     )
     # rate table the release manifest would store: plan over canonical
-    # scrubbed token mass (mixture_plan_temperature aggregates token
-    # counts itself, so hand it a text-shaped frame via clean tokens —
-    # reuse the already-computed nt by aggregating manually instead)
+    # scrubbed token mass (the isqrt/weight arithmetic is
+    # mixture_plan_temperature's, fed the already-computed nt)
     kept = base_canon.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("nt").cast("bigint").alias("n_tokens"),
@@ -5187,7 +5265,7 @@ def curation_release_gate_incremental(
                 F.least(
                     F.lit(1000000).cast("bigint"),
                     F.expr(
-                        f"CAST((CAST({_RG_BUDGET} AS DECIMAL(38,0)) "
+                        f"CAST((CAST({_RGI_BUDGET} AS DECIMAL(38,0)) "
                         "* weight) div wsum * 1000000 div n_tokens "
                         "AS BIGINT)"
                     ),
@@ -5202,7 +5280,9 @@ def curation_release_gate_incremental(
     batch = (
         tx.pii_scrub(batch_dec)
         .select("doc_id", "n_pii", "clean_text")
-        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(
+            batch_docs.select("doc_id", "source"), "doc_id"
+        )
         .select(
             "doc_id", "source",
             F.col("n_pii").cast("bigint").alias("n_pii"),
@@ -5210,10 +5290,12 @@ def curation_release_gate_incremental(
             tx.token_count("clean_text").cast("bigint").alias("nt"),
         )
     )
+    # contamination scored on ORIGINAL text (planted rows carry their
+    # base doc's text under the new id, so a re-landed copy of an
+    # eval-suite member scores ~100% recall and dies here)
     susp = (
         tx.rouge_recall(
-            docs.filter(F.col("doc_id") % _RGI_BATCH_MOD == 0),
-            bench, n=2, min_recall_ppm=100000,
+            batch_docs, bench, n=2, min_recall_ppm=100000,
         )
         .select("doc_id")
         .distinct()
@@ -5237,7 +5319,10 @@ def curation_release_gate_incremental(
         .join(confirmed, "doc_id", "left")
         .select(
             "doc_id", "source", "n_pii", "nt", "f",
-            (F.col("doc_id") % _RGI_BENCH_MOD == 0).alias("is_bench"),
+            (
+                (F.col("doc_id") % _RGI_BENCH_MOD == 0)
+                & (F.col("doc_id") < _RGI_DUP_OFFSET)
+            ).alias("is_bench"),
             F.coalesce(F.col("_cont"), F.lit(False)).alias("is_cont"),
             F.coalesce(F.col("_seen"), F.lit(False)).alias("is_seen"),
         )
@@ -5271,3 +5356,110 @@ def curation_release_gate_incremental(
             .alias("disposition"),
         )
     )
+
+
+# --- Round 12: the dataset card as a committed storage artifact ------------
+#
+# (r11 verdict item 6) The funnel, calibration, threshold sweep and
+# contamination trend are QUERIES; a release ships them as a
+# manifest-committed TABLE next to the JSONL export. One long-format
+# schema holds all four sections: (section, k1, k2, metric, value) —
+# every governance number is an exact BIGINT by construction (the ppm
+# discipline), so the card needs no per-section schemas and any
+# engine can diff two releases' cards with one anti-join.
+_CARD_SECTIONS = [
+    # (section, source query, k1 expr, k2 expr, metric columns)
+    ("funnel", "governance_release_funnel", "source", None,
+     ["raw_docs", "pii_docs", "bench_dropped", "contam_dropped",
+      "dup_dropped", "sample_dropped", "released", "released_tokens"]),
+    ("calibration", "governance_quality_calibration", "bin", None,
+     ["n_docs", "n_pos", "pred_ppm", "obs_ppm", "gap_ppm"]),
+    ("threshold_sweep", "governance_quality_threshold_sweep",
+     "threshold_bin", None,
+     ["n_kept", "pos_kept", "kept_ppm", "precision_ppm", "recall_ppm"]),
+    ("contamination_trend", "governance_contamination_trend",
+     "source", "iso_week",
+     ["n_docs", "n_contaminated", "contam_ppm", "delta_ppm"]),
+]
+
+
+def _card_oracle_sql() -> str:
+    from _event_intelligence_data_warehouse_spark.contract import ORACLES
+
+    ctes, arms = [], []
+    for section, qname, k1, k2, metrics in _CARD_SECTIONS:
+        # nest each section's full oracle (its own WITH is legal inside
+        # a parenthesized subquery) under a short alias
+        ctes.append(f"_{section} AS ({ORACLES[qname]})")
+        k2e = f"CAST({k2} AS VARCHAR)" if k2 else "''"
+        for m in metrics:
+            arms.append(
+                f"SELECT '{section}' AS section, "
+                f"CAST({k1} AS VARCHAR) AS k1, {k2e} AS k2, "
+                f"'{m}' AS metric, CAST({m} AS BIGINT) AS value "
+                f"FROM _{section}"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(arms)
+
+
+@query("governance_dataset_card", _card_oracle_sql())
+def governance_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE DATASET CARD AS A STORAGE ARTIFACT (r11 verdict item 6):
+    materialize the four governance tables — release funnel, quality
+    calibration, threshold sweep, contamination trend — into one
+    long-format table (section, k1, k2, metric, value), COMMIT it
+    through the manifest warehouse (the same machinery the release's
+    data tables use: versioned manifest, provenance metadata), and
+    build the result rows FROM THE RE-READ COMMITTED ARTIFACT — so a
+    lost or mangled card row fails the value-hash gate exactly like a
+    mangled data row fails the release gate's JSONL read-back.
+
+    Long format because every governance number here is an exact
+    BIGINT (the integer-ppm discipline): one schema serves all four
+    sections, two releases' cards diff with one anti-join, and new
+    sections append without schema evolution.
+
+    100 TB: the card is KB-sized however big the corpus is — the cost
+    is the four underlying audits (each individually plan-audited);
+    the unpivot is a row-local stack projection and the commit is one
+    tiny parquet write + manifest publish."""
+    from _event_intelligence_data_warehouse_spark.contract import (
+        QUERIES, staging_dir,
+    )
+    from _event_intelligence_data_warehouse_spark.storage import Warehouse
+
+    parts = []
+    for section, qname, k1, k2, metrics in _CARD_SECTIONS:
+        df = QUERIES[qname](spark, sf_dir)
+        k2c = (
+            F.col(k2).cast("string") if k2 else F.lit("")
+        )
+        stack = ", ".join(f"'{m}', cast({m} as bigint)" for m in metrics)
+        parts.append(
+            df.select(
+                F.lit(section).alias("section"),
+                F.col(k1).cast("string").alias("k1"),
+                k2c.alias("k2"),
+                F.expr(
+                    f"stack({len(metrics)}, {stack}) AS (metric, value)"
+                ),
+            )
+        )
+    card = parts[0]
+    for p in parts[1:]:
+        card = card.unionByName(p)
+
+    wh = Warehouse(
+        spark, staging_dir("governance_dataset_card", sf_dir),
+        manifest=True,
+    )
+    with wh.commit_metadata(kind="dataset_card", sf_dir=sf_dir):
+        wh.overwrite("dataset_card", card)
+    reread = wh.read("dataset_card")
+    n_card, n_reread = card.count(), reread.count()
+    if n_card != n_reread:
+        raise RuntimeError(
+            f"dataset card round trip lost rows: wrote {n_card}, "
+            f"read back {n_reread}"
+        )
+    return reread

@@ -388,6 +388,11 @@ HEADLINE = [
     "governance_quality_calibration",
     "governance_release_funnel",
     "governance_quality_threshold_sweep",
+    # round-12 additions: steady-state incremental gate, per-benchmark
+    # leakage attribution, committed dataset card
+    "curation_release_gate_incremental",
+    "text_leakage_attribution",
+    "governance_dataset_card",
 ]
 
 

@@ -116,6 +116,13 @@ PROBE = [
     "governance_quality_calibration",
     "governance_release_funnel",
     "governance_quality_threshold_sweep",
+    # round-12 new queries: the production decontamination
+    # configuration, the steady-state incremental gate, the leakage
+    # attribution rollup and the committed dataset card
+    "text_token_decontaminate_fast",
+    "curation_release_gate_incremental",
+    "text_leakage_attribution",
+    "governance_dataset_card",
 ]
 
 # Rows whose same-code A/A spread exceeded ~2x in the r10 four-run
@@ -128,6 +135,10 @@ HIGH_SPREAD = {
     "dedup_semantic",
     "dedup_semantic_incremental",
     "text_winnowing_fingerprints",
+    # r11 verdict item 5: the ratio breathed 8.4x/6.3x/7.6x ACROSS box
+    # intervals even under median-of-3 — its reps and denominators are
+    # now interval-pinned (see the row-contiguous re-measurement pass)
+    "dedup_containment_pairs",
 }
 
 
@@ -193,8 +204,16 @@ def main() -> None:
     # (r10 verdict item 2: the four-run A/A disclosure measured +-40%
     # same-code movement on the heavy rows): every HIGH_SPREAD row, and
     # every row whose provisional ratio is inside the gate's noise band
-    # (> gate/2), gets reps-1 extra measurements per SF; the table
-    # reports the per-SF MEDIAN and the run count.
+    # (> gate/2), is RE-measured from scratch ROW-CONTIGUOUSLY — all
+    # reps AND both SF denominators of the row run back-to-back inside
+    # one box interval, alternating sf0.1/sf1, with the row's
+    # wall-clock interval recorded and reported (r11 verdict item 5:
+    # median-of-3 bounded within-session noise but not cross-hour
+    # drift — dedup_containment_pairs' ratio breathed 8.4x/6.3x/7.6x
+    # when its reps were spread across the whole probe's duration).
+    # The pass-1 observations of these rows are DISCARDED: mixing a
+    # measurement from an earlier interval back into the median would
+    # re-introduce exactly the drift being pinned out.
     def _ratio(q: str) -> float:
         a = samples[q]["sf0.1"][0]
         b = samples[q]["sf1"][0]
@@ -207,10 +226,14 @@ def main() -> None:
         if q in HIGH_SPREAD
         or (_ratio(q) == _ratio(q) and _ratio(q) > args.gate / 2)
     ]
-    for _rep in range(max(args.reps - 1, 0)):
-        for sf_dir, key in sf_pairs:
-            for q in extras:
+    intervals: dict[str, str] = {}
+    for q in extras:
+        samples[q] = {"sf0.1": [], "sf1": []}
+        t_start = time.strftime("%H:%M", time.gmtime())
+        for _rep in range(max(args.reps, 1)):
+            for sf_dir, key in sf_pairs:
                 samples[q][key].append(_measure(q, sf_dir, key))
+        intervals[q] = f"{t_start}-{time.strftime('%H:%M', time.gmtime())}Z"
 
     import statistics
 
@@ -235,18 +258,21 @@ def main() -> None:
         f"{args.gate:.0f}x gate as the shipped-SF curves; at this size",
         "fixed costs no longer mask a super-linear term. Both columns",
         "are measured in the SAME session; rows with runs > 1 report",
-        "the per-SF MEDIAN of that many measurements (median-of-reps",
-        "for the high-spread rows and anything inside the gate's noise",
-        "band — r10 verdict item 2).",
+        "the per-SF MEDIAN of that many measurements, ALL taken",
+        "row-contiguously (reps and both SF denominators back-to-back,",
+        "alternating SFs) inside the one box interval shown in the",
+        "interval column — r11 verdict item 5: cross-hour drift cannot",
+        "enter a row's ratio when the whole row samples one interval.",
         "",
-        "| query | sf0.1 s | sf1 s | ratio | runs |",
-        "|---|---|---|---|---|",
+        "| query | sf0.1 s | sf1 s | ratio | runs | interval |",
+        "|---|---|---|---|---|---|",
     ]
     for q in probe:
         a, b = times[q].get("sf0.1"), times[q].get("sf1")
         r = runs.get(q, 1)
+        iv = intervals.get(q, "-")
         if a is None or b is None or a != a or b != b:
-            lines.append(f"| {q} | {a} | {b} | ERR | {r} |")
+            lines.append(f"| {q} | {a} | {b} | ERR | {r} | {iv} |")
             flagged.append(f"{q}: errored")
             continue
         ratio = b / a if a > 0 else float("inf")
@@ -255,7 +281,8 @@ def main() -> None:
             mark = " **SUPER-LINEAR**"
             flagged.append(f"{q}: {a:.2f}s -> {b:.2f}s ({ratio:.1f}x)")
         lines.append(
-            f"| {q} | {a:.2f} | {b:.2f} | {ratio:.1f}x{mark} | {r} |"
+            f"| {q} | {a:.2f} | {b:.2f} | {ratio:.1f}x{mark} | {r} "
+            f"| {iv} |"
         )
     lines += ["", f"Gate: {'FAILED — ' + '; '.join(flagged) if flagged else 'clean'}", ""]
 
