@@ -5213,14 +5213,17 @@ def curation_release_gate_incremental(
         (F.col("doc_id") + 2 * _RGI_DUP_OFFSET).alias("doc_id"),
         "text", "source",
     )
-    batch_docs = (
+    # stage-shared frames persist (the funnel lesson, r11: 72 -> 14
+    # exchanges): the landing frame feeds the scrub, the ROUGE scorer
+    # and the source join; the state frames feed multiple consumers
+    batch_docs = cache.persist(
         docs.filter(in_batch).unionByName(planted).unionByName(planted2)
     )
     base_dec = _pii_decorated(docs.filter(~in_batch))
     batch_dec = _pii_decorated(batch_docs)
 
     # --- stored state (the previous release, amortized) ---
-    base = (
+    base = cache.persist(
         tx.pii_scrub(base_dec)
         .select("doc_id", "clean_text")
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -5230,7 +5233,7 @@ def curation_release_gate_incremental(
             tx.token_count("clean_text").cast("bigint").alias("nt"),
         )
     )
-    base_fp = base.select("f").distinct()
+    base_fp = cache.persist(base.select("f").distinct())
     bloom = sk.bloom_build(base_fp, "f")
     base_canon = base.join(
         base.groupBy("f").agg(F.min("doc_id").alias("cid")),
@@ -5277,7 +5280,7 @@ def curation_release_gate_incremental(
     bench = docs.filter(F.col("doc_id") % _RGI_BENCH_MOD == 0)
 
     # --- per-batch apply ---
-    batch = (
+    batch = cache.persist(
         tx.pii_scrub(batch_dec)
         .select("doc_id", "n_pii", "clean_text")
         .join(
@@ -5314,7 +5317,7 @@ def curation_release_gate_incremental(
         .select("doc_id")
         .withColumn("_seen", F.lit(True))
     )
-    flags = (
+    flags = cache.persist(
         batch.join(susp, "doc_id", "left")
         .join(confirmed, "doc_id", "left")
         .select(

@@ -126,6 +126,10 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "governance_quality_threshold_sweep":
         "reverse cumulative over the 10-row calibration-bin frame "
         "(post-aggregation; bins are least(milli div 1000, 9))",
+    "text_leakage_attribution":
+        "top-20 rank over the per-bench attribution frame — bounded "
+        "by the FIXED eval suite (<= bench-id count at the capped id "
+        "range), not the corpus",
 }
 
 
