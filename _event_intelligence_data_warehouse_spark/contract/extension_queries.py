@@ -4122,9 +4122,21 @@ def text_leakage_attribution(
     benchmark side is suite-bounded and broadcasts, the corpus gram
     stream joins it once; the attribution adds only bench-sized
     aggregates on top of the (sparse) match frame."""
+    from _event_intelligence_data_warehouse_spark import cache
+
     docs = load(spark, sf_dir, "documents")
-    cg = tx.token_ngram_hashes(docs, _BPE_MERGES, n=_TOKDECON_N)
-    bg = (
+    # vocab_join fold: the merge folds run once per corpus-distinct
+    # word (the production tokenizer shape — the fold, not the hash,
+    # dominates this pipeline); the gram STRINGS are identical across
+    # fold modes, so the md5 gram hashes still match the oracle's
+    # exactly
+    cg = tx.token_ngram_hashes(
+        docs, _BPE_MERGES, n=_TOKDECON_N, fold="vocab_join"
+    )
+    # bench-side lineage is cheap (the id filter pushes into the scan,
+    # so only suite docs tokenize), but persist it: it feeds the
+    # broadcast join twice plus the totals aggregate
+    bg = cache.persist(
         cg.filter(
             (F.col("doc_id") % 41 == 0)
             & (F.col("doc_id") < _TOKDECON_BENCH_MAX_ID)
@@ -4134,31 +4146,49 @@ def text_leakage_attribution(
     totals = bg.groupBy("bench_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("bench_ngrams")
     )
-    matches = (
+    # PASS 1 — pair counting: one corpus stream past the broadcast
+    # bench index, straight into the (doc, bench) aggregate. The raw
+    # (doc, bench, gram) match frame is NOT persisted: on a
+    # template-heavy corpus it is corpus-scale, and caching it
+    # measured slower than the recompute it saved.
+    pairs = cache.persist(
         cg.join(F.broadcast(bg), "gram_hash")
         .filter(F.col("doc_id") != F.col("bench_id"))
-    )
-    pairs = (
-        matches.groupBy("doc_id", "bench_id")
+        .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _TOKDECON_MIN_SHARED)
     )
+    # PASS 2 — distinct-leaked-gram rollup, SUSPECT-BOUNDED: only the
+    # docs that actually flagged re-tokenize (broadcast semi-join
+    # prunes the scan), then their matches semi-join the suspect pair
+    # set before aggregating. At production contamination rates the
+    # suspect set is <<1% of the corpus, so the second pass is
+    # incremental-sized; persisting pass 1's corpus-scale intermediate
+    # instead would cost more than it saves (measured here).
+    sus_docs = pairs.select("doc_id").distinct()
+    cg2 = tx.token_ngram_hashes(
+        docs.join(F.broadcast(sus_docs), "doc_id"),
+        _BPE_MERGES, n=_TOKDECON_N, fold="vocab_join",
+    )
     leak = (
-        matches.join(
-            pairs.select("doc_id", "bench_id"), ["doc_id", "bench_id"]
+        cg2.join(F.broadcast(bg), "gram_hash")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .join(
+            F.broadcast(pairs.select("doc_id", "bench_id")),
+            ["doc_id", "bench_id"],
         )
         .groupBy("bench_id")
         .agg(
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.countDistinct("gram_hash").cast("bigint")
             .alias("leaked_grams"),
         )
     )
-    mx = pairs.groupBy("bench_id").agg(
-        F.max("n_shared").cast("bigint").alias("max_shared")
+    per_bench = pairs.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.max("n_shared").cast("bigint").alias("max_shared"),
     )
     scored = (
-        leak.join(mx, "bench_id")
+        leak.join(per_bench, "bench_id")
         .join(F.broadcast(totals), "bench_id")
         .select(
             "bench_id", "n_docs", "max_shared", "leaked_grams",
