@@ -50,6 +50,16 @@ SMJ_ADJUDICATED = {
     "governance_release_funnel":
         "SMJ load-bearing: joins two persisted corpus-sized stage "
         "frames (stage-share persist is the r11 72->14 exchange win)",
+    # r12: the incremental gate's disposition ledger joins the
+    # PERSISTED batch frame against batch-scale annotation frames on
+    # doc_id (in-batch dup first_id, released-set membership) — both
+    # sides are batch-sized, neither qualifies for broadcast, and the
+    # persist is what collapsed the query 86 -> 3 exchanges;
+    # clustering once on doc_id is the honest cost of stage reuse.
+    "curation_release_gate_incremental":
+        "SMJ load-bearing: joins the persisted batch frame with "
+        "batch-scale doc_id annotation frames (stage-share persist "
+        "is the r12 86->3 exchange win)",
 }
 
 # Unpartitioned (single-reducer) Window nodes, sanctioned per site the
