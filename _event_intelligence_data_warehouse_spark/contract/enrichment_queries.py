@@ -3325,17 +3325,21 @@ def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    corpus = docs.unionByName(
+    # Stage-shared persists (guide §1.2): corpus feeds the fingerprint
+    # dedup AND the survivor join; survivors feeds the bench filter,
+    # the ROUGE corpus side AND the curated anti-join — unpersisted,
+    # the planted-copy union re-derived per consumer.
+    corpus = cache.persist(docs.unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
         )
-    )
+    ))
     keep_ids = (
         dd.exact_dedup(corpus)
         .filter(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
     )
-    survivors = corpus.join(keep_ids, "doc_id")
+    survivors = cache.persist(corpus.join(keep_ids, "doc_id"))
     bench = survivors.filter(F.col("doc_id") % 20 == 0)
     flagged = (
         tx.rouge_recall(survivors, bench, n=2, min_recall_ppm=250000)
@@ -3540,22 +3544,28 @@ def curation_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "lang"
     )
-    corpus = docs.unionByName(
+    # Stage-shared frames persist (guide §1.2): corpus feeds the DSIR
+    # raw side, the DSIR target filter, the affinity-gate join and the
+    # picked join (4 consumers — each otherwise re-reads the parquet
+    # and rebuilds the planted-copy union); sel0 feeds the mixture
+    # PLAN pass and the rate apply; picked_docs feeds the fingerprint
+    # pass, the split roster and the final source join.
+    corpus = cache.persist(docs.unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"),
             "text", "source", "lang",
         )
-    )
+    ))
     aff = tx.dsir_affinity(corpus, corpus.filter(F.col("lang") == "en"))
-    sel0 = corpus.join(
+    sel0 = cache.persist(corpus.join(
         aff.filter(F.col("affinity_sum_ppm") > 0).select("doc_id"),
         "doc_id",
-    )
+    ))
     picked = smp.mixture_sample_temperature(
         sel0, _V7_BUDGET, alpha=0.5
     ).select("doc_id")
-    picked_docs = corpus.select("doc_id", "text", "source").join(
-        picked, "doc_id"
+    picked_docs = cache.persist(
+        corpus.select("doc_id", "text", "source").join(picked, "doc_id")
     )
     fp = picked_docs.select("doc_id", dd.fingerprint(F.col("text")).alias("f"))
     gmin = fp.groupBy("f").agg(F.min("doc_id").alias("m"))
@@ -4516,17 +4526,22 @@ def curation_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(susp, "doc_id", "left_anti")
         .filter(F.col("doc_id") % 20 != 0)
     )
-    # 3. dedup-aware temperature mixture over the scrubbed text
-    kept0 = gated.select(
+    # 3. dedup-aware temperature mixture over the scrubbed text.
+    # Stage-shared frames persist (the funnel lesson, r11): kept0 feeds
+    # the fingerprint dedup AND the canonical join; deduped feeds the
+    # mixture PLAN (token-mass pass) AND the rate apply AND, through
+    # picked, the shard export. Unpersisted, the scrub + ROUGE-2 gate
+    # lineage executed ~3x per run (guide §1.2).
+    kept0 = cache.persist(gated.select(
         "doc_id", "source", "n_pii",
         F.col("clean_text").alias("text"),
-    )
+    ))
     keep_ids = (
         dd.exact_dedup(kept0)
         .filter(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
     )
-    deduped = kept0.join(keep_ids, "doc_id")
+    deduped = cache.persist(kept0.join(keep_ids, "doc_id"))
     picked = deduped.join(
         smp.mixture_sample_temperature(
             deduped, _RG_BUDGET, alpha=0.5
@@ -4557,6 +4572,10 @@ def curation_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("clean_text", T.StringType()),
     ])
     clean, corrupt = jl.split_corrupt(jl.read_jsonl(spark, path, schema))
+    # Persisted: the re-read export feeds the packing pass AND the
+    # final provenance join — without it each consumer re-reads and
+    # re-parses every JSONL shard (guide §1.2).
+    clean = cache.persist(clean)
     n_bad = corrupt.count()
     if n_bad != 0:
         # release check must survive python -O (r11 advice item 5)
@@ -5451,6 +5470,13 @@ def governance_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     card = parts[0]
     for p in parts[1:]:
         card = card.unionByName(p)
+    # Materialize the (KB-sized) card ONCE: unpersisted, the commit
+    # write and the row-conservation count below would each re-run all
+    # four underlying audits — the audits are the whole cost of this
+    # query, so the double execution nearly doubled it (guide §1.2).
+    # localCheckpoint also truncates the four-section union lineage the
+    # manifest write would otherwise re-plan.
+    card = card.localCheckpoint()
 
     wh = Warehouse(
         spark, staging_dir("governance_dataset_card", sf_dir),

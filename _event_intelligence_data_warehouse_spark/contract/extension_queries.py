@@ -5275,7 +5275,18 @@ def dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure artifacts of a too-loose threshold and should
     not be collapsed to one survivor."""
     docs = _docs_near(spark, sf_dir)
-    pairs = dd.minhash_dedup(docs, threshold=0.8)
+    # Materialized ONCE (localCheckpoint): connected_components
+    # checkpoints only its INTERNAL copy of the edge frame, so the
+    # audit's el join would otherwise re-execute the whole minhash
+    # pair pipeline a second time (profiled: 116 -> 84 jobs for this
+    # one query; guide §1.2). Checkpoint, not bare persist: the pair
+    # frame is threshold-bounded and truncation stops the audit's
+    # multi-consumer plan from nesting the full minhash lineage per
+    # reference (the persisted variant's formatted plan hit 1.4 MB —
+    # real single-threaded planning cost, guide §7.3). The bench's
+    # staged entry persists these same frames via its harness — this
+    # aligns the query path.
+    pairs = dd.minhash_dedup(docs, threshold=0.8).localCheckpoint()
     labels = dd.connected_components(docs.select("doc_id"), pairs)
     return dd.graph_cluster_stats(pairs, labels)
 

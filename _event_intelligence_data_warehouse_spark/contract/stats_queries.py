@@ -2360,11 +2360,16 @@ def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior. 100 TB: within-basket joins fan out by items-per-basket
     (bounded ~4), frequent sets are threshold-bounded broadcasts,
     support counts are map-side-combinable."""
+    from _event_intelligence_data_warehouse_spark import cache
     from _event_intelligence_data_warehouse_spark.operators import (
         mining as mn,
     )
 
-    li = (
+    # Persisted: the distinct (order, brand) frame feeds the basket
+    # count below, the L1 support aggregate AND the frequent-item
+    # restriction join inside frequent_itemsets — unpersisted, the
+    # lineitem-part join + distinct ran three times (guide §1.2).
+    li = cache.persist(
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(

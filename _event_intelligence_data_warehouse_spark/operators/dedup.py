@@ -20,7 +20,7 @@ operator here is reproducible and DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from _event_intelligence_data_warehouse_spark import cache
@@ -506,20 +506,29 @@ def connected_components(
         )
         if broadcast_labels:
             lbl_by_dst = F.broadcast(lbl_by_dst)
-        neigh = (
-            sym.join(lbl_by_dst, "dst")
-            .groupBy("src")
-            .agg(F.min("component_id").alias("neigh_comp"))
-            .withColumnRenamed("src", "doc_id")
+        # min(own, min over neighbors) as ONE aggregation: the round
+        # unions the neighbor contributions with the current labels and
+        # takes the per-vertex min — identical labeling to the former
+        # join+groupBy+left-join lowering, one exchange cheaper per
+        # round (guide §2.4: remove shuffles outright). Isolated
+        # vertices keep their own label through the union arm.
+        contrib = sym.join(lbl_by_dst, "dst").select(
+            F.col("src").alias("doc_id"), "component_id"
         )
-        labels = labels.join(neigh, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("component_id"),
-                F.coalesce(F.col("neigh_comp"), F.col("component_id")),
-            ).alias("component_id"),
-        ).localCheckpoint()
-        cur_sum = labels.agg(F.sum("component_id")).first()[0]
+        # The convergence probe rides the checkpoint job via observe()
+        # instead of being a second action per round: the label sum is
+        # collected WHILE the round's localCheckpoint materializes, so
+        # each round is one job, not two (guide §1.2 — fewer passes;
+        # verified to fire on localCheckpoint in Spark 4.1).
+        obs = Observation()
+        labels = (
+            labels.unionByName(contrib)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .observe(obs, F.sum("component_id").alias("s"))
+            .localCheckpoint()
+        )
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break

@@ -39,7 +39,7 @@ engine for training-data curation per the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 PPB = 1_000_000_000
@@ -107,7 +107,15 @@ def pagerank(
     if n == 0:
         return verts.withColumn("rank_ppb", F.lit(0).cast("bigint"))
 
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Materialized once: `ranked` below is lazy, so outdeg is a subplan
+    # of BOTH the dangling aggregate and the contrib join — without the
+    # checkpoint each iteration re-runs this edge-scale groupBy twice
+    # (guide §1.2: remove recomputed passes before tuning anything else).
+    # The frame is O(|V|) and its lineage dies here, so the checkpoint
+    # is one cheap job paid once, not per iteration.
+    outdeg = e.groupBy("src").agg(
+        F.count("*").alias("outdeg")
+    ).localCheckpoint()
     teleport = (100 - damping_pct) * PPB // 100 // n
 
     if start_ranks is None:
@@ -141,6 +149,11 @@ def pagerank(
                 F.lit(0),
             ).alias("_dangling")
         ).select(F.expr(f"_dangling div {n}").cast("bigint").alias("_dang_share"))
+        # in-sum as ONE aggregation over (edge contributions UNION a
+        # zero row per vertex): identical to the former groupBy +
+        # verts-left-join lowering — isolated vertices come through the
+        # zero arm instead of a NULL coalesce — one exchange cheaper
+        # per iteration (guide §2.4).
         contrib = (
             e.join(
                 ranked.filter(F.col("outdeg").isNotNull()).select(
@@ -149,19 +162,23 @@ def pagerank(
                 ),
                 "src",
             )
-            .groupBy("dst")
+            .select(F.col("dst").alias("node_id"), "contrib")
+            .unionByName(
+                verts.select(
+                    "node_id", F.lit(0).cast("bigint").alias("contrib")
+                )
+            )
+            .groupBy("node_id")
             .agg(F.sum("contrib").alias("in_sum"))
-            .withColumnRenamed("dst", "node_id")
         )
         ranks = (
-            verts.join(contrib, "node_id", "left")
-            .crossJoin(F.broadcast(dang))
+            contrib.crossJoin(F.broadcast(dang))
             .select(
                 "node_id",
                 (
                     F.lit(teleport)
                     + F.expr(
-                        f"({damping_pct} * (coalesce(in_sum, 0)"
+                        f"({damping_pct} * (in_sum"
                         f" + _dang_share)) div 100"
                     )
                 ).cast("bigint").alias("rank_ppb"),
@@ -635,12 +652,16 @@ def kcore_peel(
             .agg(F.count("*").alias("d"))
         )
         alive = deg.filter(F.col("d") >= k).select("v")
+        # Convergence probe rides the checkpoint job via observe() —
+        # one job per round instead of checkpoint + count (guide §1.2).
+        obs = Observation()
         e = (
             e.join(alive, e.a == alive.v, "left_semi")
             .join(alive, e.b == alive.v, "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n2 = e.count()
+        n2 = obs.get["n"]
         if n2 == n:
             break
         n = n2
@@ -704,8 +725,6 @@ def label_propagation(
         .distinct()
         .withColumn("community", F.col("node_id"))
     )
-    from pyspark.sql import Window
-
     for _ in range(iterations):
         votes = (
             sym.join(
@@ -718,15 +737,26 @@ def label_propagation(
             .groupBy("u", "nbr_lbl")
             .agg(F.count("*").alias("n"))
         )
-        w = Window.partitionBy("u").orderBy(
-            F.desc("n"), F.asc("nbr_lbl")
-        )
+        # argmax as a max_by AGGREGATE instead of a row_number window:
+        # (max n, tie -> min label) == max_by over struct(n, -label).
+        # The window needed a second exchange on u plus a per-partition
+        # sort; max_by is partially aggregable (map-side combine) and
+        # sort-free — same rows out, deterministic tie-break unchanged
+        # (guide §2.3 "aggregate before you shuffle", §2.4).
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            votes.groupBy("u")
+            .agg(
+                F.max_by(
+                    "nbr_lbl",
+                    F.struct(
+                        F.col("n").alias("n"),
+                        (-F.col("nbr_lbl")).alias("neg_lbl"),
+                    ),
+                ).alias("community")
+            )
             .select(
                 F.col("u").alias("node_id"),
-                F.col("nbr_lbl").alias("community"),
+                F.col("community"),
             )
             .localCheckpoint()
         )

@@ -69,10 +69,14 @@ def frequent_itemsets(
     # L1: plain support count; frequent items gate every later level.
     # Persisted (stage-shared): l1 feeds the output, the item prune AND
     # every level's broadcast — without it each level rescans baskets.
-    l1 = cache.persist(
+    # localCheckpoint (not bare persist): support-thresholded = small,
+    # and truncating here keeps every level's plan from nesting the
+    # basket lineage (see the level loop below).
+    l1 = (
         b.groupBy("i1")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
+        .localCheckpoint()
     )
 
     def _gate(df: DataFrame, n: int) -> DataFrame:
@@ -142,12 +146,20 @@ def frequent_itemsets(
         # occurrence frame — persist so the within-basket join runs once.
         cand = cache.persist(cand)
         # The level's frequent set feeds the output, the next level's
-        # prune AND the occurrence filter — persist and count ONCE (the
-        # count is also the broadcast gate).
-        sup = cache.persist(
+        # prune AND the occurrence filter. localCheckpoint (not bare
+        # persist): the frame is support-thresholded (small by
+        # construction) and each level's plan otherwise NESTS the whole
+        # lineage of every previous level — the un-truncated v1 plan
+        # string hit 1.6 MB / thousands of nested-Exchange repeats at
+        # max_k=3, and Catalyst re-optimizes that tree for every
+        # downstream action (guide §7.3: planning time on huge plans is
+        # driver-side, single-threaded cost). The count doubles as the
+        # broadcast gate on the already-materialized frame.
+        sup = (
             cand.groupBy("items")
             .agg(F.count(F.lit(1)).alias("support"))
             .filter(F.col("support") >= min_support)
+            .localCheckpoint()
         )
         n_sup = sup.count()
         lv = sup.select(

@@ -2546,6 +2546,13 @@ def knn_graph(
             F.col("neighbor_id").cast("bigint").alias("vec_b"),
             F.col("rank").cast("bigint").alias("rank_ab"),
         )
+    # The mutual join reads topk TWICE (a/b orientations below are two
+    # consumers of the same plan); unpersisted, the whole scorer — the
+    # brute-force n*k window or the IVF probe pipeline — executes once
+    # per side (guide §1.2/“don't compute things you throw away”).
+    # Persisting the k*n-row rank list runs it once: 41 -> 37 jobs,
+    # isolated cold wall 19.2 -> 12.0 s at sf0.1 (r12 profile).
+    topk = cache.persist(topk)
     a = topk.select(
         F.col("query_id").alias("vec_a"),
         F.col("neighbor_id").alias("vec_b"),

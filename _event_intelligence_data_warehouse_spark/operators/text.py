@@ -1688,7 +1688,14 @@ def dsir_affinity(
             )
         )
 
-    raw_occ = occ(corpus)
+    from _event_intelligence_data_warehouse_spark import cache
+
+    # raw_occ feeds BOTH the raw-frequency aggregate and the final
+    # per-doc scoring join; unpersisted, the tokenize+hash+explode
+    # projection over the whole corpus runs twice (guide §1.2). The
+    # frame is (doc_id, int64) — narrow — so the persist is cheap at
+    # any scale relative to re-tokenizing the text.
+    raw_occ = cache.persist(occ(corpus))
     t_ppm = freq(occ(target)).withColumnRenamed("ppm", "tp")
     r_ppm = freq(raw_occ).withColumnRenamed("ppm", "rp")
     # fixed-size (n_buckets) score table: broadcast onto the doc stream
