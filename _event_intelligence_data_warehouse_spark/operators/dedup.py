@@ -732,6 +732,11 @@ def _bitmap_sets(
     packed frame (id, sz, w*) and the word count. Scalar columns — not an
     array — so downstream popcount arithmetic stays in whole-stage
     codegen."""
+    # Materialized ONCE (localCheckpoint — the frame is universe-bounded,
+    # <= DENSE_UNIVERSE_MAX rows by the caller's regime probe): the
+    # dictionary feeds the universe count AND the packing join below —
+    # unpersisted, the corpus-scale explode+distinct ran twice
+    # (guide §1.2).
     dict_df = (
         sets_df.select(F.explode(set_col).alias("h"))
         .distinct()
@@ -739,6 +744,7 @@ def _bitmap_sets(
             "h",
             (F.row_number().over(Window.orderBy("h")) - 1).alias("idx"),
         )
+        .localCheckpoint()
     )
     universe = dict_df.count()
     # words >= 1 even for an empty corpus: the packed frame is then empty
@@ -754,7 +760,11 @@ def _bitmap_sets(
         ).alias(f"w{w}")
         for w in range(words)
     ]
-    packed = (
+    # Persisted: every caller reads the packed frame at least twice
+    # (the a/b sides of a pair join, plus the strategy-picking count in
+    # the all-pairs path) — unpersisted, the explode + dictionary join
+    # + packing groupBy re-ran per consumer (guide §1.2).
+    packed = cache.persist(
         sets_df.select(
             F.col(id_col).alias("doc_id"),
             F.size(set_col).alias("sz"),

@@ -38,7 +38,30 @@ def test_bitmap_jaccard_blocked_matches_broadcast(spark):
 
     key = lambda r: (r["doc_a"], r["doc_b"])
     b_rows = sorted(bcast.collect(), key=key)
-    s_rows = sorted(blocked.collect(), key=key)
+    # The 40-doc fixture proxies the >200k-doc regime where the blocked
+    # path fires; since the packed frame is persisted (r12), AQE can see
+    # its true (tiny, fixture-only) size and would broadcast it at
+    # EXECUTION time — a conversion impossible at the real regime's
+    # size. Pin the auto thresholds off around the blocked ACTION so
+    # the fixture executes the at-scale plan shape; the dictionary's
+    # broadcast is an explicit hint and survives.
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in prev:
+            spark.conf.set(k, "-1")
+        s_rows = sorted(blocked.collect(), key=key)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert b_rows == s_rows, "blocked plan changed the pair results"
     assert len(b_rows) > 0, "test corpus produced no pairs — not probative"
 
