@@ -4130,12 +4130,20 @@ def text_leakage_attribution(
     # dominates this pipeline); the gram STRINGS are identical across
     # fold modes, so the md5 gram hashes still match the oracle's
     # exactly
-    cg = tx.token_ngram_hashes(
+    # Persisted (r12): the corpus gram frame feeds the bench-side
+    # filter AND pass 1's broadcast join — unpersisted, the vocab_join
+    # fold pipeline (whose giant merge-fold projection also costs
+    # seconds of whole-stage codegen COMPILATION when the class cache
+    # is cold — the fixed 100-entry codegen cache is routinely evicted
+    # by the 100+ cached plans a full bench session accumulates)
+    # executed and recompiled once per consumer. The frame is narrow
+    # (doc_id, int64 gram hash).
+    cg = cache.persist(tx.token_ngram_hashes(
         docs, _BPE_MERGES, n=_TOKDECON_N, fold="vocab_join"
-    )
-    # bench-side lineage is cheap (the id filter pushes into the scan,
-    # so only suite docs tokenize), but persist it: it feeds the
-    # broadcast join twice plus the totals aggregate
+    ))
+    # bench-side lineage is cheap (reads the persisted gram frame),
+    # but persist it too: it feeds the broadcast join twice plus the
+    # totals aggregate
     bg = cache.persist(
         cg.filter(
             (F.col("doc_id") % 41 == 0)
@@ -4159,17 +4167,17 @@ def text_leakage_attribution(
         .filter(F.col("n_shared") >= _TOKDECON_MIN_SHARED)
     )
     # PASS 2 — distinct-leaked-gram rollup, SUSPECT-BOUNDED: only the
-    # docs that actually flagged re-tokenize (broadcast semi-join
-    # prunes the scan), then their matches semi-join the suspect pair
-    # set before aggregating. At production contamination rates the
-    # suspect set is <<1% of the corpus, so the second pass is
-    # incremental-sized; persisting pass 1's corpus-scale intermediate
-    # instead would cost more than it saves (measured here).
+    # docs that actually flagged contribute, via a broadcast semi-join
+    # against the PERSISTED gram frame — the suspects' (doc, gram)
+    # rows are by construction exactly cg restricted to suspect ids,
+    # so re-tokenizing them (the r12-build shape) paid the fold
+    # pipeline and its multi-second whole-stage-codegen compile a
+    # second time for rows the cache already holds. At production
+    # contamination rates the suspect set is <<1% of the corpus;
+    # persisting pass 1's corpus-scale MATCH frame instead would cost
+    # more than it saves (measured, r12 build).
     sus_docs = pairs.select("doc_id").distinct()
-    cg2 = tx.token_ngram_hashes(
-        docs.join(F.broadcast(sus_docs), "doc_id"),
-        _BPE_MERGES, n=_TOKDECON_N, fold="vocab_join",
-    )
+    cg2 = cg.join(F.broadcast(sus_docs), "doc_id")
     leak = (
         cg2.join(F.broadcast(bg), "gram_hash")
         .filter(F.col("doc_id") != F.col("bench_id"))
