@@ -254,6 +254,30 @@ Round-12 notes:
   (7.51 s) reads 6.40-8.13 s across ALL six runs on a day the box
   floor sat ~10% above the r11 curated interval, and the r12
   order-balanced A/B above already measured it code-equal (+2.3%).
+
+Round-12 OPTIMIZATION-phase notes (see OPTIMIZATION_r12.md for the
+full per-change evidence):
+- Same-night full-suite pair (identical box conditions, minutes
+  apart): pre-optimization commit 6405c9b = 287.86 s, post-batch-1/2
+  tree = 256.17 s — -11.0% code-attributed (the box that night ran
+  every untouched entry ~10-40% ABOVE the curated record, so the
+  curated-vs-curated delta understates the code win).
+- The change set eliminates recomputed lineages (knn mutual join,
+  release-gate scrub chain, v6/v7 corpora, DSIR occurrences, basket
+  frame, bitmap packing, cluster-density pair frame, dataset-card
+  double execution), fuses iterative convergence probes into the
+  checkpoint job via observe() (CC, k-core), lowers CC/pagerank
+  rounds to single union-aggregates, replaces LPA's argmax window
+  with max_by, and truncates Apriori's per-level plan nesting
+  (939,761-char final plan -> 1,300).
+- text_leakage_attribution is WARMTH-SENSITIVE: ~6 s of its cold run
+  is one-time plan/codegen cost, and the fixed ~100-entry generated-
+  class cache means its in-suite reading moves with how many cached
+  plans precede it (measured 6.5 -> 13.0 s from cache evictions
+  alone, zero code change). Batch 3 removed pass 2's re-tokenization
+  (warm 5.4 -> 4.1 s) and returned the in-suite reading to its
+  pre-round level; treat residual movement on this entry as a
+  codegen-cache artifact before suspecting code.
 """
 
 

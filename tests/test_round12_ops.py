@@ -147,3 +147,34 @@ def test_dataset_card_artifact_sections(spark):
     stored = wh.read("dataset_card").collect()
     key = lambda r: (r.section, r.k1, r.k2, r.metric, r.value)  # noqa: E731
     assert sorted(map(key, stored)) == sorted(map(key, rows))
+
+
+def test_leakage_pass2_gram_reuse_equals_retokenize(spark):
+    """r12 optimization pin: text_leakage_attribution's pass 2 reads
+    the persisted pass-1 gram frame restricted to suspect ids instead
+    of re-running token_ngram_hashes over the suspect docs. The two
+    formulations must produce the identical (doc_id, gram_hash) set —
+    token_ngram_hashes emits per-doc DISTINCT grams from row-local
+    state only, so a semi-join before or after tokenization commutes.
+    Guards the rewrite against a future fold mode with cross-document
+    state, which would silently break the commutation."""
+    from _event_intelligence_data_warehouse_spark.contract.extension_queries import (
+        _BPE_MERGES, _TOKDECON_N,
+    )
+    from _event_intelligence_data_warehouse_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sus = docs.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    cg = tx.token_ngram_hashes(
+        docs, _BPE_MERGES, n=_TOKDECON_N, fold="vocab_join"
+    )
+    reused = cg.join(F.broadcast(sus), "doc_id")
+    retok = tx.token_ngram_hashes(
+        docs.join(F.broadcast(sus), "doc_id"),
+        _BPE_MERGES, n=_TOKDECON_N, fold="vocab_join",
+    )
+    a = {(r["doc_id"], r["gram_hash"]) for r in reused.collect()}
+    b = {(r["doc_id"], r["gram_hash"]) for r in retok.collect()}
+    assert a == b and a, "pass-2 gram reuse diverged from re-tokenization"
