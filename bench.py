@@ -278,6 +278,20 @@ full per-change evidence):
   (warm 5.4 -> 4.1 s) and returned the in-suite reading to its
   pre-round level; treat residual movement on this entry as a
   codegen-cache artifact before suspecting code.
+- CLOSING curated record (optimization phase): 220.08 s / 114
+  canonical entries — a clean fast-window full run on the optimized
+  tree (same suite, same methodology; the run's decontaminate_fast
+  canary read 3.07 s, squarely in the fast band). Other full runs
+  that evening: 256.2 / 266.3 (slow window) — kept as cross-evidence.
+  The record run fired two flags, BOTH adjudicated NON-code by the
+  standing order-balanced same-box worktree A/B (6405c9b vs the
+  optimized tree, 3 alternating pairs, isolated density split):
+  cluster_density_cc_stage medians 9.74 (old code) vs 8.80 s (new
+  code) and dedup_cluster_density 7.59 vs 7.76 s (flat) in the SAME
+  interval where the record run had read 9.07/7.45 — i.e. today's box
+  runs the whole family ~20% above the r12-build fast window that
+  produced the 7.53/6.15 references, and the new code is faster or
+  equal side-by-side.
 """
 
 
