@@ -1741,6 +1741,13 @@ def stats_histogram_selectivity(
     within-bucket window), so no global ordered window ever sees the
     distinct-value rows in one task; the histogram is 32 rows."""
     li = load(spark, sf_dir, "lineitem")
+    # NO persist on pts despite its four consumers (coarse bucket
+    # totals, cumulative join, grand total, exact range count): all
+    # four live in the ONE final plan, where the groupBy's exchange is
+    # already shared via ReusedExchange — an r12 A/B measured the
+    # persisted variant consistently SLOWER (5.1 vs 4.1 s at sf0.1,
+    # order-balanced), the same single-plan reuse that keeps
+    # fact_build_star's window dedup unpersisted.
     pts = li.groupBy(
         F.expr(
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
