@@ -292,6 +292,15 @@ full per-change evidence):
   runs the whole family ~20% above the r12-build fast window that
   produced the 7.53/6.15 references, and the new code is faster or
   equal side-by-side.
+- Post-record cross-evidence run: 226.86 s (+3% window), firing three
+  advisory flags against the new record — dedup_minhash_incr_pruned_ss
+  +33%, dedup_semantic +22%, similarity_dbscan_clusters +24% — all on
+  entries with zero optimization-phase code change (the similarity/
+  dedup internals diff is the knn mutual-join persist only, which is
+  not on these paths... dbscan shares connected_components, whose
+  same-box A/B measured the new code FASTER: subset medians 9.09 old
+  vs 8.63 new). Same-evening readings for the three span 4.8-6.4 /
+  4.6-5.8 / 6.5-8.6 s respectively: run-to-run band, not code.
 """
 
 
