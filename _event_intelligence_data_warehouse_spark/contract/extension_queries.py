@@ -4119,9 +4119,14 @@ def text_leakage_attribution(
     - rank: densest leak first (ties broken by bench_id), top 20.
 
     100 TB: everything reuses the decontamination topology — the
-    benchmark side is suite-bounded and broadcasts, the corpus gram
-    stream joins it once; the attribution adds only bench-sized
-    aggregates on top of the (sparse) match frame."""
+    benchmark side is suite-bounded and broadcasts; the corpus gram
+    frame is CACHED (r12: pass 2 reads it instead of re-tokenizing
+    suspects), so at production scale it is a corpus-sized but narrow
+    (doc_id, int64) persist that spills MEMORY_AND_DISK — the trade is
+    one spill-backed materialization vs running the tokenize+fold
+    pipeline (and recompiling its giant codegen class) once per pass,
+    which the r12 A/B measured as the win; the attribution adds only
+    bench-sized aggregates on top of the (sparse) match frame."""
     from _event_intelligence_data_warehouse_spark import cache
 
     docs = load(spark, sf_dir, "documents")

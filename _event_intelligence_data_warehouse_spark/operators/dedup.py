@@ -467,6 +467,14 @@ def connected_components(
     count is at most ``broadcast_max_vertices`` (5M labels x 16 B/row
     ~ 80 MB serialized — comfortably inside executor memory; beyond
     that an unconditional hint would OOM where the shuffle path works).
+
+    Input contract (r12 advice): ``vertices`` must COVER the edge
+    endpoints and carry UNIQUE ids. The union-aggregate round means an
+    edge endpoint absent from ``vertices`` enters the output through
+    the contribution arm (the pre-r12 left-join lowering silently
+    dropped it), and duplicate vertex ids collapse to one row (they
+    used to duplicate). Every in-repo caller passes a unique superset
+    vertex frame; external callers must too.
     """
     # Materialize the (possibly expensive — minhash pairs) edge lineage
     # ONCE before symmetrizing: a union of the lazy plan with its own

@@ -61,7 +61,12 @@ def pagerank(
     Returns (node_id, rank_ppb) for every vertex. The vertex set is the
     union of edge endpoints unless an explicit ``vertices`` frame is
     given (isolated vertices then participate and collect the teleport +
-    dangling share).
+    dangling share). With an explicit ``vertices`` frame, edge
+    endpoints must be WITHIN it (r12 advice): the union-zero-arm rank
+    update emits every node that receives a contribution, so an edge
+    dst missing from ``vertices`` appears in the output (the pre-r12
+    verts-left-join lowering dropped it). Both in-repo callers pass
+    ``vertices=None``, where coverage holds by construction.
 
     Per iteration, for damping d = damping_pct/100 over n vertices::
 

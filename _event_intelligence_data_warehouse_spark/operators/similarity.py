@@ -2546,26 +2546,45 @@ def knn_graph(
             F.col("neighbor_id").cast("bigint").alias("vec_b"),
             F.col("rank").cast("bigint").alias("rank_ab"),
         )
-    # The mutual join reads topk TWICE (a/b orientations below are two
-    # consumers of the same plan); unpersisted, the whole scorer — the
-    # brute-force n*k window or the IVF probe pipeline — executes once
-    # per side (guide §1.2/“don't compute things you throw away”).
-    # Persisting the k*n-row rank list runs it once: 41 -> 37 jobs,
-    # isolated cold wall 19.2 -> 12.0 s at sf0.1 (r12 profile).
-    topk = cache.persist(topk)
-    a = topk.select(
-        F.col("query_id").alias("vec_a"),
-        F.col("neighbor_id").alias("vec_b"),
-        F.col("rank").alias("rank_ab"),
-    ).filter(F.col("vec_a") < F.col("vec_b"))
-    b = topk.select(
-        F.col("neighbor_id").alias("vec_a"),
-        F.col("query_id").alias("vec_b"),
-        F.col("rank").alias("rank_ba"),
-    ).filter(F.col("vec_a") < F.col("vec_b"))
-    return a.join(b, ["vec_a", "vec_b"]).select(
-        F.col("vec_a").cast("bigint").alias("vec_a"),
-        F.col("vec_b").cast("bigint").alias("vec_b"),
-        F.col("rank_ab").cast("bigint").alias("rank_ab"),
-        F.col("rank_ba").cast("bigint").alias("rank_ba"),
+    # Mutual check as ONE canonicalized aggregation, not a self-join.
+    # The r12 form read topk twice (a/b orientations) and persisted the
+    # whole rank list to dodge the double scorer execution — but the
+    # driver's in-suite ground truth measured that persist SLOWER at
+    # both core counts (r12 verdict item 1: 5.43 -> 9.81 s @32, +11%
+    # @8; the n*k materialization into the block store plus the
+    # two-sided shuffle join cost more than it saved). This form needs
+    # neither the persist nor the join: canonicalize each directed
+    # edge to (min, max) with its rank in the orientation-matching
+    # column, then one groupBy keeps exactly the pairs that arrived
+    # from BOTH orientations. topk has one consumer, so the scorer
+    # runs once as plain lineage; the only exchange is the groupBy
+    # (map-side combinable), where the join needed two sides shuffled
+    # plus the persisted materialization (guide §2.4 "remove shuffles
+    # outright", §1.2). Equivalence: both scorers emit unique
+    # (query_id, neighbor_id) rows (row_number <= k over distinct
+    # candidates), so each (vec_a, vec_b) group holds at most one
+    # r_ab and one r_ba, and requiring both non-null IS the mutual
+    # condition; min() is a no-op value pick, never a tie-break.
+    qa, na = F.col("query_id"), F.col("neighbor_id")
+    directed = topk.select(
+        F.least(qa, na).alias("vec_a"),
+        F.greatest(qa, na).alias("vec_b"),
+        F.when(qa < na, F.col("rank")).alias("r_ab"),
+        F.when(qa > na, F.col("rank")).alias("r_ba"),
+    )
+    return (
+        directed.groupBy("vec_a", "vec_b")
+        .agg(
+            F.min("r_ab").alias("rank_ab"),
+            F.min("r_ba").alias("rank_ba"),
+        )
+        .filter(
+            F.col("rank_ab").isNotNull() & F.col("rank_ba").isNotNull()
+        )
+        .select(
+            F.col("vec_a").cast("bigint").alias("vec_a"),
+            F.col("vec_b").cast("bigint").alias("vec_b"),
+            F.col("rank_ab").cast("bigint").alias("rank_ab"),
+            F.col("rank_ba").cast("bigint").alias("rank_ba"),
+        )
     )

@@ -40,6 +40,42 @@ def test_observe_rides_the_write_pass(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == want_rows
 
 
+def test_observation_fires_on_localcheckpoint(spark):
+    """The iterative operators (connected_components, kcore_peel) fuse
+    their per-round convergence probe onto the round's localCheckpoint
+    action via observe(); if a Spark upgrade stops posting execution
+    events for the checkpoint action, obs.get would block FOREVER — a
+    hang, not an error (r12 advice item 2). Pin the behavior with a
+    bounded wait so an upgrade fails fast instead of hanging the
+    operators."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = (
+        spark.range(100)
+        .observe(obs, F.sum("id").alias("s"))
+        .localCheckpoint()
+    )
+    box: dict = {}
+    # daemon thread (not a pool): on a hang the test must FAIL and exit,
+    # not block again joining the stuck getter at teardown
+    t = threading.Thread(
+        target=lambda: box.update(obs.get), daemon=True
+    )
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), (
+        "Observation.get did not return within 60s after localCheckpoint"
+        " — this Spark version no longer posts execution events for the"
+        " checkpoint action; the iterative operators' observe-fused"
+        " convergence probes would hang"
+    )
+    assert box["s"] == 4950
+    assert df.count() == 100
+
+
 def test_observe_sees_only_filtered_rows(spark):
     from _event_intelligence_data_warehouse_spark.contract import load
     from _event_intelligence_data_warehouse_spark.operators import validate as vl
