@@ -731,7 +731,19 @@ def label_propagation(
         .withColumn("community", F.col("node_id"))
     )
     for _ in range(iterations):
-        votes = (
+        # Neighbor-mode as ONE aggregation (r13, guide §2.4): the r12
+        # lowering was count per (u, nbr_lbl) then max_by per u — two
+        # exchanges per round (hash(u, nbr_lbl) then hash(u)); under
+        # AQE each exchange is its own scheduled job, and at sf0.1 the
+        # per-job floor IS the round cost (measured: tasks/round are
+        # already AQE-coalesced to a handful, so only the job count
+        # moves the wall; at scale the removed exchange is an O(V·deg)
+        # shuffle). mode(nbr_lbl, deterministic=true) computes the
+        # identical argmax in one partially-aggregable pass: most
+        # frequent label, ties -> LOWEST value — exactly (max n,
+        # tie -> min label). Pinned against the two-level lowering on
+        # random graphs in tests/test_round13_ops.py.
+        labels = (
             sym.join(
                 labels.select(
                     F.col("node_id").alias("v"),
@@ -739,26 +751,8 @@ def label_propagation(
                 ),
                 "v",
             )
-            .groupBy("u", "nbr_lbl")
-            .agg(F.count("*").alias("n"))
-        )
-        # argmax as a max_by AGGREGATE instead of a row_number window:
-        # (max n, tie -> min label) == max_by over struct(n, -label).
-        # The window needed a second exchange on u plus a per-partition
-        # sort; max_by is partially aggregable (map-side combine) and
-        # sort-free — same rows out, deterministic tie-break unchanged
-        # (guide §2.3 "aggregate before you shuffle", §2.4).
-        labels = (
-            votes.groupBy("u")
-            .agg(
-                F.max_by(
-                    "nbr_lbl",
-                    F.struct(
-                        F.col("n").alias("n"),
-                        (-F.col("nbr_lbl")).alias("neg_lbl"),
-                    ),
-                ).alias("community")
-            )
+            .groupBy("u")
+            .agg(F.mode("nbr_lbl", True).alias("community"))
             .select(
                 F.col("u").alias("node_id"),
                 F.col("community"),

@@ -667,9 +667,28 @@ def bootstrap_mean_replicates(
     of the data."""
     if n_replicates < 1:
         raise ValueError("n_replicates must be >= 1")
-    reps = df.select(
+    src = df.select(
         F.col(id_col).alias("_id"),
         value_cents.cast("bigint").alias("_cents"),
+    )
+    # The B-times-amplified projection (explode + one md5 per (row,
+    # replicate)) executes in the stage that READS the input, so its
+    # parallelism is the SCAN's split count — a small input on a wide
+    # machine runs the whole amplified pass on a couple of tasks
+    # (measured r13: 2 tasks / 4.1 s at sf0.1 on local[32] while 30
+    # cores idled; order-balanced A/B 4.49 -> 1.78 s). Spread the
+    # narrow (id, cents) rows across the cores BEFORE amplifying,
+    # only when the scan is under-parallel (guide §2.6; no-op at
+    # production scale). Weights are a pure function of
+    # (id, replicate), so placement never changes the result.
+    from _event_intelligence_data_warehouse_spark.operators import (
+        spread_small_scan,
+    )
+
+    src = spread_small_scan(src)
+    reps = src.select(
+        "_id",
+        "_cents",
         F.explode(
             F.sequence(F.lit(0), F.lit(n_replicates - 1))
         ).alias("replicate"),

@@ -2313,8 +2313,22 @@ def covariance_pairs(
     casts to BIGINT — valid while the covariance numerator itself fits
     int64, i.e. ~1e9 rows at scale=1000; beyond that, read ``cov_num``
     before the output cast or lower ``scale``."""
-    q = df.select(
-        F.col(id_col).alias("_id"), _int_vec(vec_col, scale).alias("qv")
+    # Per-row work here is d(d+1)/2 products — amplified far past the
+    # input bytes — and it executes in the scan stage, so a small
+    # corpus on a wide box ran the whole triangle on the scan's 1-2
+    # split tasks (measured r13: 2 tasks carried ~4M products at
+    # sf0.1 on local[32]). Spread the narrow (id, vector) rows first
+    # when the scan is under-parallel; no-op at production scale, and
+    # the aggregate is commutative so placement never changes results
+    # (guide §2.6; see operators.spread_small_scan).
+    from _event_intelligence_data_warehouse_spark.operators import (
+        spread_small_scan,
+    )
+
+    q = spread_small_scan(
+        df.select(
+            F.col(id_col).alias("_id"), _int_vec(vec_col, scale).alias("qv")
+        )
     )
     pairs = q.select(
         F.explode(
